@@ -1,0 +1,77 @@
+"""Probe registry infrastructure.
+
+Every implemented operator (SURVEY.md §2) gets a named probe: a Spark
+callable ``(spark, sf_dir) -> DataFrame`` plus (where SQL-expressible) an
+ANSI-SQL oracle string DuckDB runs on the same parquet tables. The driver
+hash-compares both at sf0.01 — this is the correctness gate.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match exactly):
+
+- SUMs over doubles go through ``CAST(x AS DECIMAL(38,6))`` first: the
+  per-row cast is deterministic (ties with the decimal grid are impossible
+  for binary doubles at scale 6) and decimal addition is exact and
+  associative, so partial-aggregation order cannot change the result.
+- Ratios/averages divide exact decimal sums cast to double — one IEEE
+  division, identical in both engines.
+- Temporal outputs are formatted to strings (``date_format`` /
+  ``strftime``) so timezone/object-representation differences vanish.
+- Every ORDER BY ends with a unique tiebreak column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read the driver's parquet tables and register them as temp views.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as raw nanos (legacy conf) and
+    rebuild a microsecond timestamp — same truncation DuckDB applies when
+    it loads nanos into its micros-based TIMESTAMP.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tables = {}
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            # integer DIV — float division would lose precision at 1e18 nanos
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
+
+
+@dataclass
+class Probe:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver's weaker rows-only check
+    survey_ids: str = ""  # which SURVEY §2 operators this exercises
+
+
+REGISTRY: dict[str, Probe] = {}
+
+
+def probe(name: str, oracle: str | None, survey_ids: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = Probe(name, fn, oracle, survey_ids)
+        return fn
+
+    return deco
+
+
+def dec(col_sql: str) -> str:
+    """SQL fragment: deterministic decimal cast for a summed double."""
+    return f"CAST({col_sql} AS DECIMAL(38,6))"

@@ -1,0 +1,647 @@
+"""Core relational probe corpus — scans, filters, joins, aggregations,
+sorts, windows, set ops, JSON access (SURVEY.md §2.2-2.9, §2.12).
+
+Each probe is the Spark-first expression of a capability the reference
+delegates to PostgreSQL (citations on each probe). DataFrame API is used so
+Catalyst gets a declarative plan: filters and projections push to the
+parquet scan, small dimension joins broadcast, top-K compiles to
+TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import load_tables, probe
+
+DEC = "decimal(38,6)"
+
+
+def _d(c) -> F.Column:
+    return c.cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A5, A1, O1) — analyst aggregation surface
+# (docs/querying-data.rst:66-80 is SUM+GROUP BY over extracted numerics).
+# ---------------------------------------------------------------------------
+
+@probe(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ids="A5,O1,P2",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_d(F.col("l_quantity"))).alias("sum_qty"),
+        F.sum(_d(F.col("l_extendedprice"))).alias("sum_base_price"),
+        F.sum(_d(disc)).alias("sum_disc_price"),
+        F.sum(_d(charge)).alias("sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+@probe(
+    "a3_distinct_counts",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*) AS n_orders
+    FROM orders
+    """,
+    survey_ids="A3,A1",
+)
+def a3_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return t["orders"].agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@probe(
+    "a4_minmax_prefix",
+    """
+    SELECT substring(MAX(c_name), 1, 9) AS name_prefix,
+           MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+           COUNT(*) AS n
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+    survey_ids="A4,P2",
+)
+def a4_minmax_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Mirrors the metadata endpoint's LEFT(MAX(ocid),11)/MIN/MAX pattern
+    # with a sanity predicate (process/views.py:184-197).
+    t = load_tables(spark, sf_dir)
+    return t["customer"].where(F.col("c_acctbal") > 0).agg(
+        F.substring(F.max("c_name"), 1, 9).alias("name_prefix"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@probe(
+    "a7_group_counter",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ids="A7,A1",
+)
+def a7_group_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Counter-aggregation parity (warnings counter,
+    # process/processors/compiler.py:154-165).
+    t = load_tables(spark, sf_dir)
+    return t["events"].groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).orderBy("event_type")
+
+
+@probe(
+    "a8_exists_guard",
+    """
+    SELECT COUNT(*) > 0 AS any_large, COUNT(*) AS n_large
+    FROM orders WHERE o_totalprice > 400000
+    """,
+    survey_ids="A8",
+)
+def a8_exists_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # EXISTS-style guard (compiler.py:162-167, finisher.py:142).
+    t = load_tables(spark, sf_dir)
+    return t["orders"].where(F.col("o_totalprice") > 400000).agg(
+        (F.count(F.lit(1)) > 0).alias("any_large"),
+        F.count(F.lit(1)).alias("n_large"),
+    )
+
+
+@probe(
+    "a6_top_buyers",
+    """
+    SELECT o_custkey AS buyer,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_value,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY total_value DESC, buyer
+    LIMIT 10
+    """,
+    survey_ids="A6,O5",
+)
+def a6_top_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The analyst "top 10 buyers by award value" shape
+    # (docs/querying-data.rst:103-125) — Spark compiles the
+    # orderBy+limit to TakeOrderedAndProject.
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"].groupBy(F.col("o_custkey").alias("buyer"))
+        .agg(F.sum(_d(F.col("o_totalprice"))).alias("total_value"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_value"), "buyer")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J4) — FK joins, anti, semi (addchecks.py:35-44, wiper/orphan).
+# ---------------------------------------------------------------------------
+
+@probe(
+    "q3_unshipped_orders",
+    """
+    SELECT o.o_orderkey,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+    survey_ids="J1,A5,O5,P2",
+)
+def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cut = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].where(F.col("o_orderdate") < cut)
+    li = t["lineitem"].where(F.col("l_shipdate") > cut)
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .select("o_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@probe(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name AS nation,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    survey_ids="J1,A5,O1",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    r = t["region"].where(F.col("r_name") == "ASIA")
+    n = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    c = t["customer"].join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    o = t["orders"].join(c, F.col("o_custkey") == F.col("c_custkey"))
+    li = t["lineitem"].join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    s = t["supplier"]
+    j = li.join(
+        s,
+        (F.col("s_suppkey") == F.col("l_suppkey")) & (F.col("s_nationkey") == F.col("n_nationkey")),
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "nation")
+    )
+
+
+@probe(
+    "j2_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
+    """,
+    survey_ids="J2,P4",
+)
+def j2_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Left-anti join — "rows lacking a check" / orphan-data shape
+    # (addchecks.py:35-44, deleteorphan.py:27-44).
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@probe(
+    "j3_customers_with_open_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+    ORDER BY c_custkey
+    """,
+    survey_ids="J3,P2",
+)
+def j3_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Left-semi membership (processors/compiler.py:42-51 set lookup).
+    t = load_tables(spark, sf_dir)
+    open_orders = t["orders"].where(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@probe(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    survey_ids="J1,A5,A6,O5",
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(F.col("l_returnflag") == "R")
+    j = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / dedup-by-rank (O3) — the reference's ORDER BY id LIMIT 1 pick
+# (record_compiler.py:58-75) generalized to window functions.
+# ---------------------------------------------------------------------------
+
+@probe(
+    "o3_latest_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) x WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+    survey_ids="O3",
+)
+def o3_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .orderBy("o_custkey")
+    )
+
+
+@probe(
+    "w1_running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    LIMIT 500
+    """,
+    survey_ids="O1,window-ext",
+)
+def w1_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .select("o_custkey", "o_orderkey",
+                F.sum(_d(F.col("o_totalprice"))).over(w).alias("running_spend"))
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(500)
+    )
+
+
+@probe(
+    "w2_rank_by_balance",
+    """
+    SELECT c_mktsegment, c_custkey,
+           RANK() OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey) AS bal_rank
+    FROM customer
+    QUALIFY bal_rank <= 5
+    ORDER BY c_mktsegment, bal_rank, c_custkey
+    """,
+    survey_ids="window-ext,O5",
+)
+def w2_rank_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        t["customer"]
+        .withColumn("bal_rank", F.rank().over(w))
+        .where(F.col("bal_rank") <= 5)
+        .select("c_mktsegment", "c_custkey", "bal_rank")
+        .orderBy("c_mktsegment", "bal_rank", "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (U1-U3) — wiper temp-table unions (wiper.py:56-66),
+# metadata UNION ALL (views.py:206-231), app-level set difference.
+# ---------------------------------------------------------------------------
+
+@probe(
+    "u1_union_distinct_buyers",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY o_custkey
+    """,
+    survey_ids="U1",
+)
+def u1_union_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["orders"].where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = t["orders"].where(F.col("o_orderstatus") == "O").select("o_custkey")
+    return a.union(b).distinct().orderBy("o_custkey")
+
+
+@probe(
+    "u2_union_all_counts",
+    """
+    SELECT src, COUNT(*) AS n FROM (
+      SELECT 'customer' AS src FROM customer
+      UNION ALL
+      SELECT 'supplier' AS src FROM supplier
+    ) x GROUP BY src ORDER BY src
+    """,
+    survey_ids="U2,A1",
+)
+def u2_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    a = t["customer"].select(F.lit("customer").alias("src"))
+    b = t["supplier"].select(F.lit("supplier").alias("src"))
+    return a.unionAll(b).groupBy("src").agg(F.count(F.lit(1)).alias("n")).orderBy("src")
+
+
+@probe(
+    "u3_except_inactive_customers",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    ORDER BY c_custkey
+    """,
+    survey_ids="U3,J2",
+)
+def u3_except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].select("c_custkey")
+        .exceptAll(t["orders"].select(F.col("o_custkey").alias("c_custkey")))
+        .distinct()
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON access (P5, P6) — the JSONB query surface
+# (views.py:204-205; docs/querying-data.rst:66-125).
+# ---------------------------------------------------------------------------
+
+@probe(
+    "p5_json_extract_agg",
+    """
+    SELECT event_type,
+           SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(38,6))) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ids="P5,A5",
+)
+def p5_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.sum(_d(k)).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@probe(
+    "p6_json_predicate",
+    """
+    SELECT event_type, COUNT(*) AS n_high
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ids="P6,P5",
+)
+def p6_json_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        t["events"].where(k > 50)
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n_high"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (§2.9): substring/concat/md5/date formatting.
+# ---------------------------------------------------------------------------
+
+@probe(
+    "f_scalar_functions",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           substring(c_name, 1, 8) AS name_prefix,
+           concat_ws('#', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation,
+           length(c_name) AS name_len,
+           upper(c_mktsegment) AS seg_upper
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+    survey_ids="scalar,S8",
+)
+def f_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .select(
+            "c_custkey",
+            F.md5("c_name").alias("name_md5"),
+            F.substring("c_name", 1, 8).alias("name_prefix"),
+            F.concat_ws("#", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+            F.length("c_name").alias("name_len"),
+            F.upper("c_mktsegment").alias("seg_upper"),
+        )
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-windowed event analytics (streaming-shaped, batch-checked;
+# SURVEY §2.10 — incremental semantics land in streaming/, the
+# aggregation itself is checked here).
+# ---------------------------------------------------------------------------
+
+@probe(
+    "e_hourly_event_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY hour, event_type
+    """,
+    survey_ids="A5,streaming-ext",
+)
+def e_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_d(F.col("value"))).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+@probe(
+    "e_sessionize",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id ORDER BY user_id
+    """,
+    survey_ids="window-ext,streaming-ext",
+)
+def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Session windows expressed as a lag-gap scan — the batch equivalent of
+    # Structured Streaming session windows (streaming/ has the stateful form).
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        t["events"]
+        .select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explode / unnest (J4) — jsonb_array_elements parity
+# (docs/querying-data.rst:103-125) exercised on tokenized text.
+# ---------------------------------------------------------------------------
+
+@probe(
+    "j4_explode_token_counts",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) x
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+    survey_ids="J4,A6",
+)
+def j4_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(50)
+    )

@@ -1,0 +1,73 @@
+"""Local stand-in for the driver's DuckDB-oracle comparison.
+
+Runs a probe's Spark DataFrame and its DuckDB oracle SQL on the same
+parquet tables, then compares row count, column names, and values
+(order-insensitive, exact — the probes are engineered for bitwise
+determinism; see plans/base.py docstring).
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import duckdb
+
+from kingfisher_process_spark.plans.base import TABLE_NAMES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'"
+        )
+    return con
+
+
+def _norm_decimal(v):
+    # Decimal('1.500000') and Decimal('1.5') compare equal via ==; use a
+    # canonical string so sorting/sets work.
+    if isinstance(v, Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, float):
+        return ("float", "nan" if math.isnan(v) else repr(v))
+    if isinstance(v, int):
+        return ("int", v)
+    if v is None:
+        return ("null",)
+    return ("str", str(v))
+
+
+def compare(spark_df, con, sql: str, name: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty = pass)."""
+    errors: list[str] = []
+    spark_rows = spark_df.collect()
+    spark_cols = spark_df.columns
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    if sorted(spark_cols) != sorted(duck_cols):
+        errors.append(f"{name}: columns differ spark={spark_cols} duck={duck_cols}")
+        return errors
+    if len(spark_rows) != len(duck_rows):
+        errors.append(f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")
+
+    order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    dorder = {c: i for i, c in enumerate(duck_cols)}
+    s_set = sorted(
+        tuple(_norm_decimal(r[i]) for i in order) for r in spark_rows
+    )
+    d_set = sorted(
+        tuple(_norm_decimal(r[dorder[spark_cols[i]]]) for i in order) for r in duck_rows
+    )
+    if s_set != d_set:
+        diff_s = [r for r in s_set if r not in d_set][:3]
+        diff_d = [r for r in d_set if r not in s_set][:3]
+        errors.append(
+            f"{name}: values differ; spark-only sample={diff_s} duck-only sample={diff_d}"
+        )
+    return errors
