@@ -1,0 +1,164 @@
+"""Record compile stage (C2) — one compiled release per record OCID via the
+reference's decision ladder (record_compiler.py:50-143; note matrix
+docs/database.rst:193-257).
+
+Ladder, per OCID (applied inside applyInPandas per group):
+
+1. duplicate OCIDs → WARNING DuplicateOCIDWarning, first record by id wins
+2. classify embedded releases: dated / undated / linked / tagged-'compiled'
+3. dated ∧ no linked → sort dated by date, merge (C3); undated → WARNING
+4. elif compiledRelease present → use it (INFO if all releases dated+linked,
+   else WARNING)
+5. elif tagged → use first tagged (WARNING)
+6. else → ERROR, not compiled
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.operators import merge as merge_mod
+from kingfisher_process_spark.operators.compile_release import COMPILED_SCHEMA, persist_compiled
+from kingfisher_process_spark.store import Store
+from kingfisher_process_spark.util import canonical_json, md5_hex
+
+
+def is_linked_release(release: dict, maximum_properties: int = 4) -> bool:
+    """ocdskit public semantics: a linked release has a url and few
+    properties (record_compiler.py:88)."""
+    return isinstance(release, dict) and "url" in release and len(release) <= maximum_properties
+
+
+def _rows_for(ocid, merged_json=None, release_date=None, notes=()):
+    rows = []
+    if merged_json is not None:
+        rows.append({
+            "row_kind": "item", "ocid": ocid, "merged": merged_json,
+            "release_date": release_date or "", "hash_md5": md5_hex(merged_json),
+            "note_code": None, "note": None, "note_data": None,
+        })
+    for code, text, data in notes:
+        rows.append({
+            "row_kind": "note", "ocid": ocid, "merged": None,
+            "release_date": None, "hash_md5": None,
+            "note_code": code, "note": text, "note_data": data,
+        })
+    return rows
+
+
+def _compile_record_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    rules = merge_mod.load_rules()
+    ocid = pdf["ocid"].iloc[0]
+    pdf = pdf.sort_values("record_id", kind="stable")
+    notes: list[tuple] = []
+
+    if len(pdf) > 1:
+        notes.append(("WARNING", f"OCID {ocid} occurs {len(pdf)} times.",
+                      json.dumps({"type": "DuplicateOCIDWarning"})))
+
+    record = json.loads(pdf["data"].iloc[0], parse_float=Decimal)
+    pkg_raw = pdf["package_data"].iloc[0]
+    package = json.loads(pkg_raw, parse_float=Decimal) if isinstance(pkg_raw, str) else {}
+
+    releases = record.get("releases", [])
+    dated, tagged = [], []
+    undated = linked = 0
+    for release in releases:
+        if not isinstance(release, dict):
+            continue
+        if "date" in release:
+            dated.append(release)
+            if is_linked_release(release, maximum_properties=4):
+                linked += 1
+        else:
+            undated += 1
+        if isinstance(release.get("tag"), list) and "compiled" in release["tag"]:
+            tagged.append(release)
+
+    def finish(rows):
+        return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
+
+    if dated and not linked:
+        if undated:
+            notes.append((
+                "WARNING",
+                f"OCID {ocid} has {undated} undated releases. "
+                f"The {len(dated)} dated releases have been compiled.",
+                None,
+            ))
+        try:
+            dated = sorted(dated, key=lambda r: r["date"])
+        except TypeError as e:
+            notes.append(("ERROR", f"OCID {ocid} has missing/invalid date.",
+                          json.dumps(str(e))))
+            return finish(_rows_for(ocid, notes=notes))
+        extensions = set()
+        exts = package.get("extensions")
+        if isinstance(exts, list):
+            extensions = {e for e in exts if isinstance(e, str)}
+        merged, merge_notes = merge_mod.compile_releases(ocid, dated, extensions, rules)
+        notes.extend(n.as_tuple() for n in merge_notes)
+        if merged is not None:
+            mjson = canonical_json(merged)
+            return finish(_rows_for(ocid, mjson, merged.get("date") or "", notes))
+        return finish(_rows_for(ocid, notes=notes))
+
+    ladder: list[str] = []
+    if linked:
+        ladder.append(
+            f"OCID {ocid} has {linked} linked releases among "
+            f"{len(dated)} dated releases and {len(releases)} releases."
+        )
+    elif undated:
+        ladder.append(f"OCID {ocid} has {len(releases)} releases, all undated.")
+    else:
+        ladder.append(f"OCID {ocid} has 0 releases.")
+
+    if compiled_release := record.get("compiledRelease", {}):
+        ladder.append("Its compiledRelease was used.")
+        level = "INFO" if linked == len(dated) == len(releases) > 0 else "WARNING"
+        notes.append((level, "\n".join(ladder), None))
+        mjson = canonical_json(compiled_release)
+        return finish(_rows_for(ocid, mjson, compiled_release.get("date") or "", notes))
+
+    if tagged:
+        if len(tagged) > 1:
+            ladder.append("Its first release tagged 'compiled' was used.")
+        else:
+            ladder.append("Its only release tagged 'compiled' was used.")
+        notes.append(("WARNING", "\n".join(ladder), None))
+        mjson = canonical_json(tagged[0])
+        return finish(_rows_for(ocid, mjson, tagged[0].get("date") or "", notes))
+
+    ladder.append("It has no compiledRelease and no releases tagged 'compiled'. It was not compiled.")
+    notes.append(("ERROR", "\n".join(ladder), None))
+    return finish(_rows_for(ocid, notes=notes))
+
+
+def compile_records(store: Store, parent_id: int, compiled_collection_id: int) -> dict:
+    """Compile the parent collection's records into the compiled collection."""
+    records = store.read("record").where(F.col("collection_id") == parent_id)
+    data = store.read("data").select(F.col("id").alias("data_id"), "data")
+    pkg = store.read("package_data").select(
+        F.col("id").alias("package_data_id"), F.col("data").alias("package_data")
+    )
+    existing = (
+        store.read("compiled_release")
+        .where(F.col("collection_id") == compiled_collection_id)
+        .select("ocid")
+    )
+
+    inputs = (
+        records.join(existing, "ocid", "left_anti")
+        .join(data, "data_id")
+        .join(pkg, "package_data_id", "left")
+        .select(F.col("id").alias("record_id"), "ocid", "data", "package_data")
+    )
+    compiled = inputs.groupBy("ocid").applyInPandas(
+        lambda pdf: _compile_record_group(pdf), COMPILED_SCHEMA
+    )
+    return persist_compiled(store, compiled_collection_id, compiled)

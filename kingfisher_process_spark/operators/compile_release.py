@@ -1,0 +1,161 @@
+"""Release compile stage (C1) — group the parent collection's releases by
+OCID and merge each group (reference: process/processors/compiler.py:21-84).
+
+Spark-first shape: ``releases ⋈ data ⋈ package_data`` (payload joins pruned
+to the parent collection's partition) → ``groupBy("ocid").applyInPandas``
+running the pure-Python merge engine per group. The groupBy shuffle is the
+only wide dependency; AQE skew handling covers hot OCIDs (thousands of
+releases per OCID — reference issue #460, compiler.py:61-62). Within a
+group, releases sort by ``release_date`` (text, lexicographic — reference
+ORDER BY semantics, compiler.py:57).
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kingfisher_process_spark.operators import merge as merge_mod
+from kingfisher_process_spark.store import Store
+from kingfisher_process_spark.util import canonical_json, md5_hex
+
+COMPILED_SCHEMA = T.StructType([
+    T.StructField("row_kind", T.StringType()),
+    T.StructField("ocid", T.StringType()),
+    T.StructField("merged", T.StringType()),
+    T.StructField("release_date", T.StringType()),
+    T.StructField("hash_md5", T.StringType()),
+    T.StructField("note_code", T.StringType()),
+    T.StructField("note", T.StringType()),
+    T.StructField("note_data", T.StringType()),
+])
+
+
+def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    rules = merge_mod.load_rules()
+    ocid = pdf["ocid"].iloc[0]
+    pdf = pdf.sort_values("release_date", kind="stable")
+    releases = [json.loads(s, parse_float=Decimal) for s in pdf["data"]]
+    extensions: set[str] = set()
+    for pkg in pdf["package_data"].dropna().unique():
+        try:
+            meta = json.loads(pkg)
+        except ValueError:
+            continue
+        exts = meta.get("extensions")
+        if isinstance(exts, list):
+            extensions.update(e for e in exts if isinstance(e, str))
+
+    merged, notes = merge_mod.compile_releases(ocid, releases, extensions, rules)
+    rows = []
+    if merged is not None:
+        mjson = canonical_json(merged)
+        rows.append({
+            "row_kind": "item", "ocid": ocid, "merged": mjson,
+            "release_date": merged.get("date") or "",
+            "hash_md5": md5_hex(mjson),
+            "note_code": None, "note": None, "note_data": None,
+        })
+    for n in notes:
+        code, text, data = n.as_tuple()
+        rows.append({
+            "row_kind": "note", "ocid": ocid, "merged": None,
+            "release_date": None, "hash_md5": None,
+            "note_code": code, "note": text, "note_data": data,
+        })
+    return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
+
+
+def compile_collection(store: Store, parent_id: int, compiled_collection_id: int) -> dict:
+    """Compile every OCID of ``parent_id``'s releases into
+    ``compiled_collection_id``. Returns counts.
+
+    Idempotency (compiler.py:23-36): already-compiled OCIDs are filtered
+    out with a left-anti join before merging, so re-running the stage
+    cannot duplicate compiled releases.
+    """
+    releases = store.read("release").where(F.col("collection_id") == parent_id)
+    data = store.read("data").select(F.col("id").alias("data_id"), "data")
+    pkg = store.read("package_data").select(
+        F.col("id").alias("package_data_id"), F.col("data").alias("package_data")
+    )
+    existing = (
+        store.read("compiled_release")
+        .where(F.col("collection_id") == compiled_collection_id)
+        .select("ocid")
+    )
+
+    inputs = (
+        releases.join(existing, "ocid", "left_anti")
+        .join(data, "data_id")
+        .join(pkg, "package_data_id", "left")
+        .select("ocid", "release_date", "data", "package_data")
+    )
+
+    compiled = inputs.groupBy("ocid").applyInPandas(lambda pdf: _merge_group(pdf), COMPILED_SCHEMA)
+    return persist_compiled(store, compiled_collection_id, compiled)
+
+
+def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> dict:
+    """Write merged rows: a collection_file named {ocid}.json per compiled
+    release (compiler.py:87-132), dedup'd payloads, compiled_release rows,
+    and notes."""
+    from kingfisher_process_spark.sources.loader import dedup_append_payloads
+
+    compiled = compiled.cache()
+    items = compiled.where(F.col("row_kind") == "item")
+
+    # collection_file per OCID
+    cf_base = store.next_id("collection_file")
+    w = Window.orderBy("ocid")
+    files = items.select(
+        (F.row_number().over(w) + F.lit(cf_base - 1)).alias("id"),
+        F.lit(collection_id).alias("collection_id"),
+        F.concat(F.col("ocid"), F.lit(".json")).alias("filename"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(False).alias("compilation_started"),
+    )
+    store.append("collection_file", files)
+
+    data_map = dedup_append_payloads(
+        store, "data", items.select("hash_md5", F.col("merged").alias("data"))
+    ).withColumnRenamed("id", "data_id")
+
+    cr_base = store.next_id("compiled_release")
+    file_ids = store.read("collection_file").where(
+        F.col("collection_id") == collection_id
+    ).select(F.col("id").alias("collection_file_id"),
+             F.regexp_replace("filename", r"\.json$", "").alias("ocid"))
+
+    rows = (
+        items.join(F.broadcast(data_map), "hash_md5")
+        .join(F.broadcast(file_ids), "ocid")
+        .select(
+            (F.row_number().over(Window.orderBy("ocid")) + F.lit(cr_base - 1)).alias("id"),
+            F.lit(collection_id).alias("collection_id"),
+            "collection_file_id", "ocid", "release_date", "data_id",
+        )
+    )
+    n = rows.count()
+    store.append("compiled_release", rows)
+
+    notes = compiled.where(F.col("row_kind") == "note")
+    n_notes = notes.count()
+    if n_notes:
+        nb = store.next_id("collection_note")
+        wn = Window.orderBy("ocid", "note_code", "note")
+        store.append("collection_note", notes.select(
+            (F.row_number().over(wn) + F.lit(nb - 1)).alias("id"),
+            F.lit(collection_id).alias("collection_id"),
+            "note",
+            F.col("note_data").alias("data"),
+            F.current_timestamp().alias("stored_at"),
+            F.col("note_code").alias("code"),
+        ))
+    compiled.unpersist()
+    return {"compiled": n, "notes": n_notes}

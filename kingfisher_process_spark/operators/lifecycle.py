@@ -1,0 +1,250 @@
+"""Collection lifecycle — CRUD, completion, cached counts, metadata /
+notes / tree queries (reference: process/processors/loader.py:42-132,
+finisher.py:100-176, views.py:65-331).
+
+The reference needs a process-manager state machine (compilable /
+completable predicates polled over RabbitMQ) because its stages race
+across workers. In this engine stages run as a synchronous Spark DAG, so
+"compilable" and "completable" reduce to stage ordering; what remains of
+the lifecycle is real state: collection rows, lineage, timestamps, cached
+counts, soft-delete.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.store import SCHEMAS, Store
+
+TRANSFORM_UPGRADE = "upgrade-1-0-to-1-1"
+TRANSFORM_COMPILE = "compile-releases"
+
+
+def _now():
+    return datetime.now(tz=timezone.utc).replace(tzinfo=None)
+
+
+def create_collections(store: Store, source_id: str, data_version: str, *,
+                       sample: bool = False, upgrade: bool = False,
+                       compile_: bool = False, check: bool = False,
+                       note: str | None = None) -> dict[str, int]:
+    """Create the root collection and its derived children
+    (loader.py:42-105): root → [upgraded] → compiled (compiled hangs off
+    the upgraded collection when both steps are requested).
+
+    Returns {"root": id, "upgraded": id?, "compiled": id?}.
+    """
+    steps = []
+    if check:
+        steps.append("check")
+    if compile_:
+        steps.append("compile")
+
+    base = store.next_id("collection")
+    now = _now()
+    rows = []
+    ids = {"root": base}
+
+    def row(cid, parent_id, transform_type, coll_steps):
+        return {
+            "id": cid, "source_id": source_id, "data_version": data_version,
+            "sample": sample, "steps": coll_steps, "options": None,
+            "expected_files_count": None, "data_type": None,
+            "compilation_started": False, "compilation_enqueued": False,
+            "parent_id": parent_id, "transform_type": transform_type,
+            "scrapyd_job": None, "cached_releases_count": None,
+            "cached_records_count": None, "cached_compiled_releases_count": None,
+            "store_start_at": now, "store_end_at": None,
+            "deleted_at": None, "completed_at": None,
+        }
+
+    root_steps = (["upgrade"] if upgrade else []) + steps
+    rows.append(row(base, None, "", root_steps))
+    compile_parent = base
+    nxt = base + 1
+    if upgrade:
+        ids["upgraded"] = nxt
+        rows.append(row(nxt, base, TRANSFORM_UPGRADE, steps))
+        compile_parent = nxt
+        nxt += 1
+    if compile_:
+        ids["compiled"] = nxt
+        rows.append(row(nxt, compile_parent, TRANSFORM_COMPILE, []))
+        nxt += 1
+
+    store.append("collection", store.spark.createDataFrame(
+        [tuple(r[f.name] for f in SCHEMAS["collection"].fields) for r in rows],
+        SCHEMAS["collection"],
+    ))
+    if note:
+        add_note(store, base, "INFO", note)
+    return ids
+
+
+def add_note(store: Store, collection_id: int, code: str, note: str,
+             data: str | None = None) -> None:
+    nid = store.next_id("collection_note")
+    store.append("collection_note", store.spark.createDataFrame(
+        [(nid, collection_id, note, data, _now(), code)], SCHEMAS["collection_note"]
+    ))
+
+
+def create_collection_files(store: Store, collection_id: int,
+                            paths: list[str]) -> list[tuple[int, str]]:
+    """Register input files, unique on (collection, filename)
+    (models.py:221-223). Returns (collection_file_id, path) pairs."""
+    base = store.next_id("collection_file")
+    existing = {
+        r["filename"]
+        for r in store.read("collection_file")
+        .where(F.col("collection_id") == collection_id)
+        .select("filename").collect()
+    }
+    pairs = []
+    rows = []
+    for i, p in enumerate(sorted(set(paths))):
+        if p in existing:
+            raise ValueError(f"File {p} already exists in collection {collection_id}")
+        cfid = base + i
+        pairs.append((cfid, p))
+        rows.append((cfid, collection_id, p, None, False))
+    store.append("collection_file", store.spark.createDataFrame(
+        rows, SCHEMAS["collection_file"]
+    ))
+    return pairs
+
+
+def _update_collection(store: Store, collection_id: int, **updates) -> None:
+    """Rewrite the (small) collection table with updated fields — the
+    collection table is driver-scale metadata, not data. Collected as
+    Python rows (never pandas: NaN-for-null breaks re-ingestion under
+    non-Arrow sessions)."""
+    fields = [f.name for f in SCHEMAS["collection"].fields]
+    rows = []
+    for r in store.read("collection").collect():
+        d = r.asDict()
+        if d["id"] == collection_id:
+            d.update(updates)
+        rows.append(tuple(d[f] for f in fields))
+    store.overwrite("collection",
+                    store.spark.createDataFrame(rows, SCHEMAS["collection"]))
+
+
+def close_collection(store: Store, collection_id: int,
+                     expected_files_count: int | None = None) -> None:
+    """store_end_at + expected_files_count (views.py:111-147)."""
+    _update_collection(store, collection_id, store_end_at=_now(),
+                       expected_files_count=expected_files_count)
+
+
+def finish_collection(store: Store, collection_id: int) -> dict:
+    """Cache counts and set completed_at (finisher.py:100-113)."""
+    counts = {}
+    for table, field in (("release", "cached_releases_count"),
+                         ("record", "cached_records_count"),
+                         ("compiled_release", "cached_compiled_releases_count")):
+        counts[field] = (
+            store.read(table).where(F.col("collection_id") == collection_id).count()
+        )
+    _update_collection(store, collection_id, completed_at=_now(), **counts)
+    return counts
+
+
+def delete_collection(store: Store, collection_id: int) -> None:
+    """Soft-delete + physical wipe of the collection's rows — partition
+    drops instead of the reference's batched DELETEs (wiper.py:56-90)."""
+    _update_collection(store, collection_id, deleted_at=_now())
+    for table in ("release", "record", "compiled_release", "collection_file",
+                  "processing_step"):
+        store.drop_collection_partition(table, collection_id)
+
+
+def delete_orphan_data(store: Store) -> int:
+    """deleteorphan (deleteorphan.py:27-44): data/package_data rows no
+    longer referenced by any envelope row — one distributed anti-join per
+    table instead of 100k-row keyset-paginated DELETE batches."""
+    refs = None
+    for table, col in (("release", "data_id"), ("record", "data_id"),
+                       ("compiled_release", "data_id")):
+        ids = store.read(table).select(F.col(col).alias("id"))
+        refs = ids if refs is None else refs.union(ids)
+    import os
+    import shutil
+
+    live = store.read("data").join(refs.distinct(), "id", "left_semi")
+    n_before = store.read("data").count()
+    # Write survivors to a temp dir then swap — a distributed rewrite, not
+    # a driver-side materialization (the data table is the big one).
+    tmp = store.path("data") + "__rewrite"
+    live.write.mode("overwrite").parquet(tmp)
+    n_after = store.spark.read.parquet(tmp).count()
+    shutil.rmtree(store.path("data"))
+    os.replace(tmp, store.path("data"))
+    return n_before - n_after
+
+
+# -- read endpoints (views.py) ---------------------------------------------
+
+def collection_metadata(store: Store, collection_id: int) -> dict:
+    """The metadata endpoint (views.py:157-234): OCID prefix, date range
+    (lexicographic text compare — views.py:193-194), license/publication
+    policy/version from a sample package."""
+    crs = store.read("compiled_release").where(F.col("collection_id") == collection_id)
+    today = datetime.now(tz=timezone.utc).date().isoformat()
+    agg = crs.where(
+        (F.col("release_date") > "1970-01-01") & (F.col("release_date") <= today + "~")
+    ).agg(
+        F.substring(F.max("ocid"), 1, 11).alias("ocid_prefix"),
+        F.min("release_date").alias("published_from"),
+        F.max("release_date").alias("published_to"),
+    ).collect()[0]
+
+    pkg = (
+        store.read("release").where(F.col("collection_id") == collection_id)
+        .where(F.col("package_data_id").isNotNull())
+        .select("package_data_id").limit(1)
+        .join(store.read("package_data"), F.col("package_data_id") == F.col("id"))
+        .select("data").collect()
+    )
+    meta = dict(agg.asDict())
+    if pkg:
+        import json as _json
+
+        p = _json.loads(pkg[0]["data"])
+        for k in ("license", "publicationPolicy", "version"):
+            if k in p:
+                meta[k] = p[k]
+    return meta
+
+
+def collection_tree(store: Store, collection_id: int) -> list[dict]:
+    """The tree endpoint (views.py:283-331, WITH RECURSIVE): root + derived
+    collections. Tree depth ≤ 3 (models.py:125-144), so an iterative
+    driver loop replaces SQL recursion."""
+    coll = store.read("collection")
+    rows = {r["id"]: r.asDict() for r in coll.collect()}
+    # walk up to the root
+    node = rows.get(collection_id)
+    if node is None:
+        return []
+    while node["parent_id"] is not None:
+        node = rows[node["parent_id"]]
+    # walk down
+    out = [node]
+    frontier = [node["id"]]
+    while frontier:
+        children = [r for r in rows.values() if r["parent_id"] in frontier]
+        out.extend(children)
+        frontier = [c["id"] for c in children]
+    return out
+
+
+def collection_notes(store: Store, collection_id: int) -> DataFrame:
+    return (
+        store.read("collection_note")
+        .where(F.col("collection_id") == collection_id)
+        .orderBy("id")
+    )

@@ -1,0 +1,220 @@
+"""OCDS merge engine — compile a date-ordered list of releases into one
+compiled release (reference: process/processors/compiler.py:135-177 using
+the public ocdsmerge semantics; golden behavior fixed by
+tests/processors/test_compiler.py:10-125).
+
+Pure Python, no Spark dependency: it runs inside ``applyInPandas`` per OCID
+group (see operators/compile_release.py). Merge rules are derived offline
+from the public OCDS 1.1.5 release schema (resources/merge_rules_1_1_5.json;
+schema pinned by the reference at core/settings.py:269) so the engine is
+standalone — no network, no schema fetch at runtime.
+
+Semantics (public OCDS merge specification):
+
+- Releases are sorted by ``date`` (stable) and applied in order; later
+  values overwrite earlier ones, field by field.
+- ``omitWhenMerged`` fields (top-level ``id``/``date``/``tag``) are dropped;
+  the result gets ``id = f"{ocid}-{max_date}"``, ``date = max_date``,
+  ``tag = ["compiled"]``.
+- Arrays of objects merge **by id** (first-appearance order, per-field
+  last-wins); objects lacking ``id`` fall back to their array index.
+- Arrays flagged ``wholeListMerge`` (e.g. ``additionalIdentifiers``,
+  ``parties.roles``) and arrays with any non-object item are replaced
+  wholesale.
+- ``null`` deletes a field.
+- Duplicate ids in one array → DuplicateIdValueWarning (aggregated into a
+  single note, counting per path); equal adjacent dates →
+  RepeatedDateValueWarning; non-object release / missing / null date →
+  MergeError → ERROR note, OCID skipped.
+"""
+
+from __future__ import annotations
+
+import importlib.resources
+import json
+from typing import Any
+
+INFO, WARNING, ERROR = "INFO", "WARNING", "ERROR"
+
+
+class MergeError(Exception):
+    """Base for errors that abort one OCID's compilation."""
+
+    def __init__(self, message: str, **attrs: Any):
+        super().__init__(message)
+        self.attrs = attrs
+
+
+class NonObjectReleaseError(MergeError):
+    pass
+
+
+class MissingDateKeyError(MergeError):
+    pass
+
+
+class NullDateValueError(MergeError):
+    pass
+
+
+class Note:
+    __slots__ = ("code", "note", "data")
+
+    def __init__(self, code: str, note: str, data: dict | None = None):
+        self.code = code
+        self.note = note
+        self.data = data
+
+    def as_tuple(self) -> tuple[str, str, str | None]:
+        return (self.code, self.note, json.dumps(self.data) if self.data is not None else None)
+
+
+_RULES: dict[str, frozenset] | None = None
+
+
+def load_rules() -> dict[str, frozenset]:
+    global _RULES
+    if _RULES is None:
+        ref = importlib.resources.files("kingfisher_process_spark") / "resources/merge_rules_1_1_5.json"
+        raw = json.loads(ref.read_text())
+        _RULES = {k: frozenset(v) for k, v in raw.items()}
+    return _RULES
+
+
+def _merge_list(target_list: list, source_list: list, rule_path: tuple,
+                rules: dict, dup_warnings: list) -> list:
+    """Identifier-merge one array (all items are dicts)."""
+    index: dict[Any, dict] = {}
+    order: list[Any] = []
+    for entry in target_list:
+        if isinstance(entry, dict):
+            key = entry.get("id", ("__idx__", len(order)))
+            if key not in index:
+                index[key] = entry
+                order.append(key)
+    seen_this_release: set = set()
+    path_str = ".".join(rule_path)
+    for pos, item in enumerate(source_list):
+        key = item.get("id", ("__idx__", pos))
+        if key in seen_this_release:
+            dup_warnings.append(
+                (path_str, f"Multiple objects have the `id` value '{key}' in the `{path_str}` array")
+            )
+        seen_this_release.add(key)
+        entry = index.get(key)
+        if entry is None:
+            entry = {}
+            index[key] = entry
+            order.append(key)
+        _merge_object(entry, item, rule_path, rules, dup_warnings)
+    return [index[k] for k in order]
+
+
+def _merge_object(target: dict, source: dict, rule_path: tuple,
+                  rules: dict, dup_warnings: list) -> None:
+    for k, v in source.items():
+        rp = rule_path + (k,)
+        flags = rules.get(".".join(rp), frozenset())
+        if "omitWhenMerged" in flags:
+            continue
+        if v is None:
+            target.pop(k, None)
+        elif isinstance(v, dict):
+            existing = target.get(k)
+            if not isinstance(existing, dict):
+                existing = {}
+                target[k] = existing
+            _merge_object(existing, v, rp, rules, dup_warnings)
+        elif isinstance(v, list):
+            if "wholeListMerge" in flags or not v or not all(isinstance(i, dict) for i in v):
+                target[k] = v
+            else:
+                existing = target.get(k)
+                base = existing if isinstance(existing, list) else []
+                target[k] = _merge_list(base, v, rp, rules, dup_warnings)
+        else:
+            target[k] = v
+
+
+def create_compiled_release(releases: list, rules: dict | None = None
+                            ) -> tuple[dict, list[Note]]:
+    """Merge ``releases`` (any order; sorted here by date) into one compiled
+    release. Returns (merged, warning notes). Raises MergeError subclasses
+    on structurally bad input.
+    """
+    if rules is None:
+        rules = load_rules()
+
+    for i, release in enumerate(releases):
+        if not isinstance(release, dict):
+            raise NonObjectReleaseError(f"Release at index {i} must be an object", index=i)
+        if "date" not in release:
+            raise MissingDateKeyError(f"Release at index {i} is missing a 'date' key", index=i)
+        if release["date"] is None:
+            raise NullDateValueError(f"Release at index {i} has a null 'date' value", index=i)
+
+    ordered = sorted(releases, key=lambda r: r["date"])
+
+    warnings: list[Note] = []
+    dup_warnings: list[tuple[str, str]] = []
+    merged: dict = {}
+    prev_date = None
+    for i, release in enumerate(ordered):
+        date = release["date"]
+        if prev_date is not None and date == prev_date:
+            warnings.append(Note(
+                WARNING,
+                f"Release at index {i} has the same date '{date}' as the previous release",
+                {"type": "RepeatedDateValueWarning", "date": date, "index": i},
+            ))
+        prev_date = date
+        _merge_object(merged, release, (), rules, dup_warnings)
+
+    if dup_warnings:
+        # Aggregate like the reference (compiler.py:154-165): one WARNING
+        # note joining all messages, with per-path occurrence counts.
+        paths: dict[str, int] = {}
+        for path, _ in dup_warnings:
+            paths[path] = paths.get(path, 0) + 1
+        warnings.append(Note(
+            WARNING,
+            "\n".join(msg for _, msg in dup_warnings),
+            {"type": "DuplicateIdValueWarning", "paths": paths},
+        ))
+
+    ocid = ordered[-1].get("ocid") if ordered else None
+    max_date = ordered[-1]["date"] if ordered else None
+    merged["ocid"] = ocid
+    merged["id"] = f"{ocid}-{max_date}"
+    merged["date"] = max_date
+    merged["tag"] = ["compiled"]
+    return merged, warnings
+
+
+def compile_releases(ocid: str, releases: list, extensions: set | None = None,
+                     rules: dict | None = None) -> tuple[dict | None, list[Note]]:
+    """The reference's compile_releases_by_ocdskit contract
+    (processors/compiler.py:135-177): returns (merged | None, notes).
+
+    Extension schema patching requires network fetches the engine does not
+    perform (SURVEY §7 step 4: degrade gracefully) — a WARNING note is
+    emitted per extension URL and base-schema rules are used.
+    """
+    notes: list[Note] = []
+    for url in sorted(extensions or ()):
+        notes.append(Note(
+            WARNING,
+            f"{url}: extension schemas are not fetched by this engine; base 1.1.5 merge rules used",
+            {"type": "ExtensionWarning"},
+        ))
+    try:
+        merged, warnings = create_compiled_release(releases, rules)
+    except MergeError as e:
+        notes.append(Note(
+            ERROR,
+            f"OCID {ocid} can't be compiled",
+            {"type": type(e).__name__, "message": str(e), **e.attrs},
+        ))
+        return None, notes
+    notes.extend(warnings)
+    return merged, notes

@@ -1,0 +1,143 @@
+"""End-to-end collection processing — the engine's main entry point.
+
+The reference choreographs load → upgrade → compile → check → finish
+through six RabbitMQ worker hops (SURVEY §3.1). Here the same pipeline is
+one synchronous Spark stage DAG: each hop becomes a DataFrame job over the
+parquet store, and the process-manager machinery (steps, optimistic locks,
+requeues — compiler.py:128-181, finisher.py:74-176) reduces to function
+call order.
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.operators import lifecycle
+from kingfisher_process_spark.operators.check import check_collection
+from kingfisher_process_spark.operators.compile_record import compile_records
+from kingfisher_process_spark.operators.compile_release import compile_collection
+from kingfisher_process_spark.operators.upgrade import upgrade_10_11
+from kingfisher_process_spark.sources import detect
+from kingfisher_process_spark.sources.loader import PARSED_SCHEMA, parse_files, store_items
+from kingfisher_process_spark.store import Store
+from kingfisher_process_spark.util import canonical_json, md5_hex
+
+
+def _upgrade_parsed(parsed, cfid_map: dict[int, int]):
+    """Map the parsed-items DataFrame through the 1.0→1.1 upgrade
+    (file_worker.py:330-335); upgrade warnings become WARNING note rows
+    (returned as data, not logged — SURVEY §7 watchlist #4)."""
+    cols = [f.name for f in PARSED_SCHEMA.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.to_dict("records"):
+                if r["row_kind"] != "item":
+                    continue
+                cfid = cfid_map.get(r["collection_file_id"])
+                doc = json.loads(r["data"], parse_float=Decimal)
+                upgraded, warns = upgrade_10_11(doc)
+                cj = canonical_json(upgraded)
+                out = dict(r)
+                out.update(collection_file_id=cfid, data=cj, hash_md5=md5_hex(cj))
+                rows.append(out)
+                for wtext in warns:
+                    rows.append({
+                        "collection_file_id": cfid, "row_kind": "note",
+                        "item_index": None, "ocid": None, "release_id": None,
+                        "release_date": None, "data": None, "hash_md5": None,
+                        "package_data": None, "package_hash": None,
+                        "note_code": "WARNING", "note": wtext,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return parsed.mapInPandas(gen, PARSED_SCHEMA)
+
+
+def process_collection(
+    spark: SparkSession,
+    store: Store,
+    source_id: str,
+    data_version: str,
+    paths: list[str],
+    *,
+    upgrade: bool = False,
+    compile_: bool = False,
+    check: bool = False,
+    sample: bool = False,
+    note: str | None = None,
+) -> dict:
+    """Load files into a new collection and run the requested transforms.
+
+    Returns {"collections": {...}, "data_type": {...}, counts per stage}.
+    """
+    ids = lifecycle.create_collections(
+        store, source_id, data_version,
+        sample=sample, upgrade=upgrade, compile_=compile_, check=check, note=note,
+    )
+    result: dict = {"collections": ids}
+
+    try:
+        data_type = detect.detect_format(paths[0]).as_dict()
+    except ValueError as e:
+        # invalid/truncated JSON → ERROR note, collection aborted
+        # (file_worker.py:172-175 IncompleteJSONError path)
+        msg = f"Source {source_id} yields invalid JSON: {e}"
+        lifecycle.add_note(store, ids["root"], "ERROR", msg)
+        result["error"] = msg
+        return result
+    except (detect.EmptyFormatError, detect.UnsupportedFormatError,
+            detect.UnknownFormatError, FileNotFoundError) as e:
+        lifecycle.add_note(store, ids["root"], "ERROR", str(e))
+        result["error"] = str(e)
+        return result
+    result["data_type"] = data_type
+    lifecycle._update_collection(store, ids["root"], data_type=json.dumps(data_type))
+
+    fmt = data_type["format"]
+    pairs = lifecycle.create_collection_files(store, ids["root"], paths)
+    parsed = parse_files(spark, pairs, data_type).cache()
+    result["load"] = store_items(store, ids["root"], fmt, parsed)
+
+    compile_parent = ids["root"]
+    if upgrade:
+        upg_id = ids["upgraded"]
+        lifecycle._update_collection(store, upg_id, data_type=json.dumps(data_type))
+        upg_pairs = lifecycle.create_collection_files(store, upg_id, paths)
+        cfid_map = {root_cfid: upg_cfid
+                    for (root_cfid, _), (upg_cfid, _) in zip(pairs, upg_pairs)}
+        upgraded_parsed = _upgrade_parsed(parsed, cfid_map)
+        result["upgrade"] = store_items(store, upg_id, fmt, upgraded_parsed)
+        compile_parent = upg_id
+
+    parsed.unpersist()
+
+    if compile_:
+        comp_id = ids["compiled"]
+        if fmt == detect.RELEASE_PACKAGE:
+            result["compile"] = compile_collection(store, compile_parent, comp_id)
+        elif fmt == detect.RECORD_PACKAGE:
+            result["compile"] = compile_records(store, compile_parent, comp_id)
+        else:
+            # compiled-release inputs are already compiled (reference
+            # compilable() never fires for this format)
+            lifecycle.add_note(store, comp_id, "INFO",
+                              "Collection is already compiled; compile step skipped")
+        if "compile" in result:
+            lifecycle.finish_collection(store, comp_id)
+
+    if check:
+        kind = "record" if fmt == detect.RECORD_PACKAGE else "release"
+        target = compile_parent
+        result["check"] = check_collection(store, target, kind)
+
+    lifecycle.close_collection(store, ids["root"], expected_files_count=len(paths))
+    for cid in ids.values():
+        lifecycle.finish_collection(store, cid)
+    return result

@@ -1,0 +1,157 @@
+"""Distributed load stage — files → release/record/compiled_release +
+deduplicated data/package_data tables.
+
+Spark-first redesign of the reference's file_worker (file_worker.py:75-386):
+instead of one RabbitMQ message per file, the whole file list becomes a
+DataFrame and each executor parses its files inside ``mapInPandas`` (Arrow
+batches, pure-Python OCDS parse from sources/reader.py). Everything after
+the parse is declarative DataFrame work, so at 100 TB:
+
+- file parsing scales with executor count (one task per file chunk);
+- content dedup (S8) is a ``dropDuplicates`` on the md5 + a broadcast-able
+  left-anti join against the existing ``data`` table — no per-row
+  get-or-create round trips (reference does 1 row per query in dedup mode,
+  file_worker.py:326-327);
+- envelope id assignment is a window rank, not a sequence bottleneck.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kingfisher_process_spark.sources.reader import item_rows
+from kingfisher_process_spark.store import Store
+
+PARSED_SCHEMA = T.StructType([
+    T.StructField("collection_file_id", T.LongType()),
+    T.StructField("row_kind", T.StringType()),
+    T.StructField("item_index", T.LongType()),
+    T.StructField("ocid", T.StringType()),
+    T.StructField("release_id", T.StringType()),
+    T.StructField("release_date", T.StringType()),
+    T.StructField("data", T.StringType()),
+    T.StructField("hash_md5", T.StringType()),
+    T.StructField("package_data", T.StringType()),
+    T.StructField("package_hash", T.StringType()),
+    T.StructField("note_code", T.StringType()),
+    T.StructField("note", T.StringType()),
+])
+
+
+def parse_files(spark: SparkSession, files: list[tuple[int, str]], data_type: dict) -> DataFrame:
+    """files: (collection_file_id, path) pairs → parsed item/note rows.
+
+    Paths must be visible to executors (shared FS / object store on a real
+    cluster; local FS in local mode).
+    """
+    files_df = spark.createDataFrame(files, "collection_file_id long, filename string")
+    # one task per file so a single huge file can't serialize the stage
+    files_df = files_df.repartition(max(len(files), 1))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for cfid, path in zip(pdf["collection_file_id"], pdf["filename"]):
+                for row in item_rows(path, data_type):
+                    row["collection_file_id"] = int(cfid)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in PARSED_SCHEMA.fields])
+
+    return files_df.mapInPandas(gen, PARSED_SCHEMA)
+
+
+def dedup_append_payloads(store: Store, table: str, payloads: DataFrame) -> DataFrame:
+    """S8: content-hash dedup against + into the ``data``/``package_data``
+    table. ``payloads``: (hash_md5, data). Returns the full mapping
+    (hash_md5 → id) for the hashes present in ``payloads``.
+
+    MERGE-style: dropDuplicates on the hash, anti-join existing, assign ids
+    past the current max, append. The anti-join's right side is the
+    existing table's hash column only (column-pruned scan).
+    """
+    existing = store.read(table).select("id", "hash_md5")
+    fresh = (
+        payloads.dropDuplicates(["hash_md5"])
+        .join(existing.select("hash_md5"), "hash_md5", "left_anti")
+    )
+    base = store.next_id(table)
+    w = Window.orderBy("hash_md5")
+    fresh_ids = fresh.withColumn("id", F.row_number().over(w) + F.lit(base - 1))
+    store.append(table, fresh_ids.select("id", "hash_md5", "data"))
+    return (
+        store.read(table).select("id", "hash_md5")
+        .join(payloads.select("hash_md5").distinct(), "hash_md5", "left_semi")
+    )
+
+
+def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -> dict:
+    """Persist parsed rows: payload dedup + envelope rows + notes.
+
+    Returns {"rows": n, "notes": n}.
+    """
+    parsed = parsed.cache()
+    items = parsed.where(F.col("row_kind") == "item")
+
+    data_map = dedup_append_payloads(
+        store, "data", items.select("hash_md5", "data")
+    ).withColumnRenamed("id", "data_id")
+
+    has_pkg = items.where(F.col("package_hash").isNotNull())
+    pkg_map = dedup_append_payloads(
+        store, "package_data",
+        has_pkg.select(F.col("package_hash").alias("hash_md5"),
+                       F.col("package_data").alias("data")),
+    ).withColumnRenamed("id", "package_data_id").withColumnRenamed("hash_md5", "package_hash")
+
+    # The ocid is required to find all releases of one contracting process
+    # during compile; ocid-less items keep their payload but get no
+    # envelope row (file_worker.py:346-348).
+    envelope = (
+        items.where(F.col("ocid").isNotNull())
+        .join(F.broadcast(data_map), "hash_md5")
+        .join(F.broadcast(pkg_map), "package_hash", "left")
+    )
+
+    base = {
+        "release": store.next_id("release"),
+        "record": store.next_id("record"),
+        "compiled_release": store.next_id("compiled_release"),
+    }
+    w = Window.orderBy("collection_file_id", "item_index")
+
+    table = {"release package": "release", "record package": "record",
+             "compiled release": "compiled_release"}[fmt]
+    rows = envelope.withColumn(
+        "id", F.row_number().over(w) + F.lit(base[table] - 1)
+    ).withColumn("collection_id", F.lit(collection_id))
+
+    if table == "release":
+        out = rows.select("id", "collection_id", "collection_file_id", "ocid",
+                          "release_id", "release_date", "data_id", "package_data_id")
+    elif table == "record":
+        out = rows.select("id", "collection_id", "collection_file_id", "ocid",
+                          "data_id", "package_data_id")
+    else:
+        out = rows.select("id", "collection_id", "collection_file_id", "ocid",
+                          "release_date", "data_id")
+    n_rows = out.count()
+    store.append(table, out)
+
+    notes = parsed.where(F.col("row_kind") == "note")
+    n_notes = notes.count()
+    if n_notes:
+        nb = store.next_id("collection_note")
+        wn = Window.orderBy("collection_file_id", "note")
+        store.append("collection_note", notes.select(
+            (F.row_number().over(wn) + F.lit(nb - 1)).alias("id"),
+            F.lit(collection_id).alias("collection_id"),
+            F.col("note").alias("note"),
+            F.lit(None).cast("string").alias("data"),
+            F.current_timestamp().alias("stored_at"),
+            F.col("note_code").alias("code"),
+        ))
+    parsed.unpersist()
+    return {"rows": n_rows, "notes": n_notes}

@@ -1,0 +1,244 @@
+"""End-to-end pipeline tests: load → upgrade → compile → check → finish
+over synthetic OCDS fixtures (shapes from FIXTURES.md §1, mirroring the
+reference's test strategy of ingest-cardinality + golden-compile checks,
+tests/processors/test_process_file.py:113-179)."""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.operators import lifecycle
+from kingfisher_process_spark.pipeline import process_collection
+from kingfisher_process_spark.sources import detect
+from kingfisher_process_spark.store import Store
+from kingfisher_process_spark.util import canonical_json
+
+RELEASES = [
+    {"ocid": "ocds-x-1", "id": "1", "date": "2020-01-01T00:00:00Z",
+     "tender": {"id": "t1", "status": "planned",
+                "value": {"amount": Decimal("100.10"), "currency": "EUR"}}},
+    {"ocid": "ocds-x-1", "id": "2", "date": "2020-02-01T00:00:00Z",
+     "tender": {"id": "t1", "status": "complete"},
+     "awards": [{"id": "a1", "status": "active",
+                 "value": {"amount": Decimal("55.50"), "currency": "EUR"}}]},
+    {"ocid": "ocds-x-2", "id": "3", "date": "2020-01-15T00:00:00Z",
+     "buyer": {"name": "Town Hall", "identifier": {"id": 7}},
+     "awards": [{"id": "a2", "status": "active",
+                 "value": {"amount": 10, "currency": "USD"}}]},
+]
+
+
+def release_package(releases, **extra):
+    return {
+        "uri": "http://example.com/pkg", "version": "1.1",
+        "publishedDate": "2020-03-01T00:00:00Z",
+        "publisher": {"name": "example"},
+        "license": "CC-BY", **extra,
+        "releases": releases,
+    }
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return Store(spark, str(tmp_path / "store"))
+
+
+def write(tmp_path, name, obj_or_text):
+    p = tmp_path / name
+    # canonical_json keeps Decimal literals ('100.10') in the fixture file
+    text = obj_or_text if isinstance(obj_or_text, str) else canonical_json(obj_or_text)
+    p.write_text(text)
+    return str(p)
+
+
+def test_release_package_end_to_end(spark, store, tmp_path):
+    path = write(tmp_path, "pkg.json", release_package(RELEASES))
+    result = process_collection(
+        spark, store, "test_source", "2020-03-01 00:00:00", [path],
+        upgrade=True, compile_=True, check=True,
+    )
+    assert result["data_type"] == {"format": "release package",
+                                   "concatenated": False, "array": False}
+    assert result["load"]["rows"] == 3
+    assert result["upgrade"]["rows"] == 3
+    assert result["compile"]["compiled"] == 2
+    assert result["check"] == 3
+
+    ids = result["collections"]
+    # dedup: same payloads in root and upgraded collections → upgraded
+    # releases dedup against root only where unchanged (ocds-x-1 releases
+    # unchanged by upgrade; ocds-x-2 gains parties)
+    releases = store.read("release")
+    assert releases.where(F.col("collection_id") == ids["root"]).count() == 3
+
+    crs = store.read("compiled_release").where(F.col("collection_id") == ids["compiled"])
+    rows = {r["ocid"]: r for r in crs.collect()}
+    assert set(rows) == {"ocds-x-1", "ocds-x-2"}
+    assert rows["ocds-x-1"]["release_date"] == "2020-02-01T00:00:00Z"
+
+    # merged payload: decimal fidelity + last-wins + id merge
+    data = store.read("data")
+    merged = json.loads(
+        data.where(F.col("id") == rows["ocds-x-1"]["data_id"]).collect()[0]["data"]
+    )
+    assert merged["tender"]["status"] == "complete"
+    assert merged["tender"]["value"] == {"amount": 100.10, "currency": "EUR"}
+    assert merged["tag"] == ["compiled"]
+    raw = data.where(F.col("id") == rows["ocds-x-1"]["data_id"]).collect()[0]["data"]
+    assert '"amount":100.10' in raw  # Decimal survives the whole pipeline
+
+    # upgraded collection: buyer moved into parties
+    upg_releases = store.read("release").where(
+        (F.col("collection_id") == ids["upgraded"]) & (F.col("ocid") == "ocds-x-2"))
+    d = upg_releases.join(data, upg_releases.data_id == data.id).collect()[0]["data"]
+    updoc = json.loads(d)
+    assert updoc["parties"][0]["roles"] == ["buyer"]
+
+    # lifecycle: counts cached, completed
+    colls = {r["id"]: r for r in store.read("collection").collect()}
+    assert colls[ids["root"]]["cached_releases_count"] == 3
+    assert colls[ids["compiled"]]["cached_compiled_releases_count"] == 2
+    assert colls[ids["root"]]["completed_at"] is not None
+    assert colls[ids["compiled"]]["transform_type"] == "compile-releases"
+    assert colls[ids["compiled"]]["parent_id"] == ids["upgraded"]
+
+    # checks stored 1:1
+    assert store.read("release_check").count() == 3
+
+    # tree endpoint: root → upgraded → compiled
+    tree = lifecycle.collection_tree(store, ids["compiled"])
+    assert [t["id"] for t in tree] == [ids["root"], ids["upgraded"], ids["compiled"]]
+
+    # metadata endpoint
+    meta = lifecycle.collection_metadata(store, ids["compiled"])
+    assert meta["ocid_prefix"] == "ocds-x-2"[:11]
+    assert meta["published_from"] == "2020-01-15T00:00:00Z"
+
+
+def test_dedup_shared_payloads(spark, store, tmp_path):
+    # identical release in two files → one data row (S8,
+    # tests/test_util.py:40-70 semantics)
+    p1 = write(tmp_path, "a.json", release_package([RELEASES[0]]))
+    p2 = write(tmp_path, "b.json", release_package([RELEASES[0]]))
+    result = process_collection(spark, store, "s", "2020-01-01 00:00:00", [p1, p2])
+    assert result["load"]["rows"] == 2  # two envelope rows
+    assert store.read("data").count() == 1  # one deduped payload
+    assert store.read("package_data").count() == 1
+
+
+def test_record_package_ladder(spark, store, tmp_path):
+    records = [
+        # dated releases → merged
+        {"ocid": "ocds-r-1", "releases": [
+            {"ocid": "ocds-r-1", "id": "1", "date": "2020-01-01", "tender": {"id": "t"}},
+            {"ocid": "ocds-r-1", "id": "2", "date": "2020-01-02", "tender": {"status": "active"}},
+        ]},
+        # linked releases + compiledRelease → compiledRelease used
+        {"ocid": "ocds-r-2",
+         "releases": [{"url": "http://x/1", "date": "2020-01-01"}],
+         "compiledRelease": {"ocid": "ocds-r-2", "id": "c", "date": "2020-01-01",
+                             "tag": ["compiled"]}},
+        # all undated, tagged compiled → first tagged used
+        {"ocid": "ocds-r-3", "releases": [
+            {"ocid": "ocds-r-3", "id": "9", "tag": ["compiled"]}]},
+        # nothing usable → ERROR note
+        {"ocid": "ocds-r-4", "releases": []},
+    ]
+    pkg = {"uri": "http://example.com/rec", "version": "1.1",
+           "publisher": {"name": "ex"}, "records": records}
+    path = write(tmp_path, "rec.json", pkg)
+    result = process_collection(spark, store, "rsrc", "2020-01-01 00:00:00", [path],
+                                compile_=True)
+    assert result["data_type"]["format"] == "record package"
+    assert result["load"]["rows"] == 4
+    assert result["compile"]["compiled"] == 3
+
+    ids = result["collections"]
+    crs = {r["ocid"]: r for r in store.read("compiled_release")
+           .where(F.col("collection_id") == ids["compiled"]).collect()}
+    assert set(crs) == {"ocds-r-1", "ocds-r-2", "ocds-r-3"}
+
+    notes = [r["note"] for r in store.read("collection_note").collect()]
+    assert any("ocds-r-4 has 0 releases" in n for n in notes)
+    assert any("Its compiledRelease was used." in n for n in notes)
+    assert any("tagged 'compiled' was used." in n for n in notes)
+
+
+def test_concatenated_compiled_releases(spark, store, tmp_path):
+    text = (json.dumps({"ocid": "ocds-c-1", "tag": ["compiled"], "date": "2020-01-01"})
+            + "\n" +
+            json.dumps({"ocid": "ocds-c-2", "tag": ["compiled"], "date": "2020-01-02"}))
+    path = write(tmp_path, "cr.json", text)
+    result = process_collection(spark, store, "cc", "2020-01-01 00:00:00", [path])
+    assert result["data_type"] == {"format": "compiled release",
+                                   "concatenated": True, "array": False}
+    assert result["load"]["rows"] == 2
+    assert store.read("compiled_release").count() == 2
+
+
+def test_array_of_record_packages(spark, store, tmp_path):
+    # mirrors tests/fixtures/record_package.json (array of packages)
+    pkgs = [
+        {"uri": "http://example.com/r1", "publisher": {"name": "ex"},
+         "records": [{"ocid": "ocds-a-1", "compiledRelease":
+                      {"ocid": "ocds-a-1", "tag": ["compiled"]}}]},
+        {"uri": "http://example.com/r2", "publisher": {"name": "ex2"},
+         "records": [{"ocid": "ocds-a-2", "compiledRelease":
+                      {"ocid": "ocds-a-2", "tag": ["compiled"]}}]},
+    ]
+    path = write(tmp_path, "arr.json", pkgs)
+    result = process_collection(spark, store, "arr", "2020-01-01 00:00:00", [path])
+    assert result["data_type"]["array"] is True
+    assert result["load"]["rows"] == 2
+    # only FIRST package's metadata kept (file_worker.py:273-275)
+    assert store.read("package_data").count() == 1
+    pkg = json.loads(store.read("package_data").collect()[0]["data"])
+    assert pkg["uri"] == "http://example.com/r1"
+    assert "records" not in pkg
+
+
+def test_unsupported_and_empty_formats(spark, store, tmp_path):
+    p_empty = write(tmp_path, "empty.json", {"uri": "x", "releases": []})
+    r = process_collection(spark, store, "e1", "2020-01-01 00:00:00", [p_empty])
+    assert "Empty format" in r["error"]
+
+    p_versioned = write(tmp_path, "versioned.json", {"ocid": "ocds-1"})
+    r = process_collection(spark, store, "e2", "2020-01-01 00:00:00", [p_versioned])
+    assert "Unsupported format 'versioned release'" in r["error"]
+
+    p_obj = write(tmp_path, "obj.json", {})
+    r = process_collection(spark, store, "e3", "2020-01-01 00:00:00", [p_obj])
+    assert "non-OCDS object" in r["error"]
+
+
+def test_control_codes_and_ocidless(spark, store, tmp_path):
+    # raw JSON text containing the literal  escape sequence
+    text = (
+        '{"uri":"http://x","publisher":{"name":"p"},"releases":['
+        '{"ocid":"ocds-s-1","id":"1","date":"2020-01-01","title":"a\\u0000b"},'
+        '{"id":"no-ocid","date":"2020-01-01"}]}'
+    )
+    path = write(tmp_path, "cc.json", text)
+    result = process_collection(spark, store, "ccs", "2020-01-01 00:00:00", [path])
+    # ocid-less release skipped from envelope (file_worker.py:346-348)
+    assert result["load"]["rows"] == 1
+    stored = store.read("data").collect()
+    assert all("\\u0000" not in r["data"] for r in stored)
+
+
+def test_delete_collection_partition_drop(spark, store, tmp_path):
+    path = write(tmp_path, "pkg.json", release_package(RELEASES))
+    r1 = process_collection(spark, store, "d1", "2020-01-01 00:00:00", [path])
+    ids = r1["collections"]
+    assert store.read("release").count() == 3
+    lifecycle.delete_collection(store, ids["root"])
+    assert store.read("release").where(F.col("collection_id") == ids["root"]).count() == 0
+    colls = {r["id"]: r for r in store.read("collection").collect()}
+    assert colls[ids["root"]]["deleted_at"] is not None
+    # orphaned payloads removable
+    removed = lifecycle.delete_orphan_data(store)
+    assert removed == 3
