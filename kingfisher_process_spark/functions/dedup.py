@@ -1,0 +1,302 @@
+"""Deduplication operators over ``documents`` — exact, n-gram Jaccard,
+MinHash+LSH, SimHash. The dedup half of a training-data pipeline.
+
+Design for 100 TB:
+
+- **exact**: md5-groupBy — one shuffle on the hash, same mechanics as the
+  engine's payload dedup (S8).
+- **MinHash+LSH** (the scale path): shingle → K min-hashes → B bands →
+  bucket join. Cost is linear in corpus size + output candidate pairs;
+  never all-pairs. The banding join shuffles on (band, bucket-hash), a
+  high-cardinality key — no skew. K=16, B=4 here (tune per corpus).
+- **n-gram Jaccard** (the verifier): exact pair similarity via a
+  shingle-equijoin — quadratic in per-shingle document frequency, so at
+  scale it runs AFTER LSH banding on candidates only; the standalone probe
+  exists to oracle-check the arithmetic.
+- **SimHash**: 32-bit signatures via per-bit majority vote — one groupBy
+  with 32 conditional sums (single shuffle), pairs by Hamming distance.
+
+Every hash is md5-derived (``conv(substr(md5(x),1,15),16,10)``) so DuckDB
+reproduces signatures bit-for-bit — the probes are exact, not statistical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.plans.base import load_tables, probe
+
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 32
+
+
+def h60(col: Column) -> Column:
+    """60-bit integer hash from md5 — identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+H60_SQL = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+
+def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) — distinct n-word shingles per document."""
+    toks = F.split("text", " ")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(n)]
+            ),
+        ),
+    ).otherwise(F.array())
+    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+
+
+SHINGLES_SQL = """
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(string_split(text,' ')) >= 3 THEN
+             list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+                            i -> string_split(text,' ')[i] || ' ' ||
+                                 string_split(text,' ')[i+1] || ' ' ||
+                                 string_split(text,' ')[i+2])
+             ELSE [] END) AS shingle
+    FROM documents) x
+"""
+
+
+@probe(
+    "d_exact_dup_groups",
+    """
+    SELECT md5(text) AS content_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+    FROM documents
+    GROUP BY md5(text)
+    HAVING COUNT(*) > 1
+    ORDER BY content_hash
+    """,
+    survey_ids="dedup-ext,S8,A1",
+)
+def d_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("content_hash")
+    )
+
+
+@probe(
+    "d_ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(CAST(n_common AS DECIMAL(38,6)) AS DOUBLE)
+             / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    ORDER BY jaccard DESC, doc_a, doc_b
+    LIMIT 50
+    """,
+    survey_ids="dedup-ext,J1,A6",
+)
+def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sh = shingles_df(t["documents"]).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.col("n_common").cast("decimal(38,6)").cast("double")
+             / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, seed, minhash): K independent min-hashes per document."""
+    sh = shingles_df(docs)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
+        "shingle",
+    )
+    hashed = seeded.select(
+        "doc_id", "seed",
+        h60(F.concat_ws("#", "shingle", "seed")).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+
+
+MINHASH_SQL = f"""
+  SELECT doc_id, seed, MIN(h) AS minhash FROM (
+    SELECT doc_id, seed,
+           {H60_SQL.format(x="shingle || '#' || seed")} AS h
+    FROM ({SHINGLES_SQL}) sh
+    CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed) seeds
+  ) hashed GROUP BY doc_id, seed
+"""
+
+
+@probe(
+    "d_minhash_lsh_pairs",
+    f"""
+    WITH sigs AS ({MINHASH_SQL}),
+    buckets AS (
+      SELECT doc_id, seed // {N_HASHES // N_BANDS} AS band,
+             md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed)) AS bucket
+      FROM sigs GROUP BY doc_id, band
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared_bands
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ids="dedup-ext,A3,J1",
+)
+def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(t["documents"])
+    rows_per_band = N_HASHES // N_BANDS
+    buckets = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: F.concat_ws(":", s["seed"], s["minhash"]),
+                    ),
+                )
+            ).alias("bucket")
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@probe(
+    "d_simhash_signatures",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {H60_SQL.format(x="token")} AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+                        for b in range(SIMHASH_BITS))}
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {" + ".join(f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+                       for b in range(SIMHASH_BITS))} AS simhash
+    FROM bits
+    ORDER BY doc_id
+    """,
+    survey_ids="dedup-ext",
+)
+def d_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    tok = (
+        t["documents"]
+        .select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token"))
+        .distinct()
+    )
+    th = tok.select("doc_id", h60(F.col("token")).alias("h"))
+    bit_sums = th.groupBy("doc_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(SIMHASH_BITS)
+    ])
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+@probe(
+    "d_simhash_near_pairs",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {H60_SQL.format(x="token")} AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+                        for b in range(SIMHASH_BITS))}
+      FROM th GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {" + ".join(f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+                         for b in range(SIMHASH_BITS))} AS simhash
+      FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    ORDER BY hamming, doc_a, doc_b
+    LIMIT 100
+    """,
+    survey_ids="dedup-ext,J1",
+)
+def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = d_simhash_signatures(spark, sf_dir)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 8)
+        .orderBy("hamming", "doc_a", "doc_b")
+        .limit(100)
+    )

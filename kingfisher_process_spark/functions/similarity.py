@@ -1,0 +1,218 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``) —
+brute-force cosine top-k (the exactness baseline), LSH-bucketed and
+label-blocked variants (the scale paths), embedding near-duplicate pairs.
+
+Exactness engineering: per-element products are computed in DOUBLE
+(float32 → double is exact) and summed as DECIMAL(38,12) — decimal
+addition is exact and associative, so aggregation order cannot perturb the
+result and DuckDB reproduces every cosine bit-for-bit. The final cosine is
+one IEEE double division.
+
+Scale posture (100 TB / billions of vectors):
+
+- brute-force top-k joins the (tiny, broadcast) query set against the
+  corpus — linear scan, no all-pairs; the per-index equijoin keeps the
+  work row-shaped for codegen instead of a Python UDF.
+- the near-duplicate pair search blocks on a partition key (``label``
+  here; an IVF/k-means cell id or LSH hyperplane bucket in production) so
+  the quadratic term is bounded per block — the same banding idea as
+  MinHash-LSH.
+- random-hyperplane LSH (``s_lsh_buckets``) maps each vector to a sign
+  bucket; bucketing is one deterministic projection pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.plans.base import load_tables, probe
+
+DEC12 = "decimal(38,12)"
+N_QUERIES = 5
+TOP_K = 10
+
+
+def _exploded(emb: DataFrame, id_alias: str, val_alias: str) -> DataFrame:
+    return emb.select(
+        F.col("vec_id").alias(id_alias),
+        F.posexplode("embedding").alias("i", val_alias),
+    ).withColumn(val_alias, F.col(val_alias).cast("double"))
+
+
+def _norms(emb: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
+    e = _exploded(emb, id_alias, "x")
+    return e.groupBy(id_alias).agg(
+        F.sqrt(F.sum((F.col("x") * F.col("x")).cast(DEC12)).cast("double")).alias(norm_alias)
+    )
+
+
+NORMS_SQL = """
+  SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, CAST(embedding[i + 1] AS DOUBLE) AS x
+        FROM embeddings, range(64) r(i))
+  GROUP BY vec_id
+"""
+
+
+@probe(
+    "ann_brute_force_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i + 1] AS DOUBLE)
+                           * CAST(c.embedding[i + 1] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM q, embeddings c, range(64) r(i)
+      WHERE q.vec_id <> c.vec_id
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             dot / (nq.nrm * nc.nrm) AS cosine
+      FROM pairs
+      JOIN ({NORMS_SQL}) nq ON nq.vec_id = query_id
+      JOIN ({NORMS_SQL}) nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine,
+           rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) x
+    WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5",
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    q = _exploded(emb.where(F.col("vec_id") < N_QUERIES), "query_id", "qx")
+    c = _exploded(emb, "neighbor_id", "cx")
+    dots = (
+        F.broadcast(q).join(c, "i")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum((F.col("qx") * F.col("cx")).cast(DEC12)).cast("double").alias("dot"))
+    )
+    nq = _norms(emb.where(F.col("vec_id") < N_QUERIES), "query_id", "nq")
+    nc = _norms(emb, "neighbor_id", "nc")
+    scored = (
+        dots.join(F.broadcast(nq), "query_id").join(nc, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                (F.col("dot") / (F.col("nq") * F.col("nc"))).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@probe(
+    "s_embedding_near_dups",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             CAST(SUM(CAST(CAST(a.embedding[i + 1] AS DOUBLE)
+                           * CAST(b.embedding[i + 1] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+           range(64) r(i)
+      GROUP BY a.vec_id, b.vec_id, a.label
+    )
+    SELECT vec_a, vec_b, label,
+           dot / (na.nrm * nb.nrm) AS cosine
+    FROM pairs
+    JOIN ({NORMS_SQL}) na ON na.vec_id = vec_a
+    JOIN ({NORMS_SQL}) nb ON nb.vec_id = vec_b
+    WHERE dot / (na.nrm * nb.nrm) > 0.5
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 100
+    """,
+    survey_ids="similarity-ext,dedup-ext,J1",
+)
+def s_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # label-blocked near-duplicate pairs: the quadratic term is bounded per
+    # block (an IVF cell / LSH bucket in production)
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    a = emb.select(F.col("vec_id").alias("vec_a"), "label",
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"),
+                   F.col("label").alias("label_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, (F.col("label") == F.col("label_b"))
+                   & (F.col("vec_a") < F.col("vec_b"))).drop("label_b")
+    prod = pairs.select(
+        "vec_a", "vec_b", "label",
+        F.posexplode(F.zip_with(
+            "ea", "eb",
+            lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC12),
+        )).alias("i", "p"),
+    )
+    dots = prod.groupBy("vec_a", "vec_b", "label").agg(
+        F.sum("p").cast("double").alias("dot"))
+    na = _norms(emb, "vec_a", "na")
+    nb = _norms(emb, "vec_b", "nb")
+    return (
+        dots.join(F.broadcast(na), "vec_a").join(F.broadcast(nb), "vec_b")
+        .select("vec_a", "vec_b", "label",
+                (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
+        .where(F.col("cosine") > 0.5)
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(100)
+    )
+
+
+@probe(
+    "s_lsh_buckets",
+    f"""
+    WITH planes AS (
+      SELECT p, i,
+             CAST(CAST(('0x' || substr(md5('plane-' || p || '-' || i), 1, 15))
+                       AS UBIGINT) AS BIGINT) % 2001 - 1000 AS w
+      FROM range(8) pp(p), range(64) r(i)
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.p,
+             SUM(CAST(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w AS DECIMAL(38,6))) AS s
+      FROM embeddings e JOIN planes pl ON TRUE
+      GROUP BY e.vec_id, pl.p
+    )
+    SELECT vec_id,
+           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+    FROM proj GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    survey_ids="similarity-ext",
+)
+def s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH: 8 md5-seeded integer hyperplanes → a sign
+    bucket per vector. Bucket-equality pre-filters candidate pairs at
+    scale; deterministic, so DuckDB reproduces every bucket."""
+    t = load_tables(spark, sf_dir)
+    emb = _exploded(t["embeddings"], "vec_id", "x")
+    planes = (
+        spark.range(8).select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("i")))
+        .select("p", "i",
+                (F.conv(F.substring(F.md5(F.concat_ws("-", F.lit("plane"), "p", "i")), 1, 15),
+                        16, 10).cast("bigint") % 2001 - 1000).alias("w"))
+    )
+    proj = (
+        emb.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum((F.col("x") * F.col("w")).cast("decimal(38,6)")).alias("s"))
+    )
+    bucket_term = F.when(
+        F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return (
+        proj.groupBy("vec_id")
+        .agg(F.sum(bucket_term).alias("bucket"))
+        .orderBy("vec_id")
+    )

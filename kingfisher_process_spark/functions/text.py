@@ -1,0 +1,164 @@
+"""Text-analysis operators over the ``documents`` table — the text half of
+a large-scale training-data pipeline (language-ID, quality scoring, token
+counting, document fingerprinting).
+
+All four are pure Spark-SQL expressions (JVM-side, whole-stage codegen, no
+Python in the hot path) and each ships a DuckDB oracle. At 100 TB these are
+embarrassingly parallel map/agg stages: no shuffle except the final
+aggregations, filters push to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.plans.base import load_tables, probe
+
+DEC = "decimal(38,6)"
+
+# tiny demonstration stopword lists (the operator structure, not a model)
+STOP_EN = ("the", "a", "of", "and", "to")
+STOP_DATA = ("table", "row", "column", "data", "query")
+STOP_COMPUTE = ("spark", "hash", "join", "merge", "sort")
+
+
+def _tokens(col):
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+@probe(
+    "t_token_stats",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           length(text) AS n_chars_measured,
+           CAST(CAST(length(replace(text, ' ', '')) AS DECIMAL(38,6)) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), t -> t <> '')) AS avg_token_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids="text-ext,J4",
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.length("text").alias("n_chars_measured"),
+            (F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast(DEC).cast("double")
+             / F.size(toks)).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@probe(
+    "t_quality_scores",
+    f"""
+    WITH feat AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_EN + STOP_DATA))})) AS n_stop,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(n_stop AS DECIMAL(38,6)) AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(CASE WHEN n_tokens BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS length_ok,
+           CAST(CAST(n_chars AS DECIMAL(38,6)) AS DOUBLE) / n_tokens AS chars_per_token
+    FROM feat
+    ORDER BY doc_id
+    """,
+    survey_ids="text-ext",
+)
+def t_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    stops = F.filter(toks, lambda x: x.isin(*(STOP_EN + STOP_DATA)))
+    feat = t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(stops).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    return feat.select(
+        "doc_id",
+        (F.col("n_stop").cast(DEC).cast("double") / F.col("n_tokens")).alias("stopword_ratio"),
+        F.when(F.col("n_tokens").between(50, 5000), 1.0).otherwise(0.0).alias("length_ok"),
+        (F.col("n_chars").cast(DEC).cast("double") / F.col("n_tokens")).alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+@probe(
+    "t_langid_heuristic",
+    f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS labeled_lang,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_EN))})) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_DATA))})) AS s_data,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_COMPUTE))})) AS s_compute
+      FROM documents
+    )
+    SELECT doc_id, labeled_lang,
+           CASE WHEN s_en >= s_data AND s_en >= s_compute THEN 'en'
+                WHEN s_data >= s_compute THEN 'data' ELSE 'compute' END AS predicted,
+           s_en, s_data, s_compute
+    FROM scores
+    ORDER BY doc_id
+    """,
+    survey_ids="text-ext",
+)
+def t_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # n-gram/stopword-profile language ID: score per profile, argmax with a
+    # fixed tie order — the structure of a real fastText-style classifier's
+    # Spark integration, with a deterministic toy model.
+    t = load_tables(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+
+    def hits(words):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    scores = t["documents"].select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        hits(STOP_EN).alias("s_en"), hits(STOP_DATA).alias("s_data"),
+        hits(STOP_COMPUTE).alias("s_compute"),
+    )
+    return scores.select(
+        "doc_id", "labeled_lang",
+        F.when((F.col("s_en") >= F.col("s_data")) & (F.col("s_en") >= F.col("s_compute")), "en")
+        .when(F.col("s_data") >= F.col("s_compute"), "data")
+        .otherwise("compute").alias("predicted"),
+        "s_en", "s_data", "s_compute",
+    ).orderBy("doc_id")
+
+
+@probe(
+    "t_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(replace(text, ' ', ''))) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids="text-ext,S8",
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # normalization fingerprint (whitespace/case-insensitive content hash) —
+    # the md5-dedup idea (S8, process/util.py:93-110) applied to documents
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.md5(F.lower(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )

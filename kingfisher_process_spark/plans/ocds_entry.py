@@ -1,0 +1,92 @@
+"""OCDS pipeline as a driver-visible probe: synthesize release packages
+from the ``orders`` table, run the full load→compile pipeline, and answer
+the analyst top-buyers query (docs/querying-data.rst:103-125) over the
+compiled collection.
+
+No DuckDB oracle (the merge engine is not SQL-expressible — SURVEY §2.12);
+the driver records the weaker rows-only check. The merge semantics
+themselves are pinned by the golden tests (tests/test_merge_golden.py).
+"""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.plans.base import load_tables, probe
+
+
+@probe("ocds_compile_pipeline", None, survey_ids="S1-S8,C1,C3,P5,A5,A6,O5")
+def ocds_compile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    t = load_tables(spark, sf_dir)
+    # two releases per order (tender then award) so every OCID exercises a
+    # real merge; buyer = customer
+    orders = t["orders"].orderBy("o_orderkey").limit(2000).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'00:00:00'Z'").alias("d"),
+    )
+    r1 = orders.select(F.to_json(F.struct(
+        F.concat(F.lit("ocds-kps-"), "o_orderkey").alias("ocid"),
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("-1")).alias("id"),
+        F.col("d").alias("date"),
+        F.array(F.lit("tender")).alias("tag"),
+        F.struct(
+            F.concat(F.lit("t-"), "o_orderkey").alias("id"),
+            F.lit("active").alias("status"),
+        ).alias("tender"),
+    )).alias("j"))
+    r2 = orders.select(F.to_json(F.struct(
+        F.concat(F.lit("ocds-kps-"), "o_orderkey").alias("ocid"),
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("-2")).alias("id"),
+        F.concat(F.substring("d", 1, 4), F.lit("-12-31T00:00:00Z")).alias("date"),
+        F.array(F.lit("award")).alias("tag"),
+        F.struct(F.col("o_custkey").alias("id")).alias("buyer"),
+        F.array(F.struct(
+            F.concat(F.lit("a-"), "o_orderkey").alias("id"),
+            F.struct(
+                F.col("o_totalprice").alias("amount"),
+                F.lit("USD").alias("currency"),
+            ).alias("value"),
+        )).alias("awards"),
+    )).alias("j"))
+
+    releases = [json.loads(r["j"]) for r in r1.union(r2).collect()]
+    pkg = {"uri": "synthetic:orders", "version": "1.1",
+           "publisher": {"name": "kps-bench"}, "releases": releases}
+
+    tmp = tempfile.mkdtemp(prefix="kps_ocds_")
+    path = f"{tmp}/pkg.json"
+    with open(path, "w") as f:
+        json.dump(pkg, f)
+
+    store = Store(spark, f"{tmp}/store")
+    result = process_collection(
+        spark, store, "bench_orders", "2020-01-01 00:00:00", [path], compile_=True
+    )
+    comp_id = result["collections"]["compiled"]
+
+    crs = store.read("compiled_release").where(F.col("collection_id") == comp_id)
+    data = store.read("data").select(F.col("id").alias("data_id"), "data")
+    # analyst query: top buyers by award value over compiled releases
+    awards = (
+        crs.join(data, "data_id")
+        .select(
+            "ocid",
+            F.get_json_object("data", "$.buyer.id").alias("buyer"),
+            F.get_json_object("data", "$.awards[0].value.amount")
+            .cast("decimal(38,6)").alias("amount"),
+        )
+    )
+    return (
+        awards.groupBy("buyer")
+        .agg(F.sum("amount").alias("total_award_value"),
+             F.count(F.lit(1)).alias("n_awards"))
+        .orderBy(F.desc("total_award_value"), "buyer")
+        .limit(10)
+    )
