@@ -61,12 +61,22 @@ def parse_file(path: str, data_type: dict) -> tuple[list[ParsedItem], list[tuple
     try:
         with open(path, encoding="utf-8") as f:
             text = f.read()
-        values, _ = detect.parse_top_level(text)
     except FileNotFoundError:
         notes.append(("ERROR", f"{path} has disappeared"))
         return [], notes
+    return parse_text(text, data_type, label=path)
+
+
+def parse_text(text: str, data_type: dict,
+               label: str = "text") -> tuple[list[ParsedItem], list[tuple[str, str]]]:
+    """Parse in-memory JSON text into items — shared by the batch loader
+    (which reads files, parse_file) and the streaming loader (whose source
+    delivers content directly, streaming/ingest.py)."""
+    notes: list[tuple[str, str]] = []
+    try:
+        values, _ = detect.parse_top_level(text)
     except ValueError:
-        notes.append(("ERROR", f"File {path} yields invalid JSON"))
+        notes.append(("ERROR", f"File {label} yields invalid JSON"))
         return [], notes
 
     fmt = data_type["format"]
@@ -111,7 +121,16 @@ def parse_file(path: str, data_type: dict) -> tuple[list[ParsedItem], list[tuple
 def item_rows(path: str, data_type: dict) -> Iterator[dict]:
     """Flatten parse_file output into uniform row dicts for the loader's
     mapInPandas schema (row_kind ∈ {item, note})."""
-    items, notes = parse_file(path, data_type)
+    yield from _flatten_rows(*parse_file(path, data_type))
+
+
+def text_item_rows(text: str, data_type: dict, label: str = "text") -> Iterator[dict]:
+    """item_rows over in-memory text (streaming sources deliver content,
+    not just paths)."""
+    yield from _flatten_rows(*parse_text(text, data_type, label=label))
+
+
+def _flatten_rows(items: list[ParsedItem], notes: list[tuple[str, str]]) -> Iterator[dict]:
     for code, text in notes:
         yield {
             "row_kind": "note", "item_index": None, "ocid": None, "release_id": None,

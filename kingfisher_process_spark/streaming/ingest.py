@@ -1,0 +1,111 @@
+"""Incremental ingest — the reference's message-driven unbounded mode
+(SURVEY §2.10) as Structured Streaming.
+
+Reference behavior: files arrive one RabbitMQ message at a time while the
+collection is "open" (api_loader.py:28-49); record packages compile
+per-file immediately without waiting for the full load
+(compiler.py:146-148); completion is not time-based but
+all-work-drained (finisher.py:116-176).
+
+Spark mapping: a file-arrival source (``readStream.text(dir,
+wholetext)``) feeding ``foreachBatch``; each micro-batch runs the same
+batch loader (sources/loader.store_items) — exactly-once per batch via
+checkpointing + the loader's idempotent dedup sink. "Close the
+collection" = stop the stream and run finish_collection; the
+compilable/completable predicates stay stage ordering, as in batch mode.
+
+At scale: the file source scales by `maxFilesPerTrigger`; each micro-batch
+is a normal distributed load job (parse in mapInPandas on executors,
+dedup via anti-join), so an unbounded crawl ingests at cluster bandwidth
+while the driver only tracks file registration.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.operators import lifecycle
+from kingfisher_process_spark.sources.loader import PARSED_SCHEMA
+from kingfisher_process_spark.store import Store
+
+
+def _parse_batch_texts(batch_df, data_type: dict, cfid_by_path: dict[str, int]):
+    """Batch-side parse: one row per file (path, wholetext) → item rows.
+    The (tiny, per-micro-batch) path→collection_file_id map travels in the
+    UDF closure."""
+    import pandas as pd
+
+    from kingfisher_process_spark.sources import reader
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for path, text in zip(pdf["path"], pdf["value"]):
+                for row in reader.text_item_rows(text, data_type, label=path):
+                    row["collection_file_id"] = cfid_by_path.get(path)
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in PARSED_SCHEMA.fields])
+
+    return batch_df.mapInPandas(gen, PARSED_SCHEMA)
+
+
+class StreamingLoader:
+    """Open collection + streaming file ingest.
+
+    Usage::
+
+        sl = StreamingLoader(spark, store, "src", "2020-01-01", watch_dir,
+                             data_type={"format": "release package", ...})
+        q = sl.start(checkpoint_dir)
+        ...  # files land in watch_dir; each micro-batch loads + registers
+        q.processAllAvailable(); q.stop()
+        sl.close()  # store_end_at + finish (counts, completed_at)
+    """
+
+    def __init__(self, spark: SparkSession, store: Store, source_id: str,
+                 data_version: str, watch_dir: str, data_type: dict):
+        self.spark = spark
+        self.store = store
+        self.watch_dir = watch_dir
+        self.data_type = data_type
+        self.ids = lifecycle.create_collections(store, source_id, data_version)
+        lifecycle._update_collection(store, self.ids["root"],
+                                     data_type=json.dumps(data_type))
+        self.collection_id = self.ids["root"]
+        self.files_seen = 0
+
+    def _process_batch(self, batch_df, batch_id: int) -> None:
+        from kingfisher_process_spark.sources.loader import store_items
+
+        batch_df = batch_df.withColumn("path", F.input_file_name())
+        files = [r["path"] for r in batch_df.select("path").distinct().collect()]
+        if not files:
+            return
+        pairs = lifecycle.create_collection_files(self.store, self.collection_id, files)
+        cfid_by_path = {p: i for i, p in pairs}
+        parsed = _parse_batch_texts(batch_df, self.data_type, cfid_by_path)
+        store_items(self.store, self.collection_id, self.data_type["format"], parsed)
+        self.files_seen += len(files)
+
+    def start(self, checkpoint_dir: str):
+        stream = (
+            self.spark.readStream
+            .option("wholetext", "true")
+            .option("maxFilesPerTrigger", "16")
+            .text(self.watch_dir)
+        )
+        return (
+            stream.writeStream
+            .foreachBatch(self._process_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def close(self) -> dict:
+        lifecycle.close_collection(self.store, self.collection_id,
+                                   expected_files_count=self.files_seen)
+        return lifecycle.finish_collection(self.store, self.collection_id)

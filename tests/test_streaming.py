@@ -1,0 +1,60 @@
+"""Structured Streaming incremental ingest (SURVEY §2.10): files arriving
+in a watch dir are loaded per micro-batch with the same dedup sink as
+batch mode; close() finishes the collection (counts + completed_at)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.store import Store
+from kingfisher_process_spark.streaming.ingest import StreamingLoader
+
+
+def _pkg(ocid, rid, date, **fields):
+    return {
+        "uri": "http://example.com/pkg", "publisher": {"name": "ex"},
+        "releases": [{"ocid": ocid, "id": rid, "date": date, **fields}],
+    }
+
+
+def test_streaming_ingest_end_to_end(spark, tmp_path):
+    store = Store(spark, str(tmp_path / "store"))
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    sl = StreamingLoader(
+        spark, store, "stream_src", "2020-01-01 00:00:00", str(watch),
+        data_type={"format": "release package", "concatenated": False, "array": False},
+    )
+
+    # first wave of files
+    (watch / "a.json").write_text(json.dumps(_pkg("ocds-st-1", "1", "2020-01-01")))
+    (watch / "b.json").write_text(json.dumps(_pkg("ocds-st-2", "1", "2020-01-02")))
+    q = sl.start(ckpt)
+    q.processAllAvailable()
+    q.stop()
+    assert store.read("release").count() == 2
+
+    # late-arriving file: restart from the checkpoint — only the new file
+    # is processed (exactly-once across micro-batches)
+    (watch / "c.json").write_text(json.dumps(_pkg("ocds-st-1", "2", "2020-02-01")))
+    q = sl.start(ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    releases = store.read("release").where(F.col("collection_id") == sl.collection_id)
+    assert releases.count() == 3
+    assert store.read("collection_file").count() == 3
+    # payload dedup still applies across batches
+    assert store.read("data").count() == 3
+
+    counts = sl.close()
+    assert counts["cached_releases_count"] == 3
+    colls = {r["id"]: r for r in store.read("collection").collect()}
+    root = colls[sl.collection_id]
+    assert root["completed_at"] is not None
+    assert root["expected_files_count"] == 3
+    assert json.loads(root["data_type"])["format"] == "release package"
