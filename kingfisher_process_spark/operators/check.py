@@ -23,11 +23,11 @@ import json
 from decimal import Decimal
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kingfisher_process_spark.store import Store
+from kingfisher_process_spark.store import Store, with_sequential_ids
 
 CHECK_SCHEMA = T.StructType([
     T.StructField("item_id", T.LongType()),
@@ -131,11 +131,13 @@ def check_collection(store: Store, collection_id: int, kind: str = "release") ->
 
     checked = todo.mapInPandas(gen, CHECK_SCHEMA)
     base = store.next_id(check_table)
-    rows = checked.select(
-        (F.row_number().over(Window.orderBy("item_id")) + F.lit(base - 1)).alias("id"),
-        F.col("item_id").alias(fk),
-        "cove_output",
-    )
-    n = rows.count()
-    store.append(check_table, rows)
+    rows, n, pinned = with_sequential_ids(checked, base, order_by=["item_id"])
+    if n:
+        store.append(check_table, rows.select(
+            "id",
+            F.col("item_id").alias(fk),
+            "cove_output",
+        ))
+    store.advance_next_id(check_table, base + n)
+    pinned.unpersist()
     return n

@@ -16,12 +16,12 @@ import json
 from decimal import Decimal
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kingfisher_process_spark.operators import merge as merge_mod
-from kingfisher_process_spark.store import Store
+from kingfisher_process_spark.store import Store, with_sequential_ids
 from kingfisher_process_spark.util import canonical_json, md5_hex
 
 COMPILED_SCHEMA = T.StructType([
@@ -112,15 +112,17 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
 
     # collection_file per OCID
     cf_base = store.next_id("collection_file")
-    w = Window.orderBy("ocid")
-    files = items.select(
-        (F.row_number().over(w) + F.lit(cf_base - 1)).alias("id"),
-        F.lit(collection_id).alias("collection_id"),
-        F.concat(F.col("ocid"), F.lit(".json")).alias("filename"),
-        F.lit(None).cast("string").alias("url"),
-        F.lit(False).alias("compilation_started"),
-    )
-    store.append("collection_file", files)
+    files, n_files, pinned_f = with_sequential_ids(items, cf_base, order_by=["ocid"])
+    if n_files:
+        store.append("collection_file", files.select(
+            "id",
+            F.lit(collection_id).alias("collection_id"),
+            F.concat(F.col("ocid"), F.lit(".json")).alias("filename"),
+            F.lit(None).cast("string").alias("url"),
+            F.lit(False).alias("compilation_started"),
+        ))
+    store.advance_next_id("collection_file", cf_base + n_files)
+    pinned_f.unpersist()
 
     data_map = dedup_append_payloads(
         store, "data", items.select("hash_md5", F.col("merged").alias("data"))
@@ -132,30 +134,34 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
     ).select(F.col("id").alias("collection_file_id"),
              F.regexp_replace("filename", r"\.json$", "").alias("ocid"))
 
-    rows = (
+    rows, n, pinned_r = with_sequential_ids(
         items.join(F.broadcast(data_map), "hash_md5")
-        .join(F.broadcast(file_ids), "ocid")
-        .select(
-            (F.row_number().over(Window.orderBy("ocid")) + F.lit(cr_base - 1)).alias("id"),
+        .join(F.broadcast(file_ids), "ocid"),
+        cr_base, order_by=["ocid"],
+    )
+    if n:
+        store.append("compiled_release", rows.select(
+            "id",
             F.lit(collection_id).alias("collection_id"),
             "collection_file_id", "ocid", "release_date", "data_id",
-        )
-    )
-    n = rows.count()
-    store.append("compiled_release", rows)
+        ))
+    store.advance_next_id("compiled_release", cr_base + n)
+    pinned_r.unpersist()
 
     notes = compiled.where(F.col("row_kind") == "note")
-    n_notes = notes.count()
+    nb = store.next_id("collection_note")
+    noted, n_notes, pinned_n = with_sequential_ids(
+        notes, nb, order_by=["ocid", "note_code", "note"])
     if n_notes:
-        nb = store.next_id("collection_note")
-        wn = Window.orderBy("ocid", "note_code", "note")
-        store.append("collection_note", notes.select(
-            (F.row_number().over(wn) + F.lit(nb - 1)).alias("id"),
+        store.append("collection_note", noted.select(
+            "id",
             F.lit(collection_id).alias("collection_id"),
             "note",
             F.col("note_data").alias("data"),
             F.current_timestamp().alias("stored_at"),
             F.col("note_code").alias("code"),
         ))
+    store.advance_next_id("collection_note", nb + n_notes)
+    pinned_n.unpersist()
     compiled.unpersist()
     return {"compiled": n, "notes": n_notes}

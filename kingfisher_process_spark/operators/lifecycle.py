@@ -79,6 +79,7 @@ def create_collections(store: Store, source_id: str, data_version: str, *,
         [tuple(r[f.name] for f in SCHEMAS["collection"].fields) for r in rows],
         SCHEMAS["collection"],
     ))
+    store.advance_next_id("collection", nxt)
     if note:
         add_note(store, base, "INFO", note)
     return ids
@@ -90,6 +91,7 @@ def add_note(store: Store, collection_id: int, code: str, note: str,
     store.append("collection_note", store.spark.createDataFrame(
         [(nid, collection_id, note, data, _now(), code)], SCHEMAS["collection_note"]
     ))
+    store.advance_next_id("collection_note", nid + 1)
 
 
 def create_collection_files(store: Store, collection_id: int,
@@ -114,6 +116,7 @@ def create_collection_files(store: Store, collection_id: int,
     store.append("collection_file", store.spark.createDataFrame(
         rows, SCHEMAS["collection_file"]
     ))
+    store.advance_next_id("collection_file", base + len(rows))
     return pairs
 
 
@@ -124,13 +127,16 @@ def _update_collection(store: Store, collection_id: int, **updates) -> None:
     non-Arrow sessions)."""
     fields = [f.name for f in SCHEMAS["collection"].fields]
     rows = []
+    max_id = 0
     for r in store.read("collection").collect():
         d = r.asDict()
+        max_id = max(max_id, d["id"])
         if d["id"] == collection_id:
             d.update(updates)
         rows.append(tuple(d[f] for f in fields))
     store.overwrite("collection",
                     store.spark.createDataFrame(rows, SCHEMAS["collection"]))
+    store.advance_next_id("collection", max_id + 1)  # ids unchanged by update
 
 
 def close_collection(store: Store, collection_id: int,
@@ -141,14 +147,19 @@ def close_collection(store: Store, collection_id: int,
 
 
 def finish_collection(store: Store, collection_id: int) -> dict:
-    """Cache counts and set completed_at (finisher.py:100-113)."""
-    counts = {}
-    for table, field in (("release", "cached_releases_count"),
-                         ("record", "cached_records_count"),
-                         ("compiled_release", "cached_compiled_releases_count")):
-        counts[field] = (
-            store.read(table).where(F.col("collection_id") == collection_id).count()
-        )
+    """Cache counts and set completed_at (finisher.py:100-113). The three
+    per-table counts run as ONE job (union of partition-pruned scans)."""
+    fields = {"release": "cached_releases_count",
+              "record": "cached_records_count",
+              "compiled_release": "cached_compiled_releases_count"}
+    unioned = None
+    for table in fields:
+        part = (store.read(table).where(F.col("collection_id") == collection_id)
+                .select(F.lit(table).alias("t")))
+        unioned = part if unioned is None else unioned.unionAll(part)
+    by_table = {r["t"]: r["n"] for r in
+                unioned.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
+    counts = {field: by_table.get(table, 0) for table, field in fields.items()}
     _update_collection(store, collection_id, completed_at=_now(), **counts)
     return counts
 

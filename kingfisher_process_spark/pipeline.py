@@ -138,6 +138,8 @@ def process_collection(
         result["check"] = check_collection(store, target, kind)
 
     lifecycle.close_collection(store, ids["root"], expected_files_count=len(paths))
+    already_finished = {ids["compiled"]} if "compile" in result else set()
     for cid in ids.values():
-        lifecycle.finish_collection(store, cid)
+        if cid not in already_finished:
+            lifecycle.finish_collection(store, cid)
     return result

@@ -18,12 +18,12 @@ the parse is declarative DataFrame work, so at 100 TB:
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kingfisher_process_spark.sources.reader import item_rows
-from kingfisher_process_spark.store import Store
+from kingfisher_process_spark.store import Store, with_sequential_ids
 
 PARSED_SCHEMA = T.StructType([
     T.StructField("collection_file_id", T.LongType()),
@@ -78,9 +78,11 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame) -> Data
         .join(existing.select("hash_md5"), "hash_md5", "left_anti")
     )
     base = store.next_id(table)
-    w = Window.orderBy("hash_md5")
-    fresh_ids = fresh.withColumn("id", F.row_number().over(w) + F.lit(base - 1))
-    store.append(table, fresh_ids.select("id", "hash_md5", "data"))
+    fresh_ids, n_fresh, pinned = with_sequential_ids(fresh, base, order_by=["hash_md5"])
+    if n_fresh:
+        store.append(table, fresh_ids.select("id", "hash_md5", "data"))
+    store.advance_next_id(table, base + n_fresh)
+    pinned.unpersist()
     return (
         store.read(table).select("id", "hash_md5")
         .join(payloads.select("hash_md5").distinct(), "hash_md5", "left_semi")
@@ -115,18 +117,13 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
         .join(F.broadcast(pkg_map), "package_hash", "left")
     )
 
-    base = {
-        "release": store.next_id("release"),
-        "record": store.next_id("record"),
-        "compiled_release": store.next_id("compiled_release"),
-    }
-    w = Window.orderBy("collection_file_id", "item_index")
-
     table = {"release package": "release", "record package": "record",
              "compiled release": "compiled_release"}[fmt]
-    rows = envelope.withColumn(
-        "id", F.row_number().over(w) + F.lit(base[table] - 1)
-    ).withColumn("collection_id", F.lit(collection_id))
+    base = store.next_id(table)
+    rows, n_rows, pinned = with_sequential_ids(
+        envelope, base, order_by=["collection_file_id", "item_index"]
+    )
+    rows = rows.withColumn("collection_id", F.lit(collection_id))
 
     if table == "release":
         out = rows.select("id", "collection_id", "collection_file_id", "ocid",
@@ -137,21 +134,25 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
     else:
         out = rows.select("id", "collection_id", "collection_file_id", "ocid",
                           "release_date", "data_id")
-    n_rows = out.count()
-    store.append(table, out)
+    if n_rows:
+        store.append(table, out)
+    store.advance_next_id(table, base + n_rows)
+    pinned.unpersist()
 
     notes = parsed.where(F.col("row_kind") == "note")
-    n_notes = notes.count()
+    nb = store.next_id("collection_note")
+    noted, n_notes, pinned_n = with_sequential_ids(
+        notes, nb, order_by=["collection_file_id", "note"])
     if n_notes:
-        nb = store.next_id("collection_note")
-        wn = Window.orderBy("collection_file_id", "note")
-        store.append("collection_note", notes.select(
-            (F.row_number().over(wn) + F.lit(nb - 1)).alias("id"),
+        store.append("collection_note", noted.select(
+            "id",
             F.lit(collection_id).alias("collection_id"),
             F.col("note").alias("note"),
             F.lit(None).cast("string").alias("data"),
             F.current_timestamp().alias("stored_at"),
             F.col("note_code").alias("code"),
         ))
+    store.advance_next_id("collection_note", nb + n_notes)
+    pinned_n.unpersist()
     parsed.unpersist()
     return {"rows": n_rows, "notes": n_notes}

@@ -90,6 +90,7 @@ class Store:
     def __init__(self, spark: SparkSession, base_dir: str):
         self.spark = spark
         self.base_dir = base_dir
+        self._next_ids: dict[str, int] = {}
         os.makedirs(base_dir, exist_ok=True)
 
     def path(self, table: str) -> str:
@@ -124,6 +125,8 @@ class Store:
         if table in PARTITIONED_BY_COLLECTION:
             writer = writer.partitionBy("collection_id")
         writer.parquet(self.path(table))
+        # id watermark now unknown unless the writer advances it explicitly
+        self._next_ids.pop(table, None)
 
     def drop_collection_partition(self, table: str, collection_id: int) -> None:
         """Delete one collection's rows — a partition drop, O(1) metadata."""
@@ -137,27 +140,76 @@ class Store:
 
     def next_id(self, table: str) -> int:
         """Next surrogate id (driver-side max+1; ids within a batch are
-        assigned distributed via row_number/zipWithIndex offsets)."""
+        assigned distributed via per-partition offsets —
+        with_sequential_ids). Cached between writes: writers that know the
+        ids they appended call advance_next_id, everything else falls back
+        to a max() scan after the cache is invalidated by _write."""
+        if table in self._next_ids:
+            return self._next_ids[table]
         if not self.exists(table):
-            return 1
-        row = self.read(table).agg(F.max("id").alias("m")).collect()[0]
-        return (row["m"] or 0) + 1
+            nid = 1
+        else:
+            row = self.read(table).agg(F.max("id").alias("m")).collect()[0]
+            nid = (row["m"] or 0) + 1
+        self._next_ids[table] = nid
+        return nid
+
+    def advance_next_id(self, table: str, value: int) -> None:
+        """Record the id watermark after an append whose ids are known."""
+        self._next_ids[table] = value
 
 
-def with_sequential_ids(df: DataFrame, start: int, order_by: list[str] | None = None) -> DataFrame:
-    """Assign contiguous ids start..start+n-1.
+def with_sequential_ids(df: DataFrame, start: int,
+                        order_by: list[str] | None = None,
+                        ) -> tuple[DataFrame, int, DataFrame]:
+    """Assign contiguous ids start..start+n-1, ordered by ``order_by``.
+    Returns (df_with_ids, n, pinned) — n comes free from the offsets job
+    (callers never need a separate count() action); ``pinned`` is the
+    cached intermediate the caller must ``unpersist()`` once the ids have
+    been consumed by an action.
 
-    Uses zipWithIndex-free pure-DataFrame approach: a window row_number over
-    a deterministic order when given, else monotonically_increasing_id rank.
+    Scale-safe: a bare ``row_number().over(Window.orderBy(...))`` funnels
+    every row through ONE task — the classic 100 TB killer. Instead:
+    range-partition sort (parallel, what orderBy itself compiles to), then
+    per-partition offsets (a tiny #partitions-row aggregate on the driver)
+    plus a partition-local row_number, which parallelizes across executors.
+
     Contiguity matters because the reference's record compile picks the
     first record by id (record_compiler.py:58-75) — ids must be stable.
     """
     from pyspark.sql import Window
 
     if order_by:
-        w = Window.orderBy(*order_by)
-    else:
-        df = df.withColumn("_mid", F.monotonically_increasing_id())
-        w = Window.orderBy("_mid")
-    out = df.withColumn("id", F.row_number().over(w) + F.lit(start - 1))
-    return out.drop("_mid") if "_mid" in out.columns else out
+        # Explicit partition count: AQE cannot re-coalesce this shuffle
+        # (the cache below pins the plan), so inheriting the global
+        # shuffle.partitions would fix tiny writes at 200 tasks.
+        n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism * 2)
+        df = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(*order_by)
+    df = df.withColumn("_mid", F.monotonically_increasing_id())
+    # cache pins the partitioning so the counts job and the id job see the
+    # same layout (id consistency between the append and the returned map)
+    df = df.withColumn("_pid", F.spark_partition_id()).cache()
+
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in df.groupBy("_pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    offsets, acc = [], start
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    n = acc - start
+    if not offsets:
+        empty = df.drop("_mid", "_pid").withColumn("id", F.lit(None).cast("long"))
+        return empty, 0, df
+
+    # offsets as a broadcast join (a literal map would bloat the plan at
+    # thousands of partitions)
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*(order_by or ["_mid"]))
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("id", F.col("_off") + F.col("_rn") - F.lit(1))
+    )
+    return out.drop("_mid", "_pid", "_rn", "_off"), n, df
