@@ -137,29 +137,50 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# K min-hash functions as XOR-permutations of ONE md5-derived base hash:
+# md5 runs once per shingle (not K times), and the K mins fold into a
+# single wide groupBy — no row explosion, one shuffle. XOR by a constant
+# is a bijection on the hash space, so each seed is a valid permutation.
+# Constants are md5-derived so both engines embed identical literals.
+import hashlib as _hashlib
+
+SEED_CONSTS = [
+    int(_hashlib.md5(f"kps-minhash-{s}".encode()).hexdigest()[:15], 16)
+    for s in range(N_HASHES)
+]
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, seed, minhash): K independent min-hashes per document."""
+    """(doc_id, m0..m{K-1}): K min-hashes per document, one shuffle."""
     sh = shingles_df(docs)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
-        "shingle",
-    )
-    hashed = seeded.select(
-        "doc_id", "seed",
-        h60(F.concat_ws("#", "shingle", "seed")).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "seed").agg(F.min("h").alias("minhash"))
+    base = sh.select("doc_id", h60(F.col("shingle")).alias("h"))
+    return base.groupBy("doc_id").agg(*[
+        F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"m{s}")
+        for s, c in enumerate(SEED_CONSTS)
+    ])
 
 
 MINHASH_SQL = f"""
-  SELECT doc_id, seed, MIN(h) AS minhash FROM (
-    SELECT doc_id, seed,
-           {H60_SQL.format(x="shingle || '#' || seed")} AS h
-    FROM ({SHINGLES_SQL}) sh
-    CROSS JOIN (SELECT unnest(generate_series(0, {N_HASHES - 1})) AS seed) seeds
-  ) hashed GROUP BY doc_id, seed
+  SELECT doc_id,
+         {", ".join(f"MIN(xor(h, {c})) AS m{s}" for s, c in enumerate(SEED_CONSTS))}
+  FROM (SELECT doc_id, {H60_SQL.format(x="shingle")} AS h
+        FROM ({SHINGLES_SQL}) sh) base
+  GROUP BY doc_id
 """
+
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+
+
+def _band_cols(band: int) -> list[str]:
+    return [f"m{band * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+
+
+_COLON = " || ':' || "
+_BUCKETS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, "
+    f"md5({_COLON.join(_band_cols(band))}) AS bucket FROM sigs"
+    for band in range(N_BANDS)
+)
 
 
 @probe(
@@ -167,9 +188,7 @@ MINHASH_SQL = f"""
     f"""
     WITH sigs AS ({MINHASH_SQL}),
     buckets AS (
-      SELECT doc_id, seed // {N_HASHES // N_BANDS} AS band,
-             md5(string_agg(seed || ':' || minhash, ',' ORDER BY seed)) AS bucket
-      FROM sigs GROUP BY doc_id, band
+      {_BUCKETS_SQL}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            COUNT(*) AS n_shared_bands
@@ -184,22 +203,16 @@ MINHASH_SQL = f"""
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     sigs = minhash_signatures(t["documents"])
-    rows_per_band = N_HASHES // N_BANDS
-    buckets = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: F.concat_ws(":", s["seed"], s["minhash"]),
-                    ),
-                )
-            ).alias("bucket")
-        )
-    )
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(":", *_band_cols(band))).alias("bucket"),
+            )
+            for band in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -167,6 +167,100 @@ def a6_top_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe(
+    "p3_inlist_filter",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus IN ('F', 'O')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    survey_ids="P3,A5",
+)
+def p3_inlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IN-list membership (ocid__in batches, processors/compiler.py:43,56).
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+               & F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_d(F.col("o_totalprice"))).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@probe(
+    "a9_rollup_revenue",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    survey_ids="A5,rollup-ext",
+)
+def a9_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Hierarchical subtotals — beyond the reference surface (SURVEY §2.4
+    # notes Spark's rollup/cube as an extension); the Catalyst Expand
+    # operator computes all grouping sets in one shuffle.
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(_d(F.col("o_totalprice"))).alias("total"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "total", "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@probe(
+    "a10_approx_distinct",
+    None,  # HLL sketches are engine-specific; rows-only check
+    survey_ids="A3,approx-ext",
+)
+def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The 100 TB path for A3: approx_count_distinct is one pass, no
+    # shuffle of distinct values — exactness swapped for a mergeable
+    # HLL sketch (relative error 1%).
+    t = load_tables(spark, sf_dir)
+    return t["orders"].agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@probe(
+    "o6_newest_first",
+    """
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    ORDER BY o_orderkey DESC
+    LIMIT 25
+    """,
+    survey_ids="O6,O4",
+)
+def o6_newest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Newest-collection-first listing (docs/querying-data.rst:16-26) —
+    # compiles to TakeOrderedAndProject, no global sort materialized.
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"].select("o_orderkey", "o_orderstatus")
+        .orderBy(F.desc("o_orderkey")).limit(25)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (J1-J4) — FK joins, anti, semi (addchecks.py:35-44, wiper/orphan).
 # ---------------------------------------------------------------------------
