@@ -416,6 +416,62 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe(
+    "q17_below_avg_quantity",
+    """
+    SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS total_price,
+           COUNT(*) AS n
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) p
+      ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < p.half_avg
+    """,
+    survey_ids="J1,A5,subquery-ext",
+)
+def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated-scalar-subquery shape (TPC-H Q17): decorrelated to an
+    # aggregate self-join — the fact table is scanned twice but both sides
+    # shuffle on the same key, so Catalyst co-partitions the join.
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    half_avg = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg"))
+    return (
+        li.join(half_avg, "l_partkey")
+        .where(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.sum(_d(F.col("l_extendedprice"))).alias("total_price"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+@probe(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(38,6))) > 250
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    survey_ids="J1,A5,A6,O5",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HAVING-over-join (TPC-H Q18 shape); the aggregate runs partial
+    # map-side, the HAVING is a post-aggregation filter.
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.sum(_d(F.col("l_quantity"))).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return g.orderBy(F.desc("total_qty"), "o_orderkey").limit(20)
+
+
 # ---------------------------------------------------------------------------
 # Windows / dedup-by-rank (O3) — the reference's ORDER BY id LIMIT 1 pick
 # (record_compiler.py:58-75) generalized to window functions.

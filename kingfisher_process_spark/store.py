@@ -158,6 +158,15 @@ class Store:
         """Record the id watermark after an append whose ids are known."""
         self._next_ids[table] = value
 
+    def export_jdbc(self, table: str, url: str, dbtable: str | None = None,
+                    mode: str = "append", properties: dict | None = None) -> None:
+        """JDBC sink option (the declared Spark SQL + JDBC write path):
+        mirror one store table into an external RDBMS. The write is
+        distributed (one JDBC connection per partition); requires the
+        target's JDBC driver jar on the Spark classpath."""
+        self.read(table).write.mode(mode).jdbc(
+            url, dbtable or table, properties=properties or {})
+
 
 def with_sequential_ids(df: DataFrame, start: int,
                         order_by: list[str] | None = None,

@@ -1,0 +1,52 @@
+"""API parity layer: endpoint semantics + validation (views.py:65-331,
+addfiles.py:22-26, models.py:47-50)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kingfisher_process_spark import api
+from kingfisher_process_spark.store import Store
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return Store(spark, str(tmp_path / "store"))
+
+
+def test_create_validates_source_id(store):
+    with pytest.raises(api.ApiError, match="source_id"):
+        api.create_collection(store, "Bad-Source!", "2020-01-01")
+    with pytest.raises(api.ApiError, match="data_version"):
+        api.create_collection(store, "ok_source", "01/01/2020")
+    ids = api.create_collection(store, "ok_source", "2020-01-01 00:00:00",
+                                upgrade=True, compile_=True)
+    assert set(ids) == {"root", "upgraded", "compiled"}
+
+
+def test_closed_collection_rejects_files_and_reclose(store, tmp_path):
+    ids = api.create_collection(store, "src", "2020-01-01")
+    p = tmp_path / "a.json"
+    p.write_text("{}")
+    api.add_files(store, ids["root"], [str(p)])
+    api.close_collection(store, ids["root"], expected_files_count=1)
+    with pytest.raises(api.ApiError, match="closed"):
+        api.add_files(store, ids["root"], [str(p)])
+    with pytest.raises(api.ApiError, match="already closed"):
+        api.close_collection(store, ids["root"])
+
+
+def test_missing_collection_404s(store):
+    with pytest.raises(api.ApiError, match="not found"):
+        api.metadata(store, 999)
+    with pytest.raises(api.ApiError, match="not found"):
+        api.close_collection(store, 999)
+
+
+def test_destroy_and_tree(store):
+    ids = api.create_collection(store, "src", "2020-01-01", compile_=True)
+    t = api.tree(store, ids["compiled"])
+    assert [n["id"] for n in t] == [ids["root"], ids["compiled"]]
+    api.destroy_collection(store, ids["root"])
+    colls = {r["id"]: r.asDict() for r in store.read("collection").collect()}
+    assert colls[ids["root"]]["deleted_at"] is not None
