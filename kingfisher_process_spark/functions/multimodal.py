@@ -103,6 +103,39 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize plan: recompute typed metadata declaratively (JVM-side
+    arithmetic — aspect-preserving fit into max_side²) and rewrite the blob
+    in a mapInPandas stage whose pixel work is stubbed (deterministic
+    truncation standing in for a real resampler). Output schema == input
+    schema, so resize stages compose/chain."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest("width", "height").cast("double"),
+    )
+    # both dimensions scale off the ORIGINAL width/height, so compute them
+    # in one select (chained withColumn would see the replaced width)
+    resized_meta = media.where(F.col("kind") == "image").select(
+        *[
+            (F.col(c.name) * scale).cast("int").alias(c.name)
+            if c.name in ("width", "height") else F.col(c.name)
+            for c in MEDIA_SCHEMA.fields
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # stub: a real resampler decodes + scales; the deterministic
+            # stand-in bounds the blob like a resize would
+            pdf = pdf.copy()
+            pdf["content"] = [
+                bytes(c)[: max(1, len(c) // 2)] for c in pdf["content"]
+            ]
+            yield pdf
+
+    return resized_meta.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
     """Deterministic fake media table for tests/benches."""
     rows = []

@@ -168,6 +168,130 @@ def s_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BUCKETS_SQL = """
+    WITH planes AS (
+      SELECT p, i,
+             CAST(CAST(('0x' || substr(md5('plane-' || p || '-' || i), 1, 15))
+                       AS UBIGINT) AS BIGINT) % 2001 - 1000 AS w
+      FROM range(8) pp(p), range(64) r(i)
+    ),
+    proj AS (
+      SELECT e.vec_id, pl.p,
+             SUM(CAST(CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.w AS DECIMAL(38,6))) AS s
+      FROM embeddings e JOIN planes pl ON TRUE
+      GROUP BY e.vec_id, pl.p
+    )
+    SELECT vec_id,
+           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+    FROM proj GROUP BY vec_id
+"""
+
+
+@probe(
+    "ann_lsh_topk",
+    f"""
+    WITH buckets AS ({BUCKETS_SQL}),
+    q AS (SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < {N_QUERIES}),
+    cand AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id
+      FROM q JOIN buckets b ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+    ),
+    pairs AS (
+      SELECT c.query_id, c.neighbor_id,
+             CAST(SUM(CAST(CAST(a.embedding[i + 1] AS DOUBLE)
+                           * CAST(b.embedding[i + 1] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM cand c
+      JOIN embeddings a ON a.vec_id = c.query_id
+      JOIN embeddings b ON b.vec_id = c.neighbor_id,
+           range(64) r(i)
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             dot / (nq.nrm * nc.nrm) AS cosine
+      FROM pairs
+      JOIN ({NORMS_SQL}) nq ON nq.vec_id = query_id
+      JOIN ({NORMS_SQL}) nc ON nc.vec_id = neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) x
+    WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN scale path: LSH sign-buckets prune the corpus to same-bucket
+    candidates (expected corpus/2^planes per bucket), then exact cosine
+    ranks only those. At 100 TB the candidate join shuffles on the bucket
+    key instead of cross-joining the corpus; recall is tuned by plane
+    count / multi-probe, exactly like an IVF cell probe."""
+    t = load_tables(spark, sf_dir)
+    emb = t["embeddings"]
+    buckets = _sign_buckets(spark, emb)
+    q = buckets.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "bucket")
+    cand = (
+        F.broadcast(q).join(buckets, "bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    ea = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("eb"))
+    prod = (
+        cand.join(F.broadcast(ea), "query_id").join(eb, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.posexplode(F.zip_with(
+                "ea", "eb",
+                lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC12),
+            )).alias("i", "p"),
+        )
+    )
+    dots = prod.groupBy("query_id", "neighbor_id").agg(
+        F.sum("p").cast("double").alias("dot"))
+    nq = _norms(emb, "query_id", "nq")
+    nc = _norms(emb, "neighbor_id", "nc")
+    scored = (
+        dots.join(F.broadcast(nq), "query_id").join(F.broadcast(nc), "neighbor_id")
+        .select("query_id", "neighbor_id",
+                (F.col("dot") / (F.col("nq") * F.col("nc"))).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _sign_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket): 8-plane sign bucket per vector (shared by
+    s_lsh_buckets and ann_lsh_topk)."""
+    e = _exploded(emb, "vec_id", "x")
+    planes = (
+        spark.range(8).select(F.col("id").cast("int").alias("p"))
+        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("i")))
+        .select("p", "i",
+                (F.conv(F.substring(F.md5(F.concat_ws("-", F.lit("plane"), "p", "i")), 1, 15),
+                        16, 10).cast("bigint") % 2001 - 1000).alias("w"))
+    )
+    proj = (
+        e.join(F.broadcast(planes), "i")
+        .groupBy("vec_id", "p")
+        .agg(F.sum((F.col("x") * F.col("w")).cast("decimal(38,6)")).alias("s"))
+    )
+    bucket_term = F.when(
+        F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
+    ).otherwise(F.lit(0).cast("bigint"))
+    return proj.groupBy("vec_id").agg(F.sum(bucket_term).alias("bucket"))
+
+
 @probe(
     "s_lsh_buckets",
     f"""
@@ -195,24 +319,4 @@ def s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket per vector. Bucket-equality pre-filters candidate pairs at
     scale; deterministic, so DuckDB reproduces every bucket."""
     t = load_tables(spark, sf_dir)
-    emb = _exploded(t["embeddings"], "vec_id", "x")
-    planes = (
-        spark.range(8).select(F.col("id").cast("int").alias("p"))
-        .crossJoin(spark.range(64).select(F.col("id").cast("int").alias("i")))
-        .select("p", "i",
-                (F.conv(F.substring(F.md5(F.concat_ws("-", F.lit("plane"), "p", "i")), 1, 15),
-                        16, 10).cast("bigint") % 2001 - 1000).alias("w"))
-    )
-    proj = (
-        emb.join(F.broadcast(planes), "i")
-        .groupBy("vec_id", "p")
-        .agg(F.sum((F.col("x") * F.col("w")).cast("decimal(38,6)")).alias("s"))
-    )
-    bucket_term = F.when(
-        F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)")
-    ).otherwise(F.lit(0).cast("bigint"))
-    return (
-        proj.groupBy("vec_id")
-        .agg(F.sum(bucket_term).alias("bucket"))
-        .orderBy("vec_id")
-    )
+    return _sign_buckets(spark, t["embeddings"]).orderBy("vec_id")

@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from kingfisher_process_spark.operators import lifecycle
+from kingfisher_process_spark.sources import detect
 from kingfisher_process_spark.sources.loader import PARSED_SCHEMA
 from kingfisher_process_spark.store import Store
 
@@ -66,18 +67,22 @@ class StreamingLoader:
     """
 
     def __init__(self, spark: SparkSession, store: Store, source_id: str,
-                 data_version: str, watch_dir: str, data_type: dict):
+                 data_version: str, watch_dir: str, data_type: dict,
+                 compile_: bool = False):
         self.spark = spark
         self.store = store
         self.watch_dir = watch_dir
         self.data_type = data_type
-        self.ids = lifecycle.create_collections(store, source_id, data_version)
+        self.compile_ = compile_
+        self.ids = lifecycle.create_collections(store, source_id, data_version,
+                                                compile_=compile_)
         lifecycle._update_collection(store, self.ids["root"],
                                      data_type=json.dumps(data_type))
         self.collection_id = self.ids["root"]
         self.files_seen = 0
 
     def _process_batch(self, batch_df, batch_id: int) -> None:
+        from kingfisher_process_spark.operators.compile_record import compile_records
         from kingfisher_process_spark.sources.loader import store_items
 
         batch_df = batch_df.withColumn("path", F.input_file_name())
@@ -89,6 +94,11 @@ class StreamingLoader:
         parsed = _parse_batch_texts(batch_df, self.data_type, cfid_by_path)
         store_items(self.store, self.collection_id, self.data_type["format"], parsed)
         self.files_seen += len(files)
+        # Record packages compile per micro-batch without waiting for the
+        # full load (compiler.py:146-148); compile_records' anti-join on
+        # already-compiled OCIDs keeps re-delivered batches idempotent.
+        if self.compile_ and self.data_type["format"] == detect.RECORD_PACKAGE:
+            compile_records(self.store, self.collection_id, self.ids["compiled"])
 
     def start(self, checkpoint_dir: str):
         stream = (
@@ -106,6 +116,15 @@ class StreamingLoader:
         )
 
     def close(self) -> dict:
+        """store_end_at + finish. Release packages compile HERE — the
+        reference's compilable() gate waits for the whole load
+        (compiler.py:128-181); record packages already compiled per batch."""
+        from kingfisher_process_spark.operators.compile_release import compile_collection
+
         lifecycle.close_collection(self.store, self.collection_id,
                                    expected_files_count=self.files_seen)
+        if self.compile_ and self.data_type["format"] == detect.RELEASE_PACKAGE:
+            compile_collection(self.store, self.collection_id, self.ids["compiled"])
+        if self.compile_:
+            lifecycle.finish_collection(self.store, self.ids["compiled"])
         return lifecycle.finish_collection(self.store, self.collection_id)

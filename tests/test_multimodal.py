@@ -36,3 +36,17 @@ def test_frame_sampling_explode(spark):
 def test_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG")
+
+
+def test_resize_preserves_schema_and_scales_metadata(spark):
+    media = mm.synthetic_media(spark, n=30)
+    resized = mm.resize_images(media, max_side=256)
+    assert resized.schema == media.schema  # stages compose
+    rows = resized.collect()
+    assert rows and all(r["kind"] == "image" for r in rows)
+    assert all(max(r["width"], r["height"]) <= 256 for r in rows)
+    # aspect preserved: 640x480 → 256x192
+    assert rows[0]["width"] == 256 and rows[0]["height"] == 192
+    # chains: a second resize is a no-op on metadata already within bounds
+    twice = mm.resize_images(resized, max_side=256).collect()
+    assert {(r["width"], r["height"]) for r in twice} == {(256, 192)}

@@ -58,3 +58,45 @@ def test_streaming_ingest_end_to_end(spark, tmp_path):
     assert root["completed_at"] is not None
     assert root["expected_files_count"] == 3
     assert json.loads(root["data_type"])["format"] == "release package"
+
+
+def _record_pkg(ocid):
+    return {
+        "uri": "http://example.com/rec", "publisher": {"name": "ex"},
+        "records": [{"ocid": ocid, "compiledRelease":
+                     {"ocid": ocid, "tag": ["compiled"], "date": "2020-01-01"}}],
+    }
+
+
+def test_streaming_record_packages_compile_per_batch(spark, tmp_path):
+    # reference: record packages compile per-file immediately, before the
+    # collection closes (compiler.py:146-148)
+    store = Store(spark, str(tmp_path / "store"))
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    sl = StreamingLoader(
+        spark, store, "stream_rec", "2020-01-01 00:00:00", str(watch),
+        data_type={"format": "record package", "concatenated": False, "array": False},
+        compile_=True,
+    )
+    (watch / "r1.json").write_text(json.dumps(_record_pkg("ocds-sr-1")))
+    q = sl.start(ckpt)
+    q.processAllAvailable()
+    q.stop()
+    # compiled BEFORE close
+    crs = store.read("compiled_release").where(
+        F.col("collection_id") == sl.ids["compiled"])
+    assert {r["ocid"] for r in crs.collect()} == {"ocds-sr-1"}
+
+    (watch / "r2.json").write_text(json.dumps(_record_pkg("ocds-sr-2")))
+    q = sl.start(ckpt)
+    q.processAllAvailable()
+    q.stop()
+    sl.close()
+    crs = store.read("compiled_release").where(
+        F.col("collection_id") == sl.ids["compiled"])
+    assert {r["ocid"] for r in crs.collect()} == {"ocds-sr-1", "ocds-sr-2"}
+    colls = {r["id"]: r for r in store.read("collection").collect()}
+    assert colls[sl.ids["compiled"]]["cached_compiled_releases_count"] == 2
