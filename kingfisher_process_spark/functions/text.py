@@ -140,6 +140,107 @@ def t_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+BPE_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+@probe(
+    "t_bpe_token_counts",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids="text-ext",
+)
+def t_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE-ish pre-tokenization (letter runs / single digits / punctuation —
+    # the GPT-2 pattern's shape) next to the whitespace count; both stay
+    # JVM-side regex, no Python.
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0))).alias("n_bpe_tokens"),
+            F.size(_tokens(F.col("text"))).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+WINNOW_K = 8   # character k-gram length
+WINNOW_W = 4   # winnow window (hashes per window)
+
+
+@probe(
+    "t_winnow_fingerprints",
+    f"""
+    WITH grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             CAST(CAST(('0x' || substr(md5(substr(text, CAST(i AS INT), {WINNOW_K})), 1, 15))
+                       AS UBIGINT) AS BIGINT) AS h
+      FROM documents, LATERAL unnest(generate_series(1, length(text) - {WINNOW_K} + 1)) r(i)
+    ),
+    winnowed AS (
+      SELECT g1.doc_id, g1.i AS win, MIN(g2.h) AS fp
+      FROM grams g1
+      JOIN grams g2 ON g2.doc_id = g1.doc_id
+                   AND g2.i BETWEEN g1.i AND g1.i + {WINNOW_W} - 1
+      GROUP BY g1.doc_id, g1.i
+      HAVING COUNT(*) = {WINNOW_W}
+    )
+    SELECT doc_id, COUNT(DISTINCT fp) AS n_fingerprints,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM winnowed
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    survey_ids="text-ext,dedup-ext",
+)
+def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (rolling k-gram hash, min per
+    sliding window — the MOSS scheme): the distinct selected hashes form
+    a position-robust fingerprint set for plagiarism/near-dup detection.
+    All expression-level (sequence → transform → explode → window min);
+    per-doc work is linear in text length."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    grams = (
+        t["documents"]
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (WINNOW_K - 1)),
+                    lambda i: F.conv(
+                        F.substring(F.md5(F.substring("text", i, WINNOW_K)), 1, 15),
+                        16, 10).cast("bigint"),
+                )
+            ).alias("pos", "h"),
+        )
+        .select("doc_id", (F.col("pos") + 1).alias("i"), "h")
+    )
+    w = (Window.partitionBy("doc_id").orderBy("i")
+         .rowsBetween(0, WINNOW_W - 1))
+    winnowed = (
+        grams.select(
+            "doc_id", "i",
+            F.min("h").over(w).alias("fp"),
+            F.count(F.lit(1)).over(w).alias("n_in_win"),
+        )
+        .where(F.col("n_in_win") == WINNOW_W)
+    )
+    return (
+        winnowed.groupBy("doc_id")
+        .agg(F.countDistinct("fp").alias("n_fingerprints"),
+             F.min("fp").alias("min_fp"), F.max("fp").alias("max_fp"))
+        .orderBy("doc_id")
+    )
+
+
 @probe(
     "t_fingerprint",
     """

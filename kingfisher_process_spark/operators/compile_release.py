@@ -71,13 +71,19 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
 
 
-def compile_collection(store: Store, parent_id: int, compiled_collection_id: int) -> dict:
+def compile_collection(store: Store, parent_id: int, compiled_collection_id: int,
+                       two_phase: bool = False, batch: int | None = None) -> dict:
     """Compile every OCID of ``parent_id``'s releases into
     ``compiled_collection_id``. Returns counts.
 
     Idempotency (compiler.py:23-36): already-compiled OCIDs are filtered
     out with a left-anti join before merging, so re-running the stage
     cannot duplicate compiled releases.
+
+    ``two_phase=True`` pre-merges date-contiguous batches of releases into
+    partials in parallel before a per-OCID reduce (operators/merge_partial)
+    — the skew path for hot OCIDs whose release count would otherwise
+    bound a single task's memory and latency.
     """
     releases = store.read("release").where(F.col("collection_id") == parent_id)
     data = store.read("data").select(F.col("id").alias("data_id"), "data")
@@ -97,8 +103,122 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
         .select("ocid", "release_date", "data", "package_data")
     )
 
-    compiled = inputs.groupBy("ocid").applyInPandas(lambda pdf: _merge_group(pdf), COMPILED_SCHEMA)
+    if two_phase:
+        compiled = two_phase_compiled(inputs, batch)
+    else:
+        compiled = inputs.groupBy("ocid").applyInPandas(
+            lambda pdf: _merge_group(pdf), COMPILED_SCHEMA)
     return persist_compiled(store, compiled_collection_id, compiled)
+
+
+PARTIAL_SCHEMA = T.StructType([
+    T.StructField("ocid", T.StringType()),
+    T.StructField("salt", T.IntegerType()),
+    T.StructField("partial", T.StringType()),
+    T.StructField("extensions", T.StringType()),
+    T.StructField("incomposable", T.BooleanType()),
+])
+
+
+def _build_partial_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from kingfisher_process_spark.operators import merge_partial as mp
+
+    pdf = pdf.sort_values("release_date", kind="stable")
+    releases = [json.loads(s, parse_float=Decimal) for s in pdf["data"]]
+    extensions: set[str] = set()
+    for raw in pdf["package_data"].dropna().unique():
+        try:
+            meta = json.loads(raw)
+        except ValueError:
+            continue
+        exts = meta.get("extensions")
+        if isinstance(exts, list):
+            extensions.update(e for e in exts if isinstance(e, str))
+    partial = mp.build_partial(releases)
+    return pd.DataFrame([{
+        "ocid": pdf["ocid"].iloc[0],
+        "salt": int(pdf["salt"].iloc[0]),
+        "partial": canonical_json(partial),
+        "extensions": json.dumps(sorted(extensions)),
+        "incomposable": bool(partial.get("incomposable")),
+    }])
+
+
+def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    from kingfisher_process_spark.operators import merge as merge_mod
+    from kingfisher_process_spark.operators import merge_partial as mp
+
+    ocid = pdf["ocid"].iloc[0]
+    pdf = pdf.sort_values("salt")
+    partials = [json.loads(s, parse_float=Decimal) for s in pdf["partial"]]
+    extensions: set[str] = set()
+    for raw in pdf["extensions"]:
+        extensions.update(json.loads(raw))
+
+    notes = []
+    for url in sorted(extensions):
+        notes.append((
+            "WARNING",
+            f"{url}: extension schemas are not fetched by this engine; base 1.1.5 merge rules used",
+            json.dumps({"type": "ExtensionWarning"}),
+        ))
+    merged, warnings, err = mp.finalize(partials)
+    if err is not None:
+        notes.append((
+            "ERROR", f"OCID {ocid} can't be compiled",
+            json.dumps({"type": err.get("type", "MergeError"),
+                        "message": f"Release at index {err.get('index')} {err.get('message')}",
+                        "index": err.get("index")}),
+        ))
+    notes.extend(n.as_tuple() for n in warnings)
+
+    rows = []
+    if merged is not None:
+        mjson = canonical_json(merged)
+        rows.append({
+            "row_kind": "item", "ocid": ocid, "merged": mjson,
+            "release_date": merged.get("date") or "",
+            "hash_md5": md5_hex(mjson),
+            "note_code": None, "note": None, "note_data": None,
+        })
+    for code, text, data in notes:
+        rows.append({
+            "row_kind": "note", "ocid": ocid, "merged": None,
+            "release_date": None, "hash_md5": None,
+            "note_code": code, "note": text, "note_data": data,
+        })
+    return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
+
+
+def two_phase_compiled(inputs: DataFrame, batch: int | None = None) -> DataFrame:
+    """Distributed two-phase merge: salt by date-rank, pre-merge each
+    (ocid, salt) batch into a partial, reduce partials per OCID. The
+    phase-A window streams rows JVM-side (no group materialization); the
+    phase-B group holds #partials × document-size, not #releases ×
+    release-size. Incomposable OCIDs (a reset inside an id-less array
+    entry) fall back to the single-phase path."""
+    from pyspark.sql import Window
+
+    from kingfisher_process_spark.operators import merge_partial as mp
+
+    batch = batch or mp.BATCH
+    w = Window.partitionBy("ocid").orderBy("release_date")
+    salted = inputs.withColumn(
+        "salt", ((F.row_number().over(w) - F.lit(1)) / batch).cast("int"))
+    partials = salted.groupBy("ocid", "salt").applyInPandas(
+        _build_partial_group, PARTIAL_SCHEMA).cache()
+    bad = [r["ocid"] for r in
+           partials.where(F.col("incomposable")).select("ocid").distinct().collect()]
+    compiled = partials.where(~F.col("incomposable")).groupBy("ocid").applyInPandas(
+        _finalize_group, COMPILED_SCHEMA)
+    if bad:
+        fallback = (
+            inputs.where(F.col("ocid").isin(bad))
+            .groupBy("ocid")
+            .applyInPandas(lambda pdf: _merge_group(pdf), COMPILED_SCHEMA)
+        )
+        compiled = compiled.unionAll(fallback)
+    return compiled
 
 
 def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> dict:

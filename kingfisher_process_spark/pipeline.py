@@ -72,6 +72,7 @@ def process_collection(
     check: bool = False,
     sample: bool = False,
     note: str | None = None,
+    two_phase_compile: bool = False,
 ) -> dict:
     """Load files into a new collection and run the requested transforms.
 
@@ -121,7 +122,8 @@ def process_collection(
     if compile_:
         comp_id = ids["compiled"]
         if fmt == detect.RELEASE_PACKAGE:
-            result["compile"] = compile_collection(store, compile_parent, comp_id)
+            result["compile"] = compile_collection(store, compile_parent, comp_id,
+                                                   two_phase=two_phase_compile)
         elif fmt == detect.RECORD_PACKAGE:
             result["compile"] = compile_records(store, compile_parent, comp_id)
         else:
