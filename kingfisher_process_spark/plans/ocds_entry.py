@@ -21,6 +21,18 @@ from kingfisher_process_spark.plans.base import load_tables, probe
 
 @probe("ocds_compile_pipeline", None, survey_ids="S1-S8,C1,C3,P5,A5,A6,O5")
 def ocds_compile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_pipeline(spark, sf_dir, two_phase=False)
+
+
+@probe("ocds_compile_two_phase", None, survey_ids="C1,C3,skew-ext")
+def ocds_compile_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline through the two-phase partial merge (the hot-OCID
+    skew path, operators/merge_partial.py) — must produce the same
+    analyst answer as the single-phase probe."""
+    return _run_pipeline(spark, sf_dir, two_phase=True)
+
+
+def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFrame:
     from kingfisher_process_spark.pipeline import process_collection
     from kingfisher_process_spark.store import Store
 
@@ -67,7 +79,8 @@ def ocds_compile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = Store(spark, f"{tmp}/store")
     result = process_collection(
-        spark, store, "bench_orders", "2020-01-01 00:00:00", [path], compile_=True
+        spark, store, "bench_orders", "2020-01-01 00:00:00", [path],
+        compile_=True, two_phase_compile=two_phase,
     )
     comp_id = result["collections"]["compiled"]
 
