@@ -70,7 +70,13 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame) -> Data
 
     MERGE-style: dropDuplicates on the hash, anti-join existing, assign ids
     past the current max, append. The anti-join's right side is the
-    existing table's hash column only (column-pruned scan).
+    existing table's hash column only (column-pruned scan), and the
+    returned mapping is a fresh column-pruned (id, hash_md5) scan
+    semi-joined to the batch's hashes — a simple plan that broadcasts
+    cheaply into the envelope join. (Composing the mapping from the
+    pre-append snapshot ∪ fresh ids avoids this second pruned scan but
+    nests window/broadcast machinery inside the broadcast build — measured
+    30% slower end-to-end.)
     """
     existing = store.read(table).select("id", "hash_md5")
     fresh = (
