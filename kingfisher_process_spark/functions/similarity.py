@@ -232,7 +232,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count / multi-probe, exactly like an IVF cell probe."""
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    buckets = _sign_buckets(spark, emb)
+    # buckets feed both the query side and the candidate join; norms feed
+    # both cosine factors — cache each once (production materializes them
+    # as columns of the corpus table)
+    buckets = _sign_buckets(spark, emb).cache()
     q = buckets.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "bucket")
     cand = (
@@ -254,8 +257,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dots = prod.groupBy("query_id", "neighbor_id").agg(
         F.sum("p").cast("double").alias("dot"))
-    nq = _norms(emb, "query_id", "nq")
-    nc = _norms(emb, "neighbor_id", "nc")
+    norms = _norms(emb, "vec_id", "nrm").cache()
+    nq = norms.select(F.col("vec_id").alias("query_id"), F.col("nrm").alias("nq"))
+    nc = norms.select(F.col("vec_id").alias("neighbor_id"), F.col("nrm").alias("nc"))
     scored = (
         dots.join(F.broadcast(nq), "query_id").join(F.broadcast(nc), "neighbor_id")
         .select("query_id", "neighbor_id",
