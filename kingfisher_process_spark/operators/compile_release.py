@@ -39,7 +39,12 @@ COMPILED_SCHEMA = T.StructType([
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     rules = merge_mod.load_rules()
     ocid = pdf["ocid"].iloc[0]
-    pdf = pdf.sort_values("release_date", kind="stable")
+    # the payload tiebreak makes same-date merge order DETERMINISTIC:
+    # shuffle arrival order is not stable across recomputes (Spark
+    # recaches plans that read a path which was appended to mid-stage),
+    # and an unstable tie order changes the merged hash between the
+    # payload write and the id-mapping read
+    pdf = pdf.sort_values(["release_date", "data"], kind="stable")
     releases = [json.loads(s, parse_float=Decimal) for s in pdf["data"]]
     extensions: set[str] = set()
     for pkg in pdf["package_data"].dropna().unique():
@@ -72,7 +77,7 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def compile_collection(store: Store, parent_id: int, compiled_collection_id: int,
-                       two_phase: bool = False, batch: int | None = None) -> dict:
+                       two_phase: bool | str = "auto", batch: int | None = None) -> dict:
     """Compile every OCID of ``parent_id``'s releases into
     ``compiled_collection_id``. Returns counts.
 
@@ -80,10 +85,15 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
     out with a left-anti join before merging, so re-running the stage
     cannot duplicate compiled releases.
 
-    ``two_phase=True`` pre-merges date-contiguous batches of releases into
-    partials in parallel before a per-OCID reduce (operators/merge_partial)
-    — the skew path for hot OCIDs whose release count would otherwise
-    bound a single task's memory and latency.
+    ``two_phase`` routes merging through the partial pre-merge
+    (operators/merge_partial) — the skew path for hot OCIDs whose release
+    count would otherwise bound a single task's memory and latency:
+
+    - ``"auto"`` (default): one cheap count-by-ocid agg on the (pruned,
+      two-column) envelope scan decides; only hot OCIDs (> batch
+      releases) take the two-phase path, everything else merges single
+      phase — zero overhead for unskewed collections.
+    - ``True`` / ``False``: force one path (tests, benchmarks).
     """
     releases = store.read("release").where(F.col("collection_id") == parent_id)
     data = store.read("data").select(F.col("id").alias("data_id"), "data")
@@ -103,7 +113,29 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
         .select("ocid", "release_date", "data", "package_data")
     )
 
-    if two_phase:
+    from kingfisher_process_spark.operators import merge_partial as mp
+
+    limit = batch or mp.BATCH
+    if two_phase == "auto":
+        # one agg over the (pruned, two-column) envelope decides; hot OCIDs
+        # route via semi/anti joins so the plan never embeds an id list
+        hot = (
+            releases.join(existing, "ocid", "left_anti")
+            .groupBy("ocid").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > limit)
+            .select("ocid")
+        ).cache()
+        any_hot = bool(hot.limit(1).count())
+        if not any_hot:
+            compiled = inputs.groupBy("ocid").applyInPandas(
+                lambda pdf: _merge_group(pdf), COMPILED_SCHEMA)
+        else:
+            cold = inputs.join(F.broadcast(hot), "ocid", "left_anti")
+            hot_in = inputs.join(F.broadcast(hot), "ocid", "left_semi")
+            compiled = cold.groupBy("ocid").applyInPandas(
+                lambda pdf: _merge_group(pdf), COMPILED_SCHEMA
+            ).unionAll(two_phase_compiled(hot_in, batch))
+    elif two_phase:
         compiled = two_phase_compiled(inputs, batch)
     else:
         compiled = inputs.groupBy("ocid").applyInPandas(
@@ -123,7 +155,8 @@ PARTIAL_SCHEMA = T.StructType([
 def _build_partial_group(pdf: pd.DataFrame) -> pd.DataFrame:
     from kingfisher_process_spark.operators import merge_partial as mp
 
-    pdf = pdf.sort_values("release_date", kind="stable")
+    # same deterministic tiebreak as _merge_group / the phase-A window
+    pdf = pdf.sort_values(["release_date", "data"], kind="stable")
     releases = [json.loads(s, parse_float=Decimal) for s in pdf["data"]]
     extensions: set[str] = set()
     for raw in pdf["package_data"].dropna().unique():
@@ -202,7 +235,9 @@ def two_phase_compiled(inputs: DataFrame, batch: int | None = None) -> DataFrame
     from kingfisher_process_spark.operators import merge_partial as mp
 
     batch = batch or mp.BATCH
-    w = Window.partitionBy("ocid").orderBy("release_date")
+    # "data" tiebreak: deterministic batch boundaries for same-date
+    # releases (recompute-stable — see _merge_group)
+    w = Window.partitionBy("ocid").orderBy("release_date", "data")
     salted = inputs.withColumn(
         "salt", ((F.row_number().over(w) - F.lit(1)) / batch).cast("int"))
     partials = salted.groupBy("ocid", "salt").applyInPandas(

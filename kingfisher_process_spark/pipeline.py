@@ -72,7 +72,7 @@ def process_collection(
     check: bool = False,
     sample: bool = False,
     note: str | None = None,
-    two_phase_compile: bool = False,
+    two_phase_compile: bool | str = "auto",
 ) -> dict:
     """Load files into a new collection and run the requested transforms.
 

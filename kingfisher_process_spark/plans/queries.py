@@ -472,6 +472,107 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.orderBy(F.desc("total_qty"), "o_orderkey").limit(20)
 
 
+def _pseudo_partsupp(t):
+    # distinct (part, supplier) pairs seen in lineitem with a deterministic
+    # cost — the Q2/Q20 join shapes without a partsupp table in testdata
+    return (
+        t["lineitem"]
+        .select(F.col("l_partkey").alias("ps_partkey"),
+                F.col("l_suppkey").alias("ps_suppkey"))
+        .distinct()
+        .withColumn(
+            "ps_supplycost",
+            (F.conv(F.substring(F.md5(F.concat_ws("-", "ps_partkey", "ps_suppkey")),
+                                1, 6), 16, 10).cast("bigint") % 10000)
+            .cast("decimal(38,6)"),
+        )
+    )
+
+
+PSEUDO_PARTSUPP_SQL = """
+  SELECT ps_partkey, ps_suppkey,
+         CAST(CAST(('0x' || substr(md5(ps_partkey || '-' || ps_suppkey), 1, 6))
+                   AS UBIGINT) % 10000 AS DECIMAL(38,6)) AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem)
+"""
+
+
+@probe(
+    "q2_min_cost_supplier",
+    f"""
+    WITH ps AS ({PSEUDO_PARTSUPP_SQL}),
+    m AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+          FROM ps GROUP BY ps_partkey)
+    SELECT p.p_partkey, s.s_name,
+           ps.ps_supplycost AS cost
+    FROM part p
+    JOIN m ON m.ps_partkey = p.p_partkey
+    JOIN ps ON ps.ps_partkey = p.p_partkey
+           AND ps.ps_supplycost = m.min_cost
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+    """,
+    survey_ids="J1,A4,subquery-ext",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Correlated-min shape (TPC-H Q2): min per group joined back on the
+    # min value.
+    t = load_tables(spark, sf_dir)
+    ps = _pseudo_partsupp(t)
+    mins = ps.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    return (
+        ps.join(mins.withColumnRenamed("ps_partkey", "m_partkey"),
+                (F.col("ps_partkey") == F.col("m_partkey"))
+                & (F.col("ps_supplycost") == F.col("min_cost")))
+        .join(t["part"], F.col("ps_partkey") == F.col("p_partkey"))
+        .join(t["supplier"], F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", F.col("ps_supplycost").alias("cost"))
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@probe(
+    "q20_suppliers_with_excess",
+    f"""
+    WITH ps AS ({PSEUDO_PARTSUPP_SQL}),
+    heavy_parts AS (
+      SELECT l_partkey FROM lineitem
+      GROUP BY l_partkey HAVING SUM(l_quantity) > 100
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM ps
+      WHERE ps.ps_suppkey = s.s_suppkey
+        AND ps.ps_partkey IN (SELECT l_partkey FROM heavy_parts)
+    )
+    ORDER BY s_suppkey
+    """,
+    survey_ids="J3,A5,subquery-ext",
+)
+def q20_suppliers_with_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nested semi-join shape (TPC-H Q20): suppliers supplying any
+    # heavily-ordered part — two chained left-semi joins.
+    t = load_tables(spark, sf_dir)
+    ps = _pseudo_partsupp(t)
+    heavy = (
+        t["lineitem"].groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 100)
+        .select(F.col("l_partkey").alias("ps_partkey"))
+    )
+    supplying = ps.join(heavy, "ps_partkey", "left_semi").select("ps_suppkey")
+    return (
+        t["supplier"]
+        .join(supplying, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / dedup-by-rank (O3) — the reference's ORDER BY id LIMIT 1 pick
 # (record_compiler.py:58-75) generalized to window functions.

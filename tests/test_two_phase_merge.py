@@ -138,5 +138,6 @@ def test_spark_two_phase_matches_single_phase(spark, tmp_path):
 
     single = run(False)
     double = run(True)
-    assert set(single) == set(double) == {"ocds-hot-1", "ocds-cold-1"}
-    assert single == double
+    auto = run("auto")  # hot-1 (40 releases > batch 8) routes two-phase
+    assert set(single) == set(double) == set(auto) == {"ocds-hot-1", "ocds-cold-1"}
+    assert single == double == auto
