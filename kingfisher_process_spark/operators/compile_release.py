@@ -263,51 +263,55 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
     from kingfisher_process_spark.sources.loader import dedup_append_payloads
 
     compiled = compiled.cache()
+    # one pass materializes the merge into the cache and tells us which
+    # persist paths have any rows at all
+    kind_counts = {r["row_kind"]: r["n"] for r in
+                   compiled.groupBy("row_kind").agg(F.count(F.lit(1)).alias("n")).collect()}
     items = compiled.where(F.col("row_kind") == "item")
+    sc = compiled.sparkSession.sparkContext
+    np_ = max(2, min(sc.defaultParallelism * 2,
+                     kind_counts.get("item", 0) // 10_000 + 1))
 
-    # collection_file per OCID
+    data_map = dedup_append_payloads(
+        store, "data", items.select("hash_md5", F.col("merged").alias("data")),
+        n_parts=np_,
+    ).withColumnRenamed("id", "data_id")
+
+    # ONE rank pass feeds both envelope tables: each compiled OCID gets
+    # collection_file id = cf_base + rank and compiled_release id =
+    # cr_base + rank, so the second table needs neither its own shuffle
+    # nor a re-read join of collection_file to recover the file ids.
     cf_base = store.next_id("collection_file")
-    files, n_files, pinned_f = with_sequential_ids(items, cf_base, order_by=["ocid"])
-    if n_files:
-        store.append("collection_file", files.select(
-            "id",
+    cr_base = store.next_id("compiled_release")
+    ranked, n, pinned_r = with_sequential_ids(
+        items.join(F.broadcast(data_map), "hash_md5"),
+        0, order_by=["ocid"], mode="hash", n_parts=np_,
+    )
+    ranked = ranked.withColumnRenamed("id", "_rank")
+    if n:
+        store.append("collection_file", ranked.select(
+            (F.col("_rank") + F.lit(cf_base)).alias("id"),
             F.lit(collection_id).alias("collection_id"),
             F.concat(F.col("ocid"), F.lit(".json")).alias("filename"),
             F.lit(None).cast("string").alias("url"),
             F.lit(False).alias("compilation_started"),
         ))
-    store.advance_next_id("collection_file", cf_base + n_files)
-    pinned_f.unpersist()
-
-    data_map = dedup_append_payloads(
-        store, "data", items.select("hash_md5", F.col("merged").alias("data"))
-    ).withColumnRenamed("id", "data_id")
-
-    cr_base = store.next_id("compiled_release")
-    file_ids = store.read("collection_file").where(
-        F.col("collection_id") == collection_id
-    ).select(F.col("id").alias("collection_file_id"),
-             F.regexp_replace("filename", r"\.json$", "").alias("ocid"))
-
-    rows, n, pinned_r = with_sequential_ids(
-        items.join(F.broadcast(data_map), "hash_md5")
-        .join(F.broadcast(file_ids), "ocid"),
-        cr_base, order_by=["ocid"],
-    )
-    if n:
-        store.append("compiled_release", rows.select(
-            "id",
+        store.append("compiled_release", ranked.select(
+            (F.col("_rank") + F.lit(cr_base)).alias("id"),
             F.lit(collection_id).alias("collection_id"),
-            "collection_file_id", "ocid", "release_date", "data_id",
+            (F.col("_rank") + F.lit(cf_base)).alias("collection_file_id"),
+            "ocid", "release_date", "data_id",
         ))
+    store.advance_next_id("collection_file", cf_base + n)
     store.advance_next_id("compiled_release", cr_base + n)
     pinned_r.unpersist()
 
-    notes = compiled.where(F.col("row_kind") == "note")
-    nb = store.next_id("collection_note")
-    noted, n_notes, pinned_n = with_sequential_ids(
-        notes, nb, order_by=["ocid", "note_code", "note"])
+    n_notes = kind_counts.get("note", 0)
     if n_notes:
+        notes = compiled.where(F.col("row_kind") == "note")
+        nb = store.next_id("collection_note")
+        noted, n_notes, pinned_n = with_sequential_ids(
+            notes, nb, order_by=["ocid", "note_code", "note"], mode="hash")
         store.append("collection_note", noted.select(
             "id",
             F.lit(collection_id).alias("collection_id"),
@@ -316,7 +320,7 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
             F.current_timestamp().alias("stored_at"),
             F.col("note_code").alias("code"),
         ))
-    store.advance_next_id("collection_note", nb + n_notes)
-    pinned_n.unpersist()
+        store.advance_next_id("collection_note", nb + n_notes)
+        pinned_n.unpersist()
     compiled.unpersist()
     return {"compiled": n, "notes": n_notes}

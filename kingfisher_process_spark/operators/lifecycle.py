@@ -17,7 +17,7 @@ from datetime import datetime, timezone
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kingfisher_process_spark.store import SCHEMAS, Store
+from kingfisher_process_spark.store import Store
 
 TRANSFORM_UPGRADE = "upgrade-1-0-to-1-1"
 TRANSFORM_COMPILE = "compile-releases"
@@ -75,10 +75,7 @@ def create_collections(store: Store, source_id: str, data_version: str, *,
         rows.append(row(nxt, compile_parent, TRANSFORM_COMPILE, []))
         nxt += 1
 
-    store.append("collection", store.spark.createDataFrame(
-        [tuple(r[f.name] for f in SCHEMAS["collection"].fields) for r in rows],
-        SCHEMAS["collection"],
-    ))
+    store.append_rows("collection", rows)
     store.advance_next_id("collection", nxt)
     if note:
         add_note(store, base, "INFO", note)
@@ -88,9 +85,10 @@ def create_collections(store: Store, source_id: str, data_version: str, *,
 def add_note(store: Store, collection_id: int, code: str, note: str,
              data: str | None = None) -> None:
     nid = store.next_id("collection_note")
-    store.append("collection_note", store.spark.createDataFrame(
-        [(nid, collection_id, note, data, _now(), code)], SCHEMAS["collection_note"]
-    ))
+    store.append_rows("collection_note", [{
+        "id": nid, "collection_id": collection_id, "note": note,
+        "data": data, "stored_at": _now(), "code": code,
+    }])
     store.advance_next_id("collection_note", nid + 1)
 
 
@@ -101,9 +99,8 @@ def create_collection_files(store: Store, collection_id: int,
     base = store.next_id("collection_file")
     existing = {
         r["filename"]
-        for r in store.read("collection_file")
-        .where(F.col("collection_id") == collection_id)
-        .select("filename").collect()
+        for r in store.read_rows("collection_file", ["collection_id", "filename"])
+        if r["collection_id"] == collection_id
     }
     pairs = []
     rows = []
@@ -112,30 +109,26 @@ def create_collection_files(store: Store, collection_id: int,
             raise ValueError(f"File {p} already exists in collection {collection_id}")
         cfid = base + i
         pairs.append((cfid, p))
-        rows.append((cfid, collection_id, p, None, False))
-    store.append("collection_file", store.spark.createDataFrame(
-        rows, SCHEMAS["collection_file"]
-    ))
+        rows.append({"id": cfid, "collection_id": collection_id, "filename": p,
+                     "url": None, "compilation_started": False})
+    store.append_rows("collection_file", rows)
     store.advance_next_id("collection_file", base + len(rows))
     return pairs
 
 
 def _update_collection(store: Store, collection_id: int, **updates) -> None:
-    """Rewrite the (small) collection table with updated fields — the
-    collection table is driver-scale metadata, not data. Collected as
-    Python rows (never pandas: NaN-for-null breaks re-ingestion under
-    non-Arrow sessions)."""
-    fields = [f.name for f in SCHEMAS["collection"].fields]
-    rows = []
+    """Rewrite the (small) collection table with updated fields — a pure
+    driver-side read/modify/swap (store.read_rows/overwrite_rows): the
+    collection table is O(#collections) catalog metadata, and routing a
+    one-row UPDATE through a distributed overwrite cost ~1s of scheduler
+    overhead per lifecycle tick."""
+    rows = store.read_rows("collection")
     max_id = 0
-    for r in store.read("collection").collect():
-        d = r.asDict()
+    for d in rows:
         max_id = max(max_id, d["id"])
         if d["id"] == collection_id:
             d.update(updates)
-        rows.append(tuple(d[f] for f in fields))
-    store.overwrite("collection",
-                    store.spark.createDataFrame(rows, SCHEMAS["collection"]))
+    store.overwrite_rows("collection", rows)
     store.advance_next_id("collection", max_id + 1)  # ids unchanged by update
 
 
@@ -235,8 +228,7 @@ def collection_tree(store: Store, collection_id: int) -> list[dict]:
     """The tree endpoint (views.py:283-331, WITH RECURSIVE): root + derived
     collections. Tree depth ≤ 3 (models.py:125-144), so an iterative
     driver loop replaces SQL recursion."""
-    coll = store.read("collection")
-    rows = {r["id"]: r.asDict() for r in coll.collect()}
+    rows = {r["id"]: r for r in store.read_rows("collection")}
     # walk up to the root
     node = rows.get(collection_id)
     if node is None:

@@ -69,17 +69,24 @@ def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFram
     )).alias("j"))
 
     releases = [json.loads(r["j"]) for r in r1.union(r2).collect()]
-    pkg = {"uri": "synthetic:orders", "version": "1.1",
-           "publisher": {"name": "kps-bench"}, "releases": releases}
 
+    # 8 package files (deterministic round-robin) — the realistic input
+    # shape (a collection is many files, file_worker consumes them
+    # independently) and what makes the parse stage parallel
     tmp = tempfile.mkdtemp(prefix="kps_ocds_")
-    path = f"{tmp}/pkg.json"
-    with open(path, "w") as f:
-        json.dump(pkg, f)
+    paths = []
+    for i in range(8):
+        pkg = {"uri": f"synthetic:orders:{i}", "version": "1.1",
+               "publisher": {"name": "kps-bench"},
+               "releases": releases[i::8]}
+        path = f"{tmp}/pkg{i}.json"
+        with open(path, "w") as f:
+            json.dump(pkg, f)
+        paths.append(path)
 
     store = Store(spark, f"{tmp}/store")
     result = process_collection(
-        spark, store, "bench_orders", "2020-01-01 00:00:00", [path],
+        spark, store, "bench_orders", "2020-01-01 00:00:00", paths,
         compile_=True, two_phase_compile=two_phase,
     )
     comp_id = result["collections"]["compiled"]

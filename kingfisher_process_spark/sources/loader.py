@@ -63,7 +63,8 @@ def parse_files(spark: SparkSession, files: list[tuple[int, str]], data_type: di
     return files_df.mapInPandas(gen, PARSED_SCHEMA)
 
 
-def dedup_append_payloads(store: Store, table: str, payloads: DataFrame) -> DataFrame:
+def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
+                          n_parts: int | None = None) -> DataFrame:
     """S8: content-hash dedup against + into the ``data``/``package_data``
     table. ``payloads``: (hash_md5, data). Returns the full mapping
     (hash_md5 → id) for the hashes present in ``payloads``.
@@ -84,7 +85,10 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame) -> Data
         .join(existing.select("hash_md5"), "hash_md5", "left_anti")
     )
     base = store.next_id(table)
-    fresh_ids, n_fresh, pinned = with_sequential_ids(fresh, base, order_by=["hash_md5"])
+    # hash mode: ids keyed by content hash carry no order semantics, so
+    # skip the range-boundary sampling pass
+    fresh_ids, n_fresh, pinned = with_sequential_ids(
+        fresh, base, order_by=["hash_md5"], mode="hash", n_parts=n_parts)
     if n_fresh:
         store.append(table, fresh_ids.select("id", "hash_md5", "data"))
     store.advance_next_id(table, base + n_fresh)
@@ -103,8 +107,19 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
     parsed = parsed.cache()
     items = parsed.where(F.col("row_kind") == "item")
 
+    # one pass populates the cache and sizes everything downstream: row
+    # counts per kind decide which persist paths run at all and size the
+    # id shuffles (~10k rows/task, capped at 2× parallelism — the
+    # post-dropDuplicates partition count is just shuffle.partitions, a
+    # useless volume proxy)
+    kind_counts = {r["row_kind"]: r["n"] for r in
+                   parsed.groupBy("row_kind").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sc = parsed.sparkSession.sparkContext
+    np_ = max(2, min(sc.defaultParallelism * 2,
+                     kind_counts.get("item", 0) // 10_000 + 1))
+
     data_map = dedup_append_payloads(
-        store, "data", items.select("hash_md5", "data")
+        store, "data", items.select("hash_md5", "data"), n_parts=np_
     ).withColumnRenamed("id", "data_id")
 
     has_pkg = items.where(F.col("package_hash").isNotNull())
@@ -112,6 +127,7 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
         store, "package_data",
         has_pkg.select(F.col("package_hash").alias("hash_md5"),
                        F.col("package_data").alias("data")),
+        n_parts=np_,
     ).withColumnRenamed("id", "package_data_id").withColumnRenamed("hash_md5", "package_hash")
 
     # The ocid is required to find all releases of one contracting process
@@ -126,8 +142,11 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
     table = {"release package": "release", "record package": "record",
              "compiled release": "compiled_release"}[fmt]
     base = store.next_id(table)
+    # range mode: envelope id order IS semantics (insertion order = file
+    # order; record compile picks the first record by id)
     rows, n_rows, pinned = with_sequential_ids(
-        envelope, base, order_by=["collection_file_id", "item_index"]
+        envelope, base, order_by=["collection_file_id", "item_index"],
+        n_parts=np_,
     )
     rows = rows.withColumn("collection_id", F.lit(collection_id))
 
@@ -145,11 +164,13 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
     store.advance_next_id(table, base + n_rows)
     pinned.unpersist()
 
-    notes = parsed.where(F.col("row_kind") == "note")
-    nb = store.next_id("collection_note")
-    noted, n_notes, pinned_n = with_sequential_ids(
-        notes, nb, order_by=["collection_file_id", "note"])
+    n_notes = kind_counts.get("note", 0)
     if n_notes:
+        notes = parsed.where(F.col("row_kind") == "note")
+        nb = store.next_id("collection_note")
+        noted, n_notes, pinned_n = with_sequential_ids(
+            notes, nb, order_by=["collection_file_id", "note"],
+            mode="hash", n_parts=np_)
         store.append("collection_note", noted.select(
             "id",
             F.lit(collection_id).alias("collection_id"),
@@ -158,7 +179,7 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
             F.current_timestamp().alias("stored_at"),
             F.col("note_code").alias("code"),
         ))
-    store.advance_next_id("collection_note", nb + n_notes)
-    pinned_n.unpersist()
+        store.advance_next_id("collection_note", nb + n_notes)
+        pinned_n.unpersist()
     parsed.unpersist()
     return {"rows": n_rows, "notes": n_notes}

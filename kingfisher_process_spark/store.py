@@ -18,6 +18,11 @@ from __future__ import annotations
 
 import os
 import shutil
+import uuid
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,6 +88,41 @@ SCHEMAS: dict[str, T.StructType] = {
 PARTITIONED_BY_COLLECTION = {"release", "record", "compiled_release", "collection_file",
                              "collection_note", "processing_step"}
 
+# Driver-scale catalog tables: O(#collections) rows, not O(data). Single-row
+# lifecycle updates to these go through the pyarrow fast path (append_rows /
+# overwrite_rows / read_rows) — same parquet layout Spark writes, zero Spark
+# jobs. The analogy is Delta's transaction log: catalog metadata is
+# driver-side; distributed jobs are for data. (The reference holds these as
+# ordinary Postgres rows — process/models.py:30-260 — where a one-row UPDATE
+# is free; a distributed overwrite per lifecycle tick is the non-idiomatic
+# translation we're avoiding.)
+METADATA_TABLES = {"collection", "collection_file", "collection_note", "processing_step"}
+
+
+def _arrow_type(dt: T.DataType) -> pa.DataType:
+    if isinstance(dt, T.ArrayType):
+        return pa.list_(_arrow_type(dt.elementType))
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.TimestampType):
+        # tz-aware micros == what Spark writes under TIMESTAMP_MICROS, so
+        # mixed pyarrow/Spark directories unify to one arrow schema
+        return pa.timestamp("us", tz="UTC")
+    raise TypeError(f"no arrow mapping for {dt}")
+
+
+def _arrow_schema(table: str, exclude: tuple[str, ...] = ()) -> pa.Schema:
+    return pa.schema([
+        pa.field(f.name, _arrow_type(f.dataType))
+        for f in SCHEMAS[table].fields if f.name not in exclude
+    ])
+
 
 class Store:
     """A directory of parquet tables with the reference's schema."""
@@ -121,12 +161,84 @@ class Store:
         out = df.select(*[F.col(c).cast(SCHEMAS[table][c].dataType) for c in cols])
         # re-apply names lost by cast()
         out = out.toDF(*cols)
+        # micros (not the INT96 default) so Spark- and pyarrow-written files
+        # in one metadata dir carry the same parquet timestamp type
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         writer = out.write.mode(mode)
         if table in PARTITIONED_BY_COLLECTION:
             writer = writer.partitionBy("collection_id")
         writer.parquet(self.path(table))
         # id watermark now unknown unless the writer advances it explicitly
         self._next_ids.pop(table, None)
+
+    # -- driver-side fast path for METADATA_TABLES ------------------------
+
+    def _rows_to_files(self, table: str, rows: list[dict], base: str) -> None:
+        part = table in PARTITIONED_BY_COLLECTION
+        schema = _arrow_schema(table, ("collection_id",) if part else ())
+        groups: dict[int | None, list[dict]] = {}
+        for r in rows:
+            groups.setdefault(r["collection_id"] if part else None, []).append(r)
+        for key, grp in groups.items():
+            d = base if key is None else os.path.join(base, f"collection_id={key}")
+            os.makedirs(d, exist_ok=True)
+            tbl = pa.table(
+                {f.name: [row.get(f.name) for row in grp] for f in schema},
+                schema=schema)
+            pq.write_table(tbl, os.path.join(d, f"part-{uuid.uuid4().hex}.parquet"))
+
+    def append_rows(self, table: str, rows: list[dict]) -> None:
+        """Append driver-built rows to a METADATA_TABLES table without a
+        Spark job — one pyarrow file per touched partition, in the exact
+        layout ``_write`` produces, so ``read`` and the pyarrow path see
+        one coherent table."""
+        if not rows:
+            return
+        if table not in METADATA_TABLES:
+            raise ValueError(f"{table} is not a driver-scale metadata table")
+        self._rows_to_files(table, rows, self.path(table))
+        self._next_ids.pop(table, None)
+
+    def overwrite_rows(self, table: str, rows: list[dict]) -> None:
+        """Atomically replace a METADATA_TABLES table with driver-built
+        rows (write-aside + swap — the single-row lifecycle UPDATE)."""
+        if table not in METADATA_TABLES:
+            raise ValueError(f"{table} is not a driver-scale metadata table")
+        tmp = self.path(table) + "__rewrite"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        self._rows_to_files(table, rows, tmp)
+        if os.path.isdir(self.path(table)):
+            shutil.rmtree(self.path(table))
+        os.replace(tmp, self.path(table))
+        self._next_ids.pop(table, None)
+
+    def read_rows(self, table: str, columns: list[str] | None = None) -> list[dict]:
+        """Driver-side read of a METADATA_TABLES table as dicts (pyarrow,
+        no Spark job). Timestamps come back naive-UTC, matching what a
+        Spark ``collect()`` under a UTC session returns. Falls back to the
+        Spark path if the directory's fragments can't be unified (e.g. a
+        pre-existing store written with INT96 timestamps)."""
+        if table not in METADATA_TABLES:
+            raise ValueError(f"{table} is not a driver-scale metadata table")
+        if not self.exists(table):
+            return []
+        try:
+            import pyarrow.dataset as ds
+
+            dataset = ds.dataset(self.path(table), format="parquet",
+                                 partitioning="hive")
+            rows = dataset.to_table(columns=columns).to_pylist()
+            for r in rows:
+                for k, v in r.items():
+                    if isinstance(v, datetime) and v.tzinfo is not None:
+                        r[k] = v.astimezone(timezone.utc).replace(tzinfo=None)
+            return rows
+        except Exception:
+            df = self.read(table)
+            if columns:
+                df = df.select(*columns)
+            return [r.asDict() for r in df.collect()]
 
     def drop_collection_partition(self, table: str, collection_id: int) -> None:
         """Delete one collection's rows — a partition drop, O(1) metadata."""
@@ -148,6 +260,9 @@ class Store:
             return self._next_ids[table]
         if not self.exists(table):
             nid = 1
+        elif table in METADATA_TABLES:
+            ids = [r["id"] for r in self.read_rows(table, ["id"]) if r["id"] is not None]
+            nid = (max(ids) if ids else 0) + 1
         else:
             row = self.read(table).agg(F.max("id").alias("m")).collect()[0]
             nid = (row["m"] or 0) + 1
@@ -170,6 +285,8 @@ class Store:
 
 def with_sequential_ids(df: DataFrame, start: int,
                         order_by: list[str] | None = None,
+                        mode: str = "range",
+                        n_parts: int | None = None,
                         ) -> tuple[DataFrame, int, DataFrame]:
     """Assign contiguous ids start..start+n-1, ordered by ``order_by``.
     Returns (df_with_ids, n, pinned) — n comes free from the offsets job
@@ -183,17 +300,39 @@ def with_sequential_ids(df: DataFrame, start: int,
     per-partition offsets (a tiny #partitions-row aggregate on the driver)
     plus a partition-local row_number, which parallelizes across executors.
 
-    Contiguity matters because the reference's record compile picks the
-    first record by id (record_compiler.py:58-75) — ids must be stable.
+    ``mode="range"``: ids follow the global ``order_by`` order — required
+    where id order IS semantics (release/record envelopes: the reference's
+    record compile picks the first record by id, record_compiler.py:58-75,
+    and insertion order = file order). Costs a range-boundary sampling
+    pass before the shuffle.
+
+    ``mode="hash"``: hash-repartition on the keys + in-partition sort —
+    ids are contiguous and deterministic (same row → same partition →
+    same sorted position) but NOT globally ordered. One pass cheaper;
+    use for tables where id order carries no meaning (content-hash dedup,
+    compiled outputs, notes).
+
+    Contiguity matters because callers advance the next-id watermark by n.
     """
     from pyspark.sql import Window
 
     if order_by:
         # Explicit partition count: AQE cannot re-coalesce this shuffle
         # (the cache below pins the plan), so inheriting the global
-        # shuffle.partitions would fix tiny writes at 200 tasks.
-        n_parts = max(2, df.sparkSession.sparkContext.defaultParallelism * 2)
-        df = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(*order_by)
+        # shuffle.partitions would fix tiny writes at 200 tasks. Sized by
+        # the upstream partition count (a proxy for data volume): small
+        # batches don't pay hundreds of empty tasks per job, full-scale
+        # inputs still fan out to 2× parallelism.
+        sc = df.sparkSession.sparkContext
+        if n_parts is None:
+            # upstream partition count as a volume proxy (callers that know
+            # better — e.g. the loader's file count — pass n_parts)
+            upstream = max(1, df.rdd.getNumPartitions())
+            n_parts = max(2, min(sc.defaultParallelism * 2, upstream * 2))
+        if mode == "hash":
+            df = df.repartition(n_parts, *order_by).sortWithinPartitions(*order_by)
+        else:
+            df = df.repartitionByRange(n_parts, *order_by).sortWithinPartitions(*order_by)
     df = df.withColumn("_mid", F.monotonically_increasing_id())
     # cache pins the partitioning so the counts job and the id job see the
     # same layout (id consistency between the append and the returned map)
