@@ -191,6 +191,112 @@ def create_compiled_release(releases: list, rules: dict | None = None
     return merged, warnings
 
 
+class _Versions(list):
+    """Marker for a versioned leaf — a list of
+    {releaseID, releaseDate, releaseTag, value} entries. Subclasses list
+    so the finished tree is directly JSON-serializable."""
+
+
+def _ver_leaf(target: dict, key: str, value, meta: dict) -> None:
+    entries = target.get(key)
+    if not isinstance(entries, _Versions):
+        entries = _Versions()
+        target[key] = entries
+    if entries and entries[-1]["value"] == value:
+        return  # only changes are recorded
+    entries.append({**meta, "value": value})
+
+
+def _ver_list(target_list: list, source_list: list, rule_path: tuple,
+              rules: dict, meta: dict) -> list:
+    """Identifier-merge one array, versioning each item's fields."""
+    index: dict[Any, dict] = {}
+    order: list[Any] = []
+    for entry in target_list:
+        if isinstance(entry, dict):
+            key = entry.get("id", ("__idx__", len(order)))
+            if key not in index:
+                index[key] = entry
+                order.append(key)
+    for pos, item in enumerate(source_list):
+        key = item.get("id", ("__idx__", pos))
+        entry = index.get(key)
+        if entry is None:
+            entry = {}
+            index[key] = entry
+            order.append(key)
+        _ver_object(entry, item, rule_path, rules, meta, in_array_item=True)
+    return [index[k] for k in order]
+
+
+def _ver_object(target: dict, source: dict, rule_path: tuple,
+                rules: dict, meta: dict, in_array_item: bool = False) -> None:
+    for k, v in source.items():
+        rp = rule_path + (k,)
+        flags = rules.get(".".join(rp), frozenset())
+        if "omitWhenMerged" in flags:
+            continue
+        if k == "id" and in_array_item and "versionId" not in flags:
+            # the merge key itself: kept plain unless the schema opts it
+            # into versioning with versionId (no core 1.1.5 field does)
+            target["id"] = v
+            continue
+        if v is None:
+            # null marks a deletion; versioned output records no entry
+            continue
+        if isinstance(v, dict):
+            existing = target.get(k)
+            if not isinstance(existing, dict):
+                existing = {}
+                target[k] = existing
+            _ver_object(existing, v, rp, rules, meta)
+        elif isinstance(v, list) and v and all(isinstance(i, dict) for i in v) \
+                and "wholeListMerge" not in flags:
+            existing = target.get(k)
+            base = existing if isinstance(existing, list) and not isinstance(existing, _Versions) else []
+            target[k] = _ver_list(base, v, rp, rules, meta)
+        else:
+            # scalars, wholeListMerge arrays, empty or non-object arrays:
+            # the whole value versions as one leaf
+            _ver_leaf(target, k, v, meta)
+
+
+def create_versioned_release(releases: list, rules: dict | None = None) -> dict:
+    """The merge spec's second output: every field carries its history as
+    a list of {releaseID, releaseDate, releaseTag, value} entries,
+    appending an entry only when the value changes (public OCDS merging
+    reference, 'Versioned data'). The reference engine rejects versioned
+    releases as *input* (file_worker.py:216-242 format matrix) and never
+    produces them; this is a capability extension the merge spec defines
+    alongside the compiled release.
+
+    Same structural validation as ``create_compiled_release``; top-level
+    ``id``/``date``/``tag`` become per-entry provenance metadata, ``ocid``
+    stays plain.
+    """
+    if rules is None:
+        rules = load_rules()
+
+    for i, release in enumerate(releases):
+        if not isinstance(release, dict):
+            raise NonObjectReleaseError(f"Release at index {i} must be an object", index=i)
+        if "date" not in release:
+            raise MissingDateKeyError(f"Release at index {i} is missing a 'date' key", index=i)
+        if release["date"] is None:
+            raise NullDateValueError(f"Release at index {i} has a null 'date' value", index=i)
+
+    ordered = sorted(releases, key=lambda r: r["date"])
+    versioned: dict = {}
+    for release in ordered:
+        meta = {"releaseID": release.get("id"),
+                "releaseDate": release["date"],
+                "releaseTag": release.get("tag")}
+        _ver_object(versioned, release, (), rules, meta)
+    if ordered:
+        versioned["ocid"] = ordered[-1].get("ocid")
+    return versioned
+
+
 def compile_releases(ocid: str, releases: list, extensions: set | None = None,
                      rules: dict | None = None) -> tuple[dict | None, list[Note]]:
     """The reference's compile_releases_by_ocdskit contract

@@ -32,6 +32,81 @@ def ocds_compile_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_pipeline(spark, sf_dir, two_phase=True)
 
 
+VERSIONED_SQL = """
+  SELECT 'ocds-kps-' || o_orderkey AS ocid,
+         CAST(2 AS BIGINT) AS n_status_versions,
+         'active' AS status_first,
+         'complete' AS status_last,
+         CAST(o_totalprice AS DECIMAL(38,6)) AS award_amount
+  FROM (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 2000)
+  ORDER BY ocid
+"""
+
+
+@probe("ocds_versioned_release", VERSIONED_SQL, survey_ids="C3,versioned-ext")
+def ocds_versioned_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-release merge (merge.create_versioned_release) as a
+    value-checked probe: two synthetic releases per OCID with a tender
+    status transition active→complete, so the oracle can predict the
+    version history exactly — entry counts, first/last values, and the
+    award amount surviving Decimal-faithful round-trips."""
+    import pandas as pd
+    from decimal import Decimal
+
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].orderBy("o_orderkey").limit(2000).select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'00:00:00'Z'").alias("d"),
+    )
+    ocid = F.concat(F.lit("ocds-kps-"), "o_orderkey").alias("ocid")
+    r1 = orders.select(ocid, F.to_json(F.struct(
+        F.concat(F.lit("ocds-kps-"), "o_orderkey").alias("ocid"),
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("-1")).alias("id"),
+        F.col("d").alias("date"),
+        F.array(F.lit("tender")).alias("tag"),
+        F.struct(F.concat(F.lit("t-"), "o_orderkey").alias("id"),
+                 F.lit("active").alias("status")).alias("tender"),
+    )).alias("data"))
+    r2 = orders.select(ocid, F.to_json(F.struct(
+        F.concat(F.lit("ocds-kps-"), "o_orderkey").alias("ocid"),
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("-2")).alias("id"),
+        F.concat(F.substring("d", 1, 4), F.lit("-12-31T00:00:00Z")).alias("date"),
+        F.array(F.lit("award")).alias("tag"),
+        F.struct(F.concat(F.lit("t-"), "o_orderkey").alias("id"),
+                 F.lit("complete").alias("status")).alias("tender"),
+        F.array(F.struct(
+            F.concat(F.lit("a-"), "o_orderkey").alias("id"),
+            F.struct(F.col("o_totalprice").alias("amount"),
+                     F.lit("USD").alias("currency")).alias("value"),
+        )).alias("awards"),
+    )).alias("data"))
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import json as _json
+
+        from kingfisher_process_spark.operators import merge as M
+        from kingfisher_process_spark.util import canonical_json
+
+        releases = [_json.loads(s, parse_float=Decimal) for s in pdf["data"]]
+        # deterministic same-date order (stable date sort preserves it)
+        releases.sort(key=lambda r: r["id"])
+        v = M.create_versioned_release(releases)
+        return pd.DataFrame([{"ocid": pdf["ocid"].iloc[0],
+                              "versioned": canonical_json(v)}])
+
+    ver = r1.unionAll(r2).groupBy("ocid").applyInPandas(
+        merge_group, "ocid string, versioned string")
+    return ver.select(
+        "ocid",
+        F.json_array_length(F.get_json_object("versioned", "$.tender.status"))
+        .cast("long").alias("n_status_versions"),
+        F.get_json_object("versioned", "$.tender.status[0].value").alias("status_first"),
+        F.get_json_object("versioned", "$.tender.status[1].value").alias("status_last"),
+        F.get_json_object("versioned", "$.awards[0].value.amount[0].value")
+        .cast("decimal(38,6)").alias("award_amount"),
+    ).orderBy("ocid")
+
+
 def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFrame:
     from kingfisher_process_spark.pipeline import process_collection
     from kingfisher_process_spark.store import Store

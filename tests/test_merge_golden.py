@@ -141,3 +141,54 @@ def test_notes_serializable():
     for n in notes:
         code, text, data = n.as_tuple()
         assert json.loads(data)["type"] == "NonObjectReleaseError"
+
+
+def test_versioned_release_golden():
+    # Shapes from the public OCDS merging reference ('Versioned data'):
+    # change-only history, plain array-item ids, wholeListMerge leaves,
+    # omitted top-level id/date/tag, null recording no entry.
+    from kingfisher_process_spark.operators.merge import create_versioned_release
+
+    releases = [
+        {
+            "ocid": "ocds-213czf-1",
+            "id": "1",
+            "date": "2020-01-01T00:00:00Z",
+            "tag": ["tender"],
+            "initiationType": "tender",
+            "tender": {"id": "t-1", "status": "active"},
+            "parties": [{"id": "ORG-001", "name": "Acme Corp",
+                         "roles": ["buyer"]}],
+        },
+        {
+            "ocid": "ocds-213czf-1",
+            "id": "2",
+            "date": "2020-02-01T00:00:00Z",
+            "tag": ["tenderUpdate"],
+            "initiationType": "tender",  # unchanged -> no new entry
+            "tender": {"id": "t-1", "status": "complete",
+                       "submissionMethod": None},  # null -> no entry
+            "parties": [{"id": "ORG-001", "name": "Acme Inc.",
+                         "roles": ["buyer", "supplier"]}],
+        },
+    ]
+    m1 = {"releaseID": "1", "releaseDate": "2020-01-01T00:00:00Z",
+          "releaseTag": ["tender"]}
+    m2 = {"releaseID": "2", "releaseDate": "2020-02-01T00:00:00Z",
+          "releaseTag": ["tenderUpdate"]}
+
+    assert create_versioned_release(releases) == {
+        "ocid": "ocds-213czf-1",
+        "initiationType": [{**m1, "value": "tender"}],
+        "tender": {
+            "id": [{**m1, "value": "t-1"}],  # object (non-array) id versions
+            "status": [{**m1, "value": "active"}, {**m2, "value": "complete"}],
+        },
+        "parties": [{
+            "id": "ORG-001",  # array-item merge key stays plain
+            "name": [{**m1, "value": "Acme Corp"}, {**m2, "value": "Acme Inc."}],
+            # parties.roles is wholeListMerge -> versions as one leaf
+            "roles": [{**m1, "value": ["buyer"]},
+                      {**m2, "value": ["buyer", "supplier"]}],
+        }],
+    }
