@@ -573,6 +573,111 @@ def q20_suppliers_with_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe(
+    "q11_important_stock",
+    f"""
+    WITH ps AS ({PSEUDO_PARTSUPP_SQL}),
+    tot AS (SELECT SUM(ps_supplycost) AS total FROM ps)
+    SELECT ps_partkey, CAST(SUM(ps_supplycost) AS DECIMAL(38,6)) AS value
+    FROM ps
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(ps_supplycost) AS DOUBLE)
+           > CAST((SELECT total FROM tot) AS DOUBLE) * CAST(0.0005 AS DOUBLE)
+    ORDER BY value DESC, ps_partkey
+    """,
+    survey_ids="A5,A8,subquery-ext",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q11 shape: group sums filtered against a global scalar — the
+    # scalar is a 1-row broadcast cross join, never a driver round-trip.
+    t = load_tables(spark, sf_dir)
+    ps = _pseudo_partsupp(t)
+    total = ps.agg(F.sum("ps_supplycost").alias("total"))
+    return (
+        ps.groupBy("ps_partkey")
+        .agg(F.sum("ps_supplycost").alias("v"))
+        .join(F.broadcast(total))
+        .where(F.col("v").cast("double")
+               > F.col("total").cast("double") * F.lit(0.0005))
+        .select("ps_partkey", F.col("v").cast("decimal(38,6)").alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@probe(
+    "q16_supplier_count_by_part",
+    f"""
+    WITH ps AS ({PSEUDO_PARTSUPP_SQL})
+    SELECT p.p_brand, p.p_size, COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    survey_ids="A3,J2,subquery-ext",
+)
+def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q16 shape: COUNT(DISTINCT) per attribute pair with a NOT IN
+    # exclusion — the exclusion is a broadcast left-anti join.
+    t = load_tables(spark, sf_dir)
+    ps = _pseudo_partsupp(t)
+    excluded = (t["supplier"].where(F.col("s_acctbal") < 0)
+                .select(F.col("s_suppkey").alias("ps_suppkey")))
+    return (
+        ps.join(F.broadcast(excluded), "ps_suppkey", "left_anti")
+        .join(t["part"], F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+@probe(
+    "q22_wealthy_inactive_customers",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS a
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1998-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    survey_ids="J2,A5,subquery-ext",
+)
+def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q22 shape: scalar-subquery threshold + NOT EXISTS anti join.
+    # The average divides an exact decimal sum by the count (one IEEE
+    # division) so the threshold is bit-identical in both engines.
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t["customer"].where(F.col("c_acctbal") > 0)
+        .agg((F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+              / F.count(F.lit(1))).alias("a"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(t["orders"].where(F.col("o_orderdate") >= "1998-01-01")
+              .select(F.col("o_custkey").alias("c_custkey")),
+              "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+             .cast("decimal(38,6)").alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Windows / dedup-by-rank (O3) — the reference's ORDER BY id LIMIT 1 pick
 # (record_compiler.py:58-75) generalized to window functions.

@@ -273,6 +273,58 @@ class Store:
         """Record the id watermark after an append whose ids are known."""
         self._next_ids[table] = value
 
+    def merge_upsert(self, table: str, source: DataFrame, keys: list[str]) -> None:
+        """MERGE (upsert) ``source`` into ``table`` on ``keys``: matched
+        rows are replaced by the source row, unmatched rows are inserted
+        — the Delta-style MERGE the reference approximates with Postgres
+        get-or-create + retry under a unique index (process/util.py:93-110).
+
+        Scale posture: for collection-partitioned tables only the
+        partitions the source touches are rewritten (replaceWhere-style);
+        untouched partitions are never read or written. The rewrite is a
+        distributed anti-join + union into a write-aside directory,
+        swapped in per partition — no driver-side materialization.
+        """
+        cols = [f.name for f in SCHEMAS[table].fields]
+        src = source.select(
+            *[F.col(c).cast(SCHEMAS[table][c].dataType) for c in cols]).toDF(*cols)
+
+        if table in PARTITIONED_BY_COLLECTION:
+            touched = [r["collection_id"] for r in
+                       src.select("collection_id").distinct().collect()]
+            if not touched:
+                return
+            target = self.read(table).where(F.col("collection_id").isin(touched))
+        else:
+            touched = None
+            target = self.read(table)
+
+        kept = target.join(src.select(*keys).distinct(), keys, "left_anti")
+        out = kept.unionByName(src)
+
+        tmp = self.path(table) + "__merge"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        writer = out.write.mode("overwrite")
+        if touched is not None:
+            writer = writer.partitionBy("collection_id")
+        writer.parquet(tmp)
+
+        if touched is not None:
+            for cid in touched:
+                new_part = os.path.join(tmp, f"collection_id={cid}")
+                old_part = os.path.join(self.path(table), f"collection_id={cid}")
+                shutil.rmtree(old_part, ignore_errors=True)
+                if os.path.isdir(new_part):
+                    os.makedirs(self.path(table), exist_ok=True)
+                    os.replace(new_part, old_part)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            if os.path.isdir(self.path(table)):
+                shutil.rmtree(self.path(table))
+            os.replace(tmp, self.path(table))
+        self._next_ids.pop(table, None)
+
     def export_jdbc(self, table: str, url: str, dbtable: str | None = None,
                     mode: str = "append", properties: dict | None = None) -> None:
         """JDBC sink option (the declared Spark SQL + JDBC write path):
