@@ -68,12 +68,15 @@ class StreamingLoader:
 
     def __init__(self, spark: SparkSession, store: Store, source_id: str,
                  data_version: str, watch_dir: str, data_type: dict,
-                 compile_: bool = False):
+                 compile_: bool = False, max_files_per_trigger: int = 16):
         self.spark = spark
         self.store = store
         self.watch_dir = watch_dir
         self.data_type = data_type
         self.compile_ = compile_
+        # backpressure: bounds each micro-batch's parse/dedup job (the
+        # reference's prefetch=20 consumer window, process/util.py:47)
+        self.max_files_per_trigger = max_files_per_trigger
         self.ids = lifecycle.create_collections(store, source_id, data_version,
                                                 compile_=compile_)
         lifecycle._update_collection(store, self.ids["root"],
@@ -100,20 +103,31 @@ class StreamingLoader:
         if self.compile_ and self.data_type["format"] == detect.RECORD_PACKAGE:
             compile_records(self.store, self.collection_id, self.ids["compiled"])
 
-    def start(self, checkpoint_dir: str):
+    def start(self, checkpoint_dir: str, processing_interval: str | None = None):
+        """Start the ingest stream.
+
+        ``processing_interval=None`` → availableNow (drain-and-stop, the
+        batch-campaign mode); ``"30 seconds"`` → a long-running
+        processingTime trigger for continuously-arriving crawls. Both
+        respect ``max_files_per_trigger`` so one giant drop of files
+        becomes a sequence of bounded micro-batches instead of one
+        unbounded job."""
         stream = (
             self.spark.readStream
             .option("wholetext", "true")
-            .option("maxFilesPerTrigger", "16")
+            .option("maxFilesPerTrigger", str(self.max_files_per_trigger))
             .text(self.watch_dir)
         )
-        return (
+        writer = (
             stream.writeStream
             .foreachBatch(self._process_batch)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
         )
+        if processing_interval is None:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=processing_interval)
+        return writer.start()
 
     def close(self) -> dict:
         """store_end_at + finish. Release packages compile HERE — the

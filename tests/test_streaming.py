@@ -100,3 +100,32 @@ def test_streaming_record_packages_compile_per_batch(spark, tmp_path):
     assert {r["ocid"] for r in crs.collect()} == {"ocds-sr-1", "ocds-sr-2"}
     colls = {r["id"]: r for r in store.read("collection").collect()}
     assert colls[sl.ids["compiled"]]["cached_compiled_releases_count"] == 2
+
+
+def test_streaming_rate_limited_micro_batches(spark, tmp_path):
+    # max_files_per_trigger=1 → each file is its own bounded micro-batch
+    # (backpressure: one giant drop never becomes one unbounded job)
+    store = Store(spark, str(tmp_path / "store"))
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    sl = StreamingLoader(
+        spark, store, "stream_rl", "2020-01-01 00:00:00", str(watch),
+        data_type={"format": "release package", "concatenated": False, "array": False},
+        max_files_per_trigger=1,
+    )
+    batches = []
+    orig = sl._process_batch
+    sl._process_batch = lambda df, bid: (batches.append(bid), orig(df, bid))[1]
+
+    for i in range(3):
+        (watch / f"f{i}.json").write_text(
+            json.dumps(_pkg(f"ocds-rl-{i}", "1", "2020-01-01")))
+    q = sl.start(ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    assert len(batches) == 3  # one micro-batch per file
+    assert store.read("release").count() == 3
+    assert sl.files_seen == 3
