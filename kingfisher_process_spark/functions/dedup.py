@@ -32,6 +32,19 @@ N_BANDS = 4  # 4 rows per band
 SIMHASH_BITS = 32
 
 
+def fanout(df: DataFrame) -> DataFrame:
+    """Repartition up to default parallelism when the scan is
+    under-parallel (a small single-file table reads as ONE partition, and
+    everything map-side — shingling, per-token md5 — would run in one
+    task). At real scale the scan already has >= parallelism partitions
+    and this is a no-op, so the full-corpus shuffle only ever happens
+    when the corpus is small enough for it to be trivial."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def h60(col: Column) -> Column:
     """60-bit integer hash from md5 — identical in Spark and DuckDB."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
@@ -40,8 +53,11 @@ def h60(col: Column) -> Column:
 H60_SQL = "CAST(CAST(('0x' || substr(md5({x}), 1, 15)) AS UBIGINT) AS BIGINT)"
 
 
-def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) — distinct n-word shingles per document."""
+def shingles_df(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """(doc_id, shingle) — n-word shingles per document. ``distinct``
+    matters for set arithmetic (Jaccard counts); MIN-style consumers pass
+    False and let map-side partial aggregation absorb duplicates instead
+    of paying a full (doc_id, string) dedup shuffle."""
     toks = F.split("text", " ")
     sh = F.when(
         F.size(toks) >= n,
@@ -52,11 +68,11 @@ def shingles_df(docs: DataFrame, n: int = 3) -> DataFrame:
             ),
         ),
     ).otherwise(F.array())
-    return docs.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    out = fanout(docs).select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
-SHINGLES_SQL = """
-  SELECT DISTINCT doc_id, shingle FROM (
+SHINGLES_RAW_SQL = """
     SELECT doc_id,
            unnest(CASE WHEN len(string_split(text,' ')) >= 3 THEN
              list_transform(generate_series(1, len(string_split(text,' ')) - 2),
@@ -64,7 +80,11 @@ SHINGLES_SQL = """
                                  string_split(text,' ')[i+1] || ' ' ||
                                  string_split(text,' ')[i+2])
              ELSE [] END) AS shingle
-    FROM documents) x
+    FROM documents
+"""
+
+SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, shingle FROM ({SHINGLES_RAW_SQL}) x
 """
 
 
@@ -151,8 +171,13 @@ SEED_CONSTS = [
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m{K-1}): K min-hashes per document, one shuffle."""
-    sh = shingles_df(docs)
+    """(doc_id, m0..m{K-1}): K min-hashes per document, one shuffle.
+
+    No shingle dedup: MIN over a multiset equals MIN over its set, so the
+    only shuffle is the final partial-aggregated (doc_id, K partial mins)
+    — duplicates die in the map-side combine, and the wide dedup shuffle
+    of raw shingle strings disappears from the plan."""
+    sh = shingles_df(docs, distinct=False)
     base = sh.select("doc_id", h60(F.col("shingle")).alias("h"))
     return base.groupBy("doc_id").agg(*[
         F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"m{s}")
@@ -164,7 +189,7 @@ MINHASH_SQL = f"""
   SELECT doc_id,
          {", ".join(f"MIN(xor(h, {c})) AS m{s}" for s, c in enumerate(SEED_CONSTS))}
   FROM (SELECT doc_id, {H60_SQL.format(x="shingle")} AS h
-        FROM ({SHINGLES_SQL}) sh) base
+        FROM ({SHINGLES_RAW_SQL}) sh) base
   GROUP BY doc_id
 """
 
@@ -202,7 +227,10 @@ _BUCKETS_SQL = " UNION ALL ".join(
 )
 def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
-    sigs = minhash_signatures(t["documents"])
+    # cache: the banding self-join otherwise recomputes the whole
+    # shingle→minhash pipeline for each side (broadcast ≠ reused
+    # exchange). Signatures are 1 row/doc — tiny next to the corpus.
+    sigs = minhash_signatures(t["documents"]).cache()
     buckets = sigs.select(
         "doc_id",
         F.explode(F.array(*[
@@ -250,7 +278,7 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     tok = (
-        t["documents"]
+        fanout(t["documents"])
         .select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token"))
         .distinct()
     )
