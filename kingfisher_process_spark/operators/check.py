@@ -111,6 +111,10 @@ def _jsonable(obj):
 def check_collection(store: Store, collection_id: int, kind: str = "release") -> int:
     """Check all unchecked releases/records of a collection (left-anti join
     against existing checks — addchecks.py:35-44 shape). Returns row count."""
+    from kingfisher_process_spark.operators import lifecycle
+
+    if lifecycle.collection_cancelled(store, collection_id):
+        return 0
     table, check_table, fk = {
         "release": ("release", "release_check", "release_id"),
         "record": ("record", "record_check", "record_id"),

@@ -141,6 +141,11 @@ def _compile_record_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def compile_records(store: Store, parent_id: int, compiled_collection_id: int) -> dict:
     """Compile the parent collection's records into the compiled collection."""
+    from kingfisher_process_spark.operators import lifecycle
+
+    if lifecycle.collection_cancelled(store, parent_id) or \
+            lifecycle.collection_cancelled(store, compiled_collection_id):
+        return {"compiled": 0, "notes": 0, "cancelled": True}
     records = store.read("record").where(F.col("collection_id") == parent_id)
     data = store.read("data").select(F.col("id").alias("data_id"), "data")
     pkg = store.read("package_data").select(

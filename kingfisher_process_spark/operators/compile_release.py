@@ -95,6 +95,11 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
       phase — zero overhead for unskewed collections.
     - ``True`` / ``False``: force one path (tests, benchmarks).
     """
+    from kingfisher_process_spark.operators import lifecycle
+
+    if lifecycle.collection_cancelled(store, parent_id) or \
+            lifecycle.collection_cancelled(store, compiled_collection_id):
+        return {"compiled": 0, "notes": 0, "cancelled": True}
     releases = store.read("release").where(F.col("collection_id") == parent_id)
     data = store.read("data").select(F.col("id").alias("data_id"), "data")
     pkg = store.read("package_data").select(

@@ -157,6 +157,16 @@ def finish_collection(store: Store, collection_id: int) -> dict:
     return counts
 
 
+def collection_cancelled(store: Store, collection_id: int) -> bool:
+    """P8 stage-entry guard (file_worker.py:86-88, record_compiler.py:35-37,
+    compiler.py:43-44): a collection with deleted_at set is skipped by
+    every stage. Driver-side catalog read — no Spark job."""
+    for r in store.read_rows("collection", ["id", "deleted_at"]):
+        if r["id"] == collection_id:
+            return r["deleted_at"] is not None
+    return False
+
+
 def delete_collection(store: Store, collection_id: int) -> None:
     """Soft-delete + physical wipe of the collection's rows — partition
     drops instead of the reference's batched DELETEs (wiper.py:56-90)."""

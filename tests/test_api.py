@@ -50,3 +50,42 @@ def test_destroy_and_tree(store):
     api.destroy_collection(store, ids["root"])
     colls = {r["id"]: r.asDict() for r in store.read("collection").collect()}
     assert colls[ids["root"]]["deleted_at"] is not None
+
+
+def test_collection_status_and_cancel(store, tmp_path):
+    import json
+
+    from kingfisher_process_spark.operators.compile_release import compile_collection
+    from kingfisher_process_spark.pipeline import process_collection
+
+    pkg = {"uri": "u", "publisher": {"name": "p"}, "releases": [
+        {"ocid": "ocds-x-1", "id": "1", "date": "2020-01-01T00:00:00Z",
+         "tag": ["tender"], "tender": {"id": "t", "status": "active"}}]}
+    p = tmp_path / "pkg.json"
+    p.write_text(json.dumps(pkg))
+    result = process_collection(
+        store.spark, store, "status_src", "2020-01-01 00:00:00", [str(p)],
+        compile_=True)
+    root = result["collections"]["root"]
+
+    st = api.collection_status(store, root)
+    assert st["steps"] == ["compile"]
+    assert st["format"] == "release package"
+    assert st["collection_files"] == 1
+    assert st["processing_steps"] == 0
+    assert st["completable"] is True
+    assert st["compilable"] is True
+    assert st["error_notes"] == []
+    assert st["compiled_collection"]["collection_files"] == 1
+
+    # child collections are not roots
+    with pytest.raises(api.ApiError, match="not a root"):
+        api.collection_status(store, result["collections"]["compiled"])
+
+    # cancel: root + children stamped; compile stage no-ops afterwards
+    cancelled = api.cancel_collection(store, root)
+    assert set(cancelled) == set(result["collections"].values())
+    colls = {r["id"]: r for r in store.read_rows("collection")}
+    assert all(colls[c]["deleted_at"] is not None for c in cancelled)
+    out = compile_collection(store, root, result["collections"]["compiled"])
+    assert out.get("cancelled") is True and out["compiled"] == 0
