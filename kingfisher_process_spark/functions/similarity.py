@@ -47,6 +47,32 @@ def _norms(emb: DataFrame, id_alias: str, norm_alias: str) -> DataFrame:
     )
 
 
+def dot_col(a, b) -> F.Column:
+    """Array-native exact dot product: per-element double products summed
+    as decimals via a sequential fold — same values as the oracle's
+    SUM(CAST(.. AS DECIMAL(38,12))) (decimal addition is exact and
+    associative), but the rows never explode 64× and the whole expression
+    stays inside codegen.
+
+    Type sizing makes the fold EXACT: products go to DECIMAL(14,12)
+    (|element| < 10 ⇒ |product| < 100) and the accumulator is
+    DECIMAL(19,12), so each addition resolves to (20,12) — within
+    precision 38, no scale loss — and the cast back to (19,12) is
+    lossless for |sum| < 1e7. A (38,12) accumulator would force every
+    partial sum through (38,11), silently rounding the 12th digit."""
+    return F.aggregate(
+        F.zip_with(a, b,
+                   lambda x, y: (x.cast("double") * y.cast("double"))
+                   .cast("decimal(14,12)")),
+        F.lit(0).cast("decimal(19,12)"),
+        lambda acc, x: (acc + x).cast("decimal(19,12)"),
+    ).cast("double")
+
+
+def norm_col(a) -> F.Column:
+    return F.sqrt(dot_col(a, a))
+
+
 NORMS_SQL = """
   SELECT vec_id, sqrt(CAST(SUM(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)) AS nrm
   FROM (SELECT vec_id, CAST(embedding[i + 1] AS DOUBLE) AS x
@@ -86,22 +112,28 @@ NORMS_SQL = """
     survey_ids="similarity-ext,J1,O5",
 )
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Linear scan: (tiny) query set broadcast against the fanned-out
+    # corpus; dot product and norms are array-native folds, so rows stay
+    # 1-per-(query, candidate) — no 64x positional explosion, no norm
+    # joins, one window for the per-query top-k.
+    from kingfisher_process_spark.functions.dedup import fanout
+
     t = load_tables(spark, sf_dir)
     emb = t["embeddings"]
-    q = _exploded(emb.where(F.col("vec_id") < N_QUERIES), "query_id", "qx")
-    c = _exploded(emb, "neighbor_id", "cx")
-    dots = (
-        F.broadcast(q).join(c, "i")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum((F.col("qx") * F.col("cx")).cast(DEC12)).cast("double").alias("dot"))
-    )
-    nq = _norms(emb.where(F.col("vec_id") < N_QUERIES), "query_id", "nq")
-    nc = _norms(emb, "neighbor_id", "nc")
+    qv = (emb.where(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"),
+                  norm_col(F.col("embedding")).alias("nq")))
+    cv = (fanout(emb)
+          .select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("ce"),
+                  norm_col(F.col("embedding")).alias("nc")))
     scored = (
-        dots.join(F.broadcast(nq), "query_id").join(nc, "neighbor_id")
+        cv.crossJoin(F.broadcast(qv))
+        .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                (F.col("dot") / (F.col("nq") * F.col("nc"))).alias("cosine"))
+                (dot_col(F.col("qe"), F.col("ce"))
+                 / (F.col("nq") * F.col("nc"))).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -139,29 +171,24 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # label-blocked near-duplicate pairs: the quadratic term is bounded per
     # block (an IVF cell / LSH bucket in production)
+    from kingfisher_process_spark.functions.dedup import fanout
+
     t = load_tables(spark, sf_dir)
-    emb = t["embeddings"]
+    emb = fanout(t["embeddings"])
     a = emb.select(F.col("vec_id").alias("vec_a"), "label",
-                   F.col("embedding").alias("ea"))
+                   F.col("embedding").alias("ea"),
+                   norm_col(F.col("embedding")).alias("na"))
     b = emb.select(F.col("vec_id").alias("vec_b"),
-                   F.col("label").alias("label_b"), F.col("embedding").alias("eb"))
+                   F.col("label").alias("label_b"),
+                   F.col("embedding").alias("eb"),
+                   norm_col(F.col("embedding")).alias("nb"))
     pairs = a.join(b, (F.col("label") == F.col("label_b"))
                    & (F.col("vec_a") < F.col("vec_b"))).drop("label_b")
-    prod = pairs.select(
-        "vec_a", "vec_b", "label",
-        F.posexplode(F.zip_with(
-            "ea", "eb",
-            lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC12),
-        )).alias("i", "p"),
-    )
-    dots = prod.groupBy("vec_a", "vec_b", "label").agg(
-        F.sum("p").cast("double").alias("dot"))
-    na = _norms(emb, "vec_a", "na")
-    nb = _norms(emb, "vec_b", "nb")
     return (
-        dots.join(F.broadcast(na), "vec_a").join(F.broadcast(nb), "vec_b")
-        .select("vec_a", "vec_b", "label",
-                (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cosine"))
+        pairs.select(
+            "vec_a", "vec_b", "label",
+            (dot_col(F.col("ea"), F.col("eb"))
+             / (F.col("na") * F.col("nb"))).alias("cosine"))
         .where(F.col("cosine") > 0.5)
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(100)
