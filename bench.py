@@ -48,8 +48,15 @@ def main() -> None:
     spark = get_spark("kps-bench")
     reg = entrymod._registry()
 
-    # Warmup: JVM + Arrow + codegen paths.
+    # Warmup: JVM + Arrow + codegen paths, plus the OCDS pipeline's
+    # Python-worker/merge-module imports at the smallest scale factor (the
+    # timed run then measures execution, not interpreter cold start).
     reg["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    if "ocds_compile_pipeline" in reg:
+        try:
+            reg["ocds_compile_pipeline"].fn(spark, "/root/testdata/sf0.001").collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -140,21 +140,42 @@ def close_collection(store: Store, collection_id: int,
 
 
 def finish_collection(store: Store, collection_id: int) -> dict:
-    """Cache counts and set completed_at (finisher.py:100-113). The three
-    per-table counts run as ONE job (union of partition-pruned scans)."""
+    """Cache counts and set completed_at (finisher.py:100-113)."""
+    return finish_collections(store, [collection_id])[collection_id]
+
+
+def finish_collections(store: Store, collection_ids: list[int]) -> dict[int, dict]:
+    """Batch finish: cache counts + completed_at for several collections in
+    ONE Spark job (union of partition-pruned scans, grouped by collection).
+    The pipeline finishes root/upgraded/compiled together instead of paying
+    one count job per collection."""
     fields = {"release": "cached_releases_count",
               "record": "cached_records_count",
               "compiled_release": "cached_compiled_releases_count"}
     unioned = None
     for table in fields:
-        part = (store.read(table).where(F.col("collection_id") == collection_id)
-                .select(F.lit(table).alias("t")))
+        part = (store.read(table)
+                .where(F.col("collection_id").isin(collection_ids))
+                .select(F.lit(table).alias("t"), "collection_id"))
         unioned = part if unioned is None else unioned.unionAll(part)
-    by_table = {r["t"]: r["n"] for r in
-                unioned.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()}
-    counts = {field: by_table.get(table, 0) for table, field in fields.items()}
-    _update_collection(store, collection_id, completed_at=_now(), **counts)
-    return counts
+    by_key = {(r["t"], r["collection_id"]): r["n"] for r in
+              unioned.groupBy("t", "collection_id")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    now = _now()
+    out: dict[int, dict] = {}
+    # one read/modify/swap of the catalog covers every collection
+    rows = store.read_rows("collection")
+    max_id = 0
+    for d in rows:
+        max_id = max(max_id, d["id"])
+        if d["id"] in collection_ids:
+            counts = {field: by_key.get((table, d["id"]), 0)
+                      for table, field in fields.items()}
+            d.update(completed_at=now, **counts)
+            out[d["id"]] = counts
+    store.overwrite_rows("collection", rows)
+    store.advance_next_id("collection", max_id + 1)
+    return out
 
 
 def collection_cancelled(store: Store, collection_id: int) -> bool:

@@ -131,8 +131,8 @@ def process_collection(
             # compilable() never fires for this format)
             lifecycle.add_note(store, comp_id, "INFO",
                               "Collection is already compiled; compile step skipped")
-        if "compile" in result:
-            lifecycle.finish_collection(store, comp_id)
+        # compiled collection joins the batch finish at the end (one job
+        # covers root/upgraded/compiled — synchronous DAG, same semantics)
 
     if check:
         kind = "record" if fmt == detect.RECORD_PACKAGE else "release"
@@ -140,8 +140,5 @@ def process_collection(
         result["check"] = check_collection(store, target, kind)
 
     lifecycle.close_collection(store, ids["root"], expected_files_count=len(paths))
-    already_finished = {ids["compiled"]} if "compile" in result else set()
-    for cid in ids.values():
-        if cid not in already_finished:
-            lifecycle.finish_collection(store, cid)
+    lifecycle.finish_collections(store, list(ids.values()))
     return result

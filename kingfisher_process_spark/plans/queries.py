@@ -1001,3 +1001,471 @@ def j4_explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Extended TPC-H-shape corpus — the remaining canonical join/agg/subquery
+# shapes (exists, disjunctive predicates, left-join distributions, scalar
+# subqueries), adapted to the testdata schema: no commit/receipt dates, so
+# "late" = l_shipdate > o_orderdate + N days; partsupp is the deterministic
+# pseudo table. Each shape maps to capabilities the reference delegates to
+# PostgreSQL (SURVEY §2.3 J1-J3, §2.4, §2.12).
+# ---------------------------------------------------------------------------
+
+@probe(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids="J3,A1,A8",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q4 shape: EXISTS with a correlated predicate on both sides → left-semi
+    # join with a compound condition (no pre-aggregation needed; the semi
+    # join short-circuits per order).
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp")))
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@probe(
+    "q6_forecast_revenue",
+    """
+    SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.03 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    survey_ids="P2,A5",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q6 shape: pure scan-filter-agg — every predicate pushes to the
+    # parquet scan (PushedFilters), no shuffle beyond the final 1-row agg.
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.sum(_d(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@probe(
+    "q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           SUM(CAST(volume AS DECIMAL(38,6))) AS revenue
+    FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l.l_shipdate) AS yr,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+             OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')) shipping
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """,
+    survey_ids="J1,A5,O1",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q7 shape: two-nation volume with a disjunctive nation-pair predicate.
+    # Both nation joins broadcast; the pair filter lands after them so
+    # Catalyst can still prune the fact scan columns.
+    t = load_tables(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("n1_key"),
+                            F.col("n_name").alias("supp_nation"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("n2_key"),
+                            F.col("n_name").alias("cust_nation"))
+    j = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3")))
+    )
+    return (
+        j.select("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("yr"),
+                 (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.sum(_d(F.col("volume"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+@probe(
+    "q8_market_share",
+    """
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                         THEN CAST(volume AS DECIMAL(38,6))
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+    FROM (SELECT year(o.o_orderdate) AS yr,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+          JOIN region r ON n1.n_regionkey = r.r_regionkey
+          JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD') all_nations
+    GROUP BY yr
+    ORDER BY yr
+    """,
+    survey_ids="J1,A5,P6",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q8 shape: market share = conditional-sum / sum, exact decimal sums
+    # with ONE double division at the end (oracle-stable).
+    t = load_tables(spark, sf_dir)
+    p = t["part"].where(F.col("p_type") == "STANDARD").select("p_partkey")
+    r = t["region"].where(F.col("r_name") == "EUROPE").select("r_regionkey")
+    n1 = t["nation"].join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")) \
+        .select(F.col("n_nationkey").alias("cust_nkey"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("supp_nkey"),
+                            F.col("n_name").alias("supp_nation"))
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("supp_nkey"))
+    )
+    vol = _d(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast(DEC)
+    g = (
+        j.select(F.year("o_orderdate").alias("yr"),
+                 vol.alias("volume"), "supp_nation")
+        .groupBy("yr")
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                  .otherwise(zero)).alias("nat"),
+            F.sum("volume").alias("tot"),
+        )
+    )
+    return g.select(
+        "yr",
+        (F.col("nat").cast("double") / F.col("tot").cast("double")).alias("mkt_share"),
+    ).orderBy("yr")
+
+
+@probe(
+    "q9_product_profit",
+    f"""
+    WITH ps AS ({PSEUDO_PARTSUPP_SQL})
+    SELECT nation, yr, SUM(CAST(amount AS DECIMAL(38,6))) AS sum_profit
+    FROM (SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - CAST(ps.ps_supplycost AS DOUBLE) * l.l_quantity AS amount
+          FROM part p
+          JOIN lineitem l ON p.p_partkey = l.l_partkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN ps ON ps.ps_suppkey = l.l_suppkey AND ps.ps_partkey = l.l_partkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          WHERE p.p_name LIKE '%widget%') profit
+    GROUP BY nation, yr
+    ORDER BY nation, yr DESC
+    """,
+    survey_ids="J1,A5,subquery-ext",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q9 shape: profit by (nation, year) over a 5-way join with a LIKE
+    # filter on the dimension; supplycost comes from the pseudo partsupp
+    # (same fact-fact equi-join shape as the real table).
+    t = load_tables(spark, sf_dir)
+    p = t["part"].where(F.col("p_name").like("%widget%")).select("p_partkey")
+    ps = _pseudo_partsupp(t)
+    j = (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(ps, (F.col("ps_suppkey") == F.col("l_suppkey"))
+              & (F.col("ps_partkey") == F.col("l_partkey")))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("ps_supplycost").cast("double") * F.col("l_quantity"))
+    return (
+        j.select(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("yr"), amount.alias("amount"))
+        .groupBy("nation", "yr")
+        .agg(F.sum(_d(F.col("amount"))).alias("sum_profit"))
+        .orderBy("nation", F.desc("yr"))
+    )
+
+
+@probe(
+    "q12_late_lines_by_flag",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ids="J1,A5,P7",
+)
+def q12_late_lines_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q12 shape: join + conditional counts (CASE WHEN inside SUM);
+    # l_returnflag stands in for l_shipmode (absent from testdata).
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    j = t["orders"].join(li, F.col("o_orderkey") == F.col("l_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("l_returnflag")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+        .orderBy("l_returnflag")
+    )
+
+
+@probe(
+    "q13_order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                            AND o.o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c.c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    survey_ids="J2,A1,O5",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q13 shape: left join preserving zero-order customers, then a
+    # distribution over the per-customer counts (two-level aggregation).
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    per_cust = (
+        t["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@probe(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) * 100
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    survey_ids="J1,A5,P6",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q14 shape: promo share of revenue — exact decimal sums, one double
+    # division; the part join broadcasts.
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+    j = li.join(F.broadcast(t["part"].select("p_partkey", "p_type")),
+                F.col("p_partkey") == F.col("l_partkey"))
+    rev = _d(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast(DEC)
+    g = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("promo"),
+        F.sum(rev).alias("total"),
+    )
+    return g.select(
+        (F.col("promo").cast("double") * 100 / F.col("total").cast("double"))
+        .alias("promo_revenue"))
+
+
+@probe(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+    survey_ids="J1,A4,subquery-ext",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q15 shape: scalar-subquery max over a derived revenue view, joined
+    # back. The 1-row max broadcasts; the revenue agg is computed once and
+    # reused via cache-free self-reference (Catalyst dedups the subplan).
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@probe(
+    "q19_disjunctive_revenue",
+    """
+    SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+    survey_ids="J1,P6,A5",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q19 shape: disjunction of conjunctive ranges spanning both join
+    # sides — the join stays an equi-join on partkey; the OR-of-ANDs is a
+    # post-join filter Catalyst can't split, but the dimension broadcast
+    # keeps it cheap.
+    t = load_tables(spark, sf_dir)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"].select("p_partkey", "p_brand", "p_size")),
+        F.col("p_partkey") == F.col("l_partkey"))
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 21))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(10, 30)
+           & (q >= 10) & (q <= 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(20, 50)
+           & (q >= 20) & (q <= 40))
+    )
+    return j.where(cond).agg(
+        F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@probe(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+    survey_ids="J2,J3,A6",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q21 shape: EXISTS + NOT EXISTS correlated on the outer order's date.
+    # Spark-first rewrite: ONE order-level aggregate (distinct suppliers,
+    # distinct LATE suppliers) replaces both correlated subqueries — for a
+    # late line l1, "another supplier exists" ⇔ n_supp ≥ 2 and "no other
+    # late supplier" ⇔ n_late_supp = 1 (l1's own supplier is late, so a
+    # singleton late-set must be exactly it). One shuffle on orderkey
+    # instead of two self-join probes of the fact table.
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].where(F.col("o_orderstatus") == "F") \
+        .select("o_orderkey", "o_orderdate")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).withColumn(
+        "late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS"))
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        lo.where(F.col("late"))
+        .join(stats.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+              "l_orderkey")
+    )
+    return (
+        waiting.join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -79,11 +79,11 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
     nests window/broadcast machinery inside the broadcast build — measured
     30% slower end-to-end.)
     """
-    existing = store.read(table).select("id", "hash_md5")
-    fresh = (
-        payloads.dropDuplicates(["hash_md5"])
-        .join(existing.select("hash_md5"), "hash_md5", "left_anti")
-    )
+    was_empty = not store.exists(table)
+    fresh = payloads.dropDuplicates(["hash_md5"])
+    if not was_empty:
+        existing = store.read(table).select("hash_md5")
+        fresh = fresh.join(existing, "hash_md5", "left_anti")
     base = store.next_id(table)
     # hash mode: ids keyed by content hash carry no order semantics, so
     # skip the range-boundary sampling pass
@@ -93,10 +93,14 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
         store.append(table, fresh_ids.select("id", "hash_md5", "data"))
     store.advance_next_id(table, base + n_fresh)
     pinned.unpersist()
-    return (
-        store.read(table).select("id", "hash_md5")
-        .join(payloads.select("hash_md5").distinct(), "hash_md5", "left_semi")
-    )
+    mapping = store.read(table).select("id", "hash_md5")
+    if was_empty:
+        # the table now holds exactly this batch — the pruned scan IS the
+        # mapping; the distinct + semi-join shuffle buys nothing (and at
+        # scale the table only starts empty when the batch is the table)
+        return mapping
+    return mapping.join(
+        payloads.select("hash_md5").distinct(), "hash_md5", "left_semi")
 
 
 def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -> dict:
