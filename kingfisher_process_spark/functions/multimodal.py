@@ -151,3 +151,125 @@ def synthetic_media(spark: SparkSession, n: int = 100) -> DataFrame:
             5000 + i * 100 if kind != "image" else None,
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible probes — multimodal plumbing over the documents table.
+# Media blobs are synthesized deterministically from document text (the
+# container ships no codecs — TESTDATA has no binary column), so every
+# non-feature output column is DuckDB-expressible and the mapInPandas
+# stages run for real under the correctness gate.
+# ---------------------------------------------------------------------------
+
+from kingfisher_process_spark.plans.base import load_tables, probe  # noqa: E402
+
+
+def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → MEDIA_SCHEMA: blob = utf-8 bytes of the text, kind by
+    doc_id mod 3, typed metadata derived deterministically."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3).cast("int") + 1)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode("text", "UTF-8").alias("content"),
+        (F.lit(100) + F.col("doc_id") % 1000).cast("int").alias("width"),
+        (F.lit(150) + (F.col("doc_id") * 7) % 900).cast("int").alias("height"),
+        (F.col("n_chars") * 40).alias("duration_ms"),
+    )
+
+
+@probe(
+    "m_media_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha,
+           CAST(8 AS BIGINT) AS feature_dim
+    FROM documents
+    ORDER BY media_id
+    """,
+    survey_ids="multimodal-ext,M2",
+)
+def m_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The Arrow-batched feature extraction runs for real (stub model);
+    # the oracle checks every codec-independent output column plus the
+    # feature vector's shape.
+    media = _doc_media(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "content_sha",
+        F.size("feature").cast("long").alias("feature_dim"),
+    ).orderBy("media_id")
+
+
+@probe(
+    "m_frame_sample",
+    """
+    SELECT media_id, frame_no,
+           frame_no * 1000 AS ts_ms,
+           md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_no AS VARCHAR))
+             AS frame_id
+    FROM (SELECT doc_id AS media_id,
+                 unnest(range(0, greatest(CAST(floor(n_chars * 40.0 / 1000)
+                                               AS BIGINT) - 1, 0) + 1)) AS frame_no
+          FROM documents
+          WHERE doc_id % 3 = 2) frames
+    ORDER BY media_id, frame_no
+    """,
+    survey_ids="multimodal-ext,J4",
+)
+def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The explode shape (one blob row → N frame rows) is the real plan a
+    # production sampler produces; frame ids are deterministic.
+    media = _doc_media(spark, sf_dir)
+    return (
+        frame_sample(media, every_ms=1000)
+        .select("media_id", F.col("frame_no").cast("long").alias("frame_no"),
+                F.col("ts_ms").cast("long").alias("ts_ms"), "frame_id")
+        .orderBy("media_id", "frame_no")
+    )
+
+
+@probe(
+    "m_resize_images",
+    """
+    SELECT media_id, width, height, n_bytes,
+           CAST(greatest(1, octet_length(encode(text)) // 2) AS BIGINT)
+             AS resized_bytes
+    FROM (SELECT doc_id AS media_id, text,
+                 CAST(floor((100 + doc_id % 1000)
+                      * least(1.0, 256.0 / greatest(100 + doc_id % 1000,
+                                                    150 + (doc_id * 7) % 900)))
+                      AS INT) AS width,
+                 CAST(floor((150 + (doc_id * 7) % 900)
+                      * least(1.0, 256.0 / greatest(100 + doc_id % 1000,
+                                                    150 + (doc_id * 7) % 900)))
+                      AS INT) AS height,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents
+          WHERE doc_id % 3 = 0) r
+    ORDER BY media_id
+    """,
+    survey_ids="multimodal-ext,M1",
+)
+def m_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aspect-preserving metadata recompute is JVM-side; the blob rewrite
+    # runs in mapInPandas (stub resampler bounds the bytes like a real
+    # resize). n_bytes (pre) and resized_bytes (post) pin the blob path.
+    media = _doc_media(spark, sf_dir)
+    orig_sizes = media.select("media_id",
+                              F.length("content").cast("long").alias("n_bytes"))
+    resized = resize_images(media, max_side=256)
+    return (
+        resized.select("media_id", "width", "height",
+                       F.length("content").cast("long").alias("resized_bytes"))
+        .join(F.broadcast(orig_sizes), "media_id")
+        .select("media_id", "width", "height", "n_bytes", "resized_bytes")
+        .orderBy("media_id")
+    )
