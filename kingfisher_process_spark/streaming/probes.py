@@ -88,3 +88,83 @@ def st_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+@probe(
+    "st_sessionize",
+    """
+    WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+    s AS (SELECT user_id, ms,
+            CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+                  OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                     > 1800000
+                 THEN 1 ELSE 0 END AS new_s
+          FROM e),
+    g AS (SELECT user_id, ms,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms
+                             ROWS UNBOUNDED PRECEDING) AS sno
+          FROM s),
+    sess AS (SELECT user_id, sno,
+               MIN(ms) AS session_start_ms, MAX(ms) AS session_end_ms,
+               COUNT(*) AS n_events
+             FROM g GROUP BY user_id, sno),
+    mx AS (SELECT MAX(ms) AS max_ms FROM e)
+    SELECT user_id, session_start_ms, session_end_ms, n_events
+    FROM sess, mx
+    WHERE sno < (SELECT MAX(sno) FROM sess s2 WHERE s2.user_id = sess.user_id)
+       OR session_end_ms + 1800000 < max_ms - 1800000
+    ORDER BY user_id, session_start_ms
+    """,
+    survey_ids="streaming-ext,stateful-ext",
+)
+def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator under the correctness gate: per-user
+    session windows via ``applyInPandasWithState`` (state = the open
+    session, watermark-driven timeout flush).
+
+    Emission semantics the oracle reproduces exactly: a session row is
+    emitted when a >30 min gap closes it inside a micro-batch (every
+    session but each user's last), or when the event-time timeout fires —
+    the final watermark is max(ts) - 30 min, so an open session flushes
+    iff session_end + 30 min < max_ts - 30 min. All comparisons are in
+    milliseconds on both sides (the state store keeps ms, so the oracle
+    must truncate the same way — micro-precision gaps straddling the
+    30 min boundary would otherwise diverge).
+    """
+    import os
+    import tempfile
+
+    from kingfisher_process_spark.streaming.sessions import sessionize_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    drop_dir = tempfile.mkdtemp(prefix="kps_stream_sessions_")
+    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
+               os.path.join(drop_dir, "events.parquet"))
+    stream = (
+        spark.readStream
+        .schema(EVENTS_STREAM_SCHEMA)
+        .parquet(drop_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts")
+    )
+    sink = f"st_sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream)
+        .writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            F.unix_millis("session_start").alias("session_start_ms"),
+            F.unix_millis("session_end").alias("session_end_ms"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
