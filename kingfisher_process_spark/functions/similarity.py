@@ -351,3 +351,116 @@ def s_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; deterministic, so DuckDB reproduces every bucket."""
     t = load_tables(spark, sf_dir)
     return _sign_buckets(spark, t["embeddings"]).orderBy("vec_id")
+
+
+K_CELLS = 16
+N_PROBE = 4
+
+
+@probe(
+    "ann_ivf_topk",
+    f"""
+    WITH norms AS ({NORMS_SQL}),
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CELLS}),
+    vc0 AS (
+      SELECT v.vec_id, c.cid,
+             CAST(SUM(CAST(CAST(v.embedding[i + 1] AS DOUBLE)
+                           * CAST(c.ce[i + 1] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM embeddings v, cent c, range(64) r(i)
+      GROUP BY v.vec_id, c.cid),
+    vc AS (
+      SELECT vc0.vec_id, vc0.cid, vc0.dot / (nv.nrm * nc.nrm) AS cos
+      FROM vc0 JOIN norms nv ON nv.vec_id = vc0.vec_id
+               JOIN norms nc ON nc.vec_id = vc0.cid),
+    asg AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM vc) x WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM vc WHERE vec_id < {N_QUERIES}) x WHERE rn <= {N_PROBE}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN asg a ON a.cid = p.cid
+             WHERE a.vec_id <> p.query_id),
+    pairs AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(SUM(CAST(CAST(q.embedding[i + 1] AS DOUBLE)
+                           * CAST(n.embedding[i + 1] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings n ON n.vec_id = cand.neighbor_id, range(64) r(i)
+      GROUP BY cand.query_id, cand.neighbor_id),
+    scored AS (SELECT query_id, neighbor_id, dot / (nq.nrm * nn.nrm) AS cosine
+               FROM pairs JOIN norms nq ON nq.vec_id = query_id
+                          JOIN norms nn ON nn.vec_id = neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF shape (the billions-of-vectors scale path): K broadcast
+    # centroids partition the corpus into cells via a MAP-SIDE argmax
+    # (groupBy with partial aggregation — no window shuffle over the
+    # corpus), queries probe their N_PROBE nearest cells, and the exact
+    # re-rank touches only candidate cells instead of the full corpus.
+    # Centroids here are a deterministic training sample (vec_id slice) —
+    # a k-means quantizer drops in without changing the plan shape.
+    from kingfisher_process_spark.functions.dedup import fanout
+
+    t = load_tables(spark, sf_dir)
+    emb = fanout(t["embeddings"]).select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("nv"))
+    cent = t["embeddings"].where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_CELLS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+             norm_col(F.col("embedding")).alias("nc"))
+
+    vc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "nv", "cid",
+        (dot_col(F.col("embedding"), F.col("ce")) / (F.col("nv") * F.col("nc")))
+        .alias("cos"))
+
+    # cell assignment: max(struct(cos, -cid)) == argmax cos with
+    # smallest-cid tiebreak; partial aggregation combines map-side, so
+    # the shuffle carries one row per vector, not one per (vector, cell)
+    asg = (
+        vc.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("neg"))).alias("m"),
+             F.first("embedding").alias("ne"), F.first("nv").alias("nn"))
+        .select(F.col("vec_id").alias("neighbor_id"), "ne", "nn",
+                (-F.col("m.neg")).alias("cid"))
+    )
+
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    probes_df = (
+        vc.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"), F.col("nv").alias("nq"), "cid")
+    )
+
+    scored = (
+        asg.join(F.broadcast(probes_df), "cid")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                (dot_col(F.col("qe"), F.col("ne")) / (F.col("nq") * F.col("nn")))
+                .alias("cosine"))
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+        .orderBy("query_id", "rnk")
+    )
