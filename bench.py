@@ -48,15 +48,17 @@ def main() -> None:
     spark = get_spark("kps-bench")
     reg = entrymod._registry()
 
-    # Warmup: JVM + Arrow + codegen paths, plus the OCDS pipeline's
-    # Python-worker/merge-module imports at the smallest scale factor (the
-    # timed run then measures execution, not interpreter cold start).
+    # Warmup: every headline shape once at the smallest scale factor —
+    # pays JVM startup, Arrow/Python-worker spawn, and per-shape
+    # whole-stage-codegen compilation, so the timed runs measure
+    # steady-state execution rather than compiler cold start.
     reg["q1_pricing_summary"].fn(spark, sf_dir).collect()
-    if "ocds_compile_pipeline" in reg:
-        try:
-            reg["ocds_compile_pipeline"].fn(spark, "/root/testdata/sf0.001").collect()
-        except Exception:
-            pass
+    for name in HEADLINE:
+        if name in reg:
+            try:
+                reg[name].fn(spark, "/root/testdata/sf0.001").collect()
+            except Exception:
+                pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1469,3 +1469,80 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@probe(
+    "a11_cube_volume",
+    """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rflag, lstatus
+    """,
+    survey_ids="A5,rollup-ext",
+)
+def a11_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Full grouping-set lattice — one Expand + one shuffle computes all
+    # 2^k groupings (the OLAP cube the reference would need k queries for).
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(_d(F.col("l_quantity"))).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+                "sum_qty", "n")
+        .orderBy("rflag", "lstatus")
+    )
+
+
+@probe(
+    "w3_median_spend_by_segment",
+    """
+    SELECT c_mktsegment,
+           CAST(total AS DECIMAL(38,6)) AS median_order_value,
+           n_orders
+    FROM (
+      SELECT c_mktsegment, total,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY total, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_orders
+      FROM (SELECT c.c_mktsegment, o.o_orderkey,
+                   CAST(o.o_totalprice AS DECIMAL(38,6)) AS total
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey) j
+    ) ranked
+    WHERE rn = (n_orders + 1) // 2
+    ORDER BY c_mktsegment
+    """,
+    survey_ids="O3,A5,window-ext",
+)
+def w3_median_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Discrete median via rank selection (value-based, so Spark and DuckDB
+    # agree exactly — interpolating percentiles would compare doubles
+    # produced by different arithmetic). Same window shape as O3 with an
+    # aggregate-over-window count for the midpoint.
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_mktsegment", "o_orderkey", _d(F.col("o_totalprice")).alias("total"))
+    )
+    w = Window.partitionBy("c_mktsegment")
+    ranked = (
+        j.withColumn("rn", F.row_number().over(w.orderBy("total", "o_orderkey")))
+        .withColumn("n_orders", F.count(F.lit(1)).over(w))
+    )
+    return (
+        ranked.where(F.col("rn") == ((F.col("n_orders") + 1) / 2).cast("long"))
+        .select("c_mktsegment", F.col("total").alias("median_order_value"), "n_orders")
+        .orderBy("c_mktsegment")
+    )
