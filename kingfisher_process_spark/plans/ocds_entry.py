@@ -185,3 +185,179 @@ def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFram
         .orderBy(F.desc("total_award_value"), "buyer")
         .limit(10)
     )
+
+
+RECORD_LADDER_SQL = """
+  SELECT 'ocds-kpr-' || o_orderkey AS ocid,
+         CAST(CASE WHEN o_orderkey % 4 = 3 THEN 0 ELSE 1 END AS BIGINT)
+           AS has_compiled,
+         CASE CAST(o_orderkey % 4 AS INT)
+              WHEN 0 THEN 'complete' WHEN 1 THEN 'fromRecord'
+              WHEN 2 THEN 'tagged' ELSE NULL END AS tender_status
+  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1000) o
+  ORDER BY ocid
+"""
+
+
+@probe("ocds_record_ladder", RECORD_LADDER_SQL, survey_ids="C2,C3,S2,S3")
+def ocds_record_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The record-compile decision ladder (record_compiler.py:50-143)
+    under the hash gate: each OCID's branch is chosen by o_orderkey % 4 —
+    (0) dated releases that truly merge, (1) linked+dated releases forcing
+    the compiledRelease fallback, (2) undated tagged-'compiled' release,
+    (3) nothing usable → ERROR note, no compiled release — so the oracle
+    predicts exactly which OCIDs compile and what tender.status each
+    compiled release carries."""
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    t = load_tables(spark, sf_dir)
+    orders = [r["o_orderkey"] for r in
+              t["orders"].select("o_orderkey").orderBy("o_orderkey").limit(1000).collect()]
+
+    def rec(k: int) -> dict:
+        ocid = f"ocds-kpr-{k}"
+        branch = k % 4
+        if branch == 0:
+            releases = [
+                {"ocid": ocid, "id": f"{k}-1", "date": "2020-01-01T00:00:00Z",
+                 "tag": ["tender"],
+                 "tender": {"id": f"t-{k}", "status": "active"}},
+                {"ocid": ocid, "id": f"{k}-2", "date": "2020-06-01T00:00:00Z",
+                 "tag": ["award"],
+                 "tender": {"id": f"t-{k}", "status": "complete"}},
+            ]
+            return {"ocid": ocid, "releases": releases}
+        if branch == 1:
+            # dated but linked (url + <=4 properties) → merge path skipped,
+            # compiledRelease used
+            releases = [
+                {"ocid": ocid, "date": "2020-01-01T00:00:00Z",
+                 "url": f"https://example.com/{k}", "tag": ["tender"]},
+            ]
+            compiled = {"ocid": ocid, "id": f"{k}-c",
+                        "date": "2020-06-01T00:00:00Z", "tag": ["compiled"],
+                        "tender": {"id": f"t-{k}", "status": "fromRecord"}}
+            return {"ocid": ocid, "releases": releases,
+                    "compiledRelease": compiled}
+        if branch == 2:
+            # undated tagged-'compiled' embedded release wins
+            releases = [
+                {"ocid": ocid, "id": f"{k}-t", "tag": ["compiled"],
+                 "tender": {"id": f"t-{k}", "status": "tagged"}},
+            ]
+            return {"ocid": ocid, "releases": releases}
+        return {"ocid": ocid, "releases": []}
+
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="kps_records_")
+    paths = []
+    for i in range(4):
+        pkg = {"uri": f"synthetic:records:{i}", "version": "1.1",
+               "publisher": {"name": "kps-record-ladder"},
+               "records": [rec(k) for k in orders[i::4]]}
+        path = os.path.join(tmp, f"recpkg{i}.json")
+        with open(path, "w") as f:
+            json.dump(pkg, f)
+        paths.append(path)
+
+    store = Store(spark, f"{tmp}/store")
+    result = process_collection(
+        spark, store, "record_ladder", "2020-01-01 00:00:00", paths,
+        compile_=True,
+    )
+    comp_id = result["collections"]["compiled"]
+
+    expected = spark.createDataFrame(
+        [(f"ocds-kpr-{k}",) for k in orders], "ocid string")
+    crs = (
+        store.read("compiled_release").where(F.col("collection_id") == comp_id)
+        .join(store.read("data").select(F.col("id").alias("data_id"), "data"),
+              "data_id")
+        .select("ocid",
+                F.get_json_object("data", "$.tender.status").alias("tender_status"))
+    )
+    return (
+        expected.join(crs, "ocid", "left")
+        .select(
+            "ocid",
+            F.when(F.col("tender_status").isNotNull(), 1).otherwise(0)
+            .cast("long").alias("has_compiled"),
+            "tender_status",
+        )
+        .orderBy("ocid")
+    )
+
+
+UPGRADE_SQL = """
+  SELECT 'ocds-kpu-' || o_orderkey AS ocid,
+         CAST(CASE WHEN o_orderkey % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS n_parties,
+         md5('Buyer ' || o_custkey || '----') AS p0_id,
+         CASE WHEN o_orderkey % 2 = 0 THEN '["buyer"]'
+              ELSE '["buyer","tenderer"]' END AS p0_roles
+  FROM (SELECT o_orderkey, o_custkey FROM orders
+        ORDER BY o_orderkey LIMIT 1000) o
+  ORDER BY ocid
+"""
+
+
+@probe("ocds_upgrade_parties", UPGRADE_SQL, survey_ids="M1,S2,P5")
+def ocds_upgrade_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1.0→1.1 upgrade (M1) under the hash gate: 1.0 releases carry a
+    buyer and a tenderer — the same organization for odd orderkeys, a
+    distinct one for even — so the oracle predicts the upgraded parties
+    array exactly: the deterministic md5 party id
+    (md5('-'.join([name, scheme, id, legalName, uri]))), the party count
+    after role-merge, and the roles list on the first party."""
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    t = load_tables(spark, sf_dir)
+    rows = t["orders"].select("o_orderkey", "o_custkey") \
+        .orderBy("o_orderkey").limit(1000).collect()
+
+    def rel(k: int, ck: int) -> dict:
+        ocid = f"ocds-kpu-{k}"
+        buyer = {"name": f"Buyer {ck}"}
+        tenderer = dict(buyer) if k % 2 else {"name": f"Supp {k}"}
+        return {
+            "ocid": ocid, "id": f"{k}-1", "date": "2019-01-01T00:00:00Z",
+            "buyer": buyer,
+            "tender": {"id": f"t-{k}", "tenderers": [tenderer]},
+        }
+
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="kps_upgrade_")
+    paths = []
+    for i in range(4):
+        pkg = {"uri": f"synthetic:upgrade:{i}", "version": "1.0",
+               "publisher": {"name": "kps-upgrade"},
+               "releases": [rel(r["o_orderkey"], r["o_custkey"])
+                            for r in rows[i::4]]}
+        path = os.path.join(tmp, f"pkg{i}.json")
+        with open(path, "w") as f:
+            json.dump(pkg, f)
+        paths.append(path)
+
+    store = Store(spark, f"{tmp}/store")
+    result = process_collection(
+        spark, store, "upgrade_parties", "2019-01-01 00:00:00", paths,
+        upgrade=True,
+    )
+    upg_id = result["collections"]["upgraded"]
+    return (
+        store.read("release").where(F.col("collection_id") == upg_id)
+        .join(store.read("data").select(F.col("id").alias("data_id"), "data"),
+              "data_id")
+        .select(
+            "ocid",
+            F.json_array_length(F.get_json_object("data", "$.parties"))
+            .cast("long").alias("n_parties"),
+            F.get_json_object("data", "$.parties[0].id").alias("p0_id"),
+            F.get_json_object("data", "$.parties[0].roles").alias("p0_roles"),
+        )
+        .orderBy("ocid")
+    )
