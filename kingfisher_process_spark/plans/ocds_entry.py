@@ -361,3 +361,70 @@ def ocds_upgrade_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ocid")
     )
+
+
+CHECK_SQL = """
+  SELECT 'ocds-kpc-' || o_orderkey AS ocid,
+         CAST(CAST(o_orderkey % 3 AS INT) AS BIGINT) AS n_validation_errors
+  FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1000) o
+  ORDER BY ocid
+"""
+
+
+@probe("ocds_check_errors", CHECK_SQL, survey_ids="M2,P4,J2")
+def ocds_check_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The structural check (M2) under the hash gate: releases are
+    synthesized with 0, 1 or 2 schema violations by orderkey mod 3
+    (valid / tag-not-an-array / +missing initiationType), so the oracle
+    predicts each release's validation_errors_count exactly. Exercises
+    the load -> check stages including the unchecked-rows anti-join
+    (addchecks.py:35-44)."""
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    t = load_tables(spark, sf_dir)
+    orders = [r["o_orderkey"] for r in
+              t["orders"].select("o_orderkey").orderBy("o_orderkey").limit(1000).collect()]
+
+    def rel(k: int) -> dict:
+        ocid = f"ocds-kpc-{k}"
+        r = {"ocid": ocid, "id": f"{k}-1", "date": "2020-01-01T00:00:00Z",
+             "tag": ["tender"], "initiationType": "tender",
+             "tender": {"id": f"t-{k}", "status": "active"}}
+        if k % 3 >= 1:
+            r["tag"] = "notanarray"
+        if k % 3 == 2:
+            del r["initiationType"]
+        return r
+
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="kps_check_")
+    paths = []
+    for i in range(4):
+        pkg = {"uri": f"synthetic:check:{i}", "version": "1.1",
+               "publisher": {"name": "kps-check"},
+               "releases": [rel(k) for k in orders[i::4]]}
+        path = os.path.join(tmp, f"pkg{i}.json")
+        with open(path, "w") as f:
+            json.dump(pkg, f)
+        paths.append(path)
+
+    store = Store(spark, f"{tmp}/store")
+    result = process_collection(
+        spark, store, "check_errors", "2020-01-01 00:00:00", paths,
+        check=True,
+    )
+    root_id = result["collections"]["root"]
+    rel_env = store.read("release").where(F.col("collection_id") == root_id) \
+        .select(F.col("id").alias("release_id"), "ocid")
+    checks = store.read("release_check").select("release_id", "cove_output")
+    return (
+        rel_env.join(checks, "release_id")
+        .select(
+            "ocid",
+            F.get_json_object("cove_output", "$.validation_errors_count")
+            .cast("long").alias("n_validation_errors"),
+        )
+        .orderBy("ocid")
+    )

@@ -161,6 +161,11 @@ class Store:
         out = df.select(*[F.col(c).cast(SCHEMAS[table][c].dataType) for c in cols])
         # re-apply names lost by cast()
         out = out.toDF(*cols)
+        if "ocid" in cols:
+            # local (no-shuffle) sort so parquet row-group min/max stats
+            # narrow OCID probes — compile/check read "all rows of one
+            # OCID" and skip row groups whose ocid range can't match
+            out = out.sortWithinPartitions("ocid")
         # micros (not the INT96 default) so Spark- and pyarrow-written files
         # in one metadata dir carry the same parquet timestamp type
         self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
