@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kingfisher_process_spark.operators import merge as merge_mod
 from kingfisher_process_spark.operators.compile_release import COMPILED_SCHEMA, persist_compiled
+from kingfisher_process_spark.operators.grouped import grouped_apply_sorted
 from kingfisher_process_spark.store import Store
 from kingfisher_process_spark.util import canonical_json, md5_hex
 
@@ -163,7 +164,8 @@ def compile_records(store: Store, parent_id: int, compiled_collection_id: int) -
         .join(pkg, "package_data_id", "left")
         .select(F.col("id").alias("record_id"), "ocid", "data", "package_data")
     )
-    compiled = inputs.groupBy("ocid").applyInPandas(
-        lambda pdf: _compile_record_group(pdf), COMPILED_SCHEMA
+    compiled = grouped_apply_sorted(
+        inputs, ["ocid"], _compile_record_group, COMPILED_SCHEMA,
+        extra_sort=["record_id"],
     )
     return persist_compiled(store, compiled_collection_id, compiled)

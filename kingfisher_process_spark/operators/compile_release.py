@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kingfisher_process_spark.operators import merge as merge_mod
+from kingfisher_process_spark.operators.grouped import grouped_apply_sorted
 from kingfisher_process_spark.store import Store, with_sequential_ids
 from kingfisher_process_spark.util import canonical_json, md5_hex
 
@@ -132,19 +133,22 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
         ).cache()
         any_hot = bool(hot.limit(1).count())
         if not any_hot:
-            compiled = inputs.groupBy("ocid").applyInPandas(
-                lambda pdf: _merge_group(pdf), COMPILED_SCHEMA)
+            compiled = grouped_apply_sorted(
+                inputs, ["ocid"], _merge_group, COMPILED_SCHEMA,
+                extra_sort=["release_date", "data"])
         else:
             cold = inputs.join(F.broadcast(hot), "ocid", "left_anti")
             hot_in = inputs.join(F.broadcast(hot), "ocid", "left_semi")
-            compiled = cold.groupBy("ocid").applyInPandas(
-                lambda pdf: _merge_group(pdf), COMPILED_SCHEMA
+            compiled = grouped_apply_sorted(
+                cold, ["ocid"], _merge_group, COMPILED_SCHEMA,
+                extra_sort=["release_date", "data"],
             ).unionAll(two_phase_compiled(hot_in, batch))
     elif two_phase:
         compiled = two_phase_compiled(inputs, batch)
     else:
-        compiled = inputs.groupBy("ocid").applyInPandas(
-            lambda pdf: _merge_group(pdf), COMPILED_SCHEMA)
+        compiled = grouped_apply_sorted(
+            inputs, ["ocid"], _merge_group, COMPILED_SCHEMA,
+            extra_sort=["release_date", "data"])
     return persist_compiled(store, compiled_collection_id, compiled)
 
 

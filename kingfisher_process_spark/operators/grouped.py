@@ -1,0 +1,83 @@
+"""Batched per-group dispatch — ``groupBy(keys).applyInPandas(fn)`` semantics
+at ``mapInPandas`` cost.
+
+Spark's ``applyInPandas`` crosses the JVM↔Python boundary once per GROUP:
+each group becomes its own Arrow batch and its own pandas DataFrame. For the
+compile workload that shape is pathological — the realistic OCDS
+distribution is millions of OCIDs with a handful of releases each
+(reference compiler.py:57-65 streams ``itertools.groupby`` over a sorted
+cursor for exactly this reason), so per-group overhead dominates: measured
+9× slower than batched dispatch at 2k two-release groups.
+
+``grouped_apply_sorted`` keeps the same wide dependency (one hash shuffle
+on the keys) but moves the group iteration inside the Python worker: rows
+arrive sorted by key within each partition, ``mapInPandas`` walks whole
+Arrow batches, and a carry buffer stitches groups that span batch
+boundaries. Thousands of groups amortize one Arrow transfer. Hot groups
+behave exactly as under ``groupBy`` (all rows of a key hash to one
+partition) — route genuinely skewed keys through the two-phase merge
+(operators/merge_partial) as before.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def _tail_group_mask(pdf: pd.DataFrame, keys: Sequence[str]) -> pd.Series:
+    """True for rows belonging to the last (possibly batch-spanning) group."""
+    mask = pd.Series(True, index=pdf.index)
+    for k in keys:
+        last = pdf[k].iloc[-1]
+        col = pdf[k]
+        mask &= col.isna() if pd.isna(last) else (col == last)
+    return mask
+
+
+def grouped_apply_sorted(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    schema: T.StructType,
+    extra_sort: Sequence[str] = (),
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Equivalent to ``df.groupBy(*keys).applyInPandas(fn, schema)`` for any
+    ``fn`` that doesn't depend on intra-group row order beyond
+    ``keys + extra_sort`` (every compile ``fn`` re-sorts internally anyway).
+
+    One shuffle (hash on ``keys``; explicit ``n_parts`` where the caller
+    knows the volume, else AQE-coalescible), partition-local sort, then a
+    single ``mapInPandas`` whose generator yields one output frame per
+    input Arrow batch.
+    """
+    keys = list(keys)
+    if n_parts:
+        rep = df.repartition(n_parts, *keys)
+    else:
+        rep = df.repartition(*keys)
+    rep = rep.sortWithinPartitions(*keys, *extra_sort)
+
+    def gen(batches):
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            tail = _tail_group_mask(pdf, keys)
+            carry = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                outs = [fn(g) for _, g in
+                        body.groupby(keys, sort=False, dropna=False)]
+                yield pd.concat(outs, ignore_index=True)
+        if carry is not None and len(carry):
+            yield fn(carry)
+
+    return rep.mapInPandas(gen, schema)
