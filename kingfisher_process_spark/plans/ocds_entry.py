@@ -107,14 +107,15 @@ def ocds_versioned_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ocid")
 
 
-def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFrame:
-    from kingfisher_process_spark.pipeline import process_collection
-    from kingfisher_process_spark.store import Store
-
+def _synth_order_packages(spark: SparkSession, sf_dir: str, n: int,
+                          prefix: str = "kps_ocds_") -> tuple[list[str], str]:
+    """Synthesize release packages from ``orders``: two releases per order
+    (tender then award — every OCID exercises a real merge), spread over 8
+    package files (a collection is many files, file_worker consumes them
+    independently — what makes the parse stage parallel). Returns
+    (package paths, tmp dir)."""
     t = load_tables(spark, sf_dir)
-    # two releases per order (tender then award) so every OCID exercises a
-    # real merge; buyer = customer
-    orders = t["orders"].orderBy("o_orderkey").limit(2000).select(
+    orders = t["orders"].orderBy("o_orderkey").limit(n).select(
         "o_orderkey", "o_custkey", "o_totalprice",
         F.date_format("o_orderdate", "yyyy-MM-dd'T'00:00:00'Z'").alias("d"),
     )
@@ -145,10 +146,7 @@ def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFram
 
     releases = [json.loads(r["j"]) for r in r1.union(r2).collect()]
 
-    # 8 package files (deterministic round-robin) — the realistic input
-    # shape (a collection is many files, file_worker consumes them
-    # independently) and what makes the parse stage parallel
-    tmp = tempfile.mkdtemp(prefix="kps_ocds_")
+    tmp = tempfile.mkdtemp(prefix=prefix)
     paths = []
     for i in range(8):
         pkg = {"uri": f"synthetic:orders:{i}", "version": "1.1",
@@ -158,7 +156,14 @@ def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFram
         with open(path, "w") as f:
             json.dump(pkg, f)
         paths.append(path)
+    return paths, tmp
 
+
+def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFrame:
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    paths, tmp = _synth_order_packages(spark, sf_dir, 2000)
     store = Store(spark, f"{tmp}/store")
     result = process_collection(
         spark, store, "bench_orders", "2020-01-01 00:00:00", paths,
@@ -428,3 +433,48 @@ def ocds_check_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ocid")
     )
+
+
+ORPHAN_SQL = """
+  WITH n AS (SELECT COUNT(*) AS c
+             FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 1000))
+  SELECT tbl, n_before, n_after FROM (
+    SELECT 'compiled_release' AS tbl, (SELECT c FROM n) AS n_before,
+           CAST(0 AS BIGINT) AS n_after
+    UNION ALL
+    SELECT 'data', 3 * (SELECT c FROM n), 2 * (SELECT c FROM n)
+    UNION ALL
+    SELECT 'release', 2 * (SELECT c FROM n), 2 * (SELECT c FROM n)
+  ) ORDER BY tbl
+"""
+
+
+@probe("ocds_orphan_wipe", ORPHAN_SQL, survey_ids="U1,J2,O4,P8")
+def ocds_orphan_wipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The wiper + deleteorphan path (wiper.py:56-90, deleteorphan.py:27-44)
+    under the hash gate: load+compile N orders (2 raw releases + 1 merged
+    payload per OCID -> data holds 3N rows), soft-delete + partition-drop
+    the compiled collection, then anti-join-wipe orphan payloads. The
+    oracle predicts every table's before/after cardinality exactly:
+    compiled_release N->0, data 3N->2N (the N merged payloads orphaned),
+    release untouched at 2N."""
+    from kingfisher_process_spark.operators import lifecycle
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    paths, tmp = _synth_order_packages(spark, sf_dir, 1000, prefix="kps_wipe_")
+    store = Store(spark, f"{tmp}/store")
+    result = process_collection(
+        spark, store, "wipe_orders", "2020-01-01 00:00:00", paths, compile_=True)
+    comp_id = result["collections"]["compiled"]
+
+    before = {t: store.read(t).count()
+              for t in ("compiled_release", "data", "release")}
+    lifecycle.delete_collection(store, comp_id)
+    lifecycle.delete_orphan_data(store)
+    after = {t: store.read(t).count()
+             for t in ("compiled_release", "data", "release")}
+    return spark.createDataFrame(
+        [(t, before[t], after[t]) for t in sorted(before)],
+        "tbl string, n_before long, n_after long",
+    ).orderBy("tbl")

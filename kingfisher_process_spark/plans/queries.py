@@ -1546,3 +1546,69 @@ def w3_median_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", F.col("total").alias("median_order_value"), "n_orders")
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# J5 — recursive tree traversal (views.py:287-331 WITH RECURSIVE over
+# collection.transform_from_collection_id).
+# ---------------------------------------------------------------------------
+
+RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE keys AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS BIGINT) AS node
+      FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 4095)
+    ),
+    tree(node, depth) AS (
+      SELECT CAST(1 AS BIGINT), 0
+      UNION ALL
+      SELECT k.node, t.depth + 1
+      FROM tree t JOIN keys k ON k.node // 2 = t.node AND k.node > 1
+    )
+    SELECT node, depth FROM tree ORDER BY node
+"""
+
+
+@probe("j5_recursive_tree", RECURSIVE_TREE_SQL, survey_ids="J5")
+def j5_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE as iterative frontier joins: a synthetic binary
+    hierarchy (node k -> parent k//2) over the first ≤4095 orderkeys,
+    traversed breadth-first from the root with one equi-join per level —
+    the standard Spark shape for bounded-depth recursion (the reference's
+    collection tree is depth ≤ 3, models.py:125-144; here depth ~ log2 N
+    to make the recursion non-trivial). Each level is a hash join the
+    optimizer can broadcast; no driver-side row iteration.
+
+    The global row_number funnels through one task — acceptable for the
+    bounded 4095-key sample only; full-scale id assignment goes through
+    store.with_sequential_ids."""
+    import math
+
+    t = load_tables(spark, sf_dir)
+    keys = (
+        t["orders"].select("o_orderkey").orderBy("o_orderkey").limit(4095)
+        .withColumn("node", F.row_number().over(Window.orderBy("o_orderkey"))
+                    .cast("long"))
+        .select("node")
+    )
+    n = keys.count()
+    edges = (
+        keys.where(F.col("node") > 1)
+        .select(F.floor(F.col("node") / 2).alias("parent"), "node")
+    )
+
+    root = spark.range(1, 2).select(
+        F.col("id").alias("node"), F.lit(0).alias("depth"))
+    levels = [root]
+    frontier = root
+    for d in range(1, int(math.log2(n)) + 1):
+        e = edges.alias("e")
+        frontier = (
+            frontier.alias("f")
+            .join(e, F.col("f.node") == F.col("e.parent"))
+            .select(F.col("e.node").alias("node"), F.lit(d).alias("depth"))
+        )
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out.orderBy("node")

@@ -1,0 +1,93 @@
+"""Physical-plan assertions — the scale guarantees are properties of the
+PLAN, not just the answer. Each headline probe's executed strategy is
+pinned here: filters reach the parquet scan, projections prune the read
+schema, small dimensions broadcast, aggregates partial-combine map-side,
+and no row-at-a-time Python UDF (BatchEvalPython) appears anywhere. A
+regression that silently flips a broadcast join to sort-merge or un-pushes
+a filter still passes value checks at sf0.001 — these tests are what
+catch it."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+REGISTRY = entrymod._registry()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].fn(spark, SF_SMOKE)
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # shipdate/discount/quantity predicates must reach the parquet reader
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", plan), plan
+    assert "LessThan(l_quantity" in plan
+    # projection pruning: the scan reads the 4 needed columns, not all 16
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 4, m.group(0)
+
+
+def test_q5_broadcasts_small_dims(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    # region/nation/supplier side must broadcast — a shuffle join of
+    # lineitem against a 5-row dim is the canonical 100TB mistake
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastExchange" in plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # map-side combine: two HashAggregate nodes (partial + final) around
+    # one exchange — the shuffle moves pre-aggregated rows, not lineitem
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_j2_anti_join_broadcasts(spark):
+    plan = plan_of(spark, "j2_customers_without_orders")
+    assert "LeftAnti" in plan, plan
+
+
+def test_no_row_python_udfs_in_headline_plans(spark):
+    # BatchEvalPython = row-at-a-time Python UDF — banned from every
+    # registered probe; Python stages must be Arrow-vectorized
+    # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas).
+    offenders = []
+    for name in ("q1_pricing_summary", "q3_unshipped_orders",
+                 "q9_product_profit", "p5_json_extract_agg",
+                 "d_minhash_lsh_pairs", "ann_brute_force_topk",
+                 "t_quality_scores", "j4_explode_token_counts",
+                 "w1_running_customer_spend"):
+        if "BatchEvalPython" in plan_of(spark, name):
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_minhash_single_wide_aggregate(spark):
+    # K min-hash functions fold into ONE groupBy (no xK row explosion):
+    # the plan has exactly one exchange below the signature aggregate
+    plan = plan_of(spark, "d_minhash_lsh_pairs")
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ann_topk_prunes_before_shuffle(spark):
+    # per-query top-k must push a partial group-limit below the exchange
+    # (WindowGroupLimit both map- and reduce-side) — never shuffle the
+    # full n_queries x n_corpus similarity matrix to rank it
+    plan = plan_of(spark, "ann_brute_force_topk")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_topk_global_limit_is_take_ordered(spark):
+    # global ORDER BY ... LIMIT k compiles to TakeOrderedAndProject
+    # (per-partition heap + driver merge), never a full sort
+    plan = plan_of(spark, "a6_top_buyers")
+    assert "TakeOrderedAndProject" in plan, plan
