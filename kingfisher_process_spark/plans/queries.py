@@ -1612,3 +1612,37 @@ def j5_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         out = out.unionAll(lv)
     return out.orderBy("node")
+
+
+@probe(
+    "p5_variant_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_high,
+           SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    AS DECIMAL(38,6))) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ids="P5,P6,A5",
+)
+def p5_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONB column surface through Spark 4's VARIANT type (SURVEY
+    §1.4's mapping for the reference's jsonb ``data`` column): one
+    ``parse_json`` per row materializes the binary variant encoding, then
+    typed ``variant_get`` extractions — predicate and aggregate both read
+    the parsed form, not the raw string (vs get_json_object which re-scans
+    the JSON text per call). Same answer as the string-path probes
+    (p5/p6), different physical strategy."""
+    t = load_tables(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_high"),
+             F.sum(F.col("k").cast("decimal(38,6)")).alias("sum_k"))
+        .orderBy("event_type")
+    )

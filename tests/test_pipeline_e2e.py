@@ -242,3 +242,58 @@ def test_delete_collection_partition_drop(spark, store, tmp_path):
     # orphaned payloads removable
     removed = lifecycle.delete_orphan_data(store)
     assert removed == 3
+
+
+def test_compile_rerun_is_idempotent(spark, store, tmp_path):
+    """SURVEY §7 watchlist #5 / compiler.py:23-36: re-running the compile
+    stage must not duplicate compiled releases — already-compiled OCIDs
+    are filtered out by the left-anti join before merging."""
+    from kingfisher_process_spark.operators.compile_release import compile_collection
+
+    path = write(tmp_path, "pkg.json", release_package(RELEASES))
+    result = process_collection(
+        spark, store, "idem", "2020-01-01 00:00:00", [path], compile_=True)
+    root = result["collections"]["root"]
+    comp = result["collections"]["compiled"]
+    assert result["compile"]["compiled"] == 2
+
+    n_before = store.read("compiled_release").count()
+    n_files_before = store.read("collection_file").count()
+    rerun = compile_collection(store, root, comp)
+    assert rerun["compiled"] == 0
+    assert store.read("compiled_release").count() == n_before
+    assert store.read("collection_file").count() == n_files_before
+    # the compiled payloads are also unchanged (no duplicate data rows)
+    crs = store.read("compiled_release").where(F.col("collection_id") == comp)
+    assert crs.select("ocid").distinct().count() == crs.count() == 2
+
+
+def test_compile_rerun_picks_up_new_ocids_only(spark, store, tmp_path):
+    """Incremental compile: a second load into the parent collection adds
+    one new OCID; the re-run compiles ONLY it (set difference semantics —
+    processors/compiler.py:42-51 / U3)."""
+    from kingfisher_process_spark.operators.compile_release import compile_collection
+    from kingfisher_process_spark.operators import lifecycle
+    from kingfisher_process_spark.sources import detect
+    from kingfisher_process_spark.sources.loader import parse_files, store_items
+
+    path = write(tmp_path, "pkg.json", release_package(RELEASES))
+    result = process_collection(
+        spark, store, "incr", "2020-01-01 00:00:00", [path], compile_=True)
+    root = result["collections"]["root"]
+    comp = result["collections"]["compiled"]
+    assert result["compile"]["compiled"] == 2
+
+    new_rel = {"ocid": "ocds-x-3", "id": "9", "date": "2021-01-01T00:00:00Z",
+               "tender": {"id": "t9", "status": "active"}}
+    p2 = write(tmp_path, "pkg2.json", release_package([new_rel]))
+    data_type = detect.detect_format(p2).as_dict()
+    pairs = lifecycle.create_collection_files(store, root, [p2])
+    parsed = parse_files(spark, pairs, data_type)
+    store_items(store, root, data_type["format"], parsed)
+
+    rerun = compile_collection(store, root, comp)
+    assert rerun["compiled"] == 1
+    crs = store.read("compiled_release").where(F.col("collection_id") == comp)
+    assert sorted(r["ocid"] for r in crs.select("ocid").collect()) == [
+        "ocds-x-1", "ocds-x-2", "ocds-x-3"]
