@@ -38,6 +38,30 @@ def _tail_group_mask(pdf: pd.DataFrame, keys: Sequence[str]) -> pd.Series:
     return mask
 
 
+def iter_groups(batches, keys: Sequence[str],
+                fn: Callable[[pd.DataFrame], pd.DataFrame]):
+    """Walk key-sorted pandas batches, apply ``fn`` once per complete key
+    group. The last group of each batch may continue in the next batch, so
+    it is carried forward and stitched — the only stateful part, kept
+    module-level for direct property testing."""
+    carry: pd.DataFrame | None = None
+    for pdf in batches:
+        if carry is not None and len(carry):
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        tail = _tail_group_mask(pdf, keys)
+        carry = pdf[tail]
+        body = pdf[~tail]
+        if len(body):
+            outs = [fn(g) for _, g in
+                    body.groupby(list(keys), sort=False, dropna=False)]
+            yield pd.concat(outs, ignore_index=True)
+    if carry is not None and len(carry):
+        yield fn(carry)
+
+
 def grouped_apply_sorted(
     df: DataFrame,
     keys: Sequence[str],
@@ -61,23 +85,4 @@ def grouped_apply_sorted(
     else:
         rep = df.repartition(*keys)
     rep = rep.sortWithinPartitions(*keys, *extra_sort)
-
-    def gen(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
-                continue
-            tail = _tail_group_mask(pdf, keys)
-            carry = pdf[tail]
-            body = pdf[~tail]
-            if len(body):
-                outs = [fn(g) for _, g in
-                        body.groupby(keys, sort=False, dropna=False)]
-                yield pd.concat(outs, ignore_index=True)
-        if carry is not None and len(carry):
-            yield fn(carry)
-
-    return rep.mapInPandas(gen, schema)
+    return rep.mapInPandas(lambda batches: iter_groups(batches, keys, fn), schema)

@@ -89,3 +89,57 @@ def test_multi_key(spark, tiny_batches):
     expected = df.groupBy("k", "salt").applyInPandas(pair, OUT_SCHEMA).collect()
     assert sorted(got) == sorted(expected)
     assert len(got) == 15
+
+
+# -- property test of the carry/stitch logic (no Spark: the generator is
+# the risky part; the Spark wrapper is pinned by the tests above) --------
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def batched_groups(draw):
+    n_groups = draw(st.integers(1, 12))
+    sizes = [draw(st.integers(1, 9)) for _ in range(n_groups)]
+    rows = []
+    v = 0
+    for g, size in enumerate(sizes):
+        key = None if g == 0 and draw(st.booleans()) else f"g{g:02d}"
+        for _ in range(size):
+            rows.append((key, v))
+            v += 1
+    # random batch cut points over the sorted row list
+    n = len(rows)
+    n_cuts = draw(st.integers(0, min(n, 8)))
+    cuts = sorted(draw(st.sets(st.integers(1, max(1, n - 1)),
+                               min_size=min(n_cuts, max(0, n - 1)),
+                               max_size=min(n_cuts, max(0, n - 1)))))
+    bounds = [0] + cuts + [n]
+    return rows, bounds
+
+
+@given(batched_groups())
+@settings(max_examples=200, deadline=None)
+def test_iter_groups_property(case):
+    from kingfisher_process_spark.operators.grouped import iter_groups
+
+    rows, bounds = case
+    full = pd.DataFrame(rows, columns=["k", "v"])
+    batches = [full.iloc[a:b] for a, b in zip(bounds, bounds[1:])]
+
+    def fn(pdf):
+        key = pdf["k"].iloc[0]
+        return pd.DataFrame([{
+            "k": None if pd.isna(key) else key,
+            "n": len(pdf),
+            "vals": ",".join(str(x) for x in sorted(pdf["v"])),
+        }])
+
+    got = pd.concat(list(iter_groups(iter(batches), ["k"], fn)),
+                    ignore_index=True)
+    expected = pd.concat(
+        [fn(g) for _, g in full.groupby("k", sort=False, dropna=False)],
+        ignore_index=True)
+    got = got.sort_values("vals").reset_index(drop=True)
+    expected = expected.sort_values("vals").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, expected)
