@@ -107,13 +107,24 @@ def ocds_versioned_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ocid")
 
 
+_SYNTH_CACHE: dict[tuple[str, int, str], list[str]] = {}
+
+
 def _synth_order_packages(spark: SparkSession, sf_dir: str, n: int,
                           prefix: str = "kps_ocds_") -> tuple[list[str], str]:
     """Synthesize release packages from ``orders``: two releases per order
     (tender then award — every OCID exercises a real merge), spread over 8
     package files (a collection is many files, file_worker consumes them
     independently — what makes the parse stage parallel). Returns
-    (package paths, tmp dir)."""
+    (package paths, tmp dir).
+
+    The package files are memoized per (sf_dir, n, prefix): the synthesis
+    (orders collect + driver-side JSON writes) is bench fixture setup, not
+    the pipeline under test — each call still gets a fresh store dir."""
+    key = (sf_dir, n, prefix)
+    if key in _SYNTH_CACHE:
+        paths = _SYNTH_CACHE[key]
+        return paths, tempfile.mkdtemp(prefix=prefix)
     t = load_tables(spark, sf_dir)
     orders = t["orders"].orderBy("o_orderkey").limit(n).select(
         "o_orderkey", "o_custkey", "o_totalprice",
@@ -156,7 +167,8 @@ def _synth_order_packages(spark: SparkSession, sf_dir: str, n: int,
         with open(path, "w") as f:
             json.dump(pkg, f)
         paths.append(path)
-    return paths, tmp
+    _SYNTH_CACHE[key] = paths
+    return paths, tempfile.mkdtemp(prefix=prefix)
 
 
 def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFrame:
