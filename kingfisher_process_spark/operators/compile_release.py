@@ -78,7 +78,8 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def compile_collection(store: Store, parent_id: int, compiled_collection_id: int,
-                       two_phase: bool | str = "auto", batch: int | None = None) -> dict:
+                       two_phase: bool | str = "auto", batch: int | None = None,
+                       max_per_ocid: int | None = None) -> dict:
     """Compile every OCID of ``parent_id``'s releases into
     ``compiled_collection_id``. Returns counts.
 
@@ -93,7 +94,10 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
     - ``"auto"`` (default): one cheap count-by-ocid agg on the (pruned,
       two-column) envelope scan decides; only hot OCIDs (> batch
       releases) take the two-phase path, everything else merges single
-      phase — zero overhead for unskewed collections.
+      phase — zero overhead for unskewed collections. When the caller
+      already knows an upper bound on releases-per-ocid (the load stage's
+      stats job computes it for free — loader.store_items), passing
+      ``max_per_ocid`` ≤ batch skips even the detection job.
     - ``True`` / ``False``: force one path (tests, benchmarks).
     """
     from kingfisher_process_spark.operators import lifecycle
@@ -122,6 +126,10 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
     from kingfisher_process_spark.operators import merge_partial as mp
 
     limit = batch or mp.BATCH
+    if two_phase == "auto" and max_per_ocid is not None and max_per_ocid <= limit:
+        # the anti-join only removes rows, so the caller's bound still
+        # holds for the actual compile input — no group can be hot
+        two_phase = False
     if two_phase == "auto":
         # one agg over the (pruned, two-column) envelope decides; hot OCIDs
         # route via semi/anti joins so the plan never embeds an id list

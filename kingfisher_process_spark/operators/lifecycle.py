@@ -144,23 +144,36 @@ def finish_collection(store: Store, collection_id: int) -> dict:
     return finish_collections(store, [collection_id])[collection_id]
 
 
-def finish_collections(store: Store, collection_ids: list[int]) -> dict[int, dict]:
+def finish_collections(store: Store, collection_ids: list[int],
+                       known_counts: dict[int, dict[str, int]] | None = None,
+                       ) -> dict[int, dict]:
     """Batch finish: cache counts + completed_at for several collections in
     ONE Spark job (union of partition-pruned scans, grouped by collection).
     The pipeline finishes root/upgraded/compiled together instead of paying
-    one count job per collection."""
+    one count job per collection.
+
+    ``known_counts``: {collection_id: {table: n}} from a caller that just
+    wrote the rows itself (the pipeline's stage results carry every count).
+    When it covers all requested collections the count job is skipped
+    entirely — tables unmentioned for a covered collection are taken as 0,
+    so it is only valid for collections the caller populated from scratch.
+    """
     fields = {"release": "cached_releases_count",
               "record": "cached_records_count",
               "compiled_release": "cached_compiled_releases_count"}
-    unioned = None
-    for table in fields:
-        part = (store.read(table)
-                .where(F.col("collection_id").isin(collection_ids))
-                .select(F.lit(table).alias("t"), "collection_id"))
-        unioned = part if unioned is None else unioned.unionAll(part)
-    by_key = {(r["t"], r["collection_id"]): r["n"] for r in
-              unioned.groupBy("t", "collection_id")
-              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if known_counts is not None and all(c in known_counts for c in collection_ids):
+        by_key = {(t, cid): n
+                  for cid, per in known_counts.items() for t, n in per.items()}
+    else:
+        unioned = None
+        for table in fields:
+            part = (store.read(table)
+                    .where(F.col("collection_id").isin(collection_ids))
+                    .select(F.lit(table).alias("t"), "collection_id"))
+            unioned = part if unioned is None else unioned.unionAll(part)
+        by_key = {(r["t"], r["collection_id"]): r["n"] for r in
+                  unioned.groupBy("t", "collection_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
     now = _now()
     out: dict[int, dict] = {}
     # one read/modify/swap of the catalog covers every collection

@@ -122,8 +122,13 @@ def process_collection(
     if compile_:
         comp_id = ids["compiled"]
         if fmt == detect.RELEASE_PACKAGE:
+            # the load stage's stats job already bounded releases-per-ocid
+            # for the compile parent — lets "auto" skip its skew-detection
+            # job when the collection provably has no hot OCIDs
+            hint = (result.get("upgrade") or result["load"]).get("max_per_ocid")
             result["compile"] = compile_collection(store, compile_parent, comp_id,
-                                                   two_phase=two_phase_compile)
+                                                   two_phase=two_phase_compile,
+                                                   max_per_ocid=hint)
         elif fmt == detect.RECORD_PACKAGE:
             result["compile"] = compile_records(store, compile_parent, comp_id)
         else:
@@ -140,5 +145,16 @@ def process_collection(
         result["check"] = check_collection(store, target, kind)
 
     lifecycle.close_collection(store, ids["root"], expected_files_count=len(paths))
-    lifecycle.finish_collections(store, list(ids.values()))
+    # every stage already reported what it wrote into these fresh
+    # collections — finish needs no re-count job
+    item_table = {detect.RELEASE_PACKAGE: "release",
+                  detect.RECORD_PACKAGE: "record",
+                  detect.COMPILED_RELEASE: "compiled_release"}[fmt]
+    known = {ids["root"]: {item_table: result["load"]["rows"]}}
+    if upgrade:
+        known[ids["upgraded"]] = {item_table: result["upgrade"]["rows"]}
+    if compile_:
+        known[ids["compiled"]] = {
+            "compiled_release": result.get("compile", {}).get("compiled", 0)}
+    lifecycle.finish_collections(store, list(ids.values()), known_counts=known)
     return result

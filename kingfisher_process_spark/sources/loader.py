@@ -106,7 +106,8 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
 def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -> dict:
     """Persist parsed rows: payload dedup + envelope rows + notes.
 
-    Returns {"rows": n, "notes": n}.
+    Returns {"rows": n, "notes": n, "max_per_ocid": n} — the last is the
+    largest item count sharing one ocid (the compile skew hint).
     """
     parsed = parsed.cache()
     items = parsed.where(F.col("row_kind") == "item")
@@ -115,9 +116,21 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
     # counts per kind decide which persist paths run at all and size the
     # id shuffles (~10k rows/task, capped at 2× parallelism — the
     # post-dropDuplicates partition count is just shuffle.partitions, a
-    # useless volume proxy)
-    kind_counts = {r["row_kind"]: r["n"] for r in
-                   parsed.groupBy("row_kind").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # useless volume proxy). The agg is two-level (ocid, then row_kind) so
+    # the same job also yields the max releases-per-ocid — the compile
+    # stage's skew decision (compile_collection two_phase="auto") skips
+    # its hot-OCID detection job entirely when this bound proves no group
+    # can exceed the two-phase batch size.
+    stats = (
+        parsed.groupBy("row_kind", "ocid").agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("row_kind").agg(
+            F.sum("n").alias("total"),
+            F.max(F.when(F.col("ocid").isNotNull(), F.col("n"))).alias("max_per_ocid"),
+        ).collect()
+    )
+    kind_counts = {r["row_kind"]: r["total"] for r in stats}
+    max_per_ocid = next(
+        (r["max_per_ocid"] for r in stats if r["row_kind"] == "item"), None) or 0
     sc = parsed.sparkSession.sparkContext
     np_ = max(2, min(sc.defaultParallelism * 2,
                      kind_counts.get("item", 0) // 10_000 + 1))
@@ -186,4 +199,4 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
         store.advance_next_id("collection_note", nb + n_notes)
         pinned_n.unpersist()
     parsed.unpersist()
-    return {"rows": n_rows, "notes": n_notes}
+    return {"rows": n_rows, "notes": n_notes, "max_per_ocid": max_per_ocid}
