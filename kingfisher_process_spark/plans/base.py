@@ -20,6 +20,7 @@ Determinism rules used throughout (so Spark and DuckDB hash-match exactly):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -38,6 +39,56 @@ TABLE_NAMES = [
 # (parity tests do this) always point the views at the right data.
 _TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
+# The driver's testdata files are written as ONE parquet row group per
+# table, and parquet reads are row-group granular — so every scan runs as
+# a single task no matter how many input splits Spark makes, and each
+# probe's scan+partial-agg is pinned to 1 of 32 cores. The engine-side fix
+# (the same thing OPTIMIZE/compaction does on a lakehouse table) is a
+# one-time rewrite into multiple files sized so the default bin-packing
+# (openCostInBytes 4 MB) yields one task per file. Cached per source
+# (path, mtime, size) in the system tmp dir; atomic rename makes
+# concurrent builders (driver verify + bench) converge on one copy.
+_SPLIT_MIN_ROWS = 64_000
+_SPLIT_TARGET_ROWS = 16_000
+_SPLIT_MAX_FILES = 32
+
+
+def _parallel_copy(src: str) -> str:
+    """Return a path to a multi-file copy of ``src`` (or ``src`` itself
+    when it is already parallel enough / too small to matter)."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    st = os.stat(src)
+    f = pq.ParquetFile(src)
+    rows = f.metadata.num_rows
+    n_files = min(_SPLIT_MAX_FILES, max(1, rows // _SPLIT_TARGET_ROWS))
+    if rows < _SPLIT_MIN_ROWS or f.metadata.num_row_groups >= n_files or n_files <= 2:
+        return src
+    key = hashlib.md5(
+        f"{src}:{st.st_mtime_ns}:{st.st_size}:{n_files}".encode()).hexdigest()[:16]
+    out_dir = os.path.join(tempfile.gettempdir(), "kps_opt_cache", key)
+    if os.path.isdir(out_dir):
+        return out_dir
+    tbl = f.read()
+    tmp_dir = out_dir + f".tmp-{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    step = -(-rows // n_files)
+    for i in range(n_files):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, os.path.join(tmp_dir, f"part-{i:05d}.parquet"))
+    try:
+        os.replace(tmp_dir, out_dir)
+    except OSError:
+        # lost the race to another process — its copy is equivalent
+        import shutil
+
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    return out_dir
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read the driver's parquet tables and register them as temp views.
@@ -55,7 +106,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     if tables is None:
         tables = {}
         for name in TABLE_NAMES:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df = spark.read.parquet(_parallel_copy(f"{sf_dir}/{name}.parquet"))
             if name == "events":
                 # integer DIV — float division loses precision at 1e18 nanos
                 df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
