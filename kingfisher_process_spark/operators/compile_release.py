@@ -306,13 +306,26 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
     )
     ranked = ranked.withColumnRenamed("id", "_rank")
     if n:
-        store.append("collection_file", ranked.select(
-            (F.col("_rank") + F.lit(cf_base)).alias("id"),
-            F.lit(collection_id).alias("collection_id"),
-            F.concat(F.col("ocid"), F.lit(".json")).alias("filename"),
-            F.lit(None).cast("string").alias("url"),
-            F.lit(False).alias("compilation_started"),
-        ))
+        from kingfisher_process_spark.store import DRIVER_APPEND_MAX
+
+        if n <= DRIVER_APPEND_MAX:
+            # collection_file IS a metadata table and the batch is small:
+            # one collect off the pinned cache + a driver-side parquet file
+            # replaces a distributed write job (same rows, same ids)
+            store.append_rows("collection_file", [
+                {"id": cf_base + r["_rank"], "collection_id": collection_id,
+                 "filename": f"{r['ocid']}.json", "url": None,
+                 "compilation_started": False}
+                for r in ranked.select("_rank", "ocid").collect()
+            ])
+        else:
+            store.append("collection_file", ranked.select(
+                (F.col("_rank") + F.lit(cf_base)).alias("id"),
+                F.lit(collection_id).alias("collection_id"),
+                F.concat(F.col("ocid"), F.lit(".json")).alias("filename"),
+                F.lit(None).cast("string").alias("url"),
+                F.lit(False).alias("compilation_started"),
+            ))
         store.append("compiled_release", ranked.select(
             (F.col("_rank") + F.lit(cr_base)).alias("id"),
             F.lit(collection_id).alias("collection_id"),
@@ -327,17 +340,33 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
     if n_notes:
         notes = compiled.where(F.col("row_kind") == "note")
         nb = store.next_id("collection_note")
-        noted, n_notes, pinned_n = with_sequential_ids(
-            notes, nb, order_by=["ocid", "note_code", "note"], mode="hash")
-        store.append("collection_note", noted.select(
-            "id",
-            F.lit(collection_id).alias("collection_id"),
-            "note",
-            F.col("note_data").alias("data"),
-            F.current_timestamp().alias("stored_at"),
-            F.col("note_code").alias("code"),
-        ))
+        from kingfisher_process_spark.store import DRIVER_APPEND_MAX
+
+        if n_notes <= DRIVER_APPEND_MAX:
+            from datetime import datetime, timezone
+
+            rows = notes.select("ocid", "note_code", "note", "note_data").collect()
+            # same deterministic order the distributed path sorts by
+            rows.sort(key=lambda r: (r["ocid"] or "", r["note_code"] or "",
+                                     r["note"] or ""))
+            now = datetime.now(timezone.utc)
+            store.append_rows("collection_note", [
+                {"id": nb + i, "collection_id": collection_id, "note": r["note"],
+                 "data": r["note_data"], "stored_at": now, "code": r["note_code"]}
+                for i, r in enumerate(rows)
+            ])
+        else:
+            noted, n_notes, pinned_n = with_sequential_ids(
+                notes, nb, order_by=["ocid", "note_code", "note"], mode="hash")
+            store.append("collection_note", noted.select(
+                "id",
+                F.lit(collection_id).alias("collection_id"),
+                "note",
+                F.col("note_data").alias("data"),
+                F.current_timestamp().alias("stored_at"),
+                F.col("note_code").alias("code"),
+            ))
+            pinned_n.unpersist()
         store.advance_next_id("collection_note", nb + n_notes)
-        pinned_n.unpersist()
     compiled.unpersist()
     return {"compiled": n, "notes": n_notes}

@@ -183,20 +183,35 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
 
     n_notes = kind_counts.get("note", 0)
     if n_notes:
+        from kingfisher_process_spark.store import DRIVER_APPEND_MAX
+
         notes = parsed.where(F.col("row_kind") == "note")
         nb = store.next_id("collection_note")
-        noted, n_notes, pinned_n = with_sequential_ids(
-            notes, nb, order_by=["collection_file_id", "note"],
-            mode="hash", n_parts=np_)
-        store.append("collection_note", noted.select(
-            "id",
-            F.lit(collection_id).alias("collection_id"),
-            F.col("note").alias("note"),
-            F.lit(None).cast("string").alias("data"),
-            F.current_timestamp().alias("stored_at"),
-            F.col("note_code").alias("code"),
-        ))
+        if n_notes <= DRIVER_APPEND_MAX:
+            from datetime import datetime, timezone
+
+            note_rows = notes.select("collection_file_id", "note_code", "note").collect()
+            # same deterministic order the distributed path sorts by
+            note_rows.sort(key=lambda r: (r["collection_file_id"] or 0, r["note"] or ""))
+            now = datetime.now(timezone.utc)
+            store.append_rows("collection_note", [
+                {"id": nb + i, "collection_id": collection_id, "note": r["note"],
+                 "data": None, "stored_at": now, "code": r["note_code"]}
+                for i, r in enumerate(note_rows)
+            ])
+        else:
+            noted, n_notes, pinned_n = with_sequential_ids(
+                notes, nb, order_by=["collection_file_id", "note"],
+                mode="hash", n_parts=np_)
+            store.append("collection_note", noted.select(
+                "id",
+                F.lit(collection_id).alias("collection_id"),
+                F.col("note").alias("note"),
+                F.lit(None).cast("string").alias("data"),
+                F.current_timestamp().alias("stored_at"),
+                F.col("note_code").alias("code"),
+            ))
+            pinned_n.unpersist()
         store.advance_next_id("collection_note", nb + n_notes)
-        pinned_n.unpersist()
     parsed.unpersist()
     return {"rows": n_rows, "notes": n_notes, "max_per_ocid": max_per_ocid}

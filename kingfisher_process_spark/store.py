@@ -88,6 +88,15 @@ SCHEMAS: dict[str, T.StructType] = {
 PARTITIONED_BY_COLLECTION = {"release", "record", "compiled_release", "collection_file",
                              "collection_note", "processing_step"}
 
+# Size gate for routing a *data-produced* batch of metadata-table rows
+# (notes, compiled collection_file entries) through the driver-side pyarrow
+# append instead of a Spark write job. Below the gate the rows are
+# driver-scale by definition (a collect + one parquet file beats a
+# distributed write's fixed cost ~5x); above it the distributed path keeps
+# the 100 TB posture. The reference's equivalent rows are single-row
+# Postgres INSERTs either way.
+DRIVER_APPEND_MAX = 20_000
+
 # Driver-scale catalog tables: O(#collections) rows, not O(data). Single-row
 # lifecycle updates to these go through the pyarrow fast path (append_rows /
 # overwrite_rows / read_rows) — same parquet layout Spark writes, zero Spark
