@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from kingfisher_process_spark.plans.base import load_tables, probe
 
 
-@probe("ocds_compile_pipeline", None, survey_ids="S1-S8,C1,C3,P5,A5,A6,O5")
+@probe("ocds_compile_pipeline", None, survey_ids="S1-S8,S10,C1,C3,C4,P1,P5,A2,A5,A6,J6,M3,M4,O2,O5")
 def ocds_compile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_pipeline(spark, sf_dir, two_phase=False)
 
@@ -216,7 +216,7 @@ RECORD_LADDER_SQL = """
 """
 
 
-@probe("ocds_record_ladder", RECORD_LADDER_SQL, survey_ids="C2,C3,S2,S3")
+@probe("ocds_record_ladder", RECORD_LADDER_SQL, survey_ids="C2,C3,S2,S3,O2,O3")
 def ocds_record_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The record-compile decision ladder (record_compiler.py:50-143)
     under the hash gate: each OCID's branch is chosen by o_orderkey % 4 —
@@ -504,7 +504,7 @@ ST_INGEST_SQL = """
 """
 
 
-@probe("st_ingest_pipeline", ST_INGEST_SQL, survey_ids="S6,streaming,S1-S8,C1")
+@probe("st_ingest_pipeline", ST_INGEST_SQL, survey_ids="S6,S9,streaming,S1-S8,C1")
 def st_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unbounded-ingest mode (SURVEY §2.10) under the hash gate:
     package files drain through Structured Streaming (readStream.text
