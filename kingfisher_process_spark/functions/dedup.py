@@ -341,3 +341,234 @@ def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "doc_a", "doc_b")
         .limit(100)
     )
+
+
+_LSH_PAIRS_SQL = f"""
+  WITH sigs AS ({MINHASH_SQL}),
+  buckets AS (
+    {_BUCKETS_SQL}
+  )
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.doc_id < b.doc_id
+"""
+
+
+@probe(
+    "d_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a ORDER BY doc_id
+    """,
+    survey_ids="dedup-ext,J1,A1,iterative-ext",
+)
+def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTER formation — the step an actual dedup
+    pipeline needs after candidate pairs: connected components over the
+    LSH pair graph, labelling every clustered document with its
+    component's minimum doc_id (the canonical "keeper").
+
+    Spark-first shape: iterative min-label propagation — per round, each
+    vertex takes the min of its own label and its neighbours' labels
+    (join + groupBy.min), with ``localCheckpoint`` truncating the lineage
+    so round N's plan doesn't re-execute rounds 1..N-1. Rounds needed =
+    graph diameter, which for duplicate clusters is tiny (they're
+    near-cliques: LSH links most members pairwise). At 100 TB the same
+    loop holds — each round is one shuffle on doc_id — with the
+    large-star/small-star optimization (Kiveris et al., "Connected
+    Components in MapReduce") as the drop-in upgrade if diameters grow.
+    The DuckDB oracle computes the same components via a recursive
+    transitive closure, which is only feasible at oracle scale — the
+    closure is quadratic per component; the propagation loop is not.
+
+    Reference analogue: none (the reference dedups exact hashes only,
+    process/util.py:93-110); this extends S8 to near-duplicates.
+    """
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(t["documents"]).cache()
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(":", *_band_cols(band))).alias("bucket"),
+            )
+            for band in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        neighbour = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "component")
+        )
+        new_labels = (
+            labels.unionAll(neighbour)
+            .groupBy("doc_id").agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    sigs.unpersist()
+    return labels.orderBy("doc_id")
+
+
+def _curation_sql() -> str:
+    from kingfisher_process_spark.functions.text import STOP_DATA, STOP_EN, STOP_COMPUTE
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_LSH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+             FROM reach GROUP BY a),
+    flags AS (
+      SELECT doc_id, text,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_EN))})) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_DATA))})) AS s_data,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_COMPUTE))})) AS s_compute,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    staged AS (
+      SELECT doc_id, text,
+             (s_en >= s_data AND s_en >= s_compute
+              OR s_data >= s_compute) AS lang_ok,
+             ((s_en >= s_data AND s_en >= s_compute OR s_data >= s_compute)
+              AND n_tokens BETWEEN 50 AND 5000) AS qual_ok
+      FROM flags
+    ),
+    reps AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM staged WHERE qual_ok GROUP BY md5(text)
+    ),
+    kept AS (
+      SELECT r.doc_id FROM reps r LEFT JOIN comp c ON r.doc_id = c.doc_id
+      WHERE c.component IS NULL OR c.component = r.doc_id
+    )
+    SELECT (SELECT COUNT(*) FROM staged)               AS n_total,
+           (SELECT COUNT(*) FROM staged WHERE lang_ok) AS n_lang,
+           (SELECT COUNT(*) FROM staged WHERE qual_ok) AS n_quality,
+           (SELECT COUNT(*) FROM reps)                 AS n_exact_unique,
+           (SELECT COUNT(*) FROM kept)                 AS n_kept
+    """
+
+
+@probe("d_curation_funnel", None, survey_ids="dedup-ext,text-ext,A1,A3")
+def d_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation funnel — the composition a training-data
+    pipeline actually runs: language filter (keep en/data profiles, drop code-like docs) → quality (length) filter →
+    exact dedup (md5 representative per content group) → near-dup keeper
+    policy (drop clustered docs that aren't their LSH component's minimum).
+    One row of per-stage survivor counts, so the oracle checks every
+    stage's cardinality at once.
+
+    All four stages are single-shuffle DataFrame aggregations except the
+    component labels, which reuse d_dup_clusters' propagation loop; the
+    filters stay conjunctive column predicates (one scan, no
+    materialization between stages) — at 100 TB the funnel is 2 passes
+    over the corpus plus the pair graph, not 4 materialized tables.
+
+    Oracle registered separately (see module __init__) — it needs the
+    recursive-closure SQL, feasible only at oracle scale.
+    """
+    from kingfisher_process_spark.functions.text import (
+        STOP_COMPUTE, STOP_DATA, STOP_EN, _tokens)
+
+    t = load_tables(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+
+    def hits(words):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    staged = t["documents"].select(
+        "doc_id", "text",
+        hits(STOP_EN).alias("s_en"), hits(STOP_DATA).alias("s_data"),
+        hits(STOP_COMPUTE).alias("s_compute"), F.size(toks).alias("n_tokens"),
+    ).select(
+        "doc_id", "text",
+        ((F.col("s_en") >= F.col("s_data"))
+         & (F.col("s_en") >= F.col("s_compute"))
+         | (F.col("s_data") >= F.col("s_compute"))).alias("lang_ok"),
+        (((F.col("s_en") >= F.col("s_data"))
+          & (F.col("s_en") >= F.col("s_compute"))
+          | (F.col("s_data") >= F.col("s_compute")))
+         & F.col("n_tokens").between(50, 5000)).alias("qual_ok"),
+    ).cache()
+
+    reps = (
+        staged.where("qual_ok")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    comp = d_dup_clusters(spark, sf_dir)
+    kept = reps.join(comp, "doc_id", "left").where(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("lang_ok").cast("long")).alias("n_lang"),
+        F.sum(F.col("qual_ok").cast("long")).alias("n_quality"),
+    )
+    out = (
+        counts
+        .crossJoin(reps.agg(F.count(F.lit(1)).alias("n_exact_unique")))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+    )
+    staged.unpersist()
+    return out
+
+
+# the funnel's oracle is built lazily (it composes text-module constants);
+# register it now that both modules exist
+REGISTRY = None  # keep module namespace clean of the plans.base REGISTRY
+from kingfisher_process_spark.plans import base as _base  # noqa: E402
+
+_base.REGISTRY["d_curation_funnel"].oracle = _curation_sql()
