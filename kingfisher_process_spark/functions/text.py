@@ -263,3 +263,52 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@probe(
+    "t_stratified_split",
+    """
+    SELECT lang,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS UBIGINT) % 100 < 80 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     AS UBIGINT) % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_tokens
+    FROM documents
+    GROUP BY lang, split
+    ORDER BY lang, split
+    """,
+    survey_ids="text-ext,sampling-ext,A1,A5",
+)
+def t_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split — the sampling shape
+    a training-data pipeline needs: assignment is a pure function of the
+    document id (md5 mod 100 → 80/10/10), so it is reproducible across
+    runs, engines, and re-partitions, needs no persisted assignment
+    table, and new documents land in stable splits. The probe reports the
+    per-language × per-split document/token counts (the stratification
+    audit). One scan, one shuffle; no randomness anywhere.
+
+    Reference analogue: none (the reference has a boolean `sample` flag
+    per collection, models.py:54); this is the scale-out version.
+    """
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)") % 100
+    )
+    toks = _tokens(F.col("text"))
+    return (
+        t["documents"]
+        .select(
+            "lang",
+            F.when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").alias("split"),
+            F.size(toks).alias("nt"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+        .orderBy("lang", "split")
+    )

@@ -168,3 +168,53 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_ms")
     )
+
+
+DOCS_STREAM_SCHEMA = "doc_id long, lang string, text string, url string"
+
+
+@probe(
+    "st_dedup_ingest",
+    """
+    SELECT DISTINCT md5(text) AS content_hash
+    FROM documents
+    ORDER BY content_hash
+    """,
+    survey_ids="streaming-ext,S8,dedup-ext",
+)
+def st_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content-hash dedup — the incremental form of the
+    engine's payload dedup (S8): a documents stream deduplicated by
+    ``dropDuplicates`` on md5(text), so redelivered or re-crawled
+    documents are dropped exactly once across micro-batches via the
+    state store. ``availableNow`` drains the bench file; the same query
+    runs unbounded on a live drop directory with
+    ``dropDuplicatesWithinWatermark`` as the bounded-state variant once
+    re-crawls have a staleness horizon. The probe emits the sorted
+    distinct hash set — identical to the batch DISTINCT the oracle runs,
+    regardless of which duplicate arrived first.
+    """
+    import os
+    import tempfile
+
+    drop_dir = tempfile.mkdtemp(prefix="kps_stream_docs_")
+    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
+               os.path.join(drop_dir, "documents.parquet"))
+    stream = (
+        spark.readStream
+        .schema(DOCS_STREAM_SCHEMA)
+        .parquet(drop_dir)
+        .select(F.md5("text").alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+    )
+    sink = f"st_dedup_ingest_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("content_hash").orderBy("content_hash")
