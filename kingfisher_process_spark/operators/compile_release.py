@@ -291,7 +291,7 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
 
     data_map = dedup_append_payloads(
         store, "data", items.select("hash_md5", F.col("merged").alias("data")),
-        n_parts=np_,
+        n_parts=np_, batch_rows=kind_counts.get("item", 0),
     ).withColumnRenamed("id", "data_id")
 
     # ONE rank pass feeds both envelope tables: each compiled OCID gets

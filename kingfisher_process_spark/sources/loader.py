@@ -64,7 +64,8 @@ def parse_files(spark: SparkSession, files: list[tuple[int, str]], data_type: di
 
 
 def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
-                          n_parts: int | None = None) -> DataFrame:
+                          n_parts: int | None = None,
+                          batch_rows: int | None = None) -> DataFrame:
     """S8: content-hash dedup against + into the ``data``/``package_data``
     table. ``payloads``: (hash_md5, data). Returns the full mapping
     (hash_md5 → id) for the hashes present in ``payloads``.
@@ -78,6 +79,13 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
     pre-append snapshot ∪ fresh ids avoids this second pruned scan but
     nests window/broadcast machinery inside the broadcast build — measured
     30% slower end-to-end.)
+
+    ``batch_rows``: the caller's known row count for ``payloads`` (the
+    loader/compiler always has it from their stats pass). When the batch
+    is provably small the mapping semi-join broadcasts the batch's raw
+    hash column instead of shuffling both sides through a distinct +
+    sort-merge join — semi-join semantics don't need the right side
+    deduplicated. Unknown or large batches keep the shuffle path.
     """
     was_empty = not store.exists(table)
     fresh = payloads.dropDuplicates(["hash_md5"])
@@ -99,6 +107,9 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
         # mapping; the distinct + semi-join shuffle buys nothing (and at
         # scale the table only starts empty when the batch is the table)
         return mapping
+    if batch_rows is not None and batch_rows <= 1_000_000:
+        return mapping.join(
+            F.broadcast(payloads.select("hash_md5")), "hash_md5", "left_semi")
     return mapping.join(
         payloads.select("hash_md5").distinct(), "hash_md5", "left_semi")
 
@@ -126,17 +137,22 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
         .groupBy("row_kind").agg(
             F.sum("n").alias("total"),
             F.max(F.when(F.col("ocid").isNotNull(), F.col("n"))).alias("max_per_ocid"),
+            F.sum(F.when(F.col("ocid").isNull(), F.col("n")).otherwise(F.lit(0)))
+            .alias("n_null_ocid"),
         ).collect()
     )
     kind_counts = {r["row_kind"]: r["total"] for r in stats}
-    max_per_ocid = next(
-        (r["max_per_ocid"] for r in stats if r["row_kind"] == "item"), None) or 0
+    item_stats = next((r for r in stats if r["row_kind"] == "item"), None)
+    max_per_ocid = (item_stats["max_per_ocid"] if item_stats else None) or 0
+    n_null_ocid = (item_stats["n_null_ocid"] if item_stats else None) or 0
     sc = parsed.sparkSession.sparkContext
     np_ = max(2, min(sc.defaultParallelism * 2,
                      kind_counts.get("item", 0) // 10_000 + 1))
 
+    n_items = kind_counts.get("item", 0)
     data_map = dedup_append_payloads(
-        store, "data", items.select("hash_md5", "data"), n_parts=np_
+        store, "data", items.select("hash_md5", "data"), n_parts=np_,
+        batch_rows=n_items,
     ).withColumnRenamed("id", "data_id")
 
     has_pkg = items.where(F.col("package_hash").isNotNull())
@@ -144,28 +160,45 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
         store, "package_data",
         has_pkg.select(F.col("package_hash").alias("hash_md5"),
                        F.col("package_data").alias("data")),
-        n_parts=np_,
+        n_parts=np_, batch_rows=n_items,
     ).withColumnRenamed("id", "package_data_id").withColumnRenamed("hash_md5", "package_hash")
+
+    # Envelope ids need insertion order (file order, then position in the
+    # file — record compile picks the first record by id,
+    # record_compiler.py:58-75). ``item_index`` is already each item's
+    # dense 0..n-1 position within its file, so id = base + file offset +
+    # item_index is a pure map-side expression: one tiny per-file count
+    # job on the cache replaces a range-partitioned sort whose boundary
+    # sampling re-executed the whole envelope join. Ocid-less items are
+    # skipped below but keep their slot, so ids can have gaps — uniqueness
+    # and order are the semantics, contiguity never was.
+    table = {"release package": "release", "record package": "record",
+             "compiled release": "compiled_release"}[fmt]
+    base = store.next_id(table)
+    file_counts = sorted(
+        (r["collection_file_id"], r["cnt"]) for r in
+        items.groupBy("collection_file_id")
+        .agg((F.max("item_index") + 1).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for cfid, cnt in file_counts:
+        offsets.append((cfid, acc))
+        acc += cnt
+    off_df = parsed.sparkSession.createDataFrame(
+        offsets or [(None, 0)], "collection_file_id long, _off long")
 
     # The ocid is required to find all releases of one contracting process
     # during compile; ocid-less items keep their payload but get no
     # envelope row (file_worker.py:346-348).
-    envelope = (
+    rows = (
         items.where(F.col("ocid").isNotNull())
         .join(F.broadcast(data_map), "hash_md5")
         .join(F.broadcast(pkg_map), "package_hash", "left")
+        .join(F.broadcast(off_df), "collection_file_id")
+        .withColumn("id", F.lit(base) + F.col("_off") + F.col("item_index"))
+        .withColumn("collection_id", F.lit(collection_id))
     )
-
-    table = {"release package": "release", "record package": "record",
-             "compiled release": "compiled_release"}[fmt]
-    base = store.next_id(table)
-    # range mode: envelope id order IS semantics (insertion order = file
-    # order; record compile picks the first record by id)
-    rows, n_rows, pinned = with_sequential_ids(
-        envelope, base, order_by=["collection_file_id", "item_index"],
-        n_parts=np_,
-    )
-    rows = rows.withColumn("collection_id", F.lit(collection_id))
+    n_rows = n_items - n_null_ocid
 
     if table == "release":
         out = rows.select("id", "collection_id", "collection_file_id", "ocid",
@@ -178,8 +211,9 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
                           "release_date", "data_id")
     if n_rows:
         store.append(table, out)
-    store.advance_next_id(table, base + n_rows)
-    pinned.unpersist()
+    # the watermark advances by ALLOCATED slots (gaps where ocid-less
+    # items sat), not by written rows
+    store.advance_next_id(table, base + n_items)
 
     n_notes = kind_counts.get("note", 0)
     if n_notes:
