@@ -312,3 +312,84 @@ def t_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
         .orderBy("lang", "split")
     )
+
+
+@probe(
+    "t_repetition_metrics",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, len(ts) AS n_tokens,
+             len(list_distinct(ts)) AS n_distinct,
+             CASE WHEN len(ts) >= 2 THEN
+               list_transform(generate_series(1, len(ts) - 1),
+                              i -> ts[i] || ' ' || ts[i+1])
+             ELSE [] END AS bigrams
+      FROM toks
+    ),
+    top AS (
+      SELECT doc_id, MAX(n) AS top_bigram_n FROM (
+        SELECT doc_id, bigram, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM feat) x
+        GROUP BY doc_id, bigram
+      ) GROUP BY doc_id
+    )
+    SELECT f.doc_id AS doc_id, f.n_tokens,
+           1.0 - CAST(CAST(f.n_distinct AS DECIMAL(38,6)) AS DOUBLE) / f.n_tokens
+             AS dup_token_frac,
+           CAST(CAST(2 * COALESCE(t.top_bigram_n, 0) AS DECIMAL(38,6)) AS DOUBLE)
+             / f.n_tokens AS top_bigram_frac
+    FROM feat f LEFT JOIN top t ON f.doc_id = t.doc_id
+    ORDER BY f.doc_id
+    """,
+    survey_ids="text-ext,A1,J1",
+)
+def t_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/RefinedWeb filters):
+    per-document duplicate-token fraction and the fraction of tokens
+    covered by the single most frequent bigram. Token/distinct counts are
+    map-side array expressions (no shuffle); the top-bigram count is one
+    explode + two-level aggregation on doc_id — partial aggregation
+    absorbs each document's repeated bigrams before the shuffle, so bytes
+    shuffled scale with distinct bigrams, not corpus length.
+
+    Reference analogue: none — part of the training-data quality surface
+    (SURVEY §7.8).
+    """
+    t = load_tables(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    from kingfisher_process_spark.functions.dedup import fanout
+    docs = fanout(t["documents"]).select("doc_id", toks.alias("ts"))
+    feat = docs.select(
+        "doc_id", F.size("ts").alias("n_tokens"),
+        F.size(F.array_distinct("ts")).alias("n_distinct"),
+        F.when(
+            F.size("ts") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ts") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)),
+            ),
+        ).otherwise(F.array()).alias("bigrams"),
+    )
+    top = (
+        feat.select("doc_id", F.explode("bigrams").alias("bigram"))
+        .groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id").agg(F.max("n").alias("top_bigram_n"))
+    )
+    return (
+        feat.select("doc_id", "n_tokens", "n_distinct")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id", "n_tokens",
+            (F.lit(1.0) - F.col("n_distinct").cast(DEC).cast("double")
+             / F.col("n_tokens")).alias("dup_token_frac"),
+            ((2 * F.coalesce(F.col("top_bigram_n"), F.lit(0)))
+             .cast(DEC).cast("double") / F.col("n_tokens")).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )

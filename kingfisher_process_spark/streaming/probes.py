@@ -170,7 +170,7 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOCS_STREAM_SCHEMA = "doc_id long, lang string, text string, url string"
+DOCS_STREAM_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 
 @probe(
