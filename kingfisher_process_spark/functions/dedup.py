@@ -557,13 +557,13 @@ def d_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("lang_ok").cast("long")).alias("n_lang"),
         F.sum(F.col("qual_ok").cast("long")).alias("n_quality"),
     )
-    out = (
+    # no unpersist here: the returned DataFrame is collected by the
+    # caller and must still see the cache (tiny — one boolean row per doc)
+    return (
         counts
         .crossJoin(reps.agg(F.count(F.lit(1)).alias("n_exact_unique")))
         .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
     )
-    staged.unpersist()
-    return out
 
 
 # the funnel's oracle is built lazily (it composes text-module constants);

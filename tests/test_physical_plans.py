@@ -91,3 +91,31 @@ def test_topk_global_limit_is_take_ordered(spark):
     # (per-partition heap + driver merge), never a full sort
     plan = plan_of(spark, "a6_top_buyers")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_repetition_metrics_partial_aggregation(spark):
+    # the top-bigram count must partial-combine map-side: each document's
+    # repeated bigrams die in the combine, so the shuffle carries distinct
+    # (doc_id, bigram) rows, not one row per corpus token
+    plan = plan_of(spark, "t_repetition_metrics")
+    assert "partial_count" in plan or "partial_max" in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stratified_split_single_shuffle(spark):
+    # the split is a pure map-side expression; exactly one aggregate
+    # exchange may appear (the groupBy), never a repartition or sort of
+    # the corpus before it
+    plan = plan_of(spark, "t_stratified_split")
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_curation_funnel_reuses_staged_flags(spark):
+    # the staged lang/quality flags are computed ONCE (cached) and every
+    # funnel stage reads the cache — not one documents scan per stage —
+    # and the cluster labels arrive pre-materialized (checkpointed RDD),
+    # so the funnel never re-runs the label-propagation loop
+    plan = plan_of(spark, "d_curation_funnel")
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert plan.count("Scan ExistingRDD") >= 1, plan
