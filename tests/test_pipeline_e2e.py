@@ -297,3 +297,35 @@ def test_compile_rerun_picks_up_new_ocids_only(spark, store, tmp_path):
     crs = store.read("compiled_release").where(F.col("collection_id") == comp)
     assert sorted(r["ocid"] for r in crs.select("ocid").collect()) == [
         "ocds-x-1", "ocds-x-2", "ocds-x-3"]
+
+
+def test_envelope_ids_keep_insertion_order_with_gaps(spark, store, tmp_path):
+    """Envelope ids = base + file_offset + item_index (map-side scheme):
+    id order must equal (file order, position-in-file order) — the
+    reference's insertion-order semantics that record compile's
+    first-by-id pick depends on (record_compiler.py:58-75) — and an
+    ocid-less item leaves a GAP, never a shifted id."""
+    f1 = write(tmp_path, "f1.json", release_package([
+        {"ocid": "ocds-g-b", "id": "b1", "date": "2020-01-01T00:00:00Z"},
+        {"id": "skipped-no-ocid", "date": "2020-01-01T00:00:00Z"},
+        {"ocid": "ocds-g-a", "id": "a1", "date": "2020-01-02T00:00:00Z"},
+    ]))
+    f2 = write(tmp_path, "f2.json", release_package([
+        {"ocid": "ocds-g-c", "id": "c1", "date": "2020-01-03T00:00:00Z"},
+    ]))
+    result = process_collection(spark, store, "gaps", "2020-01-01 00:00:00",
+                                [f1, f2])
+    assert result["load"]["rows"] == 3
+    rows = sorted(
+        store.read("release")
+        .where(F.col("collection_id") == result["collections"]["root"])
+        .select("id", "release_id").collect(),
+        key=lambda r: r["id"],
+    )
+    # ascending id order == file order then in-file order, gap at the
+    # ocid-less slot (b1=1, [gap 2], a1=3, c1=4)
+    assert [r["release_id"] for r in rows] == ["b1", "a1", "c1"]
+    assert [r["id"] for r in rows] == [1, 3, 4]
+    # the watermark advanced past the gap: the next collection's ids
+    # cannot collide with anything allocated here
+    assert store.next_id("release") == 5
