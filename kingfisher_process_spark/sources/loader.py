@@ -114,6 +114,33 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
         payloads.select("hash_md5").distinct(), "hash_md5", "left_semi")
 
 
+def _driver_dedup_append(store: Store, table: str, payloads: DataFrame) -> DataFrame:
+    """Driver-side twin of dedup_append_payloads for cardinality-
+    driver-scale payload tables (package_data: one row per distinct
+    package ≤ one per input file). Collects the batch's distinct
+    (hash, data) pairs, anti-joins the existing hashes via a column-
+    pruned pyarrow read (the payload column is never loaded), appends
+    fresh rows with append_rows, and returns the mapping as a literal
+    DataFrame — zero distributed jobs beyond the distinct-collect."""
+    pairs = payloads.dropDuplicates(["hash_md5"]).collect()
+    existing = {r["hash_md5"]: r["id"]
+                for r in store.read_rows(table, ["id", "hash_md5"])} \
+        if store.exists(table) else {}
+    base = store.next_id(table)
+    fresh = sorted((r["hash_md5"], r["data"]) for r in pairs
+                   if r["hash_md5"] not in existing)
+    store.append_rows(table, [
+        {"id": base + i, "hash_md5": h, "data": d}
+        for i, (h, d) in enumerate(fresh)
+    ])
+    store.advance_next_id(table, base + len(fresh))
+    mapping = [(base + i, h) for i, (h, _) in enumerate(fresh)]
+    mapping += [(existing[r["hash_md5"]], r["hash_md5"]) for r in pairs
+                if r["hash_md5"] in existing]
+    return payloads.sparkSession.createDataFrame(
+        mapping or [(None, None)], "id long, hash_md5 string")
+
+
 def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -> dict:
     """Persist parsed rows: payload dedup + envelope rows + notes.
 
@@ -155,14 +182,6 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
         batch_rows=n_items,
     ).withColumnRenamed("id", "data_id")
 
-    has_pkg = items.where(F.col("package_hash").isNotNull())
-    pkg_map = dedup_append_payloads(
-        store, "package_data",
-        has_pkg.select(F.col("package_hash").alias("hash_md5"),
-                       F.col("package_data").alias("data")),
-        n_parts=np_, batch_rows=n_items,
-    ).withColumnRenamed("id", "package_data_id").withColumnRenamed("hash_md5", "package_hash")
-
     # Envelope ids need insertion order (file order, then position in the
     # file — record compile picks the first record by id,
     # record_compiler.py:58-75). ``item_index`` is already each item's
@@ -180,6 +199,22 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
         items.groupBy("collection_file_id")
         .agg((F.max("item_index") + 1).alias("cnt")).collect()
     )
+
+    has_pkg = items.where(F.col("package_hash").isNotNull())
+    pkg_batch = has_pkg.select(F.col("package_hash").alias("hash_md5"),
+                               F.col("package_data").alias("data"))
+    if len(file_counts) <= 1024:
+        # distinct packages ≤ #files, i.e. driver-scale (same order as
+        # collection_file): one distinct-collect + a pyarrow append
+        # replaces the whole distributed dedup stack, and the returned
+        # mapping is a literal DataFrame — the envelope join broadcasts
+        # it without re-scanning the table it was just written to
+        pkg_map = _driver_dedup_append(store, "package_data", pkg_batch)
+    else:
+        pkg_map = dedup_append_payloads(
+            store, "package_data", pkg_batch, n_parts=np_, batch_rows=n_items)
+    pkg_map = (pkg_map.withColumnRenamed("id", "package_data_id")
+               .withColumnRenamed("hash_md5", "package_hash"))
     offsets, acc = [], 0
     for cfid, cnt in file_counts:
         offsets.append((cfid, acc))

@@ -107,6 +107,12 @@ DRIVER_APPEND_MAX = 20_000
 # translation we're avoiding.)
 METADATA_TABLES = {"collection", "collection_file", "collection_note", "processing_step"}
 
+# package_data is cardinality-driver-scale too (one row per DISTINCT
+# package ≤ one per input file — same order as collection_file), though
+# its payload strings are large; callers may route small batches through
+# append_rows under the same gate they use for notes.
+DRIVER_WRITABLE_TABLES = METADATA_TABLES | {"package_data"}
+
 
 def _arrow_type(dt: T.DataType) -> pa.DataType:
     if isinstance(dt, T.ArrayType):
@@ -208,7 +214,7 @@ class Store:
         one coherent table."""
         if not rows:
             return
-        if table not in METADATA_TABLES:
+        if table not in DRIVER_WRITABLE_TABLES:
             raise ValueError(f"{table} is not a driver-scale metadata table")
         self._rows_to_files(table, rows, self.path(table))
         self._next_ids.pop(table, None)
@@ -233,7 +239,7 @@ class Store:
         Spark ``collect()`` under a UTC session returns. Falls back to the
         Spark path if the directory's fragments can't be unified (e.g. a
         pre-existing store written with INT96 timestamps)."""
-        if table not in METADATA_TABLES:
+        if table not in DRIVER_WRITABLE_TABLES:
             raise ValueError(f"{table} is not a driver-scale metadata table")
         if not self.exists(table):
             return []
