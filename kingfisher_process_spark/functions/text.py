@@ -393,3 +393,73 @@ def t_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# PII patterns kept deliberately in the common subset of Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+
+
+@probe(
+    "t_pii_redact",
+    f"""
+    WITH blob AS (
+      SELECT c_custkey,
+             c_name || ' (' || c_mktsegment || ') ph:' ||
+             lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+             lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST((c_custkey * 31) % 1000 AS VARCHAR), 3, '0') || '-' ||
+             lpad(CAST((c_custkey * 97) % 10000 AS VARCHAR), 4, '0') || ' em:' ||
+             lower(replace(c_name, '#', '.')) || '@corp.example' AS contact
+      FROM customer
+    )
+    SELECT c_custkey,
+           len(regexp_extract_all(contact, '{PHONE_RE}')) AS n_phones,
+           len(regexp_extract_all(contact, '{EMAIL_RE}')) AS n_emails,
+           regexp_replace(regexp_replace(contact, '{PHONE_RE}', '[PHONE]', 'g'),
+                          '{EMAIL_RE}', '[EMAIL]', 'g') AS redacted
+    FROM blob
+    ORDER BY c_custkey
+    """,
+    survey_ids="text-ext,P6",
+)
+def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction — the curation stage that strips contact
+    details before training. The blob column splices a key-derived
+    phone-format string and email into each customer's free text (the
+    synthetic corpus carries no real PII, so the fixture plants
+    deterministic, engine-reproducible hits), then one map-side pass
+    counts and masks both patterns. Pure JVM regex (whole-stage codegen, no Python);
+    at 100 TB this is an embarrassingly parallel scan — no shuffle at all
+    once the audit ORDER BY is dropped, and the regexes push no data
+    movement anywhere.
+
+    Reference analogue: none (the reference stores procurement JSON
+    as-is); this is the training-data-pipeline extension family.
+    """
+    t = load_tables(spark, sf_dir)
+
+    def seg(mult, mod, width):
+        return F.lpad(((F.col("c_custkey") * mult) % mod).cast("string"),
+                      width, "0")
+
+    blob = t["customer"].select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" ("), F.col("c_mktsegment"), F.lit(") ph:"),
+            seg(1, 100, 2), F.lit("-"), seg(7, 1000, 3), F.lit("-"),
+            seg(31, 1000, 3), F.lit("-"), seg(97, 10000, 4), F.lit(" em:"),
+            F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+            F.lit("@corp.example"),
+        ).alias("contact"),
+    )
+    return blob.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all("contact", F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("contact", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.regexp_replace(
+            F.regexp_replace("contact", PHONE_RE, "[PHONE]"),
+            EMAIL_RE, "[EMAIL]",
+        ).alias("redacted"),
+    ).orderBy("c_custkey")
