@@ -277,21 +277,76 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
     """Write merged rows: a collection_file named {ocid}.json per compiled
     release (compiler.py:87-132), dedup'd payloads, compiled_release rows,
     and notes."""
-    from kingfisher_process_spark.sources.loader import dedup_append_payloads
+    from kingfisher_process_spark.store import DRIVER_APPEND_MAX, DRIVER_APPEND_MAX_BYTES
 
     compiled = compiled.cache()
-    # one pass materializes the merge into the cache and tells us which
-    # persist paths have any rows at all
-    kind_counts = {r["row_kind"]: r["n"] for r in
-                   compiled.groupBy("row_kind").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # one pass materializes the merge into the cache, tells us which
+    # persist paths have any rows at all, and totals the merged payload
+    # bytes — the driver-route gate below needs rows AND bytes
+    stats = compiled.groupBy("row_kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("merged")).alias("b")).collect()
+    kind_counts = {r["row_kind"]: r["n"] for r in stats}
+    item_bytes = next((r["b"] for r in stats if r["row_kind"] == "item"), None) or 0
     items = compiled.where(F.col("row_kind") == "item")
-    sc = compiled.sparkSession.sparkContext
-    np_ = max(2, min(sc.defaultParallelism * 2,
-                     kind_counts.get("item", 0) // 10_000 + 1))
+    n = kind_counts.get("item", 0)
+
+    if n <= DRIVER_APPEND_MAX and item_bytes <= DRIVER_APPEND_MAX_BYTES:
+        # driver-scale compile output: ONE collect off the cache feeds
+        # payload dedup (pruned broadcast-semi-join lookup + pyarrow
+        # append), rank assignment (sort by ocid), and both envelope
+        # appends — replacing the distributed dedup + id-shuffle + three
+        # write jobs. The 100 TB path is the else-branch; this is the
+        # many-small-collections path (the reference's common case).
+        _persist_compiled_driver(store, collection_id, items)
+    else:
+        _persist_compiled_distributed(store, collection_id, items, n)
+
+    n_notes = _persist_notes(store, collection_id, compiled, kind_counts)
+    compiled.unpersist()
+    return {"compiled": n, "notes": n_notes}
+
+
+def _persist_compiled_driver(store: Store, collection_id: int, items: DataFrame) -> int:
+    from kingfisher_process_spark.sources.loader import driver_dedup_pairs
+
+    rows = items.select("ocid", "release_date", "hash_md5", "merged").collect()
+    uniq: dict[str, str] = {}
+    for r in rows:
+        uniq.setdefault(r["hash_md5"], r["merged"])
+    mapping = driver_dedup_pairs(store, "data", sorted(uniq.items()))
+    # ocid order keeps the parquet min/max stats property store.append's
+    # sortWithinPartitions("ocid") provides on the distributed path
+    rows.sort(key=lambda r: r["ocid"])
+    cf_base = store.next_id("collection_file")
+    cr_base = store.next_id("compiled_release")
+    store.append_rows("collection_file", [
+        {"id": cf_base + i, "collection_id": collection_id,
+         "filename": f"{r['ocid']}.json", "url": None,
+         "compilation_started": False}
+        for i, r in enumerate(rows)
+    ])
+    store.append_rows("compiled_release", [
+        {"id": cr_base + i, "collection_id": collection_id,
+         "collection_file_id": cf_base + i, "ocid": r["ocid"],
+         "release_date": r["release_date"], "data_id": mapping[r["hash_md5"]]}
+        for i, r in enumerate(rows)
+    ])
+    store.advance_next_id("collection_file", cf_base + len(rows))
+    store.advance_next_id("compiled_release", cr_base + len(rows))
+    return len(rows)
+
+
+def _persist_compiled_distributed(store: Store, collection_id: int,
+                                  items: DataFrame, n_items: int) -> None:
+    from kingfisher_process_spark.sources.loader import dedup_append_payloads
+
+    sc = items.sparkSession.sparkContext
+    np_ = max(2, min(sc.defaultParallelism * 2, n_items // 10_000 + 1))
 
     data_map = dedup_append_payloads(
         store, "data", items.select("hash_md5", F.col("merged").alias("data")),
-        n_parts=np_, batch_rows=kind_counts.get("item", 0),
+        n_parts=np_, batch_rows=n_items,
     ).withColumnRenamed("id", "data_id")
 
     # ONE rank pass feeds both envelope tables: each compiled OCID gets
@@ -306,26 +361,13 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
     )
     ranked = ranked.withColumnRenamed("id", "_rank")
     if n:
-        from kingfisher_process_spark.store import DRIVER_APPEND_MAX
-
-        if n <= DRIVER_APPEND_MAX:
-            # collection_file IS a metadata table and the batch is small:
-            # one collect off the pinned cache + a driver-side parquet file
-            # replaces a distributed write job (same rows, same ids)
-            store.append_rows("collection_file", [
-                {"id": cf_base + r["_rank"], "collection_id": collection_id,
-                 "filename": f"{r['ocid']}.json", "url": None,
-                 "compilation_started": False}
-                for r in ranked.select("_rank", "ocid").collect()
-            ])
-        else:
-            store.append("collection_file", ranked.select(
-                (F.col("_rank") + F.lit(cf_base)).alias("id"),
-                F.lit(collection_id).alias("collection_id"),
-                F.concat(F.col("ocid"), F.lit(".json")).alias("filename"),
-                F.lit(None).cast("string").alias("url"),
-                F.lit(False).alias("compilation_started"),
-            ))
+        store.append("collection_file", ranked.select(
+            (F.col("_rank") + F.lit(cf_base)).alias("id"),
+            F.lit(collection_id).alias("collection_id"),
+            F.concat(F.col("ocid"), F.lit(".json")).alias("filename"),
+            F.lit(None).cast("string").alias("url"),
+            F.lit(False).alias("compilation_started"),
+        ))
         store.append("compiled_release", ranked.select(
             (F.col("_rank") + F.lit(cr_base)).alias("id"),
             F.lit(collection_id).alias("collection_id"),
@@ -336,12 +378,15 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
     store.advance_next_id("compiled_release", cr_base + n)
     pinned_r.unpersist()
 
+
+def _persist_notes(store: Store, collection_id: int, compiled: DataFrame,
+                   kind_counts: dict) -> int:
+    from kingfisher_process_spark.store import DRIVER_APPEND_MAX
+
     n_notes = kind_counts.get("note", 0)
     if n_notes:
         notes = compiled.where(F.col("row_kind") == "note")
         nb = store.next_id("collection_note")
-        from kingfisher_process_spark.store import DRIVER_APPEND_MAX
-
         if n_notes <= DRIVER_APPEND_MAX:
             from datetime import datetime, timezone
 
@@ -368,5 +413,4 @@ def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> d
             ))
             pinned_n.unpersist()
         store.advance_next_id("collection_note", nb + n_notes)
-    compiled.unpersist()
-    return {"compiled": n, "notes": n_notes}
+    return n_notes

@@ -17,6 +17,8 @@ the parse is declarative DataFrame work, so at 100 TB:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -114,31 +116,157 @@ def dedup_append_payloads(store: Store, table: str, payloads: DataFrame,
         payloads.select("hash_md5").distinct(), "hash_md5", "left_semi")
 
 
-def _driver_dedup_append(store: Store, table: str, payloads: DataFrame) -> DataFrame:
-    """Driver-side twin of dedup_append_payloads for cardinality-
-    driver-scale payload tables (package_data: one row per distinct
-    package ≤ one per input file). Collects the batch's distinct
-    (hash, data) pairs, anti-joins the existing hashes via a column-
-    pruned pyarrow read (the payload column is never loaded), appends
-    fresh rows with append_rows, and returns the mapping as a literal
-    DataFrame — zero distributed jobs beyond the distinct-collect."""
-    pairs = payloads.dropDuplicates(["hash_md5"]).collect()
-    existing = {r["hash_md5"]: r["id"]
-                for r in store.read_rows(table, ["id", "hash_md5"])} \
-        if store.exists(table) else {}
+def driver_dedup_pairs(store: Store, table: str,
+                       pairs: list[tuple[str, str]],
+                       arrow_lookup: bool = False) -> dict[str, int]:
+    """Driver-side payload dedup for a batch already collected as distinct
+    (hash_md5, data) pairs. Appends fresh rows with append_rows (one
+    pyarrow file, zero Spark write jobs) and returns the full hash→id
+    mapping for the batch.
+
+    The existing-hash lookup scales with the TABLE, not the batch:
+    ``arrow_lookup=True`` reads the whole (id, hash_md5) projection on the
+    driver — only for tables that are themselves driver-scale
+    (package_data). Otherwise one column-pruned Spark scan semi-joined to
+    the batch's broadcast hashes does the lookup — at 100 TB that is the
+    same pruned scan the distributed anti-join pays, minus the id-shuffle
+    and write jobs."""
+    if arrow_lookup and store.exists(table):
+        # the pyarrow projection read scales with the TABLE; once the
+        # table outgrows the driver gate (many loads accreting packages),
+        # fall back to the pruned Spark lookup
+        from kingfisher_process_spark.store import DRIVER_APPEND_MAX_BYTES
+
+        total = 0
+        for dirpath, _, files in os.walk(store.path(table)):
+            total += sum(os.path.getsize(os.path.join(dirpath, f))
+                         for f in files if not f.startswith(("_", ".")))
+        if total > DRIVER_APPEND_MAX_BYTES:
+            arrow_lookup = False
+    existing: dict[str, int] = {}
+    if store.exists(table):
+        if arrow_lookup:
+            existing = {r["hash_md5"]: r["id"]
+                        for r in store.read_rows(table, ["id", "hash_md5"])}
+        else:
+            hs = store.spark.createDataFrame(
+                [(h,) for h, _ in pairs] or [(None,)], "hash_md5 string")
+            existing = {
+                r["hash_md5"]: r["id"]
+                for r in store.read(table).select("id", "hash_md5")
+                .join(F.broadcast(hs), "hash_md5", "left_semi").collect()
+            }
     base = store.next_id(table)
-    fresh = sorted((r["hash_md5"], r["data"]) for r in pairs
-                   if r["hash_md5"] not in existing)
+    fresh = sorted((h, d) for h, d in pairs if h not in existing)
     store.append_rows(table, [
         {"id": base + i, "hash_md5": h, "data": d}
         for i, (h, d) in enumerate(fresh)
     ])
     store.advance_next_id(table, base + len(fresh))
-    mapping = [(base + i, h) for i, (h, _) in enumerate(fresh)]
-    mapping += [(existing[r["hash_md5"]], r["hash_md5"]) for r in pairs
-                if r["hash_md5"] in existing]
+    mapping = {h: base + i for i, (h, _) in enumerate(fresh)}
+    for h, _ in pairs:
+        if h in existing:
+            mapping[h] = existing[h]
+    return mapping
+
+
+def _driver_dedup_append(store: Store, table: str, payloads: DataFrame,
+                         arrow_lookup: bool = False) -> DataFrame:
+    """DataFrame-shaped driver dedup: collect the batch's distinct
+    (hash, data) pairs, run driver_dedup_pairs, return the mapping as a
+    literal DataFrame — it broadcasts into the envelope join without
+    re-scanning the table it was just written to."""
+    rows = payloads.dropDuplicates(["hash_md5"]).collect()
+    mapping = driver_dedup_pairs(
+        store, table, [(r["hash_md5"], r["data"]) for r in rows],
+        arrow_lookup=arrow_lookup)
     return payloads.sparkSession.createDataFrame(
-        mapping or [(None, None)], "id long, hash_md5 string")
+        [(i, h) for h, i in mapping.items()] or [(None, None)],
+        "id long, hash_md5 string")
+
+
+def _store_items_driver(store: Store, collection_id: int, fmt: str,
+                        parsed: DataFrame, max_per_ocid: int,
+                        n_notes: int) -> dict:
+    """Fully driver-side persist for a driver-scale batch (rows and bytes
+    under the store gates): ONE collect of the parsed cache feeds payload
+    dedup, map-side envelope id assignment (base + file offset +
+    item_index — identical id semantics to the distributed path, gaps
+    where ocid-less items sat), and notes. package_data strings are
+    repeated per item, so their distinct pairs come from a separate tiny
+    collect instead of inflating the main one."""
+    from datetime import datetime, timezone
+
+    rows = parsed.select(
+        "row_kind", "collection_file_id", "item_index", "ocid", "release_id",
+        "release_date", "hash_md5", "package_hash", "data",
+        "note_code", "note").collect()
+    items = [r for r in rows if r["row_kind"] == "item"]
+
+    uniq: dict[str, str] = {}
+    for r in items:
+        uniq.setdefault(r["hash_md5"], r["data"])
+    dmap = driver_dedup_pairs(store, "data", sorted(uniq.items()))
+
+    pkg_rows = (
+        parsed.where((F.col("row_kind") == "item")
+                     & F.col("package_hash").isNotNull())
+        .select("package_hash", "package_data")
+        .dropDuplicates(["package_hash"]).collect()
+    )
+    pmap = driver_dedup_pairs(
+        store, "package_data",
+        sorted((r["package_hash"], r["package_data"]) for r in pkg_rows),
+        arrow_lookup=True)
+
+    table = {"release package": "release", "record package": "record",
+             "compiled release": "compiled_release"}[fmt]
+    base = store.next_id(table)
+    counts: dict[int, int] = {}
+    for r in items:
+        cfid = r["collection_file_id"]
+        counts[cfid] = max(counts.get(cfid, 0), r["item_index"] + 1)
+    offsets, acc = {}, 0
+    for cfid in sorted(counts):
+        offsets[cfid] = acc
+        acc += counts[cfid]
+
+    env = []
+    for r in items:
+        if r["ocid"] is None:
+            continue
+        e = {"id": base + offsets[r["collection_file_id"]] + r["item_index"],
+             "collection_id": collection_id,
+             "collection_file_id": r["collection_file_id"],
+             "ocid": r["ocid"], "data_id": dmap[r["hash_md5"]]}
+        if table == "release":
+            e["release_id"] = r["release_id"]
+            e["release_date"] = r["release_date"]
+            e["package_data_id"] = pmap.get(r["package_hash"])
+        elif table == "record":
+            e["package_data_id"] = pmap.get(r["package_hash"])
+        else:
+            e["release_date"] = r["release_date"]
+        env.append(e)
+    # ocid order keeps the parquet min/max stats property the distributed
+    # write's sortWithinPartitions("ocid") provides
+    env.sort(key=lambda e: e["ocid"])
+    store.append_rows(table, env)
+    store.advance_next_id(table, base + acc)
+
+    if n_notes:
+        note_rows = [r for r in rows if r["row_kind"] == "note"]
+        note_rows.sort(key=lambda r: (r["collection_file_id"] or 0, r["note"] or ""))
+        nb = store.next_id("collection_note")
+        now = datetime.now(timezone.utc)
+        store.append_rows("collection_note", [
+            {"id": nb + i, "collection_id": collection_id, "note": r["note"],
+             "data": None, "stored_at": now, "code": r["note_code"]}
+            for i, r in enumerate(note_rows)
+        ])
+        store.advance_next_id("collection_note", nb + len(note_rows))
+
+    return {"rows": len(env), "notes": n_notes, "max_per_ocid": max_per_ocid}
 
 
 def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -> dict:
@@ -160,9 +288,12 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
     # its hot-OCID detection job entirely when this bound proves no group
     # can exceed the two-phase batch size.
     stats = (
-        parsed.groupBy("row_kind", "ocid").agg(F.count(F.lit(1)).alias("n"))
+        parsed.groupBy("row_kind", "ocid").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("data")).alias("b"))
         .groupBy("row_kind").agg(
             F.sum("n").alias("total"),
+            F.sum("b").alias("total_bytes"),
             F.max(F.when(F.col("ocid").isNotNull(), F.col("n"))).alias("max_per_ocid"),
             F.sum(F.when(F.col("ocid").isNull(), F.col("n")).otherwise(F.lit(0)))
             .alias("n_null_ocid"),
@@ -172,11 +303,27 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
     item_stats = next((r for r in stats if r["row_kind"] == "item"), None)
     max_per_ocid = (item_stats["max_per_ocid"] if item_stats else None) or 0
     n_null_ocid = (item_stats["n_null_ocid"] if item_stats else None) or 0
+    n_item_bytes = (item_stats["total_bytes"] if item_stats else None) or 0
     sc = parsed.sparkSession.sparkContext
     np_ = max(2, min(sc.defaultParallelism * 2,
                      kind_counts.get("item", 0) // 10_000 + 1))
 
+    from kingfisher_process_spark.store import DRIVER_APPEND_MAX, DRIVER_APPEND_MAX_BYTES
+
     n_items = kind_counts.get("item", 0)
+    n_notes = kind_counts.get("note", 0)
+    if (n_items + n_notes <= DRIVER_APPEND_MAX
+            and n_item_bytes <= DRIVER_APPEND_MAX_BYTES):
+        # row AND byte counts (from the stats pass — free) prove the batch
+        # is driver-scale: one collect feeds payload dedup, envelope id
+        # assignment, and notes; everything lands via pyarrow appends.
+        # Two Spark jobs total (stats + collect + the tiny pkg distinct)
+        # instead of ~eight. The 100 TB batch takes the path below.
+        result = _store_items_driver(store, collection_id, fmt, parsed,
+                                     max_per_ocid, n_notes)
+        parsed.unpersist()
+        return result
+
     data_map = dedup_append_payloads(
         store, "data", items.select("hash_md5", "data"), n_parts=np_,
         batch_rows=n_items,
@@ -209,7 +356,8 @@ def store_items(store: Store, collection_id: int, fmt: str, parsed: DataFrame) -
         # replaces the whole distributed dedup stack, and the returned
         # mapping is a literal DataFrame — the envelope join broadcasts
         # it without re-scanning the table it was just written to
-        pkg_map = _driver_dedup_append(store, "package_data", pkg_batch)
+        pkg_map = _driver_dedup_append(store, "package_data", pkg_batch,
+                                       arrow_lookup=True)
     else:
         pkg_map = dedup_append_payloads(
             store, "package_data", pkg_batch, n_parts=np_, batch_rows=n_items)

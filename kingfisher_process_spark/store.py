@@ -110,8 +110,19 @@ METADATA_TABLES = {"collection", "collection_file", "collection_note", "processi
 # package_data is cardinality-driver-scale too (one row per DISTINCT
 # package ≤ one per input file — same order as collection_file), though
 # its payload strings are large; callers may route small batches through
-# append_rows under the same gate they use for notes.
-DRIVER_WRITABLE_TABLES = METADATA_TABLES | {"package_data"}
+# append_rows under the same gate they use for notes. data/compiled_release
+# are NOT driver-scale tables, but a driver-scale BATCH of rows may be
+# appended to them the same way (the loader/compiler gate on the batch's
+# row count AND total payload bytes, both known from their stats pass).
+DRIVER_WRITABLE_TABLES = METADATA_TABLES | {
+    "package_data", "data", "release", "record", "compiled_release"}
+
+# Companion byte gate for routing payload-carrying batches (data rows hold
+# whole JSON documents) through the driver: a batch must be small in rows
+# AND bytes before its payload strings are collected. Callers learn the
+# byte total from the same stats aggregation that counts rows, so the gate
+# costs nothing extra.
+DRIVER_APPEND_MAX_BYTES = 64 * 1024 * 1024
 
 
 def _arrow_type(dt: T.DataType) -> pa.DataType:
