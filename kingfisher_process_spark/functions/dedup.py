@@ -572,3 +572,129 @@ REGISTRY = None  # keep module namespace clean of the plans.base REGISTRY
 from kingfisher_process_spark.plans import base as _base  # noqa: E402
 
 _base.REGISTRY["d_curation_funnel"].oracle = _curation_sql()
+
+
+BUCKET_CAP = 8
+
+
+@probe(
+    "d_lsh_bucket_stats",
+    f"""
+    WITH sigs AS ({MINHASH_SQL}),
+    buckets AS (
+      {_BUCKETS_SQL}
+    ),
+    sizes AS (
+      SELECT band, bucket, COUNT(*) AS s FROM buckets GROUP BY band, bucket
+    )
+    SELECT band,
+           COUNT(*) AS n_buckets,
+           MAX(s) AS max_bucket,
+           CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS pairs_uncapped,
+           CAST(SUM(CASE WHEN s <= {BUCKET_CAP} THEN s * (s - 1) / 2 ELSE 0 END)
+             AS BIGINT) AS pairs_capped,
+           SUM(CASE WHEN s > {BUCKET_CAP} THEN 1 ELSE 0 END) AS buckets_dropped
+    FROM sizes
+    GROUP BY band
+    ORDER BY band
+    """,
+    survey_ids="dedup-ext,skew-ext,A1,A6",
+)
+def d_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH skew guard, quantified: a degenerate bucket (one boilerplate
+    shingle pattern shared by millions of docs) makes the banding
+    self-join quadratic in that bucket's size — the one way MinHash+LSH
+    dies at 100 TB. The guard drops buckets larger than BUCKET_CAP before
+    the self-join (an over-full bucket means the docs are so similar that
+    plenty of OTHER buckets still pair them, or they're boilerplate to
+    kill anyway — the standard production trade). This probe computes the
+    per-band bucket-size audit: candidate-pair counts with and without
+    the cap, and how many buckets the cap drops — the numbers that decide
+    the cap value per corpus.
+
+    Two shuffles total (signatures groupBy, bucket-size groupBy); the
+    audit agg is map-side partial. Reference analogue: none.
+    """
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(t["documents"])
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(":", *_band_cols(band))).alias("bucket"),
+            )
+            for band in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("bb.band", "bb.bucket")
+    sizes = buckets.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("s"))
+    return (
+        sizes.groupBy("band").agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("s").alias("max_bucket"),
+            F.sum(F.col("s") * (F.col("s") - 1) / 2).cast("long").alias("pairs_uncapped"),
+            F.sum(F.when(F.col("s") <= BUCKET_CAP,
+                         F.col("s") * (F.col("s") - 1) / 2).otherwise(0))
+            .cast("long").alias("pairs_capped"),
+            F.sum(F.when(F.col("s") > BUCKET_CAP, 1).otherwise(0))
+            .cast("long").alias("buckets_dropped"),
+        )
+        .orderBy("band")
+    )
+
+
+@probe(
+    "d_decontaminate",
+    f"""
+    WITH sh AS ({SHINGLES_SQL}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+    hits AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+      FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_hit,
+           CAST(CAST(n_hit AS DECIMAL(38,6)) AS DOUBLE) / n_shingles
+             AS overlap_frac,
+           CASE WHEN n_hit * 10 >= n_shingles THEN 1 ELSE 0 END
+             AS contaminated
+    FROM hits
+    ORDER BY doc_id
+    """,
+    survey_ids="dedup-ext,J1,A1",
+)
+def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the curation stage that keeps eval data
+    out of the training set: flag training documents whose n-gram overlap
+    with a held-out benchmark set exceeds a threshold (10% of the doc's
+    shingles here). The fixture's benchmark is every 20th document.
+
+    Scale shape: the benchmark side is tiny by construction (eval sets
+    are MBs; corpora are TBs), so its distinct shingle set BROADCASTS —
+    the training corpus is never shuffled at all; the per-doc counts
+    partial-aggregate map-side. Flagging is a left join against the
+    broadcast set, not a subtractive filter, so the probe also reports
+    the overlap fraction the threshold decision needs.
+    """
+    t = load_tables(spark, sf_dir)
+    sh = shingles_df(t["documents"])
+    bench = (sh.where(F.col("doc_id") % 20 == 0)
+             .select("shingle").distinct())
+    train = sh.where(F.col("doc_id") % 20 != 0)
+    hits = (
+        train.join(F.broadcast(bench.withColumn("_hit", F.lit(1))),
+                   "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"))
+    )
+    return hits.select(
+        "doc_id", "n_shingles", "n_hit",
+        (F.col("n_hit").cast("decimal(38,6)").cast("double") / F.col("n_shingles"))
+        .alias("overlap_frac"),
+        F.when(F.col("n_hit") * 10 >= F.col("n_shingles"), 1).otherwise(0)
+        .cast("long").alias("contaminated"),
+    ).orderBy("doc_id")
