@@ -32,12 +32,12 @@ TABLE_NAMES = [
 ]
 
 
-# DataFrame handles memoized per (session, sf_dir): the testdata parquet is
-# immutable, and re-running spark.read.parquet per probe call costs ~90 ms
-# of file-listing + footer reads per table (~0.9 s per probe). Views are
-# still re-registered on every call so alternating sf_dirs in one session
+# DataFrame handles memoized per (session, sf_dir, table): the testdata
+# parquet is immutable, and re-running spark.read.parquet per probe call
+# costs ~90 ms of file-listing + footer reads per table. Views are still
+# re-registered on every access so alternating sf_dirs in one session
 # (parity tests do this) always point the views at the right data.
-_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 # The driver's testdata files are written as ONE parquet row group per
 # table, and parquet reads are row-group granular — so every scan runs as
@@ -90,31 +90,86 @@ def _parallel_copy(src: str) -> str:
     return out_dir
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Read the driver's parquet tables and register them as temp views.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Make ``events.ts`` a TIMESTAMP regardless of how the parquet file
+    stored it.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw nanos (legacy conf) and
-    rebuild a microsecond timestamp — same truncation DuckDB applies when
-    it loads nanos into its micros-based TIMESTAMP.
+    Testdata generations have flip-flopped between TIMESTAMP(NANOS)
+    (which, under ``nanosAsLong``, Spark reads as a raw ``bigint`` of
+    epoch nanos) and plain ``timestamp[us]`` (read natively). Convert
+    ONLY the bigint form — integer DIV, since float division loses
+    precision at 1e18 nanos; the truncation to micros matches what DuckDB
+    does loading nanos into its micros-based TIMESTAMP. A native
+    timestamp column passes through untouched.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    key = (spark.sparkContext.applicationId, sf_dir)
-    tables = _TABLE_CACHE.get(key)
-    if tables is None:
-        tables = {}
-        for name in TABLE_NAMES:
-            df = spark.read.parquet(_parallel_copy(f"{sf_dir}/{name}.parquet"))
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        # Native timestamp[us] read (inferTimestampNTZ). Probes are written
+        # against TIMESTAMP (LTZ): with the session tz pinned UTC the cast
+        # maps wall-clock → the same instant timestamp_micros produced.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+class LazyTables:
+    """Per-table lazy loader: each parquet source is read (and its temp
+    view registered) only when a probe first touches it, so one broken
+    source can never fail the ~70 probes that don't read it. Mapping-like
+    for the access pattern every probe uses (``t["lineitem"]``)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._app_id = spark.sparkContext.applicationId
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in TABLE_NAMES:
+            raise KeyError(name)
+        key = (self._app_id, self._sf_dir, name)
+        df = _TABLE_CACHE.get(key)
+        if df is None:
+            df = self._spark.read.parquet(
+                _parallel_copy(f"{self._sf_dir}/{name}.parquet"))
             if name == "events":
-                # integer DIV — float division loses precision at 1e18 nanos
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            tables[name] = df
-        _TABLE_CACHE[key] = tables
-    for name, df in tables.items():
+                df = normalize_events_ts(df)
+            _TABLE_CACHE[key] = df
         df.createOrReplaceTempView(name)
-    return tables
+        return df
+
+    def __contains__(self, name: str) -> bool:
+        return name in TABLE_NAMES
+
+    def __iter__(self):
+        return iter(TABLE_NAMES)
+
+    def __len__(self) -> int:
+        return len(TABLE_NAMES)
+
+    def keys(self):
+        return list(TABLE_NAMES)
+
+    def items(self):
+        return [(n, self[n]) for n in TABLE_NAMES]
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> LazyTables:
+    """Lazy handle over the driver's parquet tables.
+
+    Tables load on first access (see :class:`LazyTables`); ``events.ts``
+    is normalized to TIMESTAMP whichever physical type the parquet file
+    used (see :func:`normalize_events_ts`).
+    """
+    # Harmless when ts is already timestamp[us]; required to read a
+    # TIMESTAMP(NANOS) generation at all (vectorized reader rejects it).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver may hand us a session without our factory's tz pin;
+    # temporal probes format instants, so determinism requires UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return LazyTables(spark, sf_dir)
 
 
 @dataclass

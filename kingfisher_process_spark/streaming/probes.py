@@ -16,12 +16,27 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kingfisher_process_spark.plans.base import probe
+from kingfisher_process_spark.plans.base import normalize_events_ts, probe
 
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+
+def _events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """Stage the events file behind a drop directory (FileStreamSource
+    wants a dir — the live-ingest shape: files arriving as they land) and
+    open a stream with whatever schema the parquet actually has. The
+    footer read is one driver-side metadata fetch; ``readStream``
+    requires an explicit schema, and hardcoding one broke when testdata
+    regenerated ts as timestamp[us] — see plans/base.normalize_events_ts.
+    """
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    schema = spark.read.parquet(src).schema
+    drop_dir = tempfile.mkdtemp(prefix=prefix)
+    os.symlink(src, os.path.join(drop_dir, "events.parquet"))
+    return normalize_events_ts(
+        spark.readStream.schema(schema).parquet(drop_dir))
 
 
 @probe(
@@ -47,23 +62,7 @@ def st_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain time, which makes the result equal to the batch rollup — the
     DuckDB oracle checks exactly that equivalence.
     """
-    # TIMESTAMP(NANOS) parquet: read as raw nanos, rebuild micros (same
-    # truncation DuckDB applies) — see plans/base.load_tables
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # FileStreamSource wants a DIRECTORY (the live-ingest shape: files
-    # arriving into a drop dir); stage the single bench file behind one
-    import os
-    import tempfile
-
-    drop_dir = tempfile.mkdtemp(prefix="kps_stream_events_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               os.path.join(drop_dir, "events.parquet"))
-    stream = (
-        spark.readStream
-        .schema(EVENTS_STREAM_SCHEMA)
-        .parquet(drop_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = _events_stream(spark, sf_dir, "kps_stream_events_")
     windowed = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -131,20 +130,10 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     must truncate the same way — micro-precision gaps straddling the
     30 min boundary would otherwise diverge).
     """
-    import os
-    import tempfile
-
     from kingfisher_process_spark.streaming.sessions import sessionize_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    drop_dir = tempfile.mkdtemp(prefix="kps_stream_sessions_")
-    os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"),
-               os.path.join(drop_dir, "events.parquet"))
     stream = (
-        spark.readStream
-        .schema(EVENTS_STREAM_SCHEMA)
-        .parquet(drop_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _events_stream(spark, sf_dir, "kps_stream_sessions_")
         .select("user_id", "ts")
     )
     sink = f"st_sessionize_{uuid.uuid4().hex[:8]}"

@@ -1,0 +1,95 @@
+"""Testdata contract: assert the arrow schema of each driver table matches
+what the engine expects, so a silent testdata regeneration fails in ONE
+obvious test instead of 86 opaque probe errors (round-1 post-mortem:
+events.ts flipped TIMESTAMP(NANOS) -> timestamp[us] and poisoned every
+probe through the eager loader).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+
+# column -> set of acceptable arrow types (testdata generations have
+# legitimately flipped between these; the engine normalizes them)
+EXPECTED: dict[str, dict[str, set[str]]] = {
+    "region": {"r_regionkey": {"int64", "int32"}, "r_name": {"string", "large_string"}},
+    "nation": {"n_nationkey": {"int64", "int32"}, "n_regionkey": {"int64", "int32"},
+               "n_name": {"string", "large_string"}},
+    "customer": {"c_custkey": {"int64", "int32"}, "c_nationkey": {"int64", "int32"},
+                 "c_acctbal": {"double", "float"}, "c_mktsegment": {"string", "large_string"}},
+    "supplier": {"s_suppkey": {"int64", "int32"}, "s_nationkey": {"int64", "int32"}},
+    "part": {"p_partkey": {"int64", "int32"}, "p_retailprice": {"double", "float"}},
+    "orders": {"o_orderkey": {"int64", "int32"}, "o_custkey": {"int64", "int32"},
+               "o_totalprice": {"double", "float"},
+               "o_orderdate": {"date32[day]", "timestamp[us]", "timestamp[ns]", "string", "large_string"}},
+    "lineitem": {"l_orderkey": {"int64", "int32"}, "l_partkey": {"int64", "int32"},
+                 "l_suppkey": {"int64", "int32"}, "l_quantity": {"double", "float", "int64"},
+                 "l_extendedprice": {"double", "float"}, "l_discount": {"double", "float"},
+                 "l_tax": {"double", "float"},
+                 "l_returnflag": {"string", "large_string"},
+                 "l_linestatus": {"string", "large_string"},
+                 "l_shipdate": {"date32[day]", "timestamp[us]", "timestamp[ns]", "string", "large_string"}},
+    "events": {"event_id": {"int64", "int32"},
+               # the two generations the engine knows how to normalize
+               "ts": {"timestamp[us]", "timestamp[ns]", "int64"},
+               "user_id": {"int64", "int32"}, "event_type": {"string", "large_string"},
+               "value": {"double", "float"}, "props": {"string", "large_string"}},
+    "documents": {"doc_id": {"int64", "int32"}, "text": {"string", "large_string"},
+                  "lang": {"string", "large_string"}, "source": {"string", "large_string"}},
+    "embeddings": {"vec_id": {"int64", "int32"}, "label": {"int32", "int64"},
+                   "embedding": {"list<item: float>", "list<element: float>",
+                                 "list<item: double>", "list<element: double>"}},
+}
+
+
+@pytest.mark.parametrize("table", sorted(EXPECTED))
+def test_table_schema_contract(table: str):
+    path = f"{SF_DIR}/{table}.parquet"
+    assert os.path.exists(path), f"missing testdata table {path}"
+    schema: pa.Schema = pq.ParquetFile(path).schema_arrow
+    names = set(schema.names)
+    for col, accepted in EXPECTED[table].items():
+        assert col in names, f"{table}.{col} missing (have {sorted(names)})"
+        actual = str(schema.field(col).type)
+        base = actual.split("[")[0].split("<")[0]
+        accepted_bases = {a.split("[")[0].split("<")[0] for a in accepted}
+        assert actual in accepted or base in accepted_bases, (
+            f"{table}.{col} is {actual}, engine expects one of {sorted(accepted)} "
+            f"— update plans/base.normalize_events_ts / this contract together")
+
+
+def test_events_ts_normalizes_to_timestamp():
+    """Whatever the physical type, the engine must hand probes a TIMESTAMP."""
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.session import get_spark
+
+    spark = get_spark()
+    df = load_tables(spark, SF_DIR)["events"]
+    assert dict(df.dtypes)["ts"] == "timestamp", df.dtypes
+
+
+def test_broken_table_does_not_poison_other_probes(tmp_path):
+    """Lazy loading isolation: a corrupted events.parquet must fail only
+    events-reading probes (VERDICT r1 item 3)."""
+    import shutil
+
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.session import get_spark
+
+    spark = get_spark()
+    for t in EXPECTED:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", tmp_path / f"{t}.parquet")
+    (tmp_path / "events.parquet").write_bytes(b"not a parquet file")
+
+    t = load_tables(spark, str(tmp_path))
+    # non-events table loads fine
+    assert t["lineitem"].count() > 0
+    # events raises, but only when actually touched
+    with pytest.raises(Exception):
+        t["events"].count()
