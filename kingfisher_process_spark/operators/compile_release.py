@@ -38,7 +38,15 @@ COMPILED_SCHEMA = T.StructType([
 
 
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    rules = merge_mod.load_rules()
+    # single-param: applyInPandas signature inspection must pick f(pdf)
+    return _merge_group_impl(pdf, None)
+
+
+def _merge_group_impl(pdf: pd.DataFrame,
+                      extension_schemas: dict[str, dict] | None) -> pd.DataFrame:
+    # with local extension schemas the rules depend on this group's
+    # extension set — let compile_releases derive (memoized) patched rules
+    rules = None if extension_schemas else merge_mod.load_rules()
     ocid = pdf["ocid"].iloc[0]
     # the payload tiebreak makes same-date merge order DETERMINISTIC:
     # shuffle arrival order is not stable across recomputes (Spark
@@ -57,7 +65,8 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         if isinstance(exts, list):
             extensions.update(e for e in exts if isinstance(e, str))
 
-    merged, notes = merge_mod.compile_releases(ocid, releases, extensions, rules)
+    merged, notes = merge_mod.compile_releases(
+        ocid, releases, extensions, rules, extension_schemas)
     rows = []
     if merged is not None:
         mjson = canonical_json(merged)
@@ -79,7 +88,8 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def compile_collection(store: Store, parent_id: int, compiled_collection_id: int,
                        two_phase: bool | str = "auto", batch: int | None = None,
-                       max_per_ocid: int | None = None) -> dict:
+                       max_per_ocid: int | None = None,
+                       extension_schemas: dict[str, dict] | None = None) -> dict:
     """Compile every OCID of ``parent_id``'s releases into
     ``compiled_collection_id``. Returns counts.
 
@@ -101,6 +111,11 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
     - ``True`` / ``False``: force one path (tests, benchmarks).
     """
     from kingfisher_process_spark.operators import lifecycle
+
+    # single-arg closure, not functools.partial: applyInPandas inspects the
+    # callable's signature to decide between f(pdf) and f(key, pdf)
+    merge_fn = (_merge_group if extension_schemas is None else
+                _bind_schemas(_merge_group_impl, extension_schemas))
 
     if lifecycle.collection_cancelled(store, parent_id) or \
             lifecycle.collection_cancelled(store, compiled_collection_id):
@@ -142,22 +157,28 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
         any_hot = bool(hot.limit(1).count())
         if not any_hot:
             compiled = grouped_apply_sorted(
-                inputs, ["ocid"], _merge_group, COMPILED_SCHEMA,
+                inputs, ["ocid"], merge_fn, COMPILED_SCHEMA,
                 extra_sort=["release_date", "data"])
         else:
             cold = inputs.join(F.broadcast(hot), "ocid", "left_anti")
             hot_in = inputs.join(F.broadcast(hot), "ocid", "left_semi")
             compiled = grouped_apply_sorted(
-                cold, ["ocid"], _merge_group, COMPILED_SCHEMA,
+                cold, ["ocid"], merge_fn, COMPILED_SCHEMA,
                 extra_sort=["release_date", "data"],
-            ).unionAll(two_phase_compiled(hot_in, batch))
+            ).unionAll(two_phase_compiled(hot_in, batch, extension_schemas))
     elif two_phase:
-        compiled = two_phase_compiled(inputs, batch)
+        compiled = two_phase_compiled(inputs, batch, extension_schemas)
     else:
         compiled = grouped_apply_sorted(
-            inputs, ["ocid"], _merge_group, COMPILED_SCHEMA,
+            inputs, ["ocid"], merge_fn, COMPILED_SCHEMA,
             extra_sort=["release_date", "data"])
     return persist_compiled(store, compiled_collection_id, compiled)
+
+
+def _bind_schemas(fn, extension_schemas):
+    def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
+        return fn(pdf, extension_schemas)
+    return wrapped
 
 
 PARTIAL_SCHEMA = T.StructType([
@@ -170,6 +191,12 @@ PARTIAL_SCHEMA = T.StructType([
 
 
 def _build_partial_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _build_partial_group_impl(pdf, None)
+
+
+def _build_partial_group_impl(pdf: pd.DataFrame,
+                              extension_schemas: dict[str, dict] | None
+                              ) -> pd.DataFrame:
     from kingfisher_process_spark.operators import merge_partial as mp
 
     # same deterministic tiebreak as _merge_group / the phase-A window
@@ -184,7 +211,9 @@ def _build_partial_group(pdf: pd.DataFrame) -> pd.DataFrame:
         exts = meta.get("extensions")
         if isinstance(exts, list):
             extensions.update(e for e in exts if isinstance(e, str))
-    partial = mp.build_partial(releases)
+    extensions = set(merge_mod.expand_extension_deps(extensions))
+    local = {u: s for u, s in (extension_schemas or {}).items() if u in extensions}
+    partial = mp.build_partial(releases, merge_mod.rules_with_extensions(local))
     return pd.DataFrame([{
         "ocid": pdf["ocid"].iloc[0],
         "salt": int(pdf["salt"].iloc[0]),
@@ -195,6 +224,12 @@ def _build_partial_group(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    return _finalize_group_impl(pdf, None)
+
+
+def _finalize_group_impl(pdf: pd.DataFrame,
+                         extension_schemas: dict[str, dict] | None
+                         ) -> pd.DataFrame:
     from kingfisher_process_spark.operators import merge as merge_mod
     from kingfisher_process_spark.operators import merge_partial as mp
 
@@ -204,15 +239,19 @@ def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     extensions: set[str] = set()
     for raw in pdf["extensions"]:
         extensions.update(json.loads(raw))
+    extensions = set(merge_mod.expand_extension_deps(extensions))
+    local = {u: s for u, s in (extension_schemas or {}).items() if u in extensions}
 
     notes = []
     for url in sorted(extensions):
+        if url in local:
+            continue
         notes.append((
             "WARNING",
             f"{url}: extension schemas are not fetched by this engine; base 1.1.5 merge rules used",
             json.dumps({"type": "ExtensionWarning"}),
         ))
-    merged, warnings, err = mp.finalize(partials)
+    merged, warnings, err = mp.finalize(partials, merge_mod.rules_with_extensions(local))
     if err is not None:
         notes.append((
             "ERROR", f"OCID {ocid} can't be compiled",
@@ -240,7 +279,8 @@ def _finalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
 
 
-def two_phase_compiled(inputs: DataFrame, batch: int | None = None) -> DataFrame:
+def two_phase_compiled(inputs: DataFrame, batch: int | None = None,
+                       extension_schemas: dict[str, dict] | None = None) -> DataFrame:
     """Distributed two-phase merge: salt by date-rank, pre-merge each
     (ocid, salt) batch into a partial, reduce partials per OCID. The
     phase-A window streams rows JVM-side (no group materialization); the
@@ -257,17 +297,22 @@ def two_phase_compiled(inputs: DataFrame, batch: int | None = None) -> DataFrame
     w = Window.partitionBy("ocid").orderBy("release_date", "data")
     salted = inputs.withColumn(
         "salt", ((F.row_number().over(w) - F.lit(1)) / batch).cast("int"))
+    build = (_build_partial_group if extension_schemas is None else
+             _bind_schemas(_build_partial_group_impl, extension_schemas))
+    final = (_finalize_group if extension_schemas is None else
+             _bind_schemas(_finalize_group_impl, extension_schemas))
     partials = salted.groupBy("ocid", "salt").applyInPandas(
-        _build_partial_group, PARTIAL_SCHEMA).cache()
+        build, PARTIAL_SCHEMA).cache()
     bad = [r["ocid"] for r in
            partials.where(F.col("incomposable")).select("ocid").distinct().collect()]
     compiled = partials.where(~F.col("incomposable")).groupBy("ocid").applyInPandas(
-        _finalize_group, COMPILED_SCHEMA)
+        final, COMPILED_SCHEMA)
     if bad:
         fallback = (
             inputs.where(F.col("ocid").isin(bad))
             .groupBy("ocid")
-            .applyInPandas(lambda pdf: _merge_group(pdf), COMPILED_SCHEMA)
+            .applyInPandas(
+                lambda pdf: _merge_group_impl(pdf, extension_schemas), COMPILED_SCHEMA)
         )
         compiled = compiled.unionAll(fallback)
     return compiled

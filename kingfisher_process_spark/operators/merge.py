@@ -81,6 +81,94 @@ def load_rules() -> dict[str, frozenset]:
     return _RULES
 
 
+# process/util.py:22 — canonical registry URL shape for OCDS extensions
+EXTENSION_URL = ("https://raw.githubusercontent.com/open-contracting-extensions/"
+                 "ocds_{}_extension/master/extension.json")
+
+
+def expand_extension_deps(extensions: set[str] | frozenset[str]) -> frozenset[str]:
+    """Inter-extension dependency closure (process/util.py:172-183): the
+    master lots extension depends on the submissionTerms extension."""
+    out = set(extensions)
+    if EXTENSION_URL.format("lots") in out:
+        out.add(EXTENSION_URL.format("submissionTerms"))
+    return frozenset(out)
+
+
+def extract_merge_annotations(patch: dict) -> list[tuple[str, str, bool]]:
+    """Pull merge-rule annotations out of an extension's
+    ``release-schema.json`` (a json-merge-patch over the base release
+    schema — processors/compiler.py:170-177 derives the same rules by
+    building the patched schema with ProfileBuilder; we read the
+    annotations straight off the patch so no network fetch is needed).
+
+    Returns ``(dotted_data_path, flag, enabled)`` triples, where flag is
+    ``wholeListMerge`` or ``omitWhenMerged``. ``enabled=False`` (the patch
+    sets the flag false/null) removes the flag a base rule set. Local
+    ``#/definitions/`` refs are resolved within the patch document; refs
+    into the base schema (which the patch doesn't carry) contribute no
+    annotations — the base rules for those paths already stand.
+    """
+    out: list[tuple[str, str, bool]] = []
+    defs = patch.get("definitions", {}) if isinstance(patch, dict) else {}
+
+    def resolve(node: Any, seen: frozenset[str]) -> tuple[Any, frozenset[str]]:
+        while isinstance(node, dict) and isinstance(node.get("$ref"), str):
+            ref = node["$ref"]
+            if not ref.startswith("#/definitions/") or ref in seen:
+                return None, seen
+            seen = seen | {ref}
+            node = defs.get(ref[len("#/definitions/"):])
+        return node, seen
+
+    def walk(node: Any, path: tuple, seen: frozenset[str]) -> None:
+        node, seen = resolve(node, seen)
+        if not isinstance(node, dict):
+            return
+        if path:  # flags never apply to the release root itself
+            dotted = ".".join(path)
+            for flag in ("wholeListMerge", "omitWhenMerged"):
+                if flag in node:
+                    out.append((dotted, flag, bool(node[flag])))
+        # array items continue the SAME dotted path (rule paths are
+        # index-free: "parties.additionalIdentifiers")
+        if "items" in node:
+            walk(node["items"], path, seen)
+        props = node.get("properties")
+        if isinstance(props, dict):
+            for k, sub in props.items():
+                walk(sub, path + (k,), seen)
+
+    walk(patch, (), frozenset())
+    return out
+
+
+_EXT_RULES_CACHE: dict[tuple, dict[str, frozenset]] = {}
+
+
+def rules_with_extensions(extension_schemas: dict[str, dict] | None) -> dict[str, frozenset]:
+    """Base 1.1.5 rules patched by each extension's merge annotations,
+    applied in sorted-URL order (deterministic across executors). Memoized
+    per schema-set — compile calls this once per OCID group."""
+    if not extension_schemas:
+        return load_rules()
+    import hashlib
+
+    key = tuple(sorted(
+        (u, hashlib.md5(json.dumps(s, sort_keys=True).encode()).hexdigest())
+        for u, s in extension_schemas.items()))
+    rules = _EXT_RULES_CACHE.get(key)
+    if rules is None:
+        rules = dict(load_rules())
+        for url in sorted(extension_schemas):
+            for path, flag, enabled in extract_merge_annotations(extension_schemas[url]):
+                cur = set(rules.get(path, ()))
+                (cur.add if enabled else cur.discard)(flag)
+                rules[path] = frozenset(cur)
+        _EXT_RULES_CACHE[key] = rules
+    return rules
+
+
 def _merge_list(target_list: list, source_list: list, rule_path: tuple,
                 rules: dict, dup_warnings: list) -> list:
     """Identifier-merge one array (all items are dicts)."""
@@ -298,21 +386,32 @@ def create_versioned_release(releases: list, rules: dict | None = None) -> dict:
 
 
 def compile_releases(ocid: str, releases: list, extensions: set | None = None,
-                     rules: dict | None = None) -> tuple[dict | None, list[Note]]:
+                     rules: dict | None = None,
+                     extension_schemas: dict[str, dict] | None = None
+                     ) -> tuple[dict | None, list[Note]]:
     """The reference's compile_releases_by_ocdskit contract
     (processors/compiler.py:135-177): returns (merged | None, notes).
 
-    Extension schema patching requires network fetches the engine does not
-    perform (SURVEY §7 step 4: degrade gracefully) — a WARNING note is
-    emitted per extension URL and base-schema rules are used.
+    Extension handling mirrors _get_merger (processors/compiler.py:170-177)
+    minus the network: when the caller supplies an extension's
+    ``release-schema.json`` patch (``extension_schemas[url]`` — prefetched
+    or vendored), its merge annotations patch the base 1.1.5 rules and
+    CHANGE merge behavior. URLs without a local schema degrade gracefully
+    (SURVEY §7 step 4): a WARNING note, base rules for those paths.
     """
     notes: list[Note] = []
-    for url in sorted(extensions or ()):
+    exts = expand_extension_deps(extensions or set())
+    local = {u: s for u, s in (extension_schemas or {}).items() if u in exts}
+    for url in sorted(exts):
+        if url in local:
+            continue
         notes.append(Note(
             WARNING,
             f"{url}: extension schemas are not fetched by this engine; base 1.1.5 merge rules used",
             {"type": "ExtensionWarning"},
         ))
+    if local and rules is None:
+        rules = rules_with_extensions(local)
     try:
         merged, warnings = create_compiled_release(releases, rules)
     except MergeError as e:

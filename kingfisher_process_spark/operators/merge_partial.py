@@ -248,10 +248,12 @@ def compose(acc: dict, nxt: dict, rules: dict) -> dict:
     return acc
 
 
-def finalize(partials: list[dict]) -> tuple[dict | None, list[m.Note], dict | None]:
+def finalize(partials: list[dict], rules: dict | None = None
+             ) -> tuple[dict | None, list[m.Note], dict | None]:
     """Compose date-ordered partials and produce (merged, warnings, err).
     Mirrors merge.create_compiled_release's tail."""
-    rules = m.load_rules()
+    if rules is None:
+        rules = m.load_rules()
     offset = 0
     acc = None
     for p in partials:

@@ -192,3 +192,144 @@ def test_versioned_release_golden():
                       {**m2, "value": ["buyer", "supplier"]}],
         }],
     }
+
+
+# --- extension-patched merge rules (reference: processors/compiler.py:170-177
+# builds a Merger from the extension-patched schema; process/util.py:172-183
+# adds the lots -> submissionTerms dependency) ---
+
+LOTS_URL = ("https://raw.githubusercontent.com/open-contracting-extensions/"
+            "ocds_lots_extension/master/extension.json")
+SUBMISSION_URL = ("https://raw.githubusercontent.com/open-contracting-extensions/"
+                  "ocds_submissionTerms_extension/master/extension.json")
+
+# Representative release-schema.json patch: adds tender.lots (array of
+# Lot, referenced via a local definition) flagged wholeListMerge — the
+# annotation shape extensions use to opt an array out of id-merging.
+LOTS_PATCH = {
+    "properties": {
+        "tender": {
+            "properties": {
+                "lots": {
+                    "type": "array",
+                    "items": {"$ref": "#/definitions/Lot"},
+                    "wholeListMerge": True,
+                },
+            },
+        },
+    },
+    "definitions": {
+        "Lot": {
+            "type": "object",
+            "properties": {
+                "id": {"type": "string"},
+                "title": {"type": "string"},
+            },
+        },
+    },
+}
+
+LOTS_RELEASES = [
+    {
+        "ocid": "ocds-213czf-L", "id": "1", "date": "2020-01-01T00:00:00Z",
+        "tender": {"lots": [{"id": "lot-1", "title": "North"},
+                            {"id": "lot-2", "title": "South"}]},
+    },
+    {
+        "ocid": "ocds-213czf-L", "id": "2", "date": "2020-02-01T00:00:00Z",
+        "tender": {"lots": [{"id": "lot-2", "title": "South (revised)"}]},
+    },
+]
+
+
+def test_extension_schema_changes_merge_behavior():
+    """The SAME input merges differently once the extension's schema is
+    supplied: base rules id-merge tender.lots (lot-1 survives), the
+    extension's wholeListMerge replaces the array wholesale."""
+    base_merged, base_notes = compile_releases(
+        "ocds-213czf-L", [json.loads(json.dumps(r)) for r in LOTS_RELEASES],
+        {LOTS_URL})
+    assert base_merged["tender"]["lots"] == [
+        {"id": "lot-1", "title": "North"},
+        {"id": "lot-2", "title": "South (revised)"},
+    ]
+    # no schema supplied -> one warning per extension URL (incl. the
+    # lots -> submissionTerms dependency closure)
+    warn_urls = {n.note.split(":")[0] + ":" + n.note.split(":")[1]
+                 for n in base_notes if n.data and n.data.get("type") == "ExtensionWarning"}
+    assert len([n for n in base_notes
+                if n.data and n.data.get("type") == "ExtensionWarning"]) == 2
+
+    ext_merged, ext_notes = compile_releases(
+        "ocds-213czf-L", [json.loads(json.dumps(r)) for r in LOTS_RELEASES],
+        {LOTS_URL}, extension_schemas={LOTS_URL: LOTS_PATCH})
+    assert ext_merged["tender"]["lots"] == [
+        {"id": "lot-2", "title": "South (revised)"},
+    ]
+    # lots schema supplied, submissionTerms still missing -> ONE warning
+    ext_warns = [n for n in ext_notes
+                 if n.data and n.data.get("type") == "ExtensionWarning"]
+    assert len(ext_warns) == 1
+    assert SUBMISSION_URL in ext_warns[0].note
+
+
+def test_extension_flag_removal():
+    """A patch that nulls wholeListMerge on a base-flagged array switches
+    it back to id-merging (json-merge-patch null = delete the flag)."""
+    url = "https://example.com/extension.json"
+    patch = {"properties": {"parties": {"items": {"properties": {
+        "additionalIdentifiers": {"wholeListMerge": None}}}}}}
+    releases = [
+        {"ocid": "o-1", "id": "1", "date": "2020-01-01T00:00:00Z",
+         "parties": [{"id": "P", "additionalIdentifiers": [
+             {"id": "A", "scheme": "x"}]}]},
+        {"ocid": "o-1", "id": "2", "date": "2020-02-01T00:00:00Z",
+         "parties": [{"id": "P", "additionalIdentifiers": [
+             {"id": "B", "scheme": "y"}]}]},
+    ]
+    base, _ = compile_releases("o-1", [json.loads(json.dumps(r)) for r in releases], set())
+    assert base["parties"][0]["additionalIdentifiers"] == [{"id": "B", "scheme": "y"}]
+
+    ext, _ = compile_releases("o-1", [json.loads(json.dumps(r)) for r in releases],
+                              {url}, extension_schemas={url: patch})
+    assert ext["parties"][0]["additionalIdentifiers"] == [
+        {"id": "A", "scheme": "x"}, {"id": "B", "scheme": "y"}]
+
+
+def test_extension_schemas_in_spark_pipeline(tmp_path):
+    """End-to-end through the distributed compile: extension_schemas passed
+    to compile_collection alters the compiled payload, on both the
+    single-phase and forced two-phase paths."""
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.operators import lifecycle
+    from kingfisher_process_spark.operators.compile_release import compile_collection
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.session import get_spark
+    from kingfisher_process_spark.store import Store
+    from kingfisher_process_spark.util import canonical_json
+
+    spark = get_spark()
+    pkg = {"uri": "http://x", "publisher": {"name": "p"},
+           "extensions": [LOTS_URL], "releases": LOTS_RELEASES}
+    path = tmp_path / "pkg.json"
+    path.write_text(canonical_json(pkg))
+
+    def run(two_phase, schemas):
+        tag = f"{two_phase}_{bool(schemas)}"
+        store = Store(spark, str(tmp_path / f"store_{tag}"))
+        r = process_collection(spark, store, f"ext_{tag}",
+                               "2020-01-01 00:00:00", [str(path)])
+        comp = lifecycle.create_collections(
+            store, f"extc_{tag}", "2020-01-01 00:00:00")["root"]
+        compile_collection(store, r["collections"]["root"], comp,
+                           two_phase=two_phase, batch=1,
+                           extension_schemas=schemas)
+        crs = store.read("compiled_release").where(F.col("collection_id") == comp)
+        data = store.read("data").select(F.col("id").alias("data_id"), "data")
+        [row] = crs.join(data, "data_id").select("data").collect()
+        return json.loads(row["data"])["tender"]["lots"]
+
+    for two_phase in (False, True):
+        assert len(run(two_phase, None)) == 2           # base rules: id-merge
+        assert len(run(two_phase, {LOTS_URL: LOTS_PATCH})) == 1  # wholeListMerge
