@@ -40,7 +40,14 @@ def fanout(df: DataFrame) -> DataFrame:
     and this is a no-op, so the full-corpus shuffle only ever happens
     when the corpus is small enough for it to be trivial."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    # file count ~= scan task count under bin-packing; inputFiles() reads
+    # the plan's FileIndex without the physical planning a .rdd conversion
+    # would trigger on every probe call
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if 0 < n_files < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 
