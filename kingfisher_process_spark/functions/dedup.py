@@ -139,9 +139,33 @@ def d_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids="dedup-ext,J1,A6",
 )
 def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard, top-50 — the oracle-checked BASELINE.
+
+    Scale posture (audited r2, 2.5 s @ sf0.1): the shingle-equality
+    self-join is an inverted-index pair generation — output is bounded by
+    sum(df_s²) over shingle doc-frequencies, quadratic in the hottest
+    shingle. At corpus scale use ngram_jaccard_pairs(max_df=...) below
+    (cap hot shingles) or, preferably, LSH candidates + jaccard_verify —
+    this exact form exists to validate those approximations."""
     t = load_tables(spark, sf_dir)
-    sh = shingles_df(t["documents"]).cache()
+    return ngram_jaccard_pairs(t["documents"])
+
+
+def ngram_jaccard_pairs(docs: DataFrame, max_df: int | None = None) -> DataFrame:
+    """All-pairs n-gram Jaccard via inverted index. ``max_df`` drops
+    shingles present in more than that many documents before pair
+    generation — the standard hot-posting guard: a shingle in d docs
+    yields d·(d-1)/2 pairs, so one stopword trigram at 100 TB would
+    dominate the join output. Capped runs under-count n_common for pairs
+    that only shared hot shingles (use for candidate mining, not exact
+    scores)."""
+    sh = shingles_df(docs).cache()
+    # sizes from the UNCAPPED shingle set: |A|,|B| stay true set sizes
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_df is not None:
+        hot = (sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+               .where(F.col("df") > max_df).select("shingle"))
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

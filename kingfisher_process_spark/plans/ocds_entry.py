@@ -3,9 +3,10 @@ from the ``orders`` table, run the full load→compile pipeline, and answer
 the analyst top-buyers query (docs/querying-data.rst:103-125) over the
 compiled collection.
 
-No DuckDB oracle (the merge engine is not SQL-expressible — SURVEY §2.12);
-the driver records the weaker rows-only check. The merge semantics
-themselves are pinned by the golden tests (tests/test_merge_golden.py).
+The merge engine itself is not SQL-expressible (SURVEY §2.12), but the
+synthetic input makes the compiled-collection analyst answer exactly
+predictable, so the compile probes still carry exact DuckDB oracles; the
+merge semantics themselves are pinned by tests/test_merge_golden.py.
 """
 
 from __future__ import annotations
@@ -19,12 +20,30 @@ from pyspark.sql import functions as F
 from kingfisher_process_spark.plans.base import load_tables, probe
 
 
-@probe("ocds_compile_pipeline", None, survey_ids="S1-S8,S10,C1,C3,C4,P1,P5,A2,A5,A6,J6,M3,M4,O2,O5")
+# The synthetic packages derive deterministically from orders (two
+# releases per order; the award — buyer o_custkey, amount o_totalprice —
+# arrives in the second release and survives the merge untouched), so the
+# analyst answer over the COMPILED collection is exactly predictable in
+# SQL even though the merge engine itself is not SQL-expressible. A wrong
+# merge (dropped award, wrong overwrite order, duplicated OCID) breaks the
+# hash match.
+PIPELINE_SQL = """
+  SELECT CAST(o_custkey AS VARCHAR) AS buyer,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_award_value,
+         COUNT(*) AS n_awards
+  FROM (SELECT o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 2000) o
+  GROUP BY o_custkey
+  ORDER BY total_award_value DESC, buyer
+  LIMIT 10
+"""
+
+
+@probe("ocds_compile_pipeline", PIPELINE_SQL, survey_ids="S1-S8,S10,C1,C3,C4,P1,P5,A2,A5,A6,J6,M3,M4,O2,O5")
 def ocds_compile_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_pipeline(spark, sf_dir, two_phase=False)
 
 
-@probe("ocds_compile_two_phase", None, survey_ids="C1,C3,skew-ext")
+@probe("ocds_compile_two_phase", PIPELINE_SQL, survey_ids="C1,C3,skew-ext")
 def ocds_compile_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same pipeline through the two-phase partial merge (the hot-OCID
     skew path, operators/merge_partial.py) — must produce the same
