@@ -64,7 +64,12 @@ def test_no_row_python_udfs_in_headline_plans(spark):
                  "q9_product_profit", "p5_json_extract_agg",
                  "d_minhash_lsh_pairs", "ann_brute_force_topk",
                  "t_quality_scores", "j4_explode_token_counts",
-                 "w1_running_customer_spend"):
+                 "w1_running_customer_spend", "e_sessionize",
+                 "d_simhash_near_pairs", "d_decontaminate",
+                 "ann_ivf_topk", "s_embedding_near_dups", "t_pii_redact",
+                 "j5_recursive_tree", "o3_latest_order_per_customer",
+                 "u3_except_inactive_customers",
+                 "w3_median_spend_by_segment", "q21_waiting_supplier"):
         if "BatchEvalPython" in plan_of(spark, name):
             offenders.append(name)
     assert not offenders, offenders
@@ -119,3 +124,33 @@ def test_curation_funnel_reuses_staged_flags(spark):
     plan = plan_of(spark, "d_curation_funnel")
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert plan.count("Scan ExistingRDD") >= 1, plan
+
+
+def test_events_ts_filter_pushes_through_normalization(spark):
+    """normalize_events_ts rebuilds ts (nanos div / ntz cast); a filter on
+    the normalized column must still reach the parquet scan — Catalyst
+    transposes the predicate below the cast. Regression guard for the
+    lazy-loader path."""
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.plans.base import load_tables
+
+    ev = load_tables(spark, SF_SMOKE)["events"]
+    df = ev.where(F.col("ts") > "2024-01-01").select("event_id")
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert re.search(r"PushedFilters: \[.*ts", plan), plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2, m.group(0)
+
+
+def test_ngram_capped_hot_shingles_broadcast(spark):
+    """The max_df guard must subtract hot shingles with a BROADCAST
+    anti-join (the hot set is tiny by construction) — never a shuffle of
+    the full posting list."""
+    from kingfisher_process_spark.functions.dedup import ngram_jaccard_pairs
+    from kingfisher_process_spark.plans.base import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    df = ngram_jaccard_pairs(docs, max_df=100)
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan
