@@ -95,52 +95,102 @@ def expand_extension_deps(extensions: set[str] | frozenset[str]) -> frozenset[st
     return frozenset(out)
 
 
-def extract_merge_annotations(patch: dict) -> list[tuple[str, str, bool]]:
-    """Pull merge-rule annotations out of an extension's
-    ``release-schema.json`` (a json-merge-patch over the base release
-    schema — processors/compiler.py:170-177 derives the same rules by
-    building the patched schema with ProfileBuilder; we read the
-    annotations straight off the patch so no network fetch is needed).
+def json_merge_patch(target: Any, patch: Any) -> Any:
+    """RFC 7386 json-merge-patch — how OCDS extensions modify the base
+    release schema (the reference applies the same via ProfileBuilder /
+    json-merge-patch, processors/compiler.py:170-177)."""
+    if not isinstance(patch, dict):
+        return patch
+    if not isinstance(target, dict):
+        target = {}
+    out = dict(target)
+    for k, v in patch.items():
+        if v is None:
+            out.pop(k, None)
+        else:
+            out[k] = json_merge_patch(out.get(k), v)
+    return out
 
-    Returns ``(dotted_data_path, flag, enabled)`` triples, where flag is
-    ``wholeListMerge`` or ``omitWhenMerged``. ``enabled=False`` (the patch
-    sets the flag false/null) removes the flag a base rule set. Local
-    ``#/definitions/`` refs are resolved within the patch document; refs
-    into the base schema (which the patch doesn't carry) contribute no
-    annotations — the base rules for those paths already stand.
+
+def load_base_release_schema() -> dict:
+    """The vendored OCDS 1.1.5 release schema (the reference pins the same
+    version: core/settings.py:269)."""
+    import gzip
+
+    ref = (importlib.resources.files("kingfisher_process_spark")
+           / "resources/release_schema_1_1_5.json.gz")
+    with gzip.open(ref.open("rb")) as f:
+        return json.load(f)
+
+
+def derive_merge_rules(schema: dict) -> dict[str, frozenset]:
+    """Walk a (possibly extension-patched) release schema and derive the
+    merge-rule table — the public ocdsmerge ``get_merge_rules`` semantics
+    per the OCDS merging specification:
+
+    - ``omitWhenMerged: true`` → drop the field when compiling;
+    - ``wholeListMerge: true`` → replace the array wholesale;
+    - an array of objects whose items schema has NO ``id`` property is
+      wholeListMerge implicitly (the spec's identifier-merge requires a
+      schema-declared id).
+
+    ``#/definitions/`` refs are resolved with a cycle guard (recursive
+    definitions stop contributing paths once revisited); rule paths are
+    index-free dotted data paths ("parties.additionalIdentifiers").
     """
-    out: list[tuple[str, str, bool]] = []
-    defs = patch.get("definitions", {}) if isinstance(patch, dict) else {}
+    defs = schema.get("definitions", {}) if isinstance(schema, dict) else {}
+    rules: dict[str, set] = {}
 
-    def resolve(node: Any, seen: frozenset[str]) -> tuple[Any, frozenset[str]]:
-        while isinstance(node, dict) and isinstance(node.get("$ref"), str):
-            ref = node["$ref"]
-            if not ref.startswith("#/definitions/") or ref in seen:
-                return None, seen
-            seen = seen | {ref}
-            node = defs.get(ref[len("#/definitions/"):])
-        return node, seen
+    def resolve(node: Any, stack: tuple) -> tuple[Any, tuple] | None:
+        while isinstance(node, dict) and "$ref" in node:
+            r = node["$ref"]
+            if not isinstance(r, str) or not r.startswith("#/definitions/") or r in stack:
+                return None
+            stack = stack + (r,)
+            node = defs.get(r[len("#/definitions/"):])
+        return node, stack
 
-    def walk(node: Any, path: tuple, seen: frozenset[str]) -> None:
-        node, seen = resolve(node, seen)
+    def types_of(node: dict) -> list:
+        t = node.get("type")
+        return [t] if isinstance(t, str) else (t or [])
+
+    def walk(node: Any, path: tuple, stack: tuple) -> None:
+        res = resolve(node, stack)
+        if res is None:
+            return
+        node, stack = res
         if not isinstance(node, dict):
             return
-        if path:  # flags never apply to the release root itself
-            dotted = ".".join(path)
-            for flag in ("wholeListMerge", "omitWhenMerged"):
-                if flag in node:
-                    out.append((dotted, flag, bool(node[flag])))
-        # array items continue the SAME dotted path (rule paths are
-        # index-free: "parties.additionalIdentifiers")
+        if path:
+            flags = set()
+            if node.get("omitWhenMerged"):
+                flags.add("omitWhenMerged")
+            if node.get("wholeListMerge"):
+                flags.add("wholeListMerge")
+            if "array" in types_of(node) and "items" in node:
+                ires = resolve(node["items"], stack)
+                if ires and isinstance(ires[0], dict):
+                    inode = ires[0]
+                    if ("object" in types_of(inode)
+                            and "id" not in (inode.get("properties") or {})):
+                        flags.add("wholeListMerge")
+            if flags:
+                rules[".".join(path)] = rules.get(".".join(path), set()) | flags
+        # array items continue the SAME dotted path
         if "items" in node:
-            walk(node["items"], path, seen)
+            ires = resolve(node["items"], stack)
+            if ires and isinstance(ires[0], dict):
+                props = ires[0].get("properties")
+                if isinstance(props, dict):
+                    for k, sub in props.items():
+                        walk(sub, path + (k,), ires[1])
         props = node.get("properties")
         if isinstance(props, dict):
             for k, sub in props.items():
-                walk(sub, path + (k,), seen)
+                walk(sub, path + (k,), stack)
 
-    walk(patch, (), frozenset())
-    return out
+    walk(schema, (), ())
+    return {k: frozenset(v) for k, v in rules.items()}
 
 
 _EXT_RULES_CACHE: dict[tuple, dict[str, frozenset]] = {}
@@ -159,12 +209,15 @@ def rules_with_extensions(extension_schemas: dict[str, dict] | None) -> dict[str
         for u, s in extension_schemas.items()))
     rules = _EXT_RULES_CACHE.get(key)
     if rules is None:
-        rules = dict(load_rules())
+        # exactly the reference's _get_merger: base schema + each
+        # extension's release-schema patch (json-merge-patch, sorted-URL
+        # order), rules re-derived from the PATCHED schema — so implicit
+        # rules (id-less object arrays) come out right, not just explicit
+        # flag annotations
+        schema = load_base_release_schema()
         for url in sorted(extension_schemas):
-            for path, flag, enabled in extract_merge_annotations(extension_schemas[url]):
-                cur = set(rules.get(path, ()))
-                (cur.add if enabled else cur.discard)(flag)
-                rules[path] = frozenset(cur)
+            schema = json_merge_patch(schema, extension_schemas[url])
+        rules = derive_merge_rules(schema)
         _EXT_RULES_CACHE[key] = rules
     return rules
 

@@ -333,3 +333,38 @@ def test_extension_schemas_in_spark_pipeline(tmp_path):
     for two_phase in (False, True):
         assert len(run(two_phase, None)) == 2           # base rules: id-merge
         assert len(run(two_phase, {LOTS_URL: LOTS_PATCH})) == 1  # wholeListMerge
+
+
+def test_rules_file_matches_schema_derivation():
+    """The vendored rules file is derived from the vendored 1.1.5 release
+    schema — this pins them together so neither can drift."""
+    from kingfisher_process_spark.operators.merge import (
+        derive_merge_rules, load_base_release_schema, load_rules)
+
+    assert load_rules() == derive_merge_rules(load_base_release_schema())
+
+
+def test_idless_object_array_is_whole_list_merge():
+    """OCDS merge spec: an array of objects whose items schema declares no
+    `id` is replaced wholesale. amendment.changes (deprecated 1.1 shape)
+    is the base-schema case; an extension adding a new id-less array gets
+    the same implicit rule through the patched-schema derivation."""
+    from kingfisher_process_spark.operators.merge import load_rules
+
+    assert "tender.amendments.changes" in load_rules()
+
+    url = "https://example.com/idless.json"
+    patch = {"properties": {"tender": {"properties": {"metrics": {
+        "type": "array",
+        "items": {"type": "object", "properties": {"value": {"type": "number"}}},
+    }}}}}
+    releases = [
+        {"ocid": "o-2", "id": "1", "date": "2020-01-01T00:00:00Z",
+         "tender": {"metrics": [{"value": 1}, {"value": 2}]}},
+        {"ocid": "o-2", "id": "2", "date": "2020-02-01T00:00:00Z",
+         "tender": {"metrics": [{"value": 9}]}},
+    ]
+    ext, _ = compile_releases("o-2", [json.loads(json.dumps(r)) for r in releases],
+                              {url}, extension_schemas={url: patch})
+    # patched schema: metrics has no id -> whole-list replace by release 2
+    assert ext["tender"]["metrics"] == [{"value": 9}]
