@@ -16,7 +16,6 @@ batch iterator, then streams Arrow batches.
 
 from __future__ import annotations
 
-import functools
 import gzip
 import importlib.resources
 import json
@@ -35,16 +34,23 @@ CHECK_SCHEMA = T.StructType([
 ])
 
 
-@functools.lru_cache(maxsize=2)
-def _load_schema(record_pkg: bool) -> dict:
+def _load_schema(record_pkg: bool,
+                 extension_schemas: dict[str, dict] | None = None) -> dict:
+    from kingfisher_process_spark.operators.merge import json_merge_patch
+
     name = "record_package_schema_1_1_5.json.gz" if record_pkg else "release_package_schema_1_1_5.json.gz"
     ref = importlib.resources.files("kingfisher_process_spark") / "resources" / name
     with gzip.open(ref.open("rb")) as f:
         schema = json.load(f)
-    # inline the release-schema $ref so validation is self-contained
+    # inline the release-schema $ref so validation is self-contained;
+    # extension patches apply to the RELEASE schema before inlining — the
+    # reference patches SchemaOCDS the same way (checker.py:80-131) so an
+    # extension-declared field stops flagging additional-property errors
     rel_ref = importlib.resources.files("kingfisher_process_spark") / "resources/release_schema_1_1_5.json.gz"
     with gzip.open(rel_ref.open("rb")) as f:
         release_schema = json.load(f)
+    for url in sorted(extension_schemas or {}):
+        release_schema = json_merge_patch(release_schema, extension_schemas[url])
     items_key = "records" if record_pkg else "releases"
     if items_key in schema.get("properties", {}):
         items = schema["properties"][items_key]
@@ -57,16 +63,33 @@ def _load_schema(record_pkg: bool) -> dict:
     return schema
 
 
-@functools.lru_cache(maxsize=2)
-def _validator(record_pkg: bool):
+_VALIDATOR_CACHE: dict[tuple, object] = {}
+
+
+def _ext_key(extension_schemas: dict[str, dict] | None) -> tuple:
+    import hashlib
+
+    return tuple(sorted(
+        (u, hashlib.md5(json.dumps(s, sort_keys=True).encode()).hexdigest())
+        for u, s in (extension_schemas or {}).items()))
+
+
+def _validator(record_pkg: bool,
+               extension_schemas: dict[str, dict] | None = None):
     import jsonschema
 
-    schema = _load_schema(record_pkg)
-    cls = jsonschema.validators.validator_for(schema, default=jsonschema.Draft4Validator)
-    return cls(schema)
+    key = (record_pkg, _ext_key(extension_schemas))
+    v = _VALIDATOR_CACHE.get(key)
+    if v is None:
+        schema = _load_schema(record_pkg, extension_schemas)
+        cls = jsonschema.validators.validator_for(schema, default=jsonschema.Draft4Validator)
+        v = cls(schema)
+        _VALIDATOR_CACHE[key] = v
+    return v
 
 
-def check_item(item_json: str, record_pkg: bool, package_json: str | None = None) -> str:
+def check_item(item_json: str, record_pkg: bool, package_json: str | None = None,
+               extension_schemas: dict[str, dict] | None = None) -> str:
     """Validate one release/record, re-packaged into a 1-item package
     (checker.py:106-110). Returns the cove_output JSON string."""
     item = json.loads(item_json, parse_float=Decimal)
@@ -79,7 +102,7 @@ def check_item(item_json: str, record_pkg: bool, package_json: str | None = None
     package.setdefault("publisher", {"name": "placeholder"})
     package[items_key] = [item]
 
-    validator = _validator(record_pkg)
+    validator = _validator(record_pkg, extension_schemas)
     errors = []
     for e in validator.iter_errors(_jsonable(package)):
         errors.append({
@@ -108,7 +131,8 @@ def _jsonable(obj):
     return obj
 
 
-def check_collection(store: Store, collection_id: int, kind: str = "release") -> int:
+def check_collection(store: Store, collection_id: int, kind: str = "release",
+                     extension_schemas: dict[str, dict] | None = None) -> int:
     """Check all unchecked releases/records of a collection (left-anti join
     against existing checks — addchecks.py:35-44 shape). Returns row count."""
     from kingfisher_process_spark.operators import lifecycle
@@ -130,7 +154,8 @@ def check_collection(store: Store, collection_id: int, kind: str = "release") ->
 
     def gen(batches):
         for pdf in batches:
-            out = [check_item(d, record_pkg) for d in pdf["data"]]
+            out = [check_item(d, record_pkg, extension_schemas=extension_schemas)
+                   for d in pdf["data"]]
             yield pd.DataFrame({"item_id": pdf["item_id"], "cove_output": out})
 
     checked = todo.mapInPandas(gen, CHECK_SCHEMA)

@@ -73,6 +73,7 @@ def process_collection(
     sample: bool = False,
     note: str | None = None,
     two_phase_compile: bool | str = "auto",
+    extension_schemas: dict[str, dict] | None = None,
 ) -> dict:
     """Load files into a new collection and run the requested transforms.
 
@@ -128,7 +129,8 @@ def process_collection(
             hint = (result.get("upgrade") or result["load"]).get("max_per_ocid")
             result["compile"] = compile_collection(store, compile_parent, comp_id,
                                                    two_phase=two_phase_compile,
-                                                   max_per_ocid=hint)
+                                                   max_per_ocid=hint,
+                                                   extension_schemas=extension_schemas)
         elif fmt == detect.RECORD_PACKAGE:
             result["compile"] = compile_records(store, compile_parent, comp_id)
         else:
@@ -142,7 +144,8 @@ def process_collection(
     if check:
         kind = "record" if fmt == detect.RECORD_PACKAGE else "release"
         target = compile_parent
-        result["check"] = check_collection(store, target, kind)
+        result["check"] = check_collection(store, target, kind,
+                                           extension_schemas=extension_schemas)
 
     lifecycle.close_collection(store, ids["root"], expected_files_count=len(paths))
     # every stage already reported what it wrote into these fresh

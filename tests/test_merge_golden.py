@@ -368,3 +368,28 @@ def test_idless_object_array_is_whole_list_merge():
                               {url}, extension_schemas={url: patch})
     # patched schema: metrics has no id -> whole-list replace by release 2
     assert ext["tender"]["metrics"] == [{"value": 9}]
+
+
+def test_extension_schema_applies_to_checks():
+    """checker parity (checker.py:80-131): an extension-declared field
+    stops producing additional/unknown-shape validation errors once its
+    schema patches the validation schema."""
+    from kingfisher_process_spark.operators.check import check_item
+
+    url = "https://example.com/ext.json"
+    patch = {"properties": {"tender": {"properties": {
+        "submissionTerms": {"type": "object", "properties": {
+            "electronicSubmissionPolicy": {"type": "string"}}}}}}}
+    release = json.dumps({
+        "ocid": "o-3", "id": "1", "date": "2020-01-01T00:00:00Z",
+        "tag": ["tender"], "initiationType": "tender",
+        "tender": {"id": "t", "submissionTerms": {"electronicSubmissionPolicy": 42}},
+    })
+    base = json.loads(check_item(release, False))
+    ext = json.loads(check_item(release, False, extension_schemas={url: patch}))
+    # base schema has no submissionTerms -> the type error is invisible;
+    # the patched schema declares it a string and flags the integer
+    paths = [e["path"] for e in ext["validation_errors"]]
+    assert any("submissionTerms" in p for p in paths), ext
+    base_paths = [e["path"] for e in base["validation_errors"]]
+    assert not any("submissionTerms" in p for p in base_paths), base
