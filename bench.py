@@ -26,20 +26,44 @@ from kingfisher_process_spark.session import get_spark  # noqa: E402
 # window, JSON, explode, plus the extension operators (dedup/similarity)
 # when registered.
 HEADLINE = [
+    # relational: one per operator family
     "q1_pricing_summary",
     "q3_unshipped_orders",
     "q5_region_revenue",
+    "q9_product_profit",
     "q10_returned_revenue",
+    "q18_large_orders",
+    "q21_waiting_supplier",
     "j2_customers_without_orders",
+    "j3_customers_with_open_orders",
+    "j5_recursive_tree",
     "o3_latest_order_per_customer",
     "w1_running_customer_spend",
+    "w3_median_spend_by_segment",
+    "u3_except_inactive_customers",
     "p5_json_extract_agg",
+    "p6_json_predicate",
     "j4_explode_token_counts",
+    "a6_top_buyers",
+    "f_scalar_functions",
+    "e_hourly_event_rollup",
     "e_sessionize",
+    # LLM-pipeline families
+    "d_exact_dup_groups",
     "d_minhash_lsh_pairs",
+    "d_simhash_near_pairs",
+    "d_dup_clusters",
+    "d_decontaminate",
     "ann_brute_force_topk",
+    "ann_ivf_topk",
+    "s_embedding_near_dups",
     "t_quality_scores",
+    "t_token_stats",
+    "t_pii_redact",
+    "m_media_features",
+    # OCDS pipeline + streaming
     "ocds_compile_pipeline",
+    "st_dedup_ingest",
 ]
 
 
