@@ -464,3 +464,68 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cosine", "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+def train_ivf_centroids(emb: DataFrame, k: int = K_CELLS, iters: int = 5,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer — the
+    trained drop-in for ann_ivf_topk's deterministic-sample centroids
+    (its plan shape is unchanged: the centroid set stays a broadcast
+    literal either way).
+
+    Scale shape, per iteration:
+
+    - ASSIGNMENT is a pure map-side projection — the k centroids are
+      embedded as an array-of-structs literal and argmax'd with
+      ``F.aggregate`` over that array; no crossJoin row blow-up, no
+      shuffle, stays inside codegen.
+    - UPDATE is one narrow shuffle: ``groupBy(cell)`` with one AVG per
+      dimension, partial-aggregated map-side, so the exchange carries
+      k × dims partials per map task — independent of corpus size.
+    - The k × dims centroid matrix collected per iteration is
+      driver-sized by construction (k ≤ thousands), the same pattern as
+      broadcasting any dimension table.
+
+    Deterministic: init = the k smallest ``id_col`` vectors, ties cannot
+    occur; Lloyd's from a fixed init is deterministic up to FP summation
+    order, which AVG's partial aggregation makes stable enough for
+    centroid training (cell assignment differences only arise on exact
+    distance ties between centroids — resolved by smallest cell index).
+    """
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        return []
+    dim = first["d"]
+    cents = [list(map(float, r["v"])) for r in
+             emb.orderBy(id_col).limit(k)
+             .select(F.col(vec_col).cast("array<double>").alias("v")).collect()]
+
+    for _ in range(iters):
+        cent_lit = F.array(*[
+            F.struct(F.lit(ci).alias("cid"),
+                     F.array(*[F.lit(x) for x in c]).alias("ce"))
+            for ci, c in enumerate(cents)
+        ])
+        # map-side argmax: per-centroid (dot, -cid) structs, array_max's
+        # lexicographic struct compare picks best dot with smallest-cid
+        # tiebreak — every term stays inside codegen, zero joins
+        v = F.col(vec_col).cast("array<double>")
+        scored = F.transform(
+            cent_lit,
+            lambda c: F.struct(
+                F.aggregate(F.zip_with(v, c["ce"], lambda a, b: a * b),
+                            F.lit(0.0), lambda acc, x: acc + x).alias("dot"),
+                (-c["cid"]).alias("neg")))
+        best = F.array_max(scored)
+        assigned = emb.select(
+            (-best["neg"]).alias("cell"),
+            *[F.col(vec_col)[i].cast("double").alias(f"x{i}") for i in range(dim)],
+        )
+        rows = (assigned.groupBy("cell")
+                .agg(*[F.avg(f"x{i}").alias(f"c{i}") for i in range(dim)])
+                .collect())
+        new = {r["cell"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        # empty cells keep their previous centroid (standard Lloyd's)
+        cents = [new.get(ci, c) for ci, c in enumerate(cents)]
+    return cents
