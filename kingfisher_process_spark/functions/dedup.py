@@ -327,6 +327,39 @@ def d_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bit_sums.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
 
 
+def simhash_band_candidates(sigs: DataFrame, n_bands: int = 8,
+                            bits: int = SIMHASH_BITS) -> DataFrame:
+    """Scale path for simhash near-dup mining: band the signature into
+    ``n_bands`` bit-slices and bucket-join on band equality (Manku et al.
+    pigeonhole: any pair with hamming < n_bands shares at least one
+    identical band, so recall is total below that threshold). Returns
+    (doc_a, doc_b, hamming) candidates for exact post-filtering — the
+    shuffle is bucket-shaped like MinHash-LSH, never all-pairs."""
+    width = bits // n_bands
+    bands = sigs.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.shiftright("simhash", band * width)
+                .bitwiseAND((1 << width) - 1).alias("key"))
+            for band in range(n_bands)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                .alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+
 @probe(
     "d_simhash_near_pairs",
     f"""
@@ -357,6 +390,10 @@ def d_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids="dedup-ext,J1",
 )
 def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hamming<=8 top-100 — the all-pairs VERIFICATION baseline
+    (bounded-quadratic; threshold 8 on 32 bits exceeds what any banding
+    scheme can cover exactly). At corpus scale use simhash_band_candidates
+    (total recall below its band count) + exact post-filter instead."""
     sigs = d_simhash_signatures(spark, sf_dir)
     a = sigs.alias("a")
     b = sigs.alias("b")

@@ -169,6 +169,17 @@ def load_tables(spark: SparkSession, sf_dir: str) -> LazyTables:
     # The driver may hand us a session without our factory's tz pin;
     # temporal probes format instants, so determinism requires UTC.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Engine tuning posture on externally-created sessions (the driver's
+    # session has Spark defaults: AQE off in older confs, 200 shuffle
+    # partitions). All runtime-settable; results are unaffected, plans
+    # coalesce to the data instead of 200 near-empty tasks per exchange.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        par = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 8)))
+    except Exception:
+        pass
     return LazyTables(spark, sf_dir)
 
 

@@ -93,3 +93,29 @@ def test_broken_table_does_not_poison_other_probes(tmp_path):
     # events raises, but only when actually touched
     with pytest.raises(Exception):
         t["events"].count()
+
+
+def test_simhash_band_candidates_recall():
+    """Pigeonhole guarantee: every pair with hamming < n_bands appears in
+    the banded candidate set (checked against the exact all-pairs form)."""
+    from kingfisher_process_spark.functions.dedup import (
+        d_simhash_signatures, simhash_band_candidates)
+    from kingfisher_process_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    sigs = d_simhash_signatures(spark, SF_DIR).cache()
+    n_bands = 8
+    cand = {(r["doc_a"], r["doc_b"])
+            for r in simhash_band_candidates(sigs, n_bands).collect()}
+    a, b = sigs.alias("a"), sigs.alias("b")
+    exact = (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+                     .alias("h"))
+             .where(F.col("h") < n_bands).collect())
+    missing = [(r["doc_a"], r["doc_b"]) for r in exact
+               if (r["doc_a"], r["doc_b"]) not in cand]
+    assert not missing, missing[:5]
+    assert len(exact) > 0  # the guarantee actually got exercised
