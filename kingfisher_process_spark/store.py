@@ -356,6 +356,50 @@ class Store:
             os.replace(tmp, self.path(table))
         self._next_ids.pop(table, None)
 
+    def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
+        """OPTIMIZE-style small-file compaction — the engine-level form of
+        what the bench harness's _parallel_copy fakes for read-only
+        testdata: rewrite a table's append-accumulated small files into
+        ~``target_bytes`` files, preserving hive partitioning and the
+        in-file ocid ordering (parquet min/max stats). Atomic: the rewrite
+        lands in a side directory and swaps in with one rename.
+
+        Scale note: file count is sized from the listing (no data read);
+        hash-distributing collections over the rewrite tasks keeps one
+        collection per file set. A single collection bigger than one task
+        should instead be compacted per-partition (drop + rewrite of its
+        own hive directory) — this whole-table form targets the
+        many-small-appends case. Returns the resulting file count.
+        """
+        if not self.exists(table):
+            return 0
+        src = self.path(table)
+        size = 0
+        for root, _dirs, files in os.walk(src):
+            size += sum(os.path.getsize(os.path.join(root, f))
+                        for f in files if not f.startswith(("_", ".")))
+        n = max(1, -(-size // target_bytes))
+        cols = [f.name for f in SCHEMAS[table].fields]
+        df = self.read(table)
+        if table in PARTITIONED_BY_COLLECTION:
+            out = df.repartition(n, "collection_id")
+        else:
+            out = df.repartition(n)
+        if "ocid" in cols:
+            out = out.sortWithinPartitions("ocid")
+        tmp = src + "__compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        writer = out.write.mode("overwrite")
+        if table in PARTITIONED_BY_COLLECTION:
+            writer = writer.partitionBy("collection_id")
+        writer.parquet(tmp)
+        shutil.rmtree(src)
+        os.replace(tmp, src)
+        self._next_ids.pop(table, None)
+        return sum(1 for root, _d, files in os.walk(src)
+                   for f in files if f.endswith(".parquet"))
+
     def export_jdbc(self, table: str, url: str, dbtable: str | None = None,
                     mode: str = "append", properties: dict | None = None) -> None:
         """JDBC sink option (the declared Spark SQL + JDBC write path):
