@@ -151,6 +151,40 @@ def d_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(t["documents"])
 
 
+def jaccard_verify(docs: DataFrame, candidates: DataFrame, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for CANDIDATE pairs only — the post-LSH
+    verification stage (the 100 TB composition: minhash_lsh candidates →
+    this → threshold). Cost is shingling the candidate documents (a
+    semi-join prunes everything else) plus one equijoin keyed
+    (doc, shingle) — never all-pairs.
+
+    ``candidates``: (doc_a, doc_b) with doc_a < doc_b. Returns
+    (doc_a, doc_b, jaccard), including 0.0 for disjoint pairs.
+    """
+    cand = candidates.select("doc_a", "doc_b")
+    needed = (cand.select(F.col("doc_a").alias("doc_id"))
+              .union(cand.select(F.col("doc_b").alias("doc_id"))).distinct())
+    sh = shingles_df(docs, n=n).join(needed, "doc_id", "left_semi").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a_sh = cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+    inter = (
+        a_sh.join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+                  ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("nb")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.coalesce(F.col("n_common"), F.lit(0)).cast("decimal(38,6)").cast("double")
+             / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_common"), F.lit(0))))
+            .alias("jaccard"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame, max_df: int | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard via inverted index. ``max_df`` drops
     shingles present in more than that many documents before pair

@@ -119,3 +119,26 @@ def test_simhash_band_candidates_recall():
                if (r["doc_a"], r["doc_b"]) not in cand]
     assert not missing, missing[:5]
     assert len(exact) > 0  # the guarantee actually got exercised
+
+
+def test_jaccard_verify_matches_exact_pairs():
+    """The LSH->verify composition produces the same jaccard values the
+    exact all-pairs probe computes for the candidate pairs it covers."""
+    from kingfisher_process_spark.functions.dedup import (
+        d_minhash_lsh_pairs, jaccard_verify, ngram_jaccard_pairs)
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.session import get_spark
+
+    spark = get_spark()
+    docs = load_tables(spark, SF_DIR)["documents"]
+    cands = (d_minhash_lsh_pairs(spark, SF_DIR)
+             .select("doc_a", "doc_b"))
+    verified = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                for r in jaccard_verify(docs, cands).collect()}
+    assert verified, "no candidates at this SF"
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs).collect()}
+    overlap = set(verified) & set(exact)
+    assert overlap, "exact top-50 and LSH candidates should intersect"
+    for pair in overlap:
+        assert abs(verified[pair] - exact[pair]) < 1e-12, (pair, verified[pair], exact[pair])
