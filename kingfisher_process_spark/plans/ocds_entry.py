@@ -51,6 +51,53 @@ def ocds_compile_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_pipeline(spark, sf_dir, two_phase=True)
 
 
+TENDER_VALUE_SQL = """
+  SELECT 'USD' AS currency,
+         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS tender_value,
+         COUNT(*) AS n_processes
+  FROM (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 2000) o
+  WHERE o_orderkey % 2 = 0
+  GROUP BY currency
+  ORDER BY currency
+"""
+
+
+@probe("ocds_tender_value_by_currency", TENDER_VALUE_SQL,
+       survey_ids="C1,C3,P5,P6,A5,A2")
+def ocds_tender_value_by_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference docs' completed-tender-value query
+    (docs/querying-data.rst:56-80: filter tender.status = 'complete',
+    sum tender.value.amount grouped by currency) over a compiled
+    collection produced by the full pipeline. The synthetic input closes
+    the tender only for even orderkeys, so the oracle predicts the
+    filtered population exactly — a merge that loses r2's tender (or
+    leaks r1's 'active' status over it) breaks the hash."""
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    paths, tmp = _synth_order_packages(spark, sf_dir, 2000)
+    store = Store(spark, f"{tmp}/store")
+    result = process_collection(
+        spark, store, "bench_tender", "2020-01-01 00:00:00", paths,
+        compile_=True)
+    comp_id = result["collections"]["compiled"]
+    crs = store.read("compiled_release").where(F.col("collection_id") == comp_id)
+    data = store.read("data").select(F.col("id").alias("data_id"), "data")
+    return (
+        crs.join(data, "data_id")
+        .where(F.get_json_object("data", "$.tender.status") == "complete")
+        .select(
+            F.get_json_object("data", "$.tender.value.currency").alias("currency"),
+            F.get_json_object("data", "$.tender.value.amount")
+            .cast("decimal(38,6)").alias("amount"),
+        )
+        .groupBy("currency")
+        .agg(F.sum("amount").alias("tender_value"),
+             F.count(F.lit(1)).alias("n_processes"))
+        .orderBy("currency")
+    )
+
+
 VERSIONED_SQL = """
   SELECT 'ocds-kps-' || o_orderkey AS ocid,
          CAST(2 AS BIGINT) AS n_status_versions,
@@ -162,9 +209,25 @@ def _synth_order_packages(spark: SparkSession, sf_dir: str, n: int,
     r2 = orders.select(F.to_json(F.struct(
         F.concat(F.lit("ocds-kps-"), "o_orderkey").alias("ocid"),
         F.concat(F.col("o_orderkey").cast("string"), F.lit("-2")).alias("id"),
-        F.concat(F.substring("d", 1, 4), F.lit("-12-31T00:00:00Z")).alias("date"),
+        # STRICTLY later than any r1 date in the same year — a Dec-31
+        # order would otherwise tie and leave merge order to the payload
+        # tiebreak, letting r1's 'active' status overwrite r2's
+        F.concat((F.substring("d", 1, 4).cast("int") + 1).cast("string"),
+                 F.lit("-01-01T00:00:00Z")).alias("date"),
         F.array(F.lit("award")).alias("tag"),
         F.struct(F.col("o_custkey").alias("id")).alias("buyer"),
+        # even orderkeys close their tender with a value — gives the
+        # docs' tender-value-by-currency query (querying-data.rst:66-80)
+        # a predictable filtered population; to_json omits the null
+        # struct for odd keys, whose tender stays 'active' from r1
+        F.when(
+            F.col("o_orderkey") % 2 == 0,
+            F.struct(
+                F.concat(F.lit("t-"), "o_orderkey").alias("id"),
+                F.lit("complete").alias("status"),
+                F.struct(F.col("o_totalprice").alias("amount"),
+                         F.lit("USD").alias("currency")).alias("value"),
+            )).alias("tender"),
         F.array(F.struct(
             F.concat(F.lit("a-"), "o_orderkey").alias("id"),
             F.struct(
