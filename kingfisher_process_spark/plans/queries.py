@@ -1652,3 +1652,60 @@ def p5_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.col("k").cast("decimal(38,6)")).alias("sum_k"))
         .orderBy("event_type")
     )
+
+
+@probe(
+    "e_asof_last_view_before_click",
+    """
+    SELECT c.user_id, c.event_id AS click_id,
+           epoch_us(c.ts) AS click_us,
+           epoch_us(MAX(v.ts)) AS last_view_us
+    FROM events c
+    LEFT JOIN events v
+      ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
+    WHERE c.event_type = 'click'
+    GROUP BY c.user_id, c.event_id, c.ts
+    ORDER BY c.user_id, click_id
+    """,
+    survey_ids="J1,asof-ext",
+)
+def e_asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — the canonical operator Spark lacks natively (pandas
+    merge_asof / time-series ASOF JOIN): for every click, the most recent
+    view by the same user at or before the click.
+
+    Spark-first shape: union-window, not a join — tag both event streams,
+    ONE window pass per user ordered by event time carrying
+    ``last(view_ts, ignorenulls)``; a single shuffle on user_id, no range
+    join explosion, everything JVM-side. (The cogrouped
+    ``applyInPandas(merge_asof)`` form is only warranted when tolerance /
+    nearest-direction options are needed.) Within-timestamp ties order
+    views before clicks so a same-instant view is visible to the click,
+    matching the oracle's ``v.ts <= c.ts``; MAX over qualifying views
+    makes tie choice irrelevant to the output.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = (
+        t["events"]
+        .where(F.col("event_type").isin("view", "click"))
+        .select("user_id", "ts", "event_type", "event_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("event_type").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("last_view_ts", last_view)
+        .where(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.unix_micros("ts").alias("click_us"),
+            F.unix_micros("last_view_ts").alias("last_view_us"),
+        )
+        .orderBy("user_id", "click_id")
+    )
