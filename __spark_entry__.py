@@ -25,6 +25,7 @@ def _registry():
         import kingfisher_process_spark.functions.dedup  # noqa: F401
         import kingfisher_process_spark.functions.similarity  # noqa: F401
         import kingfisher_process_spark.functions.multimodal  # noqa: F401
+        import kingfisher_process_spark.functions.sketch  # noqa: F401
         import kingfisher_process_spark.streaming.probes  # noqa: F401
     except ImportError:
         pass

@@ -1709,3 +1709,79 @@ def e_asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "click_id")
     )
+
+
+@probe(
+    "e_range_join_intervals",
+    """
+    WITH mn AS (SELECT MIN(epoch_us(ts)) AS m FROM events),
+    iv AS (SELECT i AS interval_id,
+                  m + i * 25200000000 AS s,
+                  m + i * 25200000000 + 36000000000 AS e
+           FROM range(20) r(i), mn)
+    SELECT iv.interval_id,
+           COUNT(ev.event_id) AS n_events,
+           SUM(CAST(ev.value AS DECIMAL(38,6))) AS total_value
+    FROM iv LEFT JOIN events ev
+      ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) < iv.e
+    GROUP BY iv.interval_id
+    ORDER BY iv.interval_id
+    """,
+    survey_ids="J1,range-ext",
+)
+def e_range_join_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — 20 overlapping 10-hour windows stepped
+    every 7 hours from the first event, each aggregating the events it
+    contains.
+
+    Spark has no native range join, and the naive form is a
+    BroadcastNestedLoop filter (fine for a small interval side, quadratic
+    for large-large). This implements the BUCKETED pattern that scales to
+    large-large: time is chunked at the interval step width, intervals
+    explode to the few buckets they span, events map to exactly ONE
+    bucket — so the join is an EQUI-join on the bucket id (hash shuffle,
+    AQE-coalescible) with the precise range predicate as a residual
+    filter, and no event can double-count."""
+    STEP = 25_200_000_000  # 7 h in micros — also the bucket width
+    SPAN = 36_000_000_000  # 10 h
+    N_IV = 20
+
+    t = load_tables(spark, sf_dir)
+    ev = t["events"].select(
+        "event_id", "value", F.unix_micros("ts").alias("us"))
+    mn = ev.agg(F.min("us").alias("m"))
+    iv = (
+        spark.range(N_IV).select(F.col("id").alias("interval_id"))
+        .crossJoin(F.broadcast(mn))
+        .select(
+            "interval_id",
+            (F.col("m") + F.col("interval_id") * STEP).alias("s"),
+            (F.col("m") + F.col("interval_id") * STEP + SPAN).alias("e"),
+            "m",
+        )
+    )
+    iv_b = iv.withColumn(
+        "b", F.explode(F.sequence(
+            F.floor((F.col("s") - F.col("m")) / STEP),
+            F.floor((F.col("e") - 1 - F.col("m")) / STEP))))
+    ev_b = (
+        ev.crossJoin(F.broadcast(mn))
+        .withColumn("b", F.floor((F.col("us") - F.col("m")) / STEP))
+    )
+    hits = (
+        ev_b.join(iv_b.select("interval_id", "s", "e", "b"), "b")
+        .where((F.col("us") >= F.col("s")) & (F.col("us") < F.col("e")))
+        .groupBy("interval_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"))
+    )
+    return (
+        iv.select("interval_id")
+        .join(hits, "interval_id", "left")
+        .select(
+            "interval_id",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            "total_value",
+        )
+        .orderBy("interval_id")
+    )

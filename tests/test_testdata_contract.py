@@ -142,3 +142,24 @@ def test_jaccard_verify_matches_exact_pairs():
     assert overlap, "exact top-50 and LSH candidates should intersect"
     for pair in overlap:
         assert abs(verified[pair] - exact[pair]) < 1e-12, (pair, verified[pair], exact[pair])
+
+
+def test_cms_estimate_upper_bounds_true_counts():
+    """CMS property: every point estimate >= the true count; with 5 keys
+    in a 4x64 sketch, collisions are absent and estimates are exact."""
+    from kingfisher_process_spark.functions.sketch import cms_build, cms_estimate
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    ev = load_tables(spark, SF_DIR)["events"]
+    sketch = cms_build(ev, F.col("event_type")).cache()
+    est = {r["key"]: r["est"] for r in
+           cms_estimate(sketch, ev.select("event_type"), "event_type").collect()}
+    true = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(est) == set(true)
+    for k in true:
+        assert est[k] >= true[k]
+        assert est[k] == true[k]  # no collisions at this key cardinality
