@@ -1785,3 +1785,41 @@ def e_range_join_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("interval_id")
     )
+
+
+@probe(
+    "e_multires_rollup",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+    FROM events
+    GROUP BY day, event_type
+    ORDER BY day, event_type
+    """,
+    survey_ids="A5,rollup-ext",
+)
+def e_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the DAILY rollup is
+    re-aggregated FROM the hourly rollup, never from the raw events —
+    the pattern that lets a 100 TB event store serve coarse resolutions
+    from materialized finer ones (decimal partial sums make the
+    re-aggregation exact, so the oracle computes daily directly and the
+    hash match proves hour->day reaggregation loses nothing). Spark-side
+    cost: the second aggregation's input is #hours x #types rows."""
+    t = load_tables(spark, sf_dir)
+    hourly = (
+        t["events"]
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH:00").alias("hour"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(38,6)")).alias("v"))
+    )
+    return (
+        hourly
+        .groupBy(F.substring("hour", 1, 10).alias("day"), "event_type")
+        .agg(F.sum("n").alias("n_events"),
+             F.sum("v").cast("decimal(38,6)").alias("total_value"))
+        .orderBy("day", "event_type")
+    )
