@@ -695,7 +695,8 @@ BUCKET_CAP = 8
            CAST(SUM(s * (s - 1) / 2) AS BIGINT) AS pairs_uncapped,
            CAST(SUM(CASE WHEN s <= {BUCKET_CAP} THEN s * (s - 1) / 2 ELSE 0 END)
              AS BIGINT) AS pairs_capped,
-           SUM(CASE WHEN s > {BUCKET_CAP} THEN 1 ELSE 0 END) AS buckets_dropped
+           CAST(SUM(CASE WHEN s > {BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS buckets_dropped
     FROM sizes
     GROUP BY band
     ORDER BY band
@@ -754,7 +755,8 @@ def d_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits AS (
       SELECT t.doc_id,
              COUNT(*) AS n_shingles,
-             SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+             CAST(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hit
       FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
       GROUP BY t.doc_id
     )

@@ -339,7 +339,8 @@ def _sign_buckets(spark: SparkSession, emb: DataFrame) -> DataFrame:
       GROUP BY e.vec_id, pl.p
     )
     SELECT vec_id,
-           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << p ELSE 0 END)
+             AS BIGINT) AS bucket
     FROM proj GROUP BY vec_id
     ORDER BY vec_id
     """,

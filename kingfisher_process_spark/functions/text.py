@@ -275,7 +275,8 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS UBIGINT) % 100 < 90 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_tokens
+           CAST(SUM(len(list_filter(string_split(text, ' '), t -> t <> '')))
+             AS BIGINT) AS n_tokens
     FROM documents
     GROUP BY lang, split
     ORDER BY lang, split

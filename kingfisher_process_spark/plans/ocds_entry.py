@@ -29,11 +29,11 @@ from kingfisher_process_spark.plans.base import load_tables, probe
 # hash match.
 PIPELINE_SQL = """
   SELECT CAST(o_custkey AS VARCHAR) AS buyer,
-         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_award_value,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_award_value,
          COUNT(*) AS n_awards
   FROM (SELECT o_custkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 2000) o
   GROUP BY o_custkey
-  ORDER BY total_award_value DESC, buyer
+  ORDER BY SUM(CAST(o_totalprice AS DECIMAL(38,6))) DESC, buyer
   LIMIT 10
 """
 
@@ -53,7 +53,7 @@ def ocds_compile_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TENDER_VALUE_SQL = """
   SELECT 'USD' AS currency,
-         SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS tender_value,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS tender_value,
          COUNT(*) AS n_processes
   FROM (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 2000) o
   WHERE o_orderkey % 2 = 0
@@ -92,7 +92,7 @@ def ocds_tender_value_by_currency(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("decimal(38,6)").alias("amount"),
         )
         .groupBy("currency")
-        .agg(F.sum("amount").alias("tender_value"),
+        .agg(F.sum("amount").cast("double").alias("tender_value"),
              F.count(F.lit(1)).alias("n_processes"))
         .orderBy("currency")
     )
@@ -103,7 +103,7 @@ VERSIONED_SQL = """
          CAST(2 AS BIGINT) AS n_status_versions,
          'active' AS status_first,
          'complete' AS status_last,
-         CAST(o_totalprice AS DECIMAL(38,6)) AS award_amount
+         CAST(CAST(o_totalprice AS DECIMAL(38,6)) AS DOUBLE) AS award_amount
   FROM (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 2000)
   ORDER BY ocid
 """
@@ -169,7 +169,7 @@ def ocds_versioned_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("versioned", "$.tender.status[0].value").alias("status_first"),
         F.get_json_object("versioned", "$.tender.status[1].value").alias("status_last"),
         F.get_json_object("versioned", "$.awards[0].value.amount[0].value")
-        .cast("decimal(38,6)").alias("award_amount"),
+        .cast("decimal(38,6)").cast("double").alias("award_amount"),
     ).orderBy("ocid")
 
 
@@ -281,8 +281,11 @@ def _run_pipeline(spark: SparkSession, sf_dir: str, two_phase: bool) -> DataFram
         awards.groupBy("buyer")
         .agg(F.sum("amount").alias("total_award_value"),
              F.count(F.lit(1)).alias("n_awards"))
-        .orderBy(F.desc("total_award_value"), "buyer")
+        .orderBy(F.desc("total_award_value"), "buyer")  # top-K on EXACT decimal
         .limit(10)
+        .select("buyer",
+                F.col("total_award_value").cast("double").alias("total_award_value"),
+                "n_awards")
     )
 
 

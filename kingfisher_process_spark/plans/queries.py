@@ -22,6 +22,18 @@ def _d(c) -> F.Column:
     return c.cast(DEC)
 
 
+def _dsum(c) -> F.Column:
+    """Sum in exact decimal, emit DOUBLE.
+
+    Decimal accumulation keeps the aggregate order-independent (exact,
+    associative); the final cast is ONE correctly-rounded IEEE conversion
+    that both engines perform identically, and a double output column
+    canonicalizes the same way in every serialization path (arrow, pandas,
+    fetchall) — DECIMAL outputs do not (Spark→object(Decimal),
+    DuckDB→float64), which is what broke the round-2 driver hashes."""
+    return F.sum(_d(c)).cast("double")
+
+
 # ---------------------------------------------------------------------------
 # Aggregations (A5, A1, O1) — analyst aggregation surface
 # (docs/querying-data.rst:66-80 is SUM+GROUP BY over extracted numerics).
@@ -31,10 +43,10 @@ def _d(c) -> F.Column:
     "q1_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sum_base_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS sum_disc_price,
-           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price,
            COUNT(*) AS count_order
@@ -58,8 +70,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("count_order"),
     )
     return g.select(
-        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
-        "sum_disc_price", "sum_charge",
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("sum_base_price").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge").cast("double").alias("sum_charge"),
         (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
         (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
         "count_order",
@@ -144,11 +159,11 @@ def a8_exists_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a6_top_buyers",
     """
     SELECT o_custkey AS buyer,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total_value,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_custkey
-    ORDER BY total_value DESC, buyer
+    ORDER BY SUM(CAST(o_totalprice AS DECIMAL(38,6))) DESC, buyer
     LIMIT 10
     """,
     survey_ids="A6,O5",
@@ -162,8 +177,10 @@ def a6_top_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["orders"].groupBy(F.col("o_custkey").alias("buyer"))
         .agg(F.sum(_d(F.col("o_totalprice"))).alias("total_value"),
              F.count(F.lit(1)).alias("n_orders"))
-        .orderBy(F.desc("total_value"), "buyer")
+        .orderBy(F.desc("total_value"), "buyer")  # top-K on the EXACT decimal
         .limit(10)
+        .select("buyer", F.col("total_value").cast("double").alias("total_value"),
+                "n_orders")
     )
 
 
@@ -171,7 +188,7 @@ def a6_top_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p3_inlist_filter",
     """
     SELECT o_orderpriority, COUNT(*) AS n,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
     FROM orders
     WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
       AND o_orderstatus IN ('F', 'O')
@@ -188,7 +205,7 @@ def p3_inlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                & F.col("o_orderstatus").isin("F", "O"))
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(_d(F.col("o_totalprice"))).alias("total"))
+             _dsum(F.col("o_totalprice")).alias("total"))
         .orderBy("o_orderpriority")
     )
 
@@ -198,7 +215,7 @@ def p3_inlist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
@@ -214,7 +231,7 @@ def a9_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.sum(_d(F.col("o_totalprice"))).alias("total"),
+        .agg(_dsum(F.col("o_totalprice")).alias("total"),
              F.count(F.lit(1)).alias("n"))
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
@@ -269,7 +286,7 @@ def o6_newest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_unshipped_orders",
     """
     SELECT o.o_orderkey,
-           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -278,7 +295,7 @@ def o6_newest_first(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
       AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
     GROUP BY o.o_orderkey, o.o_orderdate
-    ORDER BY revenue DESC, o_orderkey
+    ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) DESC, o_orderkey
     LIMIT 10
     """,
     survey_ids="J1,A5,O5,P2",
@@ -298,8 +315,10 @@ def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
         .select("o_orderkey", "revenue",
                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
-        .orderBy(F.desc("revenue"), "o_orderkey")
+        .orderBy(F.desc("revenue"), "o_orderkey")  # top-K on the EXACT decimal
         .limit(10)
+        .select("o_orderkey", F.col("revenue").cast("double").alias("revenue"),
+                "orderdate")
     )
 
 
@@ -307,7 +326,7 @@ def q3_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     """
     SELECT n.n_name AS nation,
-           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
     JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -334,7 +353,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "nation")
     )
 
@@ -388,14 +407,14 @@ def j3_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     "q10_returned_revenue",
     """
     SELECT c.c_custkey, c.c_name, n.n_name AS nation,
-           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS revenue
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     WHERE l.l_returnflag = 'R'
     GROUP BY c.c_custkey, c.c_name, n.n_name
-    ORDER BY revenue DESC, c_custkey
+    ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) DESC, c_custkey
     LIMIT 20
     """,
     survey_ids="J1,A5,A6,O5",
@@ -411,15 +430,17 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
-        .orderBy(F.desc("revenue"), "c_custkey")
+        .orderBy(F.desc("revenue"), "c_custkey")  # top-K on the EXACT decimal
         .limit(20)
+        .select("c_custkey", "c_name", "nation",
+                F.col("revenue").cast("double").alias("revenue"))
     )
 
 
 @probe(
     "q17_below_avg_quantity",
     """
-    SELECT SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS total_price,
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
            COUNT(*) AS n
     FROM lineitem l
     JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
@@ -440,7 +461,7 @@ def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(half_avg, "l_partkey")
         .where(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.sum(_d(F.col("l_extendedprice"))).alias("total_price"),
+        .agg(_dsum(F.col("l_extendedprice")).alias("total_price"),
              F.count(F.lit(1)).alias("n"))
     )
 
@@ -449,12 +470,12 @@ def q17_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     """
     SELECT o.o_orderkey, o.o_custkey,
-           SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS total_qty
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderkey, o.o_custkey
     HAVING SUM(CAST(l.l_quantity AS DECIMAL(38,6))) > 250
-    ORDER BY total_qty DESC, o_orderkey
+    ORDER BY SUM(CAST(l.l_quantity AS DECIMAL(38,6))) DESC, o_orderkey
     LIMIT 20
     """,
     survey_ids="J1,A5,A6,O5",
@@ -469,7 +490,12 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_d(F.col("l_quantity"))).alias("total_qty"))
         .where(F.col("total_qty") > 250)
     )
-    return g.orderBy(F.desc("total_qty"), "o_orderkey").limit(20)
+    return (
+        g.orderBy(F.desc("total_qty"), "o_orderkey")  # top-K on EXACT decimal
+        .limit(20)
+        .select("o_orderkey", "o_custkey",
+                F.col("total_qty").cast("double").alias("total_qty"))
+    )
 
 
 def _pseudo_partsupp(t):
@@ -505,7 +531,7 @@ PSEUDO_PARTSUPP_SQL = """
     m AS (SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
           FROM ps GROUP BY ps_partkey)
     SELECT p.p_partkey, s.s_name,
-           ps.ps_supplycost AS cost
+           CAST(ps.ps_supplycost AS DOUBLE) AS cost
     FROM part p
     JOIN m ON m.ps_partkey = p.p_partkey
     JOIN ps ON ps.ps_partkey = p.p_partkey
@@ -528,7 +554,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("ps_supplycost") == F.col("min_cost")))
         .join(t["part"], F.col("ps_partkey") == F.col("p_partkey"))
         .join(t["supplier"], F.col("ps_suppkey") == F.col("s_suppkey"))
-        .select("p_partkey", "s_name", F.col("ps_supplycost").alias("cost"))
+        .select("p_partkey", "s_name",
+                F.col("ps_supplycost").cast("double").alias("cost"))
         .orderBy("p_partkey", "s_name")
         .limit(100)
     )
@@ -578,7 +605,7 @@ def q20_suppliers_with_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH ps AS ({PSEUDO_PARTSUPP_SQL}),
     tot AS (SELECT SUM(ps_supplycost) AS total FROM ps)
-    SELECT ps_partkey, CAST(SUM(ps_supplycost) AS DECIMAL(38,6)) AS value
+    SELECT ps_partkey, CAST(SUM(ps_supplycost) AS DOUBLE) AS value
     FROM ps
     GROUP BY ps_partkey
     HAVING CAST(SUM(ps_supplycost) AS DOUBLE)
@@ -599,7 +626,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(total))
         .where(F.col("v").cast("double")
                > F.col("total").cast("double") * F.lit(0.0005))
-        .select("ps_partkey", F.col("v").cast("decimal(38,6)").alias("value"))
+        .select("ps_partkey", F.col("v").cast("double").alias("value"))
         .orderBy(F.desc("value"), "ps_partkey")
     )
 
@@ -642,7 +669,7 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment,
            COUNT(*) AS numcust,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS totacctbal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT a FROM avg_bal)
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -673,7 +700,7 @@ def q22_wealthy_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("numcust"),
              F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
-             .cast("decimal(38,6)").alias("totacctbal"))
+             .cast("double").alias("totacctbal"))
         .orderBy("c_mktsegment")
     )
 
@@ -714,10 +741,10 @@ def o3_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w1_running_customer_spend",
     """
     SELECT o_custkey, o_orderkey,
-           SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
              OVER (PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
     FROM orders
     ORDER BY o_custkey, o_orderkey
     LIMIT 500
@@ -734,7 +761,8 @@ def w1_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .select("o_custkey", "o_orderkey",
-                F.sum(_d(F.col("o_totalprice"))).over(w).alias("running_spend"))
+                F.sum(_d(F.col("o_totalprice"))).over(w)
+                .cast("double").alias("running_spend"))
         .orderBy("o_custkey", "o_orderkey")
         .limit(500)
     )
@@ -833,7 +861,7 @@ def u3_except_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p5_json_extract_agg",
     """
     SELECT event_type,
-           SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(38,6))) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type ORDER BY event_type
@@ -846,7 +874,7 @@ def p5_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["events"]
         .groupBy("event_type")
-        .agg(F.sum(_d(k)).alias("sum_k"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(k).alias("sum_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
 
@@ -919,7 +947,7 @@ def f_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
            event_type,
            COUNT(*) AS n,
-           SUM(CAST(value AS DECIMAL(38,6))) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY 1, 2
     ORDER BY hour, event_type
@@ -934,7 +962,7 @@ def e_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
             "event_type",
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(_d(F.col("value"))).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value")).alias("sum_value"))
         .orderBy("hour", "event_type")
     )
 
@@ -950,7 +978,7 @@ def e_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
     FROM gaps GROUP BY user_id ORDER BY user_id
     """,
     survey_ids="window-ext,streaming-ext",
@@ -1052,7 +1080,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @probe(
     "q6_forecast_revenue",
     """
-    SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1072,7 +1100,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24))
     return li.agg(
-        F.sum(_d(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"),
+        _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -1081,7 +1109,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_volume_shipping",
     """
     SELECT supp_nation, cust_nation, yr,
-           SUM(CAST(volume AS DECIMAL(38,6))) AS revenue
+           CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS revenue
     FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                  year(l.l_shipdate) AS yr,
                  l.l_extendedprice * (1 - l.l_discount) AS volume
@@ -1123,7 +1151,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.year("l_shipdate").alias("yr"),
                  (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"))
         .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(F.sum(_d(F.col("volume"))).alias("revenue"))
+        .agg(_dsum(F.col("volume")).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "yr")
     )
 
@@ -1194,7 +1222,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     f"""
     WITH ps AS ({PSEUDO_PARTSUPP_SQL})
-    SELECT nation, yr, SUM(CAST(amount AS DECIMAL(38,6))) AS sum_profit
+    SELECT nation, yr, CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
     FROM (SELECT n.n_name AS nation, year(o.o_orderdate) AS yr,
                  l.l_extendedprice * (1 - l.l_discount)
                    - CAST(ps.ps_supplycost AS DOUBLE) * l.l_quantity AS amount
@@ -1232,7 +1260,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.select(F.col("n_name").alias("nation"),
                  F.year("o_orderdate").alias("yr"), amount.alias("amount"))
         .groupBy("nation", "yr")
-        .agg(F.sum(_d(F.col("amount"))).alias("sum_profit"))
+        .agg(_dsum(F.col("amount")).alias("sum_profit"))
         .orderBy("nation", F.desc("yr"))
     )
 
@@ -1241,10 +1269,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_lines_by_flag",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
       AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1348,7 +1376,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       GROUP BY l_suppkey)
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s.s_suppkey
@@ -1372,7 +1400,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
         .join(t["supplier"], F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name",
+                F.col("total_revenue").cast("double").alias("total_revenue"))
         .orderBy("s_suppkey")
     )
 
@@ -1380,7 +1409,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @probe(
     "q19_disjunctive_revenue",
     """
-    SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS revenue,
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
@@ -1411,7 +1440,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            & (q >= 20) & (q <= 40))
     )
     return j.where(cond).agg(
-        F.sum(_d(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -1476,7 +1505,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT coalesce(l_returnflag, 'ALL') AS rflag,
            coalesce(l_linestatus, 'ALL') AS lstatus,
-           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -1495,7 +1524,7 @@ def a11_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.sum(_d(F.col("l_quantity"))).alias("sum_qty"),
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
              F.count(F.lit(1)).alias("n"))
         .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
                 F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
@@ -1508,7 +1537,7 @@ def a11_cube_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w3_median_spend_by_segment",
     """
     SELECT c_mktsegment,
-           CAST(total AS DECIMAL(38,6)) AS median_order_value,
+           CAST(total AS DOUBLE) AS median_order_value,
            n_orders
     FROM (
       SELECT c_mktsegment, total,
@@ -1543,7 +1572,9 @@ def w3_median_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ranked.where(F.col("rn") == ((F.col("n_orders") + 1) / 2).cast("long"))
-        .select("c_mktsegment", F.col("total").alias("median_order_value"), "n_orders")
+        .select("c_mktsegment",
+                F.col("total").cast("double").alias("median_order_value"),
+                "n_orders")
         .orderBy("c_mktsegment")
     )
 
@@ -1625,8 +1656,8 @@ def j5_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n_high,
-           SUM(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
-                    AS DECIMAL(38,6))) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
     GROUP BY event_type ORDER BY event_type
@@ -1649,7 +1680,7 @@ def p5_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k") >= 50)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_high"),
-             F.sum(F.col("k").cast("decimal(38,6)")).alias("sum_k"))
+             F.sum("k").alias("sum_k"))
         .orderBy("event_type")
     )
 
@@ -1659,7 +1690,7 @@ def p5_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c.user_id, c.event_id AS click_id,
            epoch_us(c.ts) AS click_us,
-           epoch_us(MAX(v.ts)) AS last_view_us
+           COALESCE(epoch_us(MAX(v.ts)), -1) AS last_view_us
     FROM events c
     LEFT JOIN events v
       ON v.user_id = c.user_id AND v.event_type = 'view' AND v.ts <= c.ts
@@ -1705,7 +1736,10 @@ def e_asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame
             "user_id",
             F.col("event_id").alias("click_id"),
             F.unix_micros("ts").alias("click_us"),
-            F.unix_micros("last_view_ts").alias("last_view_us"),
+            # -1 sentinel for "no prior view": keeps the column solid
+            # BIGINT (nullable int64 decays to float64 in pandas/arrow,
+            # which would hash differently per engine in the driver)
+            F.coalesce(F.unix_micros("last_view_ts"), F.lit(-1)).alias("last_view_us"),
         )
         .orderBy("user_id", "click_id")
     )
@@ -1721,7 +1755,7 @@ def e_asof_last_view_before_click(spark: SparkSession, sf_dir: str) -> DataFrame
            FROM range(20) r(i), mn)
     SELECT iv.interval_id,
            COUNT(ev.event_id) AS n_events,
-           SUM(CAST(ev.value AS DECIMAL(38,6))) AS total_value
+           CAST(SUM(CAST(ev.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM iv LEFT JOIN events ev
       ON epoch_us(ev.ts) >= iv.s AND epoch_us(ev.ts) < iv.e
     GROUP BY iv.interval_id
@@ -1773,7 +1807,8 @@ def e_range_join_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("us") >= F.col("s")) & (F.col("us") < F.col("e")))
         .groupBy("interval_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum(F.col("value").cast("decimal(38,6)")).alias("total_value"))
+             F.sum(F.col("value").cast("decimal(38,6)"))
+             .cast("double").alias("total_value"))
     )
     return (
         iv.select("interval_id")
@@ -1793,7 +1828,7 @@ def e_range_join_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(ts, '%Y-%m-%d') AS day,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY day, event_type
     ORDER BY day, event_type
@@ -1820,6 +1855,6 @@ def e_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly
         .groupBy(F.substring("hour", 1, 10).alias("day"), "event_type")
         .agg(F.sum("n").alias("n_events"),
-             F.sum("v").cast("decimal(38,6)").alias("total_value"))
+             F.sum("v").cast("double").alias("total_value"))
         .orderBy("day", "event_type")
     )

@@ -31,6 +31,10 @@ def _events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalize_events_ts's timestamp_ntz→timestamp cast is session-tz
+    # dependent; pin UTC here too (load_tables does it for batch paths)
+    # so a driver-supplied non-UTC session can't shift streamed instants.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     schema = spark.read.parquet(src).schema
     drop_dir = tempfile.mkdtemp(prefix=prefix)
@@ -45,7 +49,7 @@ def _events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_start,
            event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(38,6))) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY hour_start, event_type
     ORDER BY hour_start, event_type
@@ -83,7 +87,8 @@ def st_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(sink)
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("hour_start"),
-            "event_type", "n_events", "total_value",
+            "event_type", "n_events",
+            F.col("total_value").cast("double").alias("total_value"),
         )
         .orderBy("hour_start", "event_type")
     )

@@ -41,6 +41,38 @@ def _norm_decimal(v):
     return ("str", str(v))
 
 
+# Spark output type → pandas dtype kind the driver's hasher will see.
+# DECIMAL is banned outright: it serializes as object(Decimal) from Spark
+# but float64 from DuckDB, which broke 16 driver hashes in round 2.
+_KIND = {"tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+         "float": "f", "double": "f", "boolean": "b"}
+
+
+def _type_policy_errors(spark_df, con, sql: str, name: str) -> list[str]:
+    """Driver-parity output-type policy: no DECIMAL output columns, and
+    numeric columns must land on the same pandas dtype kind in both
+    engines (catches DuckDB SUM(int)→HUGEINT→float64 vs Spark bigint)."""
+    errors: list[str] = []
+    expected = {}
+    for f in spark_df.schema.fields:
+        t = f.dataType.simpleString()
+        if t.startswith("decimal"):
+            errors.append(
+                f"{name}: output column {f.name} is {t} — emit double/bigint"
+                " (decimal hashes differently per engine in the driver)")
+        if t in _KIND:
+            expected[f.name] = _KIND[t]
+    if expected:
+        pdf = con.execute(sql).df()
+        for col, kind in expected.items():
+            if col in pdf.columns and len(pdf) and pdf[col].dtype.kind != kind:
+                errors.append(
+                    f"{name}: column {col} pandas kind mismatch "
+                    f"spark={kind} duck={pdf[col].dtype.kind} "
+                    f"({pdf[col].dtype}) — add a CAST in the oracle SQL")
+    return errors
+
+
 def compare(spark_df, con, sql: str, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errors: list[str] = []
@@ -53,6 +85,7 @@ def compare(spark_df, con, sql: str, name: str) -> list[str]:
     if sorted(spark_cols) != sorted(duck_cols):
         errors.append(f"{name}: columns differ spark={spark_cols} duck={duck_cols}")
         return errors
+    errors.extend(_type_policy_errors(spark_df, con, sql, name))
     if len(spark_rows) != len(duck_rows):
         errors.append(f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")
 
