@@ -202,15 +202,24 @@ def _build_partial_group_impl(pdf: pd.DataFrame,
     # same deterministic tiebreak as _merge_group / the phase-A window
     pdf = pdf.sort_values(["release_date", "data"], kind="stable")
     releases = [json.loads(s, parse_float=Decimal) for s in pdf["data"]]
-    extensions: set[str] = set()
-    for raw in pdf["package_data"].dropna().unique():
-        try:
-            meta = json.loads(raw)
-        except ValueError:
-            continue
-        exts = meta.get("extensions")
-        if isinstance(exts, list):
-            extensions.update(e for e in exts if isinstance(e, str))
+    if "group_extensions" in pdf.columns:
+        # OCID-level union, computed pre-salt (two_phase_compiled): a
+        # batch must build its partial with the rules of the WHOLE
+        # group's extension set, not just the extensions its own rows'
+        # packages declare — otherwise a partial can id-merge an array
+        # the group's extension marks wholeListMerge (or vice versa) and
+        # two-phase diverges from single-phase
+        extensions = set(json.loads(pdf["group_extensions"].iloc[0]))
+    else:
+        extensions = set()
+        for raw in pdf["package_data"].dropna().unique():
+            try:
+                meta = json.loads(raw)
+            except ValueError:
+                continue
+            exts = meta.get("extensions")
+            if isinstance(exts, list):
+                extensions.update(e for e in exts if isinstance(e, str))
     extensions = set(merge_mod.expand_extension_deps(extensions))
     local = {u: s for u, s in (extension_schemas or {}).items() if u in extensions}
     partial = mp.build_partial(releases, merge_mod.rules_with_extensions(local))
@@ -297,25 +306,62 @@ def two_phase_compiled(inputs: DataFrame, batch: int | None = None,
     w = Window.partitionBy("ocid").orderBy("release_date", "data")
     salted = inputs.withColumn(
         "salt", ((F.row_number().over(w) - F.lit(1)) / batch).cast("int"))
+    if extension_schemas is not None:
+        # patched merge rules depend on the OCID's FULL extension set:
+        # union it once per OCID before salting (Python-parsed with the
+        # exact semantics of the single-phase path) and hand every batch
+        # the same set. Distinct (ocid, package_data) pairs keep the
+        # pre-pass tiny (package metadata is deduplicated); the join is
+        # ocid-keyed, co-partitioned with the salting window's shuffle.
+        ocid_exts = (
+            inputs.select("ocid", "package_data").distinct()
+            .groupBy("ocid")
+            .applyInPandas(_ocid_extension_union,
+                           "ocid string, group_extensions string")
+        )
+        salted = salted.join(ocid_exts, "ocid")
     build = (_build_partial_group if extension_schemas is None else
              _bind_schemas(_build_partial_group_impl, extension_schemas))
     final = (_finalize_group if extension_schemas is None else
              _bind_schemas(_finalize_group_impl, extension_schemas))
     partials = salted.groupBy("ocid", "salt").applyInPandas(
         build, PARTIAL_SCHEMA).cache()
-    bad = [r["ocid"] for r in
-           partials.where(F.col("incomposable")).select("ocid").distinct().collect()]
-    compiled = partials.where(~F.col("incomposable")).groupBy("ocid").applyInPandas(
-        final, COMPILED_SCHEMA)
-    if bad:
+    # ANY incomposable partial disqualifies the whole OCID: route every
+    # partial of such OCIDs away from finalize (a subset-finalize would
+    # silently merge without the incomposable batch's releases) and
+    # re-merge those OCIDs single-phase. DataFrame semi/anti joins keep
+    # the id set out of the plan (no isin literal list — a pathological
+    # collection would otherwise bloat plan + driver).
+    bad = partials.where(F.col("incomposable")).select("ocid").distinct().cache()
+    any_bad = bool(bad.limit(1).count())
+    good = partials.join(F.broadcast(bad), "ocid", "left_anti") if any_bad else partials
+    compiled = good.groupBy("ocid").applyInPandas(final, COMPILED_SCHEMA)
+    if any_bad:
         fallback = (
-            inputs.where(F.col("ocid").isin(bad))
+            inputs.join(F.broadcast(bad), "ocid", "left_semi")
             .groupBy("ocid")
             .applyInPandas(
                 lambda pdf: _merge_group_impl(pdf, extension_schemas), COMPILED_SCHEMA)
         )
         compiled = compiled.unionAll(fallback)
     return compiled
+
+
+def _ocid_extension_union(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-OCID extension union over the group's distinct package
+    metadata — the same extraction _merge_group_impl performs, hoisted
+    above the salt split so every batch sees the group-level set."""
+    extensions: set[str] = set()
+    for raw in pdf["package_data"].dropna().unique():
+        try:
+            meta = json.loads(raw)
+        except ValueError:
+            continue
+        exts = meta.get("extensions")
+        if isinstance(exts, list):
+            extensions.update(e for e in exts if isinstance(e, str))
+    return pd.DataFrame([{"ocid": pdf["ocid"].iloc[0],
+                          "group_extensions": json.dumps(sorted(extensions))}])
 
 
 def persist_compiled(store: Store, collection_id: int, compiled: DataFrame) -> dict:

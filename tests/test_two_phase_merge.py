@@ -141,3 +141,121 @@ def test_spark_two_phase_matches_single_phase(spark, tmp_path):
     auto = run("auto")  # hot-1 (40 releases > batch 8) routes two-phase
     assert set(single) == set(double) == set(auto) == {"ocds-hot-1", "ocds-cold-1"}
     assert single == double == auto
+
+
+# awards is id-merge in base 1.1.5; this extension patch flips it to
+# wholeListMerge — the rule change that makes batch-local extension
+# derivation observable.
+_WLM_EXT_URL = "https://example.com/wholelist/extension.json"
+_WLM_EXT_SCHEMA = {"properties": {"awards": {"wholeListMerge": True}}}
+
+
+def _compile_both_ways(spark, tmp_path, pkgs, extension_schemas, batch):
+    """Load ``pkgs`` (list of package dicts, one file each) and compile
+    single- and two-phase with ``extension_schemas``; return both result
+    maps {ocid: merged_doc}."""
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.operators import lifecycle
+    from kingfisher_process_spark.operators.compile_release import compile_collection
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+    from kingfisher_process_spark.util import canonical_json
+
+    paths = []
+    for i, pkg in enumerate(pkgs):
+        p = tmp_path / f"ext_pkg{i}.json"
+        p.write_text(canonical_json(pkg))
+        paths.append(str(p))
+
+    def run(two_phase):
+        store = Store(spark, str(tmp_path / f"ext_store_{two_phase}"))
+        r = process_collection(spark, store, "ext", "2020-01-01 00:00:00", paths)
+        comp = lifecycle.create_collections(store, "extc", "2020-01-01 00:00:00")["root"]
+        compile_collection(store, r["collections"]["root"], comp,
+                           two_phase=two_phase, batch=batch,
+                           extension_schemas=extension_schemas)
+        crs = store.read("compiled_release").where(F.col("collection_id") == comp)
+        data = store.read("data").select(F.col("id").alias("data_id"), "data")
+        rows = crs.join(data, "data_id").select("ocid", "data").collect()
+        docs = {}
+        for row in rows:
+            assert row["ocid"] not in docs, f"duplicate compiled row for {row['ocid']}"
+            docs[row["ocid"]] = json.loads(row["data"])
+        return docs
+
+    return run(False), run(True)
+
+
+def test_extension_union_is_group_level_not_batch_level(spark, tmp_path):
+    """An extension declared by a package covering only SOME of an OCID's
+    releases must still govern every two-phase batch: merge rules derive
+    from the OCID's full extension union, so a batch whose own packages
+    declare nothing cannot quietly id-merge an array the group's
+    extension marks wholeListMerge."""
+    ocid = "ocds-ext-1"
+    early = [  # batch 0 under batch=4 (earliest dates) — declares the ext
+        {"ocid": ocid, "id": f"e{i}", "date": f"2020-01-{i + 1:02d}",
+         "awards": [{"id": f"a{i}", "v": i}]}
+        for i in range(4)
+    ]
+    late = [  # batches 1+ — packages declare NO extensions
+        {"ocid": ocid, "id": f"l{i}", "date": f"2020-02-{i + 1:02d}",
+         "awards": [{"id": f"b{i}", "v": 100 + i}]}
+        for i in range(6)
+    ]
+    pkg_ext = {"uri": "http://ext", "publisher": {"name": "p"},
+               "extensions": [_WLM_EXT_URL], "releases": early}
+    pkg_plain = {"uri": "http://plain", "publisher": {"name": "p"},
+                 "releases": late}
+    single, double = _compile_both_ways(
+        spark, tmp_path, [pkg_ext, pkg_plain],
+        {_WLM_EXT_URL: _WLM_EXT_SCHEMA}, batch=4)
+    assert set(single) == {ocid}
+    # wholeListMerge really took effect: only the LAST release's award
+    # survives (id-merge would have accumulated all ten)
+    assert [a["id"] for a in single[ocid]["awards"]] == ["b5"]
+    assert single == double
+
+
+def test_incomposable_batch_disqualifies_whole_ocid(spark, tmp_path):
+    """An OCID with one incomposable batch among composable ones must fall
+    back to single-phase as a WHOLE: exactly one compiled row, equal to
+    the single-phase result (finalizing the composable subset would merge
+    without the incomposable batch's releases — and duplicate the OCID)."""
+    ocid = "ocds-mix-1"
+    rels = [
+        {"ocid": ocid, "id": f"r{i}", "date": f"2020-01-{i + 1:02d}",
+         "tender": {"id": "t", "round": i}}
+        for i in range(8)  # batches 0-1 under batch=4: composable
+    ]
+    # batch 2: a reset inside an id-LESS awards entry → incomposable
+    rels.append({"ocid": ocid, "id": "r8", "date": "2020-02-01",
+                 "awards": [{"v": 1, "w": {"z": 9}}]})
+    rels.append({"ocid": ocid, "id": "r9", "date": "2020-02-02",
+                 "awards": [{"v": None}]})
+    pkg = {"uri": "http://mix", "publisher": {"name": "p"}, "releases": rels}
+    single, double = _compile_both_ways(spark, tmp_path, [pkg], None, batch=4)
+    assert set(single) == set(double) == {ocid}  # helper asserts no dups
+    assert single == double
+
+
+def test_two_phase_fallback_plan_has_no_literal_id_list(spark, tmp_path):
+    """The incomposable fallback routes via broadcast semi/anti joins; the
+    plan must not embed the OCID list as an isin literal (a pathological
+    collection would bloat plan and driver)."""
+    from kingfisher_process_spark.operators.compile_release import two_phase_compiled
+
+    rows = [("ocds-badplan-%d" % i, "2020-01-01",
+             json.dumps({"ocid": "ocds-badplan-%d" % i, "id": "r", "date": "2020-01-01",
+                         "awards": [{"v": None}]}), None)
+            for i in range(3)]
+    inputs = spark.createDataFrame(
+        rows, "ocid string, release_date string, data string, package_data string")
+    compiled = two_phase_compiled(inputs, batch=2)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        compiled._jdf.queryExecution(), "formatted")
+    assert "ocds-badplan" not in plan  # ids live in a joined DataFrame, not the plan
+    # and the fallback still produces each OCID exactly once
+    out = compiled.where(compiled.row_kind == "item").select("ocid").collect()
+    assert sorted(r["ocid"] for r in out) == [f"ocds-badplan-{i}" for i in range(3)]
