@@ -38,36 +38,45 @@ def _registry():
     # The driver's correctness gate verifies the first 50 registry entries
     # (r1 captured exactly registry[:50]). Order so every SURVEY §2 family
     # — OCDS pipeline, streaming, text, dedup, ANN, multimodal, and one
-    # probe per relational shape — has a verified row inside that cap;
-    # redundant TPC-H variants rotate behind it. Cheap probes first.
+    # probe per relational shape — has a verified row inside that cap.
+    # Rotation policy (judge r2 §9 + advisor): probes already
+    # driver-triple-green in a past round rotate OUT to make room for
+    # previously-unchecked ones (r3 adds e_asof, e_range_join, e_multires,
+    # sk_count_min, q9, w1, t_quality_scores, d_simhash_banded_pairs); the
+    # 16 r2 hash-mismatched probes stay IN to prove the canonicalization
+    # fix. Everything outside the cap is still verified every CI run by
+    # tests/test_oracle_parity.py, which walks the FULL registry against
+    # the same DuckDB oracle — the cap selects what the driver re-checks,
+    # never what gets verified at all.
     priority = [
-        # relational: one per operator family (agg/filter/json/join/set/
-        # window/order/scalar/events), cheapest first
-        "q1_pricing_summary", "q5_region_revenue", "a3_distinct_counts",
-        "a4_minmax_prefix", "a6_top_buyers", "a7_group_counter",
-        "a8_exists_guard", "p3_inlist_filter", "p5_json_extract_agg",
-        "p5_variant_json", "p6_json_predicate",
-        "j2_customers_without_orders", "j3_customers_with_open_orders",
-        "j4_explode_token_counts", "j5_recursive_tree",
-        "o3_latest_order_per_customer", "o6_newest_first",
-        "u1_union_distinct_buyers", "u2_union_all_counts",
-        "u3_except_inactive_customers", "f_scalar_functions",
+        # the 16 r2 hash-mismatch probes (fix-proof set)
+        "q1_pricing_summary", "q5_region_revenue", "a6_top_buyers",
+        "p3_inlist_filter", "p5_json_extract_agg", "p5_variant_json",
         "w3_median_spend_by_segment", "e_sessionize",
-        "e_hourly_event_rollup",
+        "e_hourly_event_rollup", "t_stratified_split", "d_decontaminate",
+        "d_lsh_bucket_stats", "ocds_compile_pipeline",
+        "ocds_compile_two_phase", "ocds_versioned_release",
+        "st_hourly_rollup",
+        # relational family coverage (one per shape, r2-green)
+        "a3_distinct_counts", "p6_json_predicate",
+        "j3_customers_with_open_orders", "j4_explode_token_counts",
+        "j5_recursive_tree", "o3_latest_order_per_customer",
+        "u3_except_inactive_customers", "f_scalar_functions",
+        # previously-unchecked rotation (r3)
+        "q9_product_profit", "w1_running_customer_spend",
+        "e_asof_last_view_before_click", "e_range_join_intervals",
+        "e_multires_rollup", "sk_count_min_event_types",
+        "t_quality_scores", "d_simhash_banded_pairs",
         # LLM-pipeline families
         "t_token_stats", "t_langid_heuristic", "t_pii_redact",
-        "t_stratified_split",
-        "d_exact_dup_groups", "d_minhash_lsh_pairs", "d_simhash_near_pairs",
-        "d_dup_clusters", "d_decontaminate", "d_lsh_bucket_stats",
+        "d_exact_dup_groups", "d_minhash_lsh_pairs", "d_dup_clusters",
         "ann_brute_force_topk", "ann_ivf_topk", "s_embedding_near_dups",
         "m_media_features", "m_frame_sample",
         # OCDS core semantics (the reference's centerpiece)
-        "ocds_compile_pipeline", "ocds_compile_two_phase",
-        "ocds_versioned_release", "ocds_record_ladder",
-        "ocds_upgrade_parties", "ocds_check_errors", "ocds_orphan_wipe",
+        "ocds_record_ladder", "ocds_upgrade_parties", "ocds_check_errors",
+        "ocds_orphan_wipe",
         # structured streaming
-        "st_dedup_ingest", "st_hourly_rollup", "st_sessionize",
-        "st_ingest_pipeline",
+        "st_dedup_ingest", "st_sessionize", "st_ingest_pipeline",
     ]
     ordered = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     ordered.update((n, p) for n, p in REGISTRY.items() if n not in ordered)

@@ -51,7 +51,7 @@ HEADLINE = [
     # LLM-pipeline families
     "d_exact_dup_groups",
     "d_minhash_lsh_pairs",
-    "d_simhash_near_pairs",
+    "d_simhash_banded_pairs",
     "d_dup_clusters",
     "d_decontaminate",
     "ann_brute_force_topk",

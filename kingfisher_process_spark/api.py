@@ -62,13 +62,17 @@ def _get_collection(store: Store, collection_id: int) -> dict:
 
 def add_files(store: Store, collection_id: int, paths: list[str]) -> list[tuple[int, str]]:
     """Register new input files in an OPEN collection (addfiles.py:22-26:
-    closed collections reject new files)."""
+    closed collections reject new files). ``paths`` may mix files and
+    directories; directories enumerate recursively, skipping dotfiles
+    (S1 — reference process/util.py:30-38)."""
+    from kingfisher_process_spark.util import walk_files
+
     coll = _get_collection(store, collection_id)
     if coll["store_end_at"] is not None:
         raise ApiError(f"Collection {collection_id} is closed; cannot add files")
     if coll["deleted_at"] is not None:
         raise ApiError(f"Collection {collection_id} is deleted")
-    return lifecycle.create_collection_files(store, collection_id, paths)
+    return lifecycle.create_collection_files(store, collection_id, walk_files(paths))
 
 
 def close_collection(store: Store, collection_id: int,

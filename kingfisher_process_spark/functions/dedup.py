@@ -445,6 +445,57 @@ def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe(
+    "d_simhash_banded_pairs",
+    f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {H60_SQL.format(x="token")} AS h FROM tok),
+    bits AS (
+      SELECT doc_id,
+             {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+                        for b in range(SIMHASH_BITS))}
+      FROM th GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {" + ".join(f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
+                         for b in range(SIMHASH_BITS))} AS simhash
+      FROM bits
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+    ORDER BY hamming, doc_a, doc_b
+    """,
+    survey_ids="dedup-ext,J1",
+)
+def d_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-PATH simhash near-dup pairs: 8-band bucket join + exact
+    hamming post-filter at threshold 7. The Manku-et-al pigeonhole makes
+    this EXACT (not approximate) below the band count: any pair with
+    hamming <= 7 < 8 bands must agree on at least one 4-bit band, so the
+    banded candidate set has total recall and the post-filter makes
+    precision exact. The shuffle is bucket-shaped — linear in corpus +
+    candidates, never all-pairs — unlike ``d_simhash_near_pairs`` (the
+    bounded-quadratic oracle baseline at threshold 8, which no banding
+    covers exactly). The DuckDB oracle uses the all-pairs form, feasible
+    only at oracle scale; equality of the two IS the pigeonhole proof.
+
+    Reference analogue: none (extends S8/util.py:93-110 exact dedup to
+    near-duplicates at scale)."""
+    sigs = d_simhash_signatures(spark, sf_dir)
+    cands = simhash_band_candidates(sigs, n_bands=8)
+    return (
+        cands.where(F.col("hamming") <= 7)
+        .select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
 _LSH_PAIRS_SQL = f"""
   WITH sigs AS ({MINHASH_SQL}),
   buckets AS (

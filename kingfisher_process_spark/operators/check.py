@@ -64,6 +64,16 @@ def _load_schema(record_pkg: bool,
 
 
 _VALIDATOR_CACHE: dict[tuple, object] = {}
+_SCHEMA_CACHE: dict[tuple, dict] = {}
+
+
+def _schema_cached(record_pkg: bool,
+                   extension_schemas: dict[str, dict] | None = None) -> dict:
+    key = (record_pkg, _ext_key(extension_schemas))
+    s = _SCHEMA_CACHE.get(key)
+    if s is None:
+        s = _SCHEMA_CACHE[key] = _load_schema(record_pkg, extension_schemas)
+    return s
 
 
 def _ext_key(extension_schemas: dict[str, dict] | None) -> tuple:
@@ -81,17 +91,115 @@ def _validator(record_pkg: bool,
     key = (record_pkg, _ext_key(extension_schemas))
     v = _VALIDATOR_CACHE.get(key)
     if v is None:
-        schema = _load_schema(record_pkg, extension_schemas)
+        schema = _schema_cached(record_pkg, extension_schemas)
         cls = jsonschema.validators.validator_for(schema, default=jsonschema.Draft4Validator)
         v = cls(schema)
         _VALIDATOR_CACHE[key] = v
     return v
 
 
+def _cove_error(e) -> dict:
+    """One validation-error entry in lib-cove-ocds's API shape: the
+    reference stores ``context_api_transform(common_checks_ocds(...))``
+    (checker.py:110-123), whose entries are
+    ``{"type": message_type, "field": path_no_number, "description":
+    message, "path": path}`` (lib-cove-ocds ``lib/api.py``). message_type
+    follows libcove's convention: the failing JSON-Schema keyword, except
+    ``type`` errors report the expected type name."""
+    validator = e.validator
+    if validator == "type":
+        expected = e.validator_value
+        message_type = expected[0] if isinstance(expected, list) else expected
+    else:
+        message_type = validator
+    return {
+        "type": message_type,
+        "field": "/".join(str(p) for p in e.absolute_path
+                          if not isinstance(p, int)),
+        "description": e.message[:500],
+        "path": "/".join(str(p) for p in e.absolute_path),
+    }
+
+
+def _resolve_ref(node, root):
+    """Follow local ``$ref`` chains against the enclosing schema scope."""
+    seen = 0
+    while isinstance(node, dict) and "$ref" in node and seen < 10:
+        ref = node["$ref"]
+        if not ref.startswith("#/"):
+            return {}
+        tgt = root
+        for part in ref[2:].split("/"):
+            tgt = tgt.get(part) if isinstance(tgt, dict) else None
+        if not isinstance(tgt, dict):
+            return {}
+        node = tgt
+        seen += 1
+    return node if isinstance(node, dict) else {}
+
+
+def _field_walk(package: dict, pkg_schema: dict):
+    """Schema walk computing cove's two field-level check surfaces
+    (libcove ``get_additional_fields_data`` / ``get_json_data_deprecated_fields``
+    semantics, api-transformed per lib-cove-ocds ``lib/api.py``):
+
+    - additional fields: data keys absent from the schema, reported at the
+      shallowest additional node only (descendants of an additional field
+      are not re-reported), path without array indices, usage-counted.
+    - deprecated fields: present data keys whose schema node carries the
+      OCDS ``deprecated`` annotation; grouped by field with all paths.
+    """
+    from collections import Counter
+
+    add_counts: Counter = Counter()
+    deprecated: dict[str, dict] = {}
+
+    def walk(data, schema, root, path):
+        schema = _resolve_ref(schema, root)
+        # an embedded schema document (own id + definitions — the inlined
+        # release schema) becomes the $ref resolution scope for its subtree
+        if "definitions" in schema and schema is not root:
+            root = schema
+        if isinstance(data, dict):
+            props = schema.get("properties", {})
+            for k, v in data.items():
+                if k in props:
+                    node = _resolve_ref(props[k], root)
+                    dep = node.get("deprecated")
+                    if isinstance(dep, dict):
+                        entry = deprecated.setdefault(k, {
+                            "explanation": [dep.get("deprecatedVersion"),
+                                            dep.get("description")],
+                            "paths": [],
+                        })
+                        entry["paths"].append(path or "$")
+                    walk(v, props[k], root, f"{path}/{k}" if path else k)
+                else:
+                    add_counts[(path, k)] += 1
+        elif isinstance(data, list):
+            for v in data:
+                walk(v, schema.get("items", {}), root, path)
+
+    walk(package, pkg_schema, pkg_schema, "")
+    additional = [
+        {"path": p, "field": f, "usage_count": c}
+        for (p, f), c in sorted(add_counts.items())
+    ]
+    deprecated_out = [
+        {"field": k, **v} for k, v in sorted(deprecated.items())
+    ]
+    return additional, deprecated_out
+
+
 def check_item(item_json: str, record_pkg: bool, package_json: str | None = None,
                extension_schemas: dict[str, dict] | None = None) -> str:
     """Validate one release/record, re-packaged into a 1-item package
-    (checker.py:106-110). Returns the cove_output JSON string."""
+    (checker.py:106-110). Returns the cove_output JSON string in the
+    reference's stored shape: ``context_api_transform`` output with
+    aggregates and additional checks disabled (checker.py:23-30), so the
+    top-level keys are the check surfaces that config leaves on —
+    validation errors, extensions, deprecated/additional fields — each
+    present (empty when clean), never omitted."""
     item = json.loads(item_json, parse_float=Decimal)
     package = json.loads(package_json, parse_float=Decimal) if package_json else {}
     items_key = "records" if record_pkg else "releases"
@@ -105,17 +213,33 @@ def check_item(item_json: str, record_pkg: bool, package_json: str | None = None
     validator = _validator(record_pkg, extension_schemas)
     errors = []
     for e in validator.iter_errors(_jsonable(package)):
-        errors.append({
-            "message": e.message[:500],
-            "path": "/".join(str(p) for p in e.absolute_path),
-            "validator": e.validator,
-        })
+        errors.append(_cove_error(e))
         if len(errors) >= 100:
             break
+    declared = package.get("extensions") or []
+    additional, deprecated_out = _field_walk(
+        _jsonable(package), _schema_cached(record_pkg, extension_schemas))
     return json.dumps({
+        "file_type": "json",
+        "version_used": str(package.get("version", "1.1")),
+        "schema_url": ("record-package-schema.json" if record_pkg
+                       else "release-package-schema.json"),
         "validation_errors": errors,
         "validation_errors_count": len(errors),
-        "checks_version": "kps-1.1.5",
+        "common_error_types": [],
+        "extensions": {
+            "extensions": [u for u in declared if isinstance(u, str)],
+            "invalid_extension": {
+                u: "fetching not allowed (offline engine)"
+                for u in declared
+                if isinstance(u, str) and u not in (extension_schemas or {})
+            },
+            "is_extended_schema": bool(extension_schemas),
+            "extended_schema_url": None,
+        },
+        "deprecated_fields": deprecated_out,
+        "additional_fields": additional,
+        "additional_checks": {},
     })
 
 

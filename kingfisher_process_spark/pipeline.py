@@ -25,7 +25,7 @@ from kingfisher_process_spark.operators.upgrade import upgrade_10_11
 from kingfisher_process_spark.sources import detect
 from kingfisher_process_spark.sources.loader import PARSED_SCHEMA, parse_files, store_items
 from kingfisher_process_spark.store import Store
-from kingfisher_process_spark.util import canonical_json, md5_hex
+from kingfisher_process_spark.util import canonical_json, md5_hex, walk_files
 
 
 def _upgrade_parsed(parsed, cfid_map: dict[int, int]):
@@ -86,6 +86,12 @@ def process_collection(
     result: dict = {"collections": ids}
 
     try:
+        # S1 directory-walk source: paths may mix files and directories;
+        # directories enumerate recursively, skipping dotfiles
+        # (reference process/util.py:30-38 via commands/load.py:145-154)
+        paths = walk_files(paths)
+        if not paths:
+            raise detect.EmptyFormatError("no input files found")
         data_type = detect.detect_format(paths[0]).as_dict()
     except ValueError as e:
         # invalid/truncated JSON → ERROR note, collection aborted

@@ -100,3 +100,26 @@ MAX_JSON_BYTES = 268_435_455
 """Documents larger than this are skipped with an ERROR note — the
 reference inherits the limit from PostgreSQL JSONB
 (file_worker.py:132-144)."""
+
+
+def walk_files(paths: list[str]) -> list[str]:
+    """Expand a mixed list of file and directory paths into a sorted file
+    list, recursing into directories and skipping dotfiles — the
+    reference's directory-walk ingest source (process/util.py:30-38, used
+    by commands/load.py:145-154). Explicit file paths pass through even
+    when dot-named (matching the reference: the dotfile filter applies
+    only to directory enumeration)."""
+    import os
+
+    out: list[str] = []
+    for path in paths:
+        if os.path.isfile(path):
+            out.append(path)
+        elif os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for name in files:
+                    if not name.startswith("."):
+                        out.append(os.path.join(root, name))
+        else:
+            raise FileNotFoundError(path)
+    return sorted(out)

@@ -393,3 +393,67 @@ def test_extension_schema_applies_to_checks():
     assert any("submissionTerms" in p for p in paths), ext
     base_paths = [e["path"] for e in base["validation_errors"]]
     assert not any("submissionTerms" in p for p in base_paths), base
+
+
+def test_cove_output_golden_shape():
+    """cove_output structural parity (checker.py:80-131): the stored dict
+    is ``context_api_transform(common_checks_ocds(...))``-shaped with
+    aggregates and additional checks disabled (checker.py:23-30) — exact
+    top-level keys, ``{type, field, description, path}`` validation-error
+    entries, ``{path, field, usage_count}`` additional-field entries, and
+    ``{field, explanation, paths}`` deprecated-field entries."""
+    from kingfisher_process_spark.operators.check import check_item
+
+    release = json.dumps({
+        "ocid": "ocds-kpc-golden", "id": "1",
+        "date": "2020-01-01T00:00:00Z", "tag": "notanarray",
+        "tender": {
+            "id": "t1",
+            "amendment": {"changes": [{"property": "value"}]},
+            "bogusField": 7,
+        },
+    })
+    out = json.loads(check_item(release, False))
+    assert out == {
+        "file_type": "json",
+        "version_used": "1.1",
+        "schema_url": "release-package-schema.json",
+        "validation_errors": [
+            {
+                "type": "array",
+                "field": "releases/tag",
+                "description": "'notanarray' is not of type 'array'",
+                "path": "releases/0/tag",
+            },
+            {
+                "type": "required",
+                "field": "releases",
+                "description": "'initiationType' is a required property",
+                "path": "releases/0",
+            },
+        ],
+        "validation_errors_count": 2,
+        "common_error_types": [],
+        "extensions": {
+            "extensions": [],
+            "invalid_extension": {},
+            "is_extended_schema": False,
+            "extended_schema_url": None,
+        },
+        "deprecated_fields": [
+            {
+                "field": "changes",
+                "explanation": [
+                    "1.1",
+                    out["deprecated_fields"][0]["explanation"][1],
+                ],
+                "paths": ["releases/tender/amendment"],
+            },
+        ],
+        "additional_fields": [
+            {"path": "releases/tender", "field": "bogusField", "usage_count": 1},
+        ],
+        "additional_checks": {},
+    }
+    # the pinned explanation text is the schema's own description
+    assert "amendment.description" in out["deprecated_fields"][0]["explanation"][1]

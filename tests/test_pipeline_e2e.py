@@ -329,3 +329,38 @@ def test_envelope_ids_keep_insertion_order_with_gaps(spark, store, tmp_path):
     # the watermark advanced past the gap: the next collection's ids
     # cannot collide with anything allocated here
     assert store.next_id("release") == 5
+
+
+def test_directory_walk_source(spark, store, tmp_path):
+    """S1: pointing the pipeline at a DIRECTORY enumerates files
+    recursively and skips dotfiles (reference process/util.py:30-38 via
+    load.py:145-154)."""
+    root = tmp_path / "input"
+    (root / "nested").mkdir(parents=True)
+    (root / "a.json").write_text(canonical_json(release_package([RELEASES[0]])))
+    (root / "nested" / "b.json").write_text(
+        canonical_json(release_package([RELEASES[1]])))
+    # dotfile must be IGNORED — it is not even valid JSON
+    (root / ".hidden.json").write_text("{not json")
+
+    result = process_collection(
+        spark, store, "walk_source", "2020-01-01 00:00:00", [str(root)])
+    assert "error" not in result, result
+    files = [r["filename"] for r in store.read_rows("collection_file")
+             if r["collection_id"] == result["collections"]["root"]]
+    assert sorted(files) == [str(root / "a.json"), str(root / "nested" / "b.json")]
+    assert result["load"]["rows"] == 2
+
+    # add_files on an open collection walks directories the same way
+    from kingfisher_process_spark import api
+    ids = api.create_collection(store, "walk_add", "2020-01-02")
+    more = tmp_path / "more"
+    more.mkdir()
+    (more / "c.json").write_text(canonical_json(release_package([RELEASES[2]])))
+    (more / ".skipme").write_text("x")
+    pairs = api.add_files(store, ids["root"], [str(more)])
+    assert [p for _, p in pairs] == [str(more / "c.json")]
+
+    # a missing path is an explicit error, not a silent skip
+    with pytest.raises(FileNotFoundError):
+        api.add_files(store, ids["root"], [str(tmp_path / "nope")])
