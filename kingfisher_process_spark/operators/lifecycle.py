@@ -237,9 +237,12 @@ def delete_orphan_data(store: Store) -> int:
 # -- read endpoints (views.py) ---------------------------------------------
 
 def collection_metadata(store: Store, collection_id: int) -> dict:
-    """The metadata endpoint (views.py:157-234): OCID prefix, date range
-    (lexicographic text compare — views.py:193-194), license/publication
-    policy/version from a sample package."""
+    """The metadata endpoint (views.py:157-234): OCID prefix + date range
+    from the COMPILED collection (lexicographic text compare —
+    views.py:193-194), license/publication policy from a sample package of
+    the ROOT collection (views.py:224-229 runs the package_data query
+    against ``collection.get_root_parent()`` — derived collections carry
+    no release/record rows of their own)."""
     crs = store.read("compiled_release").where(F.col("collection_id") == collection_id)
     today = datetime.now(tz=timezone.utc).date().isoformat()
     agg = crs.where(
@@ -250,21 +253,31 @@ def collection_metadata(store: Store, collection_id: int) -> dict:
         F.max("release_date").alias("published_to"),
     ).collect()[0]
 
-    pkg = (
-        store.read("release").where(F.col("collection_id") == collection_id)
-        .where(F.col("package_data_id").isNotNull())
-        .select("package_data_id").limit(1)
-        .join(store.read("package_data"), F.col("package_data_id") == F.col("id"))
-        .select("data").collect()
-    )
+    rows = {r["id"]: r for r in store.read_rows("collection")}
+    root_id = collection_id
+    while rows.get(root_id, {}).get("parent_id") is not None:
+        root_id = rows[root_id]["parent_id"]
+    pkg = []
+    for table in ("record", "release"):  # record first, as the UNION ALL does
+        pkg = (
+            store.read(table).where(F.col("collection_id") == root_id)
+            .where(F.col("package_data_id").isNotNull())
+            .select("package_data_id").limit(1)
+            .join(store.read("package_data"), F.col("package_data_id") == F.col("id"))
+            .select("data").collect()
+        )
+        if pkg:
+            break
     meta = dict(agg.asDict())
     if pkg:
         import json as _json
 
         p = _json.loads(pkg[0]["data"])
-        for k in ("license", "publicationPolicy", "version"):
-            if k in p:
-                meta[k] = p[k]
+        for ours, theirs in (("license", "license"),
+                             ("publication_policy", "publicationPolicy"),
+                             ("version", "version")):
+            if theirs in p:
+                meta[ours] = p[theirs]
     return meta
 
 

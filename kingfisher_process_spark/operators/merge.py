@@ -95,6 +95,40 @@ def expand_extension_deps(extensions: set[str] | frozenset[str]) -> frozenset[st
     return frozenset(out)
 
 
+def load_extension_bundle(bundle_dir: str) -> dict[str, dict]:
+    """Offline extension-schema retrieval: load release-schema patches for
+    extension URLs from a local directory of pre-downloaded files — the
+    no-network analogue of the reference's compile-time extension fetch,
+    with the same degrade-on-missing behavior (a fetch/parse failure
+    becomes a WARNING downstream and base 1.1.5 rules apply —
+    process/processors/compiler.py:136-140).
+
+    Layout: ``bundle_dir/index.json`` maps each extension URL (as declared
+    in package metadata) to a relative path — either a
+    ``release-schema.json`` patch file directly, or a directory containing
+    one (the layout ``ocdsextensionregistry`` produces when downloading an
+    extension). Entries whose file is missing or unparseable are skipped:
+    compile then emits the standard extension WARNING for that URL rather
+    than failing.
+    """
+    import os
+
+    index_path = os.path.join(bundle_dir, "index.json")
+    with open(index_path) as f:
+        index = json.load(f)
+    out: dict[str, dict] = {}
+    for url, rel in index.items():
+        p = os.path.join(bundle_dir, rel)
+        if os.path.isdir(p):
+            p = os.path.join(p, "release-schema.json")
+        try:
+            with open(p) as f:
+                out[url] = json.load(f)
+        except (OSError, ValueError):
+            continue
+    return out
+
+
 def json_merge_patch(target: Any, patch: Any) -> Any:
     """RFC 7386 json-merge-patch — how OCDS extensions modify the base
     release schema (the reference applies the same via ProfileBuilder /

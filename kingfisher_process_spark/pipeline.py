@@ -73,12 +73,21 @@ def process_collection(
     sample: bool = False,
     note: str | None = None,
     two_phase_compile: bool | str = "auto",
-    extension_schemas: dict[str, dict] | None = None,
+    extension_schemas: dict[str, dict] | str | None = None,
 ) -> dict:
     """Load files into a new collection and run the requested transforms.
 
+    ``extension_schemas`` may be a pre-built {url: release-schema-patch}
+    dict or a PATH to an offline extension bundle directory
+    (merge.load_extension_bundle) — the no-network analogue of the
+    reference's compile-time extension fetch (compiler.py:136-140).
+
     Returns {"collections": {...}, "data_type": {...}, counts per stage}.
     """
+    if isinstance(extension_schemas, str):
+        from kingfisher_process_spark.operators.merge import load_extension_bundle
+
+        extension_schemas = load_extension_bundle(extension_schemas)
     ids = lifecycle.create_collections(
         store, source_id, data_version,
         sample=sample, upgrade=upgrade, compile_=compile_, check=check, note=note,

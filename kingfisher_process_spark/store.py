@@ -351,18 +351,38 @@ class Store:
                     os.replace(new_part, old_part)
             shutil.rmtree(tmp, ignore_errors=True)
         else:
-            if os.path.isdir(self.path(table)):
-                shutil.rmtree(self.path(table))
-            os.replace(tmp, self.path(table))
+            self._swap_in(tmp, self.path(table))
         self._next_ids.pop(table, None)
+
+    @staticmethod
+    def _swap_in(tmp: str, dst: str) -> None:
+        """Crash-safe directory swap: move the live dir aside (atomic
+        rename), swap the new one in, then drop the backup — the table
+        path holds either the old or the new data at every step except a
+        single-rename window, and a crash leaves both dirs on disk for
+        mechanical recovery (never a deleted table with the replacement
+        unrenamed)."""
+        if not os.path.isdir(dst):
+            os.replace(tmp, dst)
+            return
+        bak = dst + "__precompact"
+        shutil.rmtree(bak, ignore_errors=True)
+        os.replace(dst, bak)
+        try:
+            os.replace(tmp, dst)
+        except OSError:
+            os.replace(bak, dst)  # roll back: restore the original table
+            raise
+        shutil.rmtree(bak)
 
     def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
         """OPTIMIZE-style small-file compaction — the engine-level form of
         what the bench harness's _parallel_copy fakes for read-only
         testdata: rewrite a table's append-accumulated small files into
         ~``target_bytes`` files, preserving hive partitioning and the
-        in-file ocid ordering (parquet min/max stats). Atomic: the rewrite
-        lands in a side directory and swaps in with one rename.
+        in-file ocid ordering (parquet min/max stats). Crash-safe: the
+        rewrite lands in a side directory and swaps in via the
+        backup-rename-swap sequence of ``_swap_in``.
 
         Scale note: file count is sized from the listing (no data read);
         hash-distributing collections over the rewrite tasks keeps one
@@ -394,8 +414,7 @@ class Store:
         if table in PARTITIONED_BY_COLLECTION:
             writer = writer.partitionBy("collection_id")
         writer.parquet(tmp)
-        shutil.rmtree(src)
-        os.replace(tmp, src)
+        self._swap_in(tmp, src)
         self._next_ids.pop(table, None)
         return sum(1 for root, _d, files in os.walk(src)
                    for f in files if f.endswith(".parquet"))

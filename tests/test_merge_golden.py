@@ -457,3 +457,50 @@ def test_cove_output_golden_shape():
     }
     # the pinned explanation text is the schema's own description
     assert "amendment.description" in out["deprecated_fields"][0]["explanation"][1]
+
+
+def test_extension_bundle_from_disk(tmp_path):
+    """Offline extension-schema bundle (compiler.py:136-140 analogue): a
+    local directory of pre-downloaded schemas drives the same rule flip as
+    an in-memory extension_schemas dict — tender.lots goes wholeListMerge —
+    and a missing bundle entry degrades to the fetch-failure WARNING."""
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.operators import lifecycle
+    from kingfisher_process_spark.operators.compile_release import compile_collection
+    from kingfisher_process_spark.operators.merge import load_extension_bundle
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.session import get_spark
+    from kingfisher_process_spark.store import Store
+    from kingfisher_process_spark.util import canonical_json
+
+    bundle = tmp_path / "bundle"
+    (bundle / "lots").mkdir(parents=True)
+    (bundle / "lots" / "release-schema.json").write_text(json.dumps(LOTS_PATCH))
+    (bundle / "index.json").write_text(json.dumps({
+        LOTS_URL: "lots",                      # dir entry -> release-schema.json
+        "https://example.com/gone.json": "missing/release-schema.json",
+    }))
+    schemas = load_extension_bundle(str(bundle))
+    assert set(schemas) == {LOTS_URL}          # missing entry skipped, not fatal
+
+    spark = get_spark()
+    pkg = {"uri": "http://x", "publisher": {"name": "p"},
+           "extensions": [LOTS_URL], "releases": LOTS_RELEASES}
+    path = tmp_path / "pkg.json"
+    path.write_text(canonical_json(pkg))
+    store = Store(spark, str(tmp_path / "store"))
+    # the pipeline accepts the bundle PATH directly
+    r = process_collection(spark, store, "ext_bundle", "2020-01-01 00:00:00",
+                           [str(path)], compile_=True,
+                           extension_schemas=str(bundle))
+    comp = r["collections"]["compiled"]
+    crs = store.read("compiled_release").where(F.col("collection_id") == comp)
+    data = store.read("data").select(F.col("id").alias("data_id"), "data")
+    [row] = crs.join(data, "data_id").select("data").collect()
+    lots = json.loads(row["data"])["tender"]["lots"]
+    assert lots == [{"id": "lot-2", "title": "South (revised)"}]
+    # submissionTerms dependency still unbundled -> its WARNING note remains
+    notes = [n["note"] for n in store.read_rows("collection_note")
+             if n["code"] == "WARNING"]
+    assert any("submissionTerms" in n for n in notes), notes

@@ -33,9 +33,21 @@ def test_frame_sampling_explode(spark):
     assert all(len(r["frame_id"]) == 32 for r in one)
 
 
-def test_decode_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+def test_decode_feature_flag():
+    """Without a codec the stub raises explicitly; with Pillow installed
+    the same hook decodes for real (skipped-unless-available)."""
+    if not mm.codec_available():
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(b"\x89PNG")
+        return
+    # minimal valid 1x1 PNG
+    import base64
+
+    png = base64.b64decode(
+        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
+        b"YGAAAAAEAAH2FzhVAAAAAElFTkSuQmCC")
+    img = mm.decode_image(png)
+    assert img.size == (1, 1)
 
 
 def test_resize_preserves_schema_and_scales_metadata(spark):
