@@ -464,3 +464,141 @@ def t_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             EMAIL_RE, "[EMAIL]",
         ).alias("redacted"),
     ).orderBy("c_custkey")
+
+
+SEQ_LEN = 2048  # tokens per packed training sequence
+
+
+@probe(
+    "t_sequence_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS nt
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, nt,
+             SUM(nt) OVER (ORDER BY doc_id) - nt AS start_off
+      FROM d
+    )
+    SELECT CAST(floor(start_off / {SEQ_LEN}.0) AS BIGINT) AS seq_bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1 ORDER BY seq_bin
+    """,
+    survey_ids="text-ext,sampling-ext,O1,A5",
+)
+def t_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: concatenate documents in a stable
+    global order and chunk the token stream into fixed {SEQ_LEN}-token
+    windows; report which documents START in each window (the packing
+    manifest a data loader shards on).
+
+    The core is a GLOBAL prefix sum — the canonical "don't use a bare
+    unpartitioned window" case: ``SUM() OVER (ORDER BY doc_id)`` funnels
+    100 TB through one task. Spark-first shape, same trick as
+    ``store.with_sequential_ids``: range-partition by doc_id, local
+    cumulative sums per partition (parallel), then add per-partition
+    offsets — a #partitions-row driver aggregate broadcast back as a tiny
+    join. One range shuffle + one P-row collect, fully parallel at any
+    scale. The DuckDB oracle runs the naive global window (fine at oracle
+    scale); equality proves the distributed prefix sum correct.
+    """
+    from pyspark.sql import Window
+
+    sc = spark.sparkContext
+    t = load_tables(spark, sf_dir)
+    n_parts = max(2, sc.defaultParallelism)
+    d = (
+        t["documents"]
+        .select("doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("nt"))
+        .repartitionByRange(n_parts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    d = d.localCheckpoint()  # pin partitioning: offsets + cumsum must see identical pids
+    per_part = {r["pid"]: r["s"] for r in
+                d.groupBy("pid").agg(F.sum("nt").alias("s")).collect()}
+    offsets = []
+    acc = 0
+    for pid in sorted(per_part):
+        offsets.append((pid, acc))
+        acc += per_part[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, part_off long")
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    c = (
+        d.join(F.broadcast(off_df), "pid")
+        .withColumn("start_off",
+                    F.col("part_off") + F.sum("nt").over(w) - F.col("nt"))
+    )
+    return (
+        c.groupBy(F.floor(F.col("start_off") / SEQ_LEN).cast("bigint").alias("seq_bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nt").alias("n_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+        .orderBy("seq_bin")
+    )
+
+
+@probe(
+    "t_mixture_sample",
+    """
+    WITH rates AS (
+      SELECT source,
+             30 + CAST(CAST(('0x' || substr(md5(source), 1, 15)) AS UBIGINT)
+                       % 61 AS BIGINT) AS rate
+      FROM (SELECT DISTINCT source FROM documents)
+    )
+    SELECT d.source, r.rate,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(
+                  CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 15))
+                  AS UBIGINT) % 100 < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source, r.rate
+    ORDER BY d.source
+    """,
+    survey_ids="text-ext,sampling-ext,A1,J1",
+)
+def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: each source gets a stable
+    per-source keep-rate (hash-derived here; a real pipeline supplies the
+    mixture weights) and each document keeps/drops as a pure function of
+    (doc_id, source) — reproducible across runs and engines, no RNG state
+    to coordinate across 1000 executors, and resampling a source at a new
+    rate keeps the kept-set monotone (raising the rate only ADDS
+    documents). Map-side hash + one aggregation shuffle; the rate table
+    is a broadcast dimension.
+
+    Reference analogue: the per-collection boolean `sample` flag
+    (models.py:54) — this is the weighted per-source scale-out version.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    rates = (
+        docs.select("source").distinct()
+        .select("source",
+                (F.lit(30) + (F.conv(F.substring(F.md5("source"), 1, 15), 16, 10)
+                              .cast("decimal(20,0)") % 61).cast("bigint"))
+                .alias("rate"))
+    )
+    keep_bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.col("doc_id").cast("string"),
+                                             F.col("source"))), 1, 15), 16, 10)
+        .cast("decimal(20,0)") % 100
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("source", "rate", keep_bucket.alias("kb"))
+        .groupBy("source", "rate")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(F.when(F.col("kb") < F.col("rate"), 1).otherwise(0))
+             .cast("bigint").alias("n_kept"))
+        .orderBy("source")
+    )

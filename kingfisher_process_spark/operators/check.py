@@ -55,9 +55,24 @@ def _load_schema(record_pkg: bool,
     if items_key in schema.get("properties", {}):
         items = schema["properties"][items_key]
         if record_pkg:
-            # record-package schema embeds a record definition referencing
-            # the release schema; validate records loosely (structure only)
-            schema["properties"][items_key] = {"type": "array", "items": {"type": "object"}}
+            # the record definition $refs the release schema for embedded
+            # releases/compiledRelease — inline the (extension-patched)
+            # release schema so those validate for real; versionedRelease
+            # refs the generated versioned-validation schema, which is not
+            # vendored, so it stays structural ({"type": "object"})
+            def _inline(node):
+                if isinstance(node, dict):
+                    ref = node.get("$ref", "")
+                    if ref.endswith("/release-schema.json"):
+                        return release_schema
+                    if ref.endswith("versioned-release-validation-schema.json"):
+                        return {"type": "object"}
+                    return {k: _inline(v) for k, v in node.items()}
+                if isinstance(node, list):
+                    return [_inline(v) for v in node]
+                return node
+
+            schema["definitions"]["record"] = _inline(schema["definitions"]["record"])
         else:
             items["items"] = release_schema
     return schema
@@ -154,14 +169,28 @@ def _field_walk(package: dict, pkg_schema: dict):
     add_counts: Counter = Counter()
     deprecated: dict[str, dict] = {}
 
+    def branches(schema, root):
+        """schema + every oneOf/anyOf/allOf alternative, $refs resolved —
+        a data key is 'additional' only if NO branch declares it (cove
+        treats combinator alternatives as part of the schema)."""
+        out = [schema]
+        for kw in ("oneOf", "anyOf", "allOf"):
+            for b in schema.get(kw, []):
+                out.extend(branches(_resolve_ref(b, root), root))
+        return out
+
     def walk(data, schema, root, path):
         schema = _resolve_ref(schema, root)
         # an embedded schema document (own id + definitions — the inlined
         # release schema) becomes the $ref resolution scope for its subtree
         if "definitions" in schema and schema is not root:
             root = schema
+        alts = branches(schema, root)
         if isinstance(data, dict):
-            props = schema.get("properties", {})
+            props = {}
+            for alt in alts:
+                for k, node in alt.get("properties", {}).items():
+                    props.setdefault(k, node)
             for k, v in data.items():
                 if k in props:
                     node = _resolve_ref(props[k], root)
@@ -177,8 +206,11 @@ def _field_walk(package: dict, pkg_schema: dict):
                 else:
                     add_counts[(path, k)] += 1
         elif isinstance(data, list):
+            item_alts = [a["items"] for a in alts if "items" in a]
+            items = (item_alts[0] if len(item_alts) == 1
+                     else {"oneOf": item_alts})
             for v in data:
-                walk(v, schema.get("items", {}), root, path)
+                walk(v, items, root, path)
 
     walk(package, pkg_schema, pkg_schema, "")
     additional = [
