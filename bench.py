@@ -60,6 +60,8 @@ HEADLINE = [
     "t_quality_scores",
     "t_token_stats",
     "t_pii_redact",
+    "t_sequence_packing",
+    "e_asof_last_view_before_click",
     "m_media_features",
     # OCDS pipeline + streaming
     "ocds_compile_pipeline",

@@ -154,3 +154,17 @@ def test_ngram_capped_hot_shingles_broadcast(spark):
     df = ngram_jaccard_pairs(docs, max_df=100)
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
     assert re.search(r"BroadcastHashJoin.*LeftAnti", plan), plan
+
+
+def test_sequence_packing_window_is_partitioned(spark):
+    """The global prefix sum must run as per-partition windows + offset
+    join, never a bare unpartitioned running-total window (single-task
+    funnel). The physical plan's Window node must carry a partition spec
+    and the offset side must broadcast."""
+    plan = plan_of(spark, "t_sequence_packing")
+    assert "Window" in plan, plan
+    # an unpartitioned window renders as "Window [..], [ts ASC]" with no
+    # partition-by clause; the partitioned form lists the pid key
+    m = re.search(r"Arguments: \[sum\(nt[^\]]*\], \[pid", plan)
+    assert m, plan
+    assert "BroadcastExchange" in plan, plan
