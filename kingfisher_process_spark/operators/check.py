@@ -170,30 +170,36 @@ def _field_walk(package: dict, pkg_schema: dict):
     deprecated: dict[str, dict] = {}
 
     def branches(schema, root):
-        """schema + every oneOf/anyOf/allOf alternative, $refs resolved —
-        a data key is 'additional' only if NO branch declares it (cove
-        treats combinator alternatives as part of the schema)."""
-        out = [schema]
-        for kw in ("oneOf", "anyOf", "allOf"):
-            for b in schema.get(kw, []):
-                out.extend(branches(_resolve_ref(b, root), root))
-        return out
-
-    def walk(data, schema, root, path):
+        """(schema, root) + every oneOf/anyOf/allOf alternative, $refs
+        resolved — a data key is 'additional' only if NO branch declares
+        it (cove treats combinator alternatives as part of the schema).
+        Each branch carries ITS OWN resolution root: an embedded schema
+        document (own id + definitions — the inlined release schema)
+        becomes the $ref scope for its subtree, even when reached through
+        a combinator alternative."""
         schema = _resolve_ref(schema, root)
-        # an embedded schema document (own id + definitions — the inlined
-        # release schema) becomes the $ref resolution scope for its subtree
         if "definitions" in schema and schema is not root:
             root = schema
-        alts = branches(schema, root)
+        out = [(schema, root)]
+        for kw in ("oneOf", "anyOf", "allOf"):
+            for b in schema.get(kw, []):
+                out.extend(branches(b, root))
+        return out
+
+    def walk(data, alts, path):
+        """``alts``: list of (schema_node, resolution_root) candidates
+        for this data node."""
+        expanded = []
+        for s, r in alts:
+            expanded.extend(branches(s, r))
         if isinstance(data, dict):
-            props = {}
-            for alt in alts:
-                for k, node in alt.get("properties", {}).items():
-                    props.setdefault(k, node)
+            props: dict[str, list] = {}
+            for s, r in expanded:
+                for k, node in s.get("properties", {}).items():
+                    props.setdefault(k, []).append((node, r))
             for k, v in data.items():
                 if k in props:
-                    node = _resolve_ref(props[k], root)
+                    node = _resolve_ref(*props[k][0])
                     dep = node.get("deprecated")
                     if isinstance(dep, dict):
                         entry = deprecated.setdefault(k, {
@@ -202,17 +208,15 @@ def _field_walk(package: dict, pkg_schema: dict):
                             "paths": [],
                         })
                         entry["paths"].append(path or "$")
-                    walk(v, props[k], root, f"{path}/{k}" if path else k)
+                    walk(v, props[k], f"{path}/{k}" if path else k)
                 else:
                     add_counts[(path, k)] += 1
         elif isinstance(data, list):
-            item_alts = [a["items"] for a in alts if "items" in a]
-            items = (item_alts[0] if len(item_alts) == 1
-                     else {"oneOf": item_alts})
+            item_alts = [(s["items"], r) for s, r in expanded if "items" in s]
             for v in data:
-                walk(v, items, root, path)
+                walk(v, item_alts, path)
 
-    walk(package, pkg_schema, pkg_schema, "")
+    walk(package, [(pkg_schema, pkg_schema)], "")
     additional = [
         {"path": p, "field": f, "usage_count": c}
         for (p, f), c in sorted(add_counts.items())
@@ -242,15 +246,26 @@ def check_item(item_json: str, record_pkg: bool, package_json: str | None = None
     package.setdefault("publisher", {"name": "placeholder"})
     package[items_key] = [item]
 
-    validator = _validator(record_pkg, extension_schemas)
+    declared = [u for u in (package.get("extensions") or [])
+                if isinstance(u, str)]
+    # the reference builds the schema from each PACKAGE's declared
+    # extension set (checker.py:107 _get_schema(items_key,
+    # get_extensions(package))): with package metadata present, only
+    # declared extensions patch the schema; without it (direct
+    # check_item calls) the caller-supplied set is explicit intent.
+    if package_json is not None and extension_schemas:
+        applied = {u: s for u, s in extension_schemas.items() if u in declared}
+    else:
+        applied = extension_schemas or {}
+
+    validator = _validator(record_pkg, applied or None)
     errors = []
     for e in validator.iter_errors(_jsonable(package)):
         errors.append(_cove_error(e))
         if len(errors) >= 100:
             break
-    declared = package.get("extensions") or []
     additional, deprecated_out = _field_walk(
-        _jsonable(package), _schema_cached(record_pkg, extension_schemas))
+        _jsonable(package), _schema_cached(record_pkg, applied or None))
     return json.dumps({
         "file_type": "json",
         "version_used": str(package.get("version", "1.1")),
@@ -260,13 +275,12 @@ def check_item(item_json: str, record_pkg: bool, package_json: str | None = None
         "validation_errors_count": len(errors),
         "common_error_types": [],
         "extensions": {
-            "extensions": [u for u in declared if isinstance(u, str)],
+            "extensions": declared,
             "invalid_extension": {
                 u: "fetching not allowed (offline engine)"
-                for u in declared
-                if isinstance(u, str) and u not in (extension_schemas or {})
+                for u in declared if u not in (extension_schemas or {})
             },
-            "is_extended_schema": bool(extension_schemas),
+            "is_extended_schema": bool(applied),
             "extended_schema_url": None,
         },
         "deprecated_fields": deprecated_out,
@@ -301,17 +315,26 @@ def check_collection(store: Store, collection_id: int, kind: str = "release",
     }[kind]
     items = store.read(table).where(F.col("collection_id") == collection_id)
     existing = store.read(check_table).select(F.col(fk).alias("id"))
+    # package metadata rides along so each item is checked against ITS
+    # package's declared extension set (checker.py:104-107 repackages
+    # item.package_data.data); package_data is deduplicated and small —
+    # the join is broadcast-shaped
+    pkg = store.read("package_data").select(
+        F.col("id").alias("package_data_id"), F.col("data").alias("pkg"))
     todo = (
         items.join(existing, "id", "left_anti")
         .join(store.read("data").select(F.col("id").alias("data_id"), "data"), "data_id")
-        .select(F.col("id").alias("item_id"), "data")
+        .join(F.broadcast(pkg), "package_data_id", "left")
+        .select(F.col("id").alias("item_id"), "data", "pkg")
     )
     record_pkg = kind == "record"
 
     def gen(batches):
         for pdf in batches:
-            out = [check_item(d, record_pkg, extension_schemas=extension_schemas)
-                   for d in pdf["data"]]
+            out = [check_item(d, record_pkg,
+                              package_json=p if isinstance(p, str) else None,
+                              extension_schemas=extension_schemas)
+                   for d, p in zip(pdf["data"], pdf["pkg"])]
             yield pd.DataFrame({"item_id": pdf["item_id"], "cove_output": out})
 
     checked = todo.mapInPandas(gen, CHECK_SCHEMA)

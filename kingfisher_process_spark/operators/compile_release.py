@@ -37,6 +37,23 @@ COMPILED_SCHEMA = T.StructType([
 ])
 
 
+def _extensions_from_metadata(raw_packages) -> set[str]:
+    """Union of extension URLs declared across an iterable of raw package-
+    metadata JSON strings (the group-level set all compile paths must
+    share — single-phase, two-phase batch, and the pre-salt union derive
+    from this ONE function so their semantics cannot drift)."""
+    extensions: set[str] = set()
+    for raw in raw_packages:
+        try:
+            meta = json.loads(raw)
+        except ValueError:
+            continue
+        exts = meta.get("extensions")
+        if isinstance(exts, list):
+            extensions.update(e for e in exts if isinstance(e, str))
+    return extensions
+
+
 def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     # single-param: applyInPandas signature inspection must pick f(pdf)
     return _merge_group_impl(pdf, None)
@@ -55,15 +72,7 @@ def _merge_group_impl(pdf: pd.DataFrame,
     # payload write and the id-mapping read
     pdf = pdf.sort_values(["release_date", "data"], kind="stable")
     releases = [json.loads(s, parse_float=Decimal) for s in pdf["data"]]
-    extensions: set[str] = set()
-    for pkg in pdf["package_data"].dropna().unique():
-        try:
-            meta = json.loads(pkg)
-        except ValueError:
-            continue
-        exts = meta.get("extensions")
-        if isinstance(exts, list):
-            extensions.update(e for e in exts if isinstance(e, str))
+    extensions = _extensions_from_metadata(pdf["package_data"].dropna().unique())
 
     merged, notes = merge_mod.compile_releases(
         ocid, releases, extensions, rules, extension_schemas)
@@ -211,15 +220,7 @@ def _build_partial_group_impl(pdf: pd.DataFrame,
         # two-phase diverges from single-phase
         extensions = set(json.loads(pdf["group_extensions"].iloc[0]))
     else:
-        extensions = set()
-        for raw in pdf["package_data"].dropna().unique():
-            try:
-                meta = json.loads(raw)
-            except ValueError:
-                continue
-            exts = meta.get("extensions")
-            if isinstance(exts, list):
-                extensions.update(e for e in exts if isinstance(e, str))
+        extensions = _extensions_from_metadata(pdf["package_data"].dropna().unique())
     extensions = set(merge_mod.expand_extension_deps(extensions))
     local = {u: s for u, s in (extension_schemas or {}).items() if u in extensions}
     partial = mp.build_partial(releases, merge_mod.rules_with_extensions(local))
@@ -351,15 +352,7 @@ def _ocid_extension_union(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-OCID extension union over the group's distinct package
     metadata — the same extraction _merge_group_impl performs, hoisted
     above the salt split so every batch sees the group-level set."""
-    extensions: set[str] = set()
-    for raw in pdf["package_data"].dropna().unique():
-        try:
-            meta = json.loads(raw)
-        except ValueError:
-            continue
-        exts = meta.get("extensions")
-        if isinstance(exts, list):
-            extensions.update(e for e in exts if isinstance(e, str))
+    extensions = _extensions_from_metadata(pdf["package_data"].dropna().unique())
     return pd.DataFrame([{"ocid": pdf["ocid"].iloc[0],
                           "group_extensions": json.dumps(sorted(extensions))}])
 

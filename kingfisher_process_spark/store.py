@@ -373,7 +373,10 @@ class Store:
         except OSError:
             os.replace(bak, dst)  # roll back: restore the original table
             raise
-        shutil.rmtree(bak)
+        # swap is committed; backup cleanup is best-effort (a transient
+        # rmtree failure must not make the caller treat the write as
+        # failed or skip its next-id cache invalidation)
+        shutil.rmtree(bak, ignore_errors=True)
 
     def compact(self, table: str, target_bytes: int = 128 << 20) -> int:
         """OPTIMIZE-style small-file compaction — the engine-level form of

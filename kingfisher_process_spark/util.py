@@ -116,7 +116,10 @@ def walk_files(paths: list[str]) -> list[str]:
         if os.path.isfile(path):
             out.append(path)
         elif os.path.isdir(path):
-            for root, _dirs, files in os.walk(path):
+            for root, dirs, files in os.walk(path):
+                # prune hidden directories too (.git/.cache trees must not
+                # be enumerated, let alone ingested)
+                dirs[:] = [d for d in dirs if not d.startswith(".")]
                 for name in files:
                     if not name.startswith("."):
                         out.append(os.path.join(root, name))

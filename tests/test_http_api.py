@@ -117,3 +117,13 @@ def test_metadata_requires_compiled_collection(spark, store, tmp_path):
     # destroy wipes (202 then rows gone)
     status, _ = call(app, "DELETE", f"/api/collections/{root}/")
     assert status == 202
+
+
+def test_notes_rejects_bad_level(spark, store):
+    from kingfisher_process_spark import api
+
+    app = make_app(store)
+    ids = api.create_collection(store, "lvl_check", "2020-01-01")
+    status, err = call(app, "GET", f"/api/collections/{ids['root']}/notes/",
+                       query="level=info")
+    assert status == 400 and "invalid level" in err["error"]

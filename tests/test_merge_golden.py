@@ -504,3 +504,47 @@ def test_extension_bundle_from_disk(tmp_path):
     notes = [n["note"] for n in store.read_rows("collection_note")
              if n["code"] == "WARNING"]
     assert any("submissionTerms" in n for n in notes), notes
+
+
+def test_record_check_resolves_extension_refs():
+    """Regression: deprecated/additional-field walk must resolve an
+    extension patch's own $ref definitions inside a record's embedded
+    releases (reached through the releases oneOf), and the validator/walk
+    must apply only the PACKAGE-declared extension set when package
+    metadata is supplied."""
+    from kingfisher_process_spark.operators.check import check_item
+
+    url = "https://example.com/lots.json"
+    patch = {
+        "properties": {"tender": {"properties": {"lots": {
+            "type": "array", "items": {"$ref": "#/definitions/Lot"}}}}},
+        "definitions": {"Lot": {"type": "object", "properties": {
+            "id": {"type": "string"}}}},
+    }
+    rec = json.dumps({
+        "ocid": "o", "releases": [{
+            "ocid": "o", "id": "1", "date": "2020-01-01T00:00:00Z",
+            "tag": ["tender"], "initiationType": "tender",
+            "tender": {"id": "t", "lots": [{"id": "l1"}]}}],
+    })
+    pkg = {"uri": "u:", "version": "1.1", "publisher": {"name": "p"},
+           "extensions": [url]}
+
+    out = json.loads(check_item(rec, True, package_json=json.dumps(pkg),
+                                extension_schemas={url: patch}))
+    assert out["additional_fields"] == []          # Lot.id is declared
+    assert out["extensions"]["extensions"] == [url]
+    assert out["extensions"]["invalid_extension"] == {}
+    assert out["extensions"]["is_extended_schema"] is True
+
+    # package declares NOTHING -> the bundle must not patch the schema
+    pkg2 = {"uri": "u:", "version": "1.1", "publisher": {"name": "p"}}
+    out2 = json.loads(check_item(rec, True, package_json=json.dumps(pkg2),
+                                 extension_schemas={url: patch}))
+    assert out2["extensions"]["is_extended_schema"] is False
+    assert {"path": "records/releases/tender", "field": "lots",
+            "usage_count": 1} in out2["additional_fields"]
+
+    # declared but NOT in the bundle -> flagged invalid (fetch-or-warn)
+    out3 = json.loads(check_item(rec, True, package_json=json.dumps(pkg)))
+    assert url in out3["extensions"]["invalid_extension"]

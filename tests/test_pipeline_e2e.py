@@ -342,6 +342,11 @@ def test_directory_walk_source(spark, store, tmp_path):
         canonical_json(release_package([RELEASES[1]])))
     # dotfile must be IGNORED — it is not even valid JSON
     (root / ".hidden.json").write_text("{not json")
+    # hidden DIRECTORIES are pruned entirely (a .git tree must not be
+    # enumerated, let alone ingested)
+    (root / ".git" / "objects").mkdir(parents=True)
+    (root / ".git" / "config").write_text("[core]")
+    (root / ".git" / "objects" / "aa").write_text("binary-ish")
 
     result = process_collection(
         spark, store, "walk_source", "2020-01-01 00:00:00", [str(root)])
