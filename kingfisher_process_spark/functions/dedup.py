@@ -394,26 +394,39 @@ def simhash_band_candidates(sigs: DataFrame, n_bands: int = 8,
     (doc_a, doc_b, hamming) candidates for exact post-filtering — the
     shuffle is bucket-shaped like MinHash-LSH, never all-pairs."""
     width = bits // n_bands
+    mask = (1 << width) - 1
     bands = sigs.select(
         "doc_id", "simhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(band).alias("band"),
                 F.shiftright("simhash", band * width)
-                .bitwiseAND((1 << width) - 1).alias("key"))
+                .bitwiseAND(mask).alias("key"))
             for band in range(n_bands)
         ])).alias("bb"),
     ).select("doc_id", "simhash", "bb.band", "bb.key")
     a, b = bands.alias("a"), bands.alias("b")
+    # first-matching-band dedup (Manku): a pair sharing k bands would
+    # surface k times from the bucket join; keeping it only at its FIRST
+    # shared band makes pairs unique BY CONSTRUCTION — a cheap map-side
+    # filter on the two signatures in hand, replacing a dropDuplicates
+    # shuffle of the whole candidate set
+    no_earlier_band_equal = F.lit(True)
+    for j in range(n_bands - 1):
+        no_earlier_band_equal = no_earlier_band_equal & F.when(
+            F.col("a.band") > j,
+            F.shiftright(F.col("a.simhash"), j * width).bitwiseAND(mask)
+            != F.shiftright(F.col("b.simhash"), j * width).bitwiseAND(mask),
+        ).otherwise(F.lit(True))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.key") == F.col("b.key"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .where(no_earlier_band_equal)
         .select(F.col("a.doc_id").alias("doc_a"),
                 F.col("b.doc_id").alias("doc_b"),
                 F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
                 .alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
