@@ -273,7 +273,7 @@ def check_item(item_json: str, record_pkg: bool, package_json: str | None = None
                        else "release-package-schema.json"),
         "validation_errors": errors,
         "validation_errors_count": len(errors),
-        "common_error_types": [],
+        "common_error_types": sorted({e["type"] for e in errors}),
         "extensions": {
             "extensions": declared,
             "invalid_extension": {

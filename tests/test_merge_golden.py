@@ -433,7 +433,7 @@ def test_cove_output_golden_shape():
             },
         ],
         "validation_errors_count": 2,
-        "common_error_types": [],
+        "common_error_types": ["array", "required"],
         "extensions": {
             "extensions": [],
             "invalid_extension": {},
