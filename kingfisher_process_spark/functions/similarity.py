@@ -530,3 +530,52 @@ def train_ivf_centroids(emb: DataFrame, k: int = K_CELLS, iters: int = 5,
         # empty cells keep their previous centroid (standard Lloyd's)
         cents = [new.get(ci, c) for ci, c in enumerate(cents)]
     return cents
+
+
+def _oracle_of(name: str) -> str:
+    from kingfisher_process_spark.plans.base import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+@probe(
+    "ann_recall_audit",
+    # component probes are registered above in this module, so their
+    # oracle SQL composes here at decoration time (full SELECTs are valid
+    # DuckDB CTE bodies)
+    f"""
+    WITH bf AS ({_oracle_of("ann_brute_force_topk")}),
+    ivf AS ({_oracle_of("ann_ivf_topk")})
+    SELECT bf.query_id,
+           CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(ivf.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+    FROM bf LEFT JOIN ivf
+      ON ivf.query_id = bf.query_id AND ivf.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    ORDER BY bf.query_id
+    """,
+    survey_ids="similarity-ext,J2,A1",
+)
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF cell-probe path against exact brute-force
+    ground truth, per query — the acceptance measurement every ANN
+    deployment needs before swapping the approximate path in. Both sides
+    are deterministic here, so the audit is exact and oracle-checkable
+    (the DuckDB oracle recomputes both pipelines and the same join).
+    At 100 TB the ground-truth side runs over a SAMPLED query set (this
+    probe's N_QUERIES queries ARE that sample); the audit join touches
+    only 2×k rows per query."""
+    bf = ann_brute_force_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = (ann_ivf_topk(spark, sf_dir)
+           .select(F.col("query_id").alias("qi"), F.col("neighbor_id").alias("ni")))
+    joined = bf.join(
+        ivf, (F.col("qi") == F.col("query_id")) & (F.col("ni") == F.col("neighbor_id")),
+        "left")
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("ni").alias("n_hit"), F.count(F.lit(1)).alias("k"))
+        .select("query_id", "n_hit", "k",
+                (F.col("n_hit").cast("double") / F.col("k")).alias("recall"))
+        .orderBy("query_id")
+    )
