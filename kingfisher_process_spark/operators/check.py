@@ -58,15 +58,21 @@ def _load_schema(record_pkg: bool,
             # the record definition $refs the release schema for embedded
             # releases/compiledRelease — inline the (extension-patched)
             # release schema so those validate for real; versionedRelease
-            # refs the generated versioned-validation schema, which is not
-            # vendored, so it stays structural ({"type": "object"})
+            # gets the schema GENERATED from the same patched release
+            # schema + merge rules (the upstream generated file is not
+            # vendored; deriving keeps it in lockstep)
+            from kingfisher_process_spark.operators.merge import derive_merge_rules
+
+            ver_schema = versioned_release_schema(
+                release_schema, derive_merge_rules(release_schema))
+
             def _inline(node):
                 if isinstance(node, dict):
                     ref = node.get("$ref", "")
                     if ref.endswith("/release-schema.json"):
                         return release_schema
                     if ref.endswith("versioned-release-validation-schema.json"):
-                        return {"type": "object"}
+                        return ver_schema
                     return {k: _inline(v) for k, v in node.items()}
                 if isinstance(node, list):
                     return [_inline(v) for v in node]
@@ -76,6 +82,68 @@ def _load_schema(record_pkg: bool,
         else:
             items["items"] = release_schema
     return schema
+
+
+def versioned_release_schema(release_schema: dict, rules: dict) -> dict:
+    """Generate the versioned-release VALIDATION schema from the release
+    schema — the public OCDS standard's make_versioned transformation,
+    mirroring this engine's data-side ``merge.create_versioned_release``
+    field-for-field: every field's history is an array of {releaseID,
+    releaseDate, releaseTag, value} entries; plain objects recurse;
+    identifier-merged arrays keep item ``id`` plain and version the other
+    item fields; ``omitWhenMerged`` fields (id/date/tag) become per-entry
+    provenance and vanish from the tree; ``ocid`` stays plain. The
+    upstream generated versioned-release-validation-schema.json is not
+    vendored; deriving it from the (extension-patched) release schema
+    keeps the two in lockstep with the merge rules."""
+    def ver_leaf(node: dict) -> dict:
+        return {"type": "array", "items": {
+            "type": "object",
+            "properties": {
+                "releaseID": {"type": ["string", "integer", "null"]},
+                "releaseDate": {"type": ["string", "null"]},
+                "releaseTag": {"type": ["array", "null"],
+                               "items": {"type": "string"}},
+                "value": {k: v for k, v in node.items()
+                          if k not in ("deprecated",)},
+            },
+        }}
+
+    def types_of(node: dict):
+        t = node.get("type")
+        return [t] if isinstance(t, str) else (t or [])
+
+    def transform(node: dict, rule_path: tuple, in_array_item: bool) -> dict:
+        node = _resolve_ref(node, release_schema)
+        out: dict = {"type": "object", "properties": {}}
+        for k, sub in node.get("properties", {}).items():
+            rp = rule_path + (k,)
+            flags = rules.get(".".join(rp), frozenset())
+            if "omitWhenMerged" in flags:
+                continue
+            sub_r = _resolve_ref(sub, release_schema)
+            if k == "id" and in_array_item and "versionId" not in flags:
+                out["properties"]["id"] = sub_r
+                continue
+            if not rule_path and k == "ocid":
+                out["properties"]["ocid"] = sub_r
+                continue
+            items = _resolve_ref(sub_r.get("items"), release_schema) \
+                if isinstance(sub_r.get("items"), dict) else {}
+            if "object" in types_of(sub_r) or ("properties" in sub_r
+                                               and "array" not in types_of(sub_r)):
+                out["properties"][k] = transform(sub_r, rp, False)
+            elif "array" in types_of(sub_r) and "properties" in items \
+                    and "wholeListMerge" not in flags:
+                out["properties"][k] = {
+                    "type": "array",
+                    "items": transform(items, rp, True),
+                }
+            else:
+                out["properties"][k] = ver_leaf(sub_r)
+        return out
+
+    return transform(release_schema, (), False)
 
 
 _VALIDATOR_CACHE: dict[tuple, object] = {}

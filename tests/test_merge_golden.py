@@ -548,3 +548,37 @@ def test_record_check_resolves_extension_refs():
     # declared but NOT in the bundle -> flagged invalid (fetch-or-warn)
     out3 = json.loads(check_item(rec, True, package_json=json.dumps(pkg)))
     assert url in out3["extensions"]["invalid_extension"]
+
+
+def test_versioned_release_schema_roundtrip():
+    """The versioned-release VALIDATION schema is generated from the
+    release schema + merge rules (make_versioned semantics); our own
+    ``create_versioned_release`` output must validate clean against it,
+    and a corrupted versioned value must be caught with the release
+    schema's own type/enum constraints at the right path."""
+    from kingfisher_process_spark.operators.check import check_item
+    from kingfisher_process_spark.operators.merge import create_versioned_release
+
+    releases = [
+        {"ocid": "o", "id": "1", "date": "2020-01-01T00:00:00Z",
+         "tag": ["tender"], "initiationType": "tender",
+         "tender": {"id": "t", "status": "planned",
+                    "items": [{"id": "i1", "description": "north"}]}},
+        {"ocid": "o", "id": "2", "date": "2020-02-01T00:00:00Z",
+         "tag": ["tenderUpdate"], "tender": {"id": "t", "status": "active"}},
+    ]
+    ver = create_versioned_release([json.loads(json.dumps(r)) for r in releases])
+    rec = {"ocid": "o",
+           "releases": [{"url": "http://x#1", "date": "2020-01-01T00:00:00Z",
+                          "tag": ["tender"]}],
+           "versionedRelease": ver}
+    out = json.loads(check_item(json.dumps(rec), True))
+    assert out["validation_errors_count"] == 0
+    assert out["additional_fields"] == []   # versioned fields are declared
+
+    bad = json.loads(json.dumps(rec))
+    bad["versionedRelease"]["tender"]["status"][0]["value"] = 123
+    out2 = json.loads(check_item(json.dumps(bad), True))
+    kinds = {(e["type"], e["path"]) for e in out2["validation_errors"]}
+    assert ("string", "records/0/versionedRelease/tender/status/0/value") in kinds
+    assert ("enum", "records/0/versionedRelease/tender/status/0/value") in kinds
