@@ -890,3 +890,114 @@ def d_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_hit") * 10 >= F.col("n_shingles"), 1).otherwise(0)
         .cast("long").alias("contaminated"),
     ).orderBy("doc_id")
+
+
+def connected_components_lss(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Large-star / small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — the named upgrade
+    path over plain min-label propagation when component diameters grow:
+    rounds needed are O(log n) in the worst case instead of O(diameter),
+    and every reduce keys on a vertex, so a hot component never
+    materializes in one task (no collect_set of a neighborhood — the
+    per-vertex min joins back to the edge list instead).
+
+    ``edges``: (src, dst) pairs, any orientation. Returns
+    (doc_id, component) with component = the component's minimum id.
+    """
+    def sym(e: DataFrame) -> DataFrame:
+        return (
+            e.unionAll(e.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def fingerprint(e: DataFrame):
+        und = e.where(F.col("src") < F.col("dst"))
+        [row] = und.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: summing raw int64 hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h")).collect()
+        return (row["n"], row["h"])
+
+    nodes = edges.select(F.col("src").alias("doc_id")).unionAll(
+        edges.select(F.col("dst").alias("doc_id"))).distinct().localCheckpoint()
+    e = sym(edges).localCheckpoint()
+    prev = None
+    for _ in range(max_rounds):
+        # large-star: per vertex u, m = min(N(u) ∪ {u}); re-point every
+        # LARGER neighbor at m
+        mins = (e.groupBy("src").agg(F.min("dst").alias("mn"))
+                .select("src", F.least("mn", "src").alias("m")))
+        large = (e.join(mins, "src")
+                 .where(F.col("dst") > F.col("src"))
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst")))
+        e1 = sym(large)
+        # small-star: per vertex u over its SMALLER neighbors Γ-(u),
+        # m = min(Γ-(u)); link them and u itself to m
+        esm = e1.where(F.col("dst") < F.col("src"))
+        mins_s = esm.groupBy("src").agg(F.min("dst").alias("m"))
+        small = (esm.join(mins_s, "src")
+                 .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                 .unionAll(mins_s.select("src", F.col("m").alias("dst"))))
+        e = sym(small).localCheckpoint()
+        fp = fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    comp = (e.groupBy("src").agg(F.min("dst").alias("mn"))
+            .select(F.col("src").alias("doc_id"),
+                    F.least("mn", "src").alias("component")))
+    return (
+        nodes.join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+    )
+
+
+def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair edge list from the MinHash-LSH banding join (the
+    same pairs d_dup_clusters clusters)."""
+    t = load_tables(spark, sf_dir)
+    sigs = minhash_signatures(t["documents"]).cache()
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(":", *_band_cols(band))).alias("bucket"),
+            )
+            for band in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+def _oracle_of(name: str) -> str:
+    from kingfisher_process_spark.plans.base import REGISTRY
+
+    return REGISTRY[name].oracle
+
+
+@probe(
+    "d_dup_clusters_lss",
+    # identical output contract to d_dup_clusters — same recursive-CTE
+    # transitive-closure oracle, registered above in this module
+    _oracle_of("d_dup_clusters"),
+    survey_ids="dedup-ext,iterative-ext,A1,J1",
+)
+def d_dup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via large-star/small-star — the published
+    O(log n)-round algorithm beside ``d_dup_clusters``'s min-label
+    propagation (O(diameter) rounds). Same LSH pair graph, same oracle,
+    same labels: the two implementations cross-check each other, and at
+    100 TB this one wins when chains of borderline near-dups stretch a
+    component's diameter past a handful of hops."""
+    return connected_components_lss(_lsh_edges(spark, sf_dir)).orderBy("doc_id")
