@@ -51,6 +51,8 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
 def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     import os
 
+    import pytest
+
     from kingfisher_process_spark.store import Store
 
     store = Store(spark, str(tmp_path / "store"))
@@ -92,3 +94,39 @@ def test_compact_partitioned_table(spark, tmp_path):
     # hive partition dirs survive -> partition pruning still works
     import os
     assert os.path.isdir(store.path("compiled_release") + "/collection_id=1")
+
+
+def test_swap_in_crash_safety(spark, tmp_path, monkeypatch):
+    """A failure swapping the compacted dir in must roll the original
+    table back — the table path never ends up deleted with the
+    replacement unrenamed (the failure mode _swap_in exists to prevent)."""
+    import os
+
+    import pytest
+
+    from kingfisher_process_spark.store import Store
+
+    store = Store(spark, str(tmp_path / "store"))
+    store.append_rows("data", [{"id": 1, "hash_md5": "h1", "data": "{}"}])
+    before = store.read("data").collect()
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def failing_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the swap-in rename, after src moved to backup
+            raise OSError("simulated crash")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", failing_replace)
+    with pytest.raises(OSError, match="simulated crash"):
+        store.compact("data")
+    monkeypatch.undo()
+
+    # original table restored, fully readable
+    assert [r.asDict() for r in store.read("data").collect()] == \
+        [r.asDict() for r in before]
+    # and a subsequent compact (no failure) succeeds
+    assert store.compact("data") >= 0
+    assert store.read("data").count() == 1
