@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for the round-3 additions:
+connected-components implementations against a union-find ground truth,
+and the cove field-walk as a total function over arbitrary JSON."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=40,
+)
+
+
+def union_find_components(edges):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=edges_strategy)
+def test_lss_components_match_union_find(spark, edges):
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.functions.dedup import connected_components_lss
+
+    df = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "src long, dst long")
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components_lss(df).collect()}
+    assert got == union_find_components(edges)
+
+
+json_strategy = st.recursive(
+    st.one_of(st.none(), st.booleans(), st.integers(-10, 10),
+              st.floats(allow_nan=False, allow_infinity=False),
+              st.text(max_size=8)),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=8), children, max_size=4)),
+    max_leaves=20,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(doc=st.dictionaries(st.text(min_size=1, max_size=12), json_strategy,
+                           max_size=6))
+def test_check_item_total_on_arbitrary_json(doc):
+    """check_item must be a TOTAL function over arbitrary release-shaped
+    JSON: never crash, always return the full cove key set, and only
+    flag additional fields that actually appear in the input."""
+    from kingfisher_process_spark.operators.check import check_item
+
+    out = json.loads(check_item(json.dumps(doc), False))
+    assert set(out) == {
+        "file_type", "version_used", "schema_url", "validation_errors",
+        "validation_errors_count", "common_error_types", "extensions",
+        "deprecated_fields", "additional_fields", "additional_checks",
+    }
+    assert out["validation_errors_count"] == len(out["validation_errors"])
+
+    def all_keys(node, acc):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                acc.add(k)
+                all_keys(v, acc)
+        elif isinstance(node, list):
+            for v in node:
+                all_keys(v, acc)
+        return acc
+
+    keys = all_keys(doc, set())
+    for entry in out["additional_fields"]:
+        assert entry["field"] in keys
