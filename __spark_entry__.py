@@ -58,7 +58,7 @@ def _registry():
         "ocds_compile_two_phase", "ocds_versioned_release",
         "st_hourly_rollup",
         # relational family coverage (one per shape, r2-green)
-        "a3_distinct_counts", "p6_json_predicate",
+        "p6_json_predicate",
         "j3_customers_with_open_orders", "j4_explode_token_counts",
         "j5_recursive_tree", "o3_latest_order_per_customer",
         "u3_except_inactive_customers", "f_scalar_functions",
@@ -67,11 +67,14 @@ def _registry():
         "e_asof_last_view_before_click", "e_range_join_intervals",
         "e_multires_rollup", "sk_count_min_event_types",
         "t_quality_scores", "d_simhash_banded_pairs",
+        # new in r3 (never driver-checked before)
+        "t_sequence_packing", "t_mixture_sample",
+        "ann_recall_audit", "d_dup_clusters_lss",
         # LLM-pipeline families
-        "t_token_stats", "t_langid_heuristic", "t_pii_redact",
-        "d_exact_dup_groups", "d_minhash_lsh_pairs", "d_dup_clusters",
+        "t_token_stats", "t_pii_redact",
+        "d_minhash_lsh_pairs", "d_dup_clusters",
         "ann_brute_force_topk", "ann_ivf_topk", "s_embedding_near_dups",
-        "m_media_features", "m_frame_sample",
+        "m_media_features",
         # OCDS core semantics (the reference's centerpiece)
         "ocds_record_ladder", "ocds_upgrade_parties", "ocds_check_errors",
         "ocds_orphan_wipe",
