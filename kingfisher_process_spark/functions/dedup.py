@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kingfisher_process_spark.plans.base import load_tables, probe
+from kingfisher_process_spark.plans.base import load_tables, oracle_of, probe
 
 N_HASHES = 16
 N_BANDS = 4  # 4 rows per band
@@ -585,27 +585,7 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none (the reference dedups exact hashes only,
     process/util.py:93-110); this extends S8 to near-duplicates.
     """
-    t = load_tables(spark, sf_dir)
-    sigs = minhash_signatures(t["documents"]).cache()
-    buckets = sigs.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.md5(F.concat_ws(":", *_band_cols(band))).alias("bucket"),
-            )
-            for band in range(N_BANDS)
-        ])).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bucket") == F.col("b.bucket"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
-    )
+    pairs = _lsh_edges(spark, sf_dir)
     edges = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
@@ -635,7 +615,6 @@ def d_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if not changed:
             break
-    sigs.unpersist()
     return labels.orderBy("doc_id")
 
 
@@ -956,8 +935,10 @@ def connected_components_lss(edges: DataFrame, max_rounds: int = 30) -> DataFram
 
 
 def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-pair edge list from the MinHash-LSH banding join (the
-    same pairs d_dup_clusters clusters)."""
+    """Candidate-pair edge list from the MinHash-LSH banding join — the
+    ONE constructor of the near-dup graph both clustering probes (and
+    their shared oracle) run on. Returns a localCheckpoint'd frame, so
+    the signature cache is released before returning."""
     t = load_tables(spark, sf_dir)
     sigs = minhash_signatures(t["documents"]).cache()
     buckets = sigs.select(
@@ -971,26 +952,23 @@ def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
     a, b = buckets.alias("a"), buckets.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
+        .localCheckpoint()  # materializes; the signature cache can go
     )
-
-
-def _oracle_of(name: str) -> str:
-    from kingfisher_process_spark.plans.base import REGISTRY
-
-    return REGISTRY[name].oracle
+    sigs.unpersist()
+    return pairs
 
 
 @probe(
     "d_dup_clusters_lss",
     # identical output contract to d_dup_clusters — same recursive-CTE
     # transitive-closure oracle, registered above in this module
-    _oracle_of("d_dup_clusters"),
+    oracle_of("d_dup_clusters"),
     survey_ids="dedup-ext,iterative-ext,A1,J1",
 )
 def d_dup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:

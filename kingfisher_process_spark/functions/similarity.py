@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kingfisher_process_spark.plans.base import load_tables, probe
+from kingfisher_process_spark.plans.base import load_tables, oracle_of, probe
 
 DEC12 = "decimal(38,12)"
 N_QUERIES = 5
@@ -532,20 +532,14 @@ def train_ivf_centroids(emb: DataFrame, k: int = K_CELLS, iters: int = 5,
     return cents
 
 
-def _oracle_of(name: str) -> str:
-    from kingfisher_process_spark.plans.base import REGISTRY
-
-    return REGISTRY[name].oracle
-
-
 @probe(
     "ann_recall_audit",
     # component probes are registered above in this module, so their
     # oracle SQL composes here at decoration time (full SELECTs are valid
     # DuckDB CTE bodies)
     f"""
-    WITH bf AS ({_oracle_of("ann_brute_force_topk")}),
-    ivf AS ({_oracle_of("ann_ivf_topk")})
+    WITH bf AS ({oracle_of("ann_brute_force_topk")}),
+    ivf AS ({oracle_of("ann_ivf_topk")})
     SELECT bf.query_id,
            CAST(COUNT(ivf.neighbor_id) AS BIGINT) AS n_hit,
            CAST(COUNT(*) AS BIGINT) AS k,

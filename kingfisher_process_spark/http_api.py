@@ -103,11 +103,11 @@ def make_app(store: Store) -> Callable:
             coll = api._get_collection(store, pk)
             if coll["transform_type"]:
                 raise _HttpError(400, "The collection must be a root collection")
-            requested = query.get("level", LEVELS)
-            bad = [lv for lv in requested if lv not in LEVELS]
-            if bad:
-                raise _HttpError(400, f"invalid level value(s): {', '.join(bad)}")
-            wanted = [lv for lv in LEVELS if lv in set(requested)]
+            # reference behavior (views.py:268): unknown level values are
+            # silently filtered, not rejected — levels = [l for l in
+            # LEVELS if l in requested]
+            wanted = [lv for lv in LEVELS
+                      if lv in set(query.get("level", LEVELS))]
             family = [pk] + [c["id"] for c in api.tree(store, pk)
                              if c["id"] != pk]
             notes: dict[str, list] = {lv: [] for lv in wanted}

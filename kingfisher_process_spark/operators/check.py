@@ -96,6 +96,21 @@ def versioned_release_schema(release_schema: dict, rules: dict) -> dict:
     upstream generated versioned-release-validation-schema.json is not
     vendored; deriving it from the (extension-patched) release schema
     keeps the two in lockstep with the merge rules."""
+    def deep_resolve(node, depth: int = 0):
+        """Embedded value subschemas must be self-contained: the generated
+        schema is spliced into the record-package document, whose root
+        has no release definitions, so any surviving local $ref would
+        dangle (jsonschema PointerToNowhere). The base 1.1.5 schema is
+        fully dereferenced; extension patches are the ones that carry
+        refs."""
+        if depth > 12 or not isinstance(node, (dict, list)):
+            return node if not isinstance(node, list) else node
+        if isinstance(node, list):
+            return [deep_resolve(v, depth + 1) for v in node]
+        node = _resolve_ref(node, release_schema)
+        return {k: deep_resolve(v, depth + 1)
+                for k, v in node.items() if k != "$ref"}
+
     def ver_leaf(node: dict) -> dict:
         return {"type": "array", "items": {
             "type": "object",
@@ -104,7 +119,7 @@ def versioned_release_schema(release_schema: dict, rules: dict) -> dict:
                 "releaseDate": {"type": ["string", "null"]},
                 "releaseTag": {"type": ["array", "null"],
                                "items": {"type": "string"}},
-                "value": {k: v for k, v in node.items()
+                "value": {k: v for k, v in deep_resolve(node).items()
                           if k not in ("deprecated",)},
             },
         }}
@@ -135,10 +150,15 @@ def versioned_release_schema(release_schema: dict, rules: dict) -> dict:
                 out["properties"][k] = transform(sub_r, rp, False)
             elif "array" in types_of(sub_r) and "properties" in items \
                     and "wholeListMerge" not in flags:
-                out["properties"][k] = {
-                    "type": "array",
-                    "items": transform(items, rp, True),
-                }
+                # anyOf: create_versioned_release id-merges a list only
+                # when it is non-empty and all-dict (merge.py _ver_object);
+                # empty / mixed lists version as ONE leaf — both data
+                # shapes must validate (and the field walk's branches()
+                # treats anyOf alternatives as declared fields)
+                out["properties"][k] = {"anyOf": [
+                    {"type": "array", "items": transform(items, rp, True)},
+                    ver_leaf(sub_r),
+                ]}
             else:
                 out["properties"][k] = ver_leaf(sub_r)
         return out
@@ -341,7 +361,10 @@ def check_item(item_json: str, record_pkg: bool, package_json: str | None = None
                        else "release-package-schema.json"),
         "validation_errors": errors,
         "validation_errors_count": len(errors),
-        "common_error_types": sorted({e["type"] for e in errors}),
+        # constant [] in the reference's stored output: libcove copies
+        # lib_cove_config['common_error_types'], which LibCoveOCDSConfig
+        # sets to [] (checker.py:23-30 config)
+        "common_error_types": [],
         "extensions": {
             "extensions": declared,
             "invalid_extension": {

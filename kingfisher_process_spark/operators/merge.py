@@ -201,6 +201,13 @@ def derive_merge_rules(schema: dict) -> dict[str, frozenset]:
                 flags.add("omitWhenMerged")
             if node.get("wholeListMerge"):
                 flags.add("wholeListMerge")
+            if node.get("versionId"):
+                # versioned-release rule only (public ocdsmerge collects
+                # it the same way): an ``id`` inside an identifier-merged
+                # array is a merge KEY (kept plain) unless the schema
+                # marks it versionId — then it is data and versions like
+                # any other field. Compile ignores this flag.
+                flags.add("versionId")
             if "array" in types_of(node) and "items" in node:
                 ires = resolve(node["items"], stack)
                 if ires and isinstance(ires[0], dict):
@@ -413,7 +420,9 @@ def _ver_object(target: dict, source: dict, rule_path: tuple,
             continue
         if k == "id" and in_array_item and "versionId" not in flags:
             # the merge key itself: kept plain unless the schema opts it
-            # into versioning with versionId (no core 1.1.5 field does)
+            # into versioning with versionId (core 1.1.5 marks e.g.
+            # Identifier.id, though those sit under wholeListMerge arrays
+            # or plain objects; extensions can hit this path for real)
             target["id"] = v
             continue
         if v is None:

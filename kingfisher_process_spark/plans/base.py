@@ -194,6 +194,13 @@ class Probe:
 REGISTRY: dict[str, Probe] = {}
 
 
+def oracle_of(name: str) -> str:
+    """Oracle SQL of an already-registered probe — for probes that
+    compose other probes (audits, cross-checking implementations) and
+    must share their output contract exactly."""
+    return REGISTRY[name].oracle
+
+
 def probe(name: str, oracle: str | None, survey_ids: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = Probe(name, fn, oracle, survey_ids)

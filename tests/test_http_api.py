@@ -119,11 +119,14 @@ def test_metadata_requires_compiled_collection(spark, store, tmp_path):
     assert status == 202
 
 
-def test_notes_rejects_bad_level(spark, store):
+def test_notes_filters_unknown_levels(spark, store):
+    """Reference behavior (views.py:268): unrecognized ?level= values are
+    silently filtered — level=info (lowercase) yields 200 with an empty
+    dict, not an error."""
     from kingfisher_process_spark import api
 
     app = make_app(store)
     ids = api.create_collection(store, "lvl_check", "2020-01-01")
-    status, err = call(app, "GET", f"/api/collections/{ids['root']}/notes/",
-                       query="level=info")
-    assert status == 400 and "invalid level" in err["error"]
+    status, notes = call(app, "GET", f"/api/collections/{ids['root']}/notes/",
+                         query="level=info")
+    assert status == 200 and notes == {}

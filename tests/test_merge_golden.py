@@ -433,7 +433,7 @@ def test_cove_output_golden_shape():
             },
         ],
         "validation_errors_count": 2,
-        "common_error_types": ["array", "required"],
+        "common_error_types": [],
         "extensions": {
             "extensions": [],
             "invalid_extension": {},
@@ -582,3 +582,52 @@ def test_versioned_release_schema_roundtrip():
     kinds = {(e["type"], e["path"]) for e in out2["validation_errors"]}
     assert ("string", "records/0/versionedRelease/tender/status/0/value") in kinds
     assert ("enum", "records/0/versionedRelease/tender/status/0/value") in kinds
+
+
+def test_versioned_schema_extension_refs_and_empty_arrays():
+    """Regressions: (1) an extension wholeListMerge array whose items are
+    a $ref must not leave a dangling pointer in the generated versioned
+    schema (jsonschema PointerToNowhere crash); (2) an empty
+    identifier-merge array round-trips through create_versioned_release
+    as a LEAF entry and must still validate / not flag additional
+    fields."""
+    from kingfisher_process_spark.operators.check import check_item
+    from kingfisher_process_spark.operators.merge import (
+        create_versioned_release, rules_with_extensions)
+
+    url = "https://example.com/fees.json"
+    patch = {
+        "properties": {"tender": {"properties": {"fees": {
+            "type": "array", "wholeListMerge": True,
+            "items": {"$ref": "#/definitions/Fee"}}}}},
+        "definitions": {"Fee": {"type": "object", "properties": {
+            "amount": {"type": "number"}}}},
+    }
+    releases = [
+        {"ocid": "o", "id": "1", "date": "2020-01-01T00:00:00Z",
+         "tag": ["tender"], "initiationType": "tender",
+         "tender": {"id": "t", "fees": [{"amount": 5}],
+                    "milestones": []}},   # empty id-merge array -> leaf
+    ]
+    ver = create_versioned_release(
+        [json.loads(json.dumps(r)) for r in releases],
+        rules_with_extensions({url: patch}))
+    rec = {"ocid": "o",
+           "releases": [{"url": "http://x#1", "date": "2020-01-01T00:00:00Z",
+                          "tag": ["tender"]}],
+           "versionedRelease": ver}
+    pkg = {"uri": "u:", "version": "1.1", "publisher": {"name": "p"},
+           "extensions": [url]}
+    out = json.loads(check_item(json.dumps(rec), True,
+                                package_json=json.dumps(pkg),
+                                extension_schemas={url: patch}))
+    # no crash, no false additional fields from either shape
+    assert out["additional_fields"] == []
+    assert out["validation_errors_count"] == 0
+    # the extension's Fee type constraint is live inside the versioned value
+    bad = json.loads(json.dumps(rec))
+    bad["versionedRelease"]["tender"]["fees"][0]["value"] = [{"amount": "x"}]
+    out2 = json.loads(check_item(json.dumps(bad), True,
+                                 package_json=json.dumps(pkg),
+                                 extension_schemas={url: patch}))
+    assert any(e["type"] == "number" for e in out2["validation_errors"]), out2

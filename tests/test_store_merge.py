@@ -51,8 +51,6 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
 def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     import os
 
-    import pytest
-
     from kingfisher_process_spark.store import Store
 
     store = Store(spark, str(tmp_path / "store"))
