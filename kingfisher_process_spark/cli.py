@@ -1,0 +1,172 @@
+"""Command-line interface — the reference's primary affordance
+(``manage.py <command>``, process/management/commands/) as a single
+argparse entry point over the library API::
+
+    python -m kingfisher_process_spark load --store /data/store \\
+        --source my_source --compile --check  path/or/dir ...
+
+Commands map to the reference's management commands:
+
+- ``load``             → commands/load.py:78-163 (data_version defaults to
+  the EARLIEST file mtime in UTC; an explicit --time may not exceed it;
+  "No files found" aborts)
+- ``addfiles``         → commands/addfiles.py
+- ``closecollection``  → commands/closecollection.py
+- ``collectionstatus`` → commands/collectionstatus.py:55-118
+- ``cancelcollection`` → commands/cancelcollection.py:11-26
+- ``deletecollection`` → commands/deletecollection.py (wiper)
+- ``deleteorphan``     → commands/deleteorphan.py
+- ``addchecks``        → commands/addchecks.py
+- ``serve``            → the REST layer (http_api) under wsgiref
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+class CliError(SystemExit):
+    pass
+
+
+def _fail(msg: str) -> "CliError":
+    print(f"error: {msg}", file=sys.stderr)
+    return CliError(2)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kingfisher_process_spark")
+    p.add_argument("--store", required=True,
+                   help="store directory (parquet tables)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    load = sub.add_parser("load", help="create a collection and load files")
+    load.add_argument("paths", nargs="+", metavar="PATH")
+    load.add_argument("--source", required=True)
+    load.add_argument("--time", default=None,
+                      help="data version YYYY-MM-DD[ HH:MM:SS]; must not "
+                           "exceed the earliest file modification time")
+    load.add_argument("--sample", action="store_true")
+    load.add_argument("--upgrade", action="store_true")
+    load.add_argument("--compile", action="store_true", dest="compile_")
+    load.add_argument("--check", action="store_true")
+    load.add_argument("--note", default=None)
+    load.add_argument("--extension-bundle", default=None,
+                      help="offline extension-schema bundle directory")
+
+    add = sub.add_parser("addfiles", help="register files in an open collection")
+    add.add_argument("collection_id", type=int)
+    add.add_argument("paths", nargs="+", metavar="PATH")
+
+    close = sub.add_parser("closecollection")
+    close.add_argument("collection_id", type=int)
+    close.add_argument("--expected-files-count", type=int, default=None)
+
+    status = sub.add_parser("collectionstatus")
+    status.add_argument("collection_id", type=int)
+
+    cancel = sub.add_parser("cancelcollection")
+    cancel.add_argument("collection_id", type=int)
+
+    delete = sub.add_parser("deletecollection")
+    delete.add_argument("collection_id", type=int)
+
+    sub.add_parser("deleteorphan")
+
+    checks = sub.add_parser("addchecks")
+    checks.add_argument("collection_id", type=int)
+    checks.add_argument("--kind", choices=["release", "record"],
+                        default="release")
+
+    serve = sub.add_parser("serve", help="run the REST API (wsgiref)")
+    serve.add_argument("--host", default="127.0.0.1")
+    serve.add_argument("--port", type=int, default=8000)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from kingfisher_process_spark.session import get_spark
+    from kingfisher_process_spark.store import Store
+
+    spark = get_spark("kps-cli")
+    store = Store(spark, args.store)
+
+    from kingfisher_process_spark import api
+    from kingfisher_process_spark.operators import lifecycle
+
+    if args.command == "load":
+        from kingfisher_process_spark.pipeline import process_collection
+        from kingfisher_process_spark.util import walk_files
+
+        files = walk_files(args.paths)
+        if not files:
+            raise _fail("No files found")
+        # data_version = earliest file mtime, UTC (load.py:88-100)
+        data_version = time.strftime(
+            "%Y-%m-%d %H:%M:%S",
+            time.gmtime(min(os.path.getmtime(f) for f in files)))
+        if args.time:
+            if args.time > data_version:
+                raise _fail(
+                    f"{args.time!r} is greater than the earliest file "
+                    f"modification time: {data_version!r}")
+            data_version = args.time
+        result = process_collection(
+            spark, store, args.source, data_version, files,
+            sample=args.sample, upgrade=args.upgrade, compile_=args.compile_,
+            check=args.check, note=args.note,
+            extension_schemas=args.extension_bundle)
+        print(json.dumps(result, default=str))
+        return 1 if result.get("error") else 0
+
+    if args.command == "addfiles":
+        pairs = api.add_files(store, args.collection_id, args.paths)
+        print(json.dumps({"added": [p for _, p in pairs]}))
+        return 0
+
+    if args.command == "closecollection":
+        out = api.close_collection(
+            store, args.collection_id,
+            expected_files_count=args.expected_files_count)
+        print(json.dumps(out, default=str))
+        return 0
+
+    if args.command == "collectionstatus":
+        print(json.dumps(api.collection_status(store, args.collection_id),
+                         default=str, indent=1))
+        return 0
+
+    if args.command == "cancelcollection":
+        print(json.dumps({"cancelled": api.cancel_collection(store, args.collection_id)}))
+        return 0
+
+    if args.command == "deletecollection":
+        api.destroy_collection(store, args.collection_id)
+        print(json.dumps({"deleted": args.collection_id}))
+        return 0
+
+    if args.command == "deleteorphan":
+        n = lifecycle.delete_orphan_data(store)
+        print(json.dumps({"orphans_deleted": n}))
+        return 0
+
+    if args.command == "addchecks":
+        from kingfisher_process_spark.operators.check import check_collection
+
+        n = check_collection(store, args.collection_id, kind=args.kind)
+        print(json.dumps({"checked": n}))
+        return 0
+
+    if args.command == "serve":
+        from kingfisher_process_spark.http_api import serve as _serve
+
+        _serve(store, host=args.host, port=args.port)
+        return 0
+
+    raise _fail(f"unknown command {args.command}")  # pragma: no cover

@@ -1,0 +1,57 @@
+"""CLI parity (management commands as `python -m kingfisher_process_spark`).
+Drives cli.main() in-process; get_spark() reuses the test session."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from kingfisher_process_spark.cli import main
+from tests.test_pipeline_e2e import RELEASES, release_package
+
+
+def run(capsys, *argv):
+    rc = main(list(argv))
+    out = capsys.readouterr().out.strip()
+    return rc, json.loads(out) if out else None
+
+
+def test_load_status_lifecycle(spark, tmp_path, capsys):
+    store_dir = str(tmp_path / "store")
+    from kingfisher_process_spark.util import canonical_json
+
+    pkg_dir = tmp_path / "in"
+    pkg_dir.mkdir()
+    (pkg_dir / "pkg.json").write_text(canonical_json(release_package(RELEASES)))
+
+    rc, result = run(capsys, "--store", store_dir, "load",
+                     "--source", "cli_source", "--compile", str(pkg_dir))
+    assert rc == 0 and "error" not in result
+    root = result["collections"]["root"]
+    # data_version defaulted to the file's mtime (UTC) — lexicographic
+    # YYYY-MM-DD HH:MM:SS shape
+    rc, status = run(capsys, "--store", store_dir, "collectionstatus", str(root))
+    assert rc == 0
+    assert status["collection_files"] == 1
+    assert status["compiled_collection"]["collection_files"] == 2
+
+    # --time greater than earliest mtime is rejected (load.py:93-99)
+    future = time.strftime("%Y-%m-%d %H:%M:%S", time.gmtime(time.time() + 3600))
+    with pytest.raises(SystemExit):
+        main(["--store", store_dir, "load", "--source", "cli_late",
+              "--time", future, str(pkg_dir)])
+    capsys.readouterr()
+
+    # deletecollection wipes
+    rc, out = run(capsys, "--store", store_dir, "deletecollection", str(root))
+    assert rc == 0 and out == {"deleted": root}
+
+
+def test_load_empty_dir_fails(spark, tmp_path, capsys):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit):
+        main(["--store", str(tmp_path / "s"), "load",
+              "--source", "cli_empty", str(empty)])
