@@ -60,11 +60,14 @@ def _get_collection(store: Store, collection_id: int) -> dict:
     return rows[0].asDict()
 
 
-def add_files(store: Store, collection_id: int, paths: list[str]) -> list[tuple[int, str]]:
+def add_files(store: Store, collection_id: int, paths: list[str],
+              urls: dict[str, str] | None = None) -> list[tuple[int, str]]:
     """Register new input files in an OPEN collection (addfiles.py:22-26:
     closed collections reject new files). ``paths`` may mix files and
     directories; directories enumerate recursively, skipping dotfiles
-    (S1 — reference process/util.py:30-38)."""
+    (S1 — reference process/util.py:30-38). ``urls`` optionally maps a
+    path to the source URL Kingfisher Collect downloaded it from — the
+    api_loader metadata (api_loader.py:28-49, loader.py:23-39)."""
     from kingfisher_process_spark.util import walk_files
 
     coll = _get_collection(store, collection_id)
@@ -72,7 +75,8 @@ def add_files(store: Store, collection_id: int, paths: list[str]) -> list[tuple[
         raise ApiError(f"Collection {collection_id} is closed; cannot add files")
     if coll["deleted_at"] is not None:
         raise ApiError(f"Collection {collection_id} is deleted")
-    return lifecycle.create_collection_files(store, collection_id, walk_files(paths))
+    return lifecycle.create_collection_files(store, collection_id,
+                                             walk_files(paths), urls=urls)
 
 
 def close_collection(store: Store, collection_id: int,

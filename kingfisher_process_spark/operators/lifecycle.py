@@ -93,9 +93,14 @@ def add_note(store: Store, collection_id: int, code: str, note: str,
 
 
 def create_collection_files(store: Store, collection_id: int,
-                            paths: list[str]) -> list[tuple[int, str]]:
+                            paths: list[str],
+                            urls: dict[str, str] | None = None,
+                            ) -> list[tuple[int, str]]:
     """Register input files, unique on (collection, filename)
-    (models.py:221-223). Returns (collection_file_id, path) pairs."""
+    (models.py:221-223). ``urls`` maps a path to its source URL — the
+    Collect-integration metadata the API loader records
+    (processors/loader.py:23-39 ``create_collection_file(filename, url)``).
+    Returns (collection_file_id, path) pairs."""
     base = store.next_id("collection_file")
     existing = {
         r["filename"]
@@ -110,7 +115,7 @@ def create_collection_files(store: Store, collection_id: int,
         cfid = base + i
         pairs.append((cfid, p))
         rows.append({"id": cfid, "collection_id": collection_id, "filename": p,
-                     "url": None, "compilation_started": False})
+                     "url": (urls or {}).get(p), "compilation_started": False})
     store.append_rows("collection_file", rows)
     store.advance_next_id("collection_file", base + len(rows))
     return pairs

@@ -89,3 +89,20 @@ def test_collection_status_and_cancel(store, tmp_path):
     assert all(colls[c]["deleted_at"] is not None for c in cancelled)
     out = compile_collection(store, root, result["collections"]["compiled"])
     assert out.get("cancelled") is True and out["compiled"] == 0
+
+
+def test_add_files_records_source_urls(spark, tmp_path):
+    """api_loader metadata (loader.py:23-39): the source URL a file was
+    downloaded from is stored on collection_file.url."""
+    from kingfisher_process_spark import api
+    from kingfisher_process_spark.store import Store
+
+    store = Store(spark, str(tmp_path / "store"))
+    ids = api.create_collection(store, "url_source", "2020-01-01")
+    p = tmp_path / "f.json"
+    p.write_text("{}")
+    api.add_files(store, ids["root"], [str(p)],
+                  urls={str(p): "https://example.com/api?page=1"})
+    [row] = [r for r in store.read_rows("collection_file")
+             if r["collection_id"] == ids["root"]]
+    assert row["url"] == "https://example.com/api?page=1"
