@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     load.add_argument("--note", default=None)
     load.add_argument("--extension-bundle", default=None,
                       help="offline extension-schema bundle directory")
+    load.add_argument("--keep-open", action="store_true",
+                      help="leave the collection open (load.py:156-161); "
+                           "register more files with addfiles and run the "
+                           "deferred steps with closecollection")
 
     add = sub.add_parser("addfiles", help="register files in an open collection")
     add.add_argument("collection_id", type=int)
@@ -117,22 +121,34 @@ def main(argv: list[str] | None = None) -> int:
                     f"{args.time!r} is greater than the earliest file "
                     f"modification time: {data_version!r}")
             data_version = args.time
-        result = process_collection(
-            spark, store, args.source, data_version, files,
-            sample=args.sample, upgrade=args.upgrade, compile_=args.compile_,
-            check=args.check, note=args.note,
-            extension_schemas=args.extension_bundle)
+        if args.keep_open:
+            from kingfisher_process_spark.pipeline import open_collection
+
+            result = open_collection(
+                spark, store, args.source, data_version, files,
+                sample=args.sample, upgrade=args.upgrade,
+                compile_=args.compile_, check=args.check, note=args.note)
+        else:
+            result = process_collection(
+                spark, store, args.source, data_version, files,
+                sample=args.sample, upgrade=args.upgrade, compile_=args.compile_,
+                check=args.check, note=args.note,
+                extension_schemas=args.extension_bundle)
         print(json.dumps(result, default=str))
         return 1 if result.get("error") else 0
 
     if args.command == "addfiles":
-        pairs = api.add_files(store, args.collection_id, args.paths)
+        from kingfisher_process_spark.pipeline import register_files
+
+        pairs = register_files(spark, store, args.collection_id, args.paths)
         print(json.dumps({"added": [p for _, p in pairs]}))
         return 0
 
     if args.command == "closecollection":
-        out = api.close_collection(
-            store, args.collection_id,
+        from kingfisher_process_spark.pipeline import close_and_process
+
+        out = close_and_process(
+            spark, store, args.collection_id,
             expected_files_count=args.expected_files_count)
         print(json.dumps(out, default=str))
         return 0

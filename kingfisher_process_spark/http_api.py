@@ -81,9 +81,19 @@ def make_app(store: Store) -> Callable:
                 out["compiled_collection_id"] = ids["compiled"]
             return 200, out
         if name == "close":
+            from kingfisher_process_spark.pipeline import close_and_process
+
+            coll = api._get_collection(store, pk)
+            if coll["store_end_at"] is not None:
+                raise _HttpError(400, f"Collection {pk} is already closed")
             stats = body.get("stats") or {}
             expected = stats.get("kingfisher_process_expected_files_count")
-            api.close_collection(store, pk, expected_files_count=expected)
+            # the reference's close publishes collection_closed, which
+            # fans out to compiler/checker/finisher (views.py:111-147);
+            # synchronously that is: drain loads, run deferred steps,
+            # finish the family
+            close_and_process(store.spark, store, pk,
+                              expected_files_count=expected)
             if body.get("reason"):
                 lifecycle.add_note(store, pk, "INFO",
                                    f"Spider close reason: {body['reason']}")

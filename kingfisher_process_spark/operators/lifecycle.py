@@ -92,6 +92,42 @@ def add_note(store: Store, collection_id: int, code: str, note: str,
     store.advance_next_id("collection_note", nid + 1)
 
 
+STEP_LOAD = "LOAD"
+
+
+def create_load_steps(store: Store, collection_id: int,
+                      pairs: list[tuple[int, str]]) -> None:
+    """One LOAD processing_step per registered file (models.py:229-254,
+    loader.py:36 ``create_step(LOAD, ...)``) — the work-in-flight marker
+    the OPEN-collection path drains at close; existence of steps keeps
+    ``completable``/``compilable`` false (compiler.py:162-167,
+    finisher.py:142)."""
+    base = store.next_id("processing_step")
+    store.append_rows("processing_step", [
+        {"id": base + i, "collection_id": collection_id,
+         "collection_file_id": cfid, "ocid": None, "name": STEP_LOAD}
+        for i, (cfid, _) in enumerate(pairs)
+    ])
+    store.advance_next_id("processing_step", base + len(pairs))
+
+
+def pending_load_steps(store: Store, collection_id: int) -> list[dict]:
+    if not store.exists("processing_step"):
+        return []
+    return [r for r in store.read_rows("processing_step")
+            if r["collection_id"] == collection_id and r["name"] == STEP_LOAD]
+
+
+def delete_steps(store: Store, step_ids: list[int]) -> None:
+    """Transactional step deletion analogue (util.py:123-153): rewrite the
+    (driver-sized) step table without the completed steps."""
+    if not step_ids or not store.exists("processing_step"):
+        return
+    keep = [r for r in store.read_rows("processing_step")
+            if r["id"] not in set(step_ids)]
+    store.overwrite_rows("processing_step", keep)
+
+
 def create_collection_files(store: Store, collection_id: int,
                             paths: list[str],
                             urls: dict[str, str] | None = None,

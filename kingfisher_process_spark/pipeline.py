@@ -176,3 +176,160 @@ def process_collection(
             "compiled_release": result.get("compile", {}).get("compiled", 0)}
     lifecycle.finish_collections(store, list(ids.values()), known_counts=known)
     return result
+
+
+def open_collection(spark: SparkSession, store: Store, source_id: str,
+                    data_version: str, paths: list[str] | None = None, *,
+                    sample: bool = False, upgrade: bool = False,
+                    compile_: bool = False, check: bool = False,
+                    note: str | None = None) -> dict:
+    """The --keep-open / Collect-integration path (load.py:156-161
+    "unless --keep-open"; api_loader): create the collections, register +
+    load any initial files, and leave the collection OPEN — more files
+    can arrive via ``register_files``/``api.add_files`` +
+    ``load_pending``, and ``close_and_process`` later runs the deferred
+    compile/check and finishes (the reference's collection_closed →
+    compiler/finisher choreography, synchronously)."""
+    ids = lifecycle.create_collections(
+        store, source_id, data_version,
+        sample=sample, upgrade=upgrade, compile_=compile_, check=check,
+        note=note)
+    result: dict = {"collections": ids}
+    if paths:
+        register_files(spark, store, ids["root"], paths)
+        result["load"] = load_pending(spark, store, ids["root"])
+    return result
+
+
+def register_files(spark: SparkSession, store: Store, root_id: int,
+                   paths: list[str],
+                   urls: dict[str, str] | None = None) -> list[tuple[int, str]]:
+    """Register files in an open collection WITH their LOAD steps; the
+    first registration detects + pins the collection's data_type
+    (file_worker.py:216-242 set_data_type runs once per collection)."""
+    files = walk_files(paths)
+    if not files:
+        raise detect.EmptyFormatError("no input files found")
+    coll = [r for r in store.read_rows("collection") if r["id"] == root_id][0]
+    if coll["store_end_at"] is not None:
+        raise ValueError(f"Collection {root_id} is closed; cannot add files")
+    if coll["data_type"] is None:
+        data_type = detect.detect_format(files[0]).as_dict()
+        lifecycle._update_collection(store, root_id,
+                                     data_type=json.dumps(data_type))
+    pairs = lifecycle.create_collection_files(store, root_id, files, urls=urls)
+    lifecycle.create_load_steps(store, root_id, pairs)
+    return pairs
+
+
+def _family(store: Store, root_id: int) -> dict:
+    """root + derived children rows, keyed by role."""
+    rows = store.read_rows("collection")
+    by_parent: dict[int, list[dict]] = {}
+    for r in rows:
+        by_parent.setdefault(r["parent_id"], []).append(r)
+    root = next(r for r in rows if r["id"] == root_id)
+    out = {"root": root}
+    for child in by_parent.get(root_id, []):
+        if child["transform_type"] == lifecycle.TRANSFORM_UPGRADE:
+            out["upgraded"] = child
+        elif child["transform_type"] == lifecycle.TRANSFORM_COMPILE:
+            out["compiled"] = child
+    if "upgraded" in out:
+        for child in by_parent.get(out["upgraded"]["id"], []):
+            if child["transform_type"] == lifecycle.TRANSFORM_COMPILE:
+                out["compiled"] = child
+    return out
+
+
+def load_pending(spark: SparkSession, store: Store, root_id: int) -> dict:
+    """Drain the root collection's LOAD steps: parse + store exactly the
+    files whose steps are pending (idempotent across calls — a drained
+    file has no step and is never re-loaded), mirroring the rows into the
+    upgraded collection when that step is requested."""
+    steps = lifecycle.pending_load_steps(store, root_id)
+    if not steps:
+        return {"rows": 0, "notes": 0, "files": 0}
+    fam = _family(store, root_id)
+    data_type = json.loads(fam["root"]["data_type"])
+    fmt = data_type["format"]
+    cf = {r["id"]: r["filename"]
+          for r in store.read_rows("collection_file")
+          if r["collection_id"] == root_id}
+    pairs = [(s["collection_file_id"], cf[s["collection_file_id"]])
+             for s in steps]
+
+    parsed = parse_files(spark, pairs, data_type).cache()
+    result = store_items(store, root_id, fmt, parsed)
+    result["files"] = len(pairs)
+    if "upgraded" in fam:
+        upg_id = fam["upgraded"]["id"]
+        if fam["upgraded"]["data_type"] is None:
+            lifecycle._update_collection(store, upg_id,
+                                         data_type=json.dumps(data_type))
+        upg_pairs = lifecycle.create_collection_files(
+            store, upg_id, [p for _, p in pairs])
+        cfid_map = {rc: uc for (rc, _), (uc, _) in zip(pairs, upg_pairs)}
+        result["upgrade"] = store_items(
+            store, upg_id, fmt, _upgrade_parsed(parsed, cfid_map))
+    parsed.unpersist()
+    lifecycle.delete_steps(store, [s["id"] for s in steps])
+    return result
+
+
+def close_and_process(spark: SparkSession, store: Store, root_id: int, *,
+                      expected_files_count: int | None = None,
+                      two_phase_compile: bool | str = "auto",
+                      extension_schemas: dict[str, dict] | str | None = None,
+                      ) -> dict:
+    """Close an open collection and run its deferred steps — the
+    synchronous equivalent of the reference's collection_closed message
+    fan-out (views.py:111-147 → compiler.py:128-181 compilable →
+    finisher.py:116-176 completable): drain pending LOAD steps, compile
+    and/or check per the collection's stored ``steps``, then finish the
+    whole family. Idempotent stage writes make a re-close harmless."""
+    if isinstance(extension_schemas, str):
+        from kingfisher_process_spark.operators.merge import load_extension_bundle
+
+        extension_schemas = load_extension_bundle(extension_schemas)
+    already = next(r for r in store.read_rows("collection")
+                   if r["id"] == root_id)
+    if already["store_end_at"] is not None:
+        raise ValueError(f"Collection {root_id} is already closed")
+    result: dict = {"load": load_pending(spark, store, root_id)}
+    fam = _family(store, root_id)
+    root = fam["root"]
+    steps = root["steps"] or []
+    n_files = sum(1 for r in store.read_rows("collection_file")
+                  if r["collection_id"] == root_id)
+    lifecycle.close_collection(
+        store, root_id,
+        expected_files_count=(n_files if expected_files_count is None
+                              else expected_files_count))
+    if "upgraded" in fam:
+        lifecycle.close_collection(store, fam["upgraded"]["id"],
+                                   expected_files_count=n_files)
+
+    compile_parent = fam.get("upgraded", root)["id"]
+    data_type = json.loads(root["data_type"]) if root["data_type"] else None
+    if "compile" in steps and "compiled" in fam and data_type:
+        comp_id = fam["compiled"]["id"]
+        fmt = data_type["format"]
+        if fmt == detect.RELEASE_PACKAGE:
+            result["compile"] = compile_collection(
+                store, compile_parent, comp_id, two_phase=two_phase_compile,
+                extension_schemas=extension_schemas)
+        elif fmt == detect.RECORD_PACKAGE:
+            result["compile"] = compile_records(store, compile_parent, comp_id)
+        else:
+            lifecycle.add_note(store, comp_id, "INFO",
+                               "Collection is already compiled; compile step skipped")
+    if "check" in steps and data_type:
+        kind = ("record" if data_type["format"] == detect.RECORD_PACKAGE
+                else "release")
+        result["check"] = check_collection(store, compile_parent, kind,
+                                           extension_schemas=extension_schemas)
+    family_ids = [fam[k]["id"] for k in ("root", "upgraded", "compiled")
+                  if k in fam]
+    result["finish"] = lifecycle.finish_collections(store, family_ids)
+    return result

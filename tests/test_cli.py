@@ -55,3 +55,34 @@ def test_load_empty_dir_fails(spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["--store", str(tmp_path / "s"), "load",
               "--source", "cli_empty", str(empty)])
+
+
+def test_cli_keep_open_addfiles_close(spark, tmp_path, capsys):
+    """load --keep-open → addfiles → closecollection runs the deferred
+    compile (the reference's multi-command open-collection workflow)."""
+    from kingfisher_process_spark.util import canonical_json
+
+    store_dir = str(tmp_path / "store")
+    w1 = tmp_path / "w1.json"
+    w1.write_text(canonical_json(release_package(RELEASES[:2])))
+    w2 = tmp_path / "w2.json"
+    w2.write_text(canonical_json(release_package([RELEASES[2]])))
+
+    rc, r = run(capsys, "--store", store_dir, "load", "--source", "cli_open",
+                "--compile", "--keep-open", str(w1))
+    assert rc == 0
+    root = r["collections"]["root"]
+
+    rc, added = run(capsys, "--store", store_dir, "addfiles", str(root), str(w2))
+    assert rc == 0 and added == {"added": [str(w2)]}
+
+    rc, status = run(capsys, "--store", store_dir, "collectionstatus", str(root))
+    assert status["processing_steps"] == 1        # w2's pending LOAD step
+    assert status["compilable"] is False          # work in flight
+
+    rc, out = run(capsys, "--store", store_dir, "closecollection", str(root))
+    assert rc == 0 and out["compile"]["compiled"] == 2
+
+    rc, status = run(capsys, "--store", store_dir, "collectionstatus", str(root))
+    assert status["completable"] is True
+    assert status["compiled_collection"]["completed_at"]

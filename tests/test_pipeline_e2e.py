@@ -369,3 +369,100 @@ def test_directory_walk_source(spark, store, tmp_path):
     # a missing path is an explicit error, not a silent skip
     with pytest.raises(FileNotFoundError):
         api.add_files(store, ids["root"], [str(tmp_path / "nope")])
+
+
+def test_keep_open_flow_matches_one_shot(spark, store, tmp_path):
+    """--keep-open parity (load.py:156-161 + collection_closed fan-out):
+    open → load wave 1 → addfiles wave 2 → close runs the deferred
+    compile and finishes; the compiled payloads are byte-identical to the
+    one-shot process_collection over the same files."""
+    from kingfisher_process_spark.pipeline import (
+        close_and_process, open_collection, register_files)
+
+    p1 = write(tmp_path, "w1.json", release_package(RELEASES[:2]))
+    p2 = write(tmp_path, "w2.json", release_package([RELEASES[2]]))
+
+    # one-shot reference run
+    ref_store = Store(spark, str(tmp_path / "ref_store"))
+    ref = process_collection(spark, ref_store, "oneshot", "2020-01-01 00:00:00",
+                             [p1, p2], compile_=True)
+    ref_data = {
+        r["ocid"]: r["data"]
+        for r in ref_store.read("compiled_release")
+        .where(F.col("collection_id") == ref["collections"]["compiled"])
+        .join(ref_store.read("data").select(F.col("id").alias("data_id"), "data"),
+              "data_id").select("ocid", "data").collect()
+    }
+
+    # open flow: wave 1 at open, wave 2 while open, then close
+    r = open_collection(spark, store, "openflow", "2020-01-01 00:00:00", [p1],
+                        compile_=True)
+    root = r["collections"]["root"]
+    assert r["load"]["rows"] == 2 and r["load"]["files"] == 1
+
+    # open collection: not yet closed/compiled
+    colls = {c["id"]: c for c in store.read_rows("collection")}
+    assert colls[root]["store_end_at"] is None
+    assert store.read("compiled_release").count() == 0
+
+    register_files(spark, store, root, [p2])
+    out = close_and_process(spark, store, root)
+    assert out["load"]["rows"] == 1          # only the pending wave loaded
+    assert out["compile"]["compiled"] == 2
+
+    comp_id = r["collections"]["compiled"]
+    got = {
+        row["ocid"]: row["data"]
+        for row in store.read("compiled_release")
+        .where(F.col("collection_id") == comp_id)
+        .join(store.read("data").select(F.col("id").alias("data_id"), "data"),
+              "data_id").select("ocid", "data").collect()
+    }
+    assert got == ref_data                   # byte-identical compiled output
+
+    colls = {c["id"]: c for c in store.read_rows("collection")}
+    assert colls[root]["store_end_at"] is not None
+    assert colls[root]["completed_at"] is not None
+    assert colls[root]["expected_files_count"] == 2
+    assert colls[comp_id]["completed_at"] is not None
+    # steps drained
+    from kingfisher_process_spark.operators import lifecycle
+    assert lifecycle.pending_load_steps(store, root) == []
+
+    # re-close is rejected (closecollection on a closed collection errors)
+    with pytest.raises(ValueError, match="already closed"):
+        close_and_process(spark, store, root)
+
+
+def test_keep_open_with_upgrade_and_check(spark, store, tmp_path):
+    """Open flow with upgrade + check steps: pending loads mirror into the
+    upgraded collection per wave, compile hangs off the upgraded child,
+    and the deferred check runs at close."""
+    from kingfisher_process_spark.pipeline import (
+        close_and_process, open_collection, register_files)
+
+    p1 = write(tmp_path, "w1.json", release_package([RELEASES[0]]))
+    p2 = write(tmp_path, "w2.json", release_package([RELEASES[2]]))
+    r = open_collection(spark, store, "openup", "2020-01-01 00:00:00", [p1],
+                        upgrade=True, compile_=True, check=True)
+    ids = r["collections"]
+    assert set(ids) == {"root", "upgraded", "compiled"}
+    assert r["load"]["upgrade"]["rows"] == 1
+
+    register_files(spark, store, ids["root"], [p2])
+    out = close_and_process(spark, store, ids["root"])
+    assert out["load"]["rows"] == 1 and out["load"]["upgrade"]["rows"] == 1
+    assert out["compile"]["compiled"] == 2
+    assert out["check"] == 2                  # upgraded releases checked
+
+    rel = store.read("release")
+    assert rel.where(F.col("collection_id") == ids["root"]).count() == 2
+    assert rel.where(F.col("collection_id") == ids["upgraded"]).count() == 2
+    # upgraded payloads fed the compile (parties present on ocds-x-2)
+    comp = (store.read("compiled_release")
+            .where(F.col("collection_id") == ids["compiled"])
+            .join(store.read("data").select(F.col("id").alias("data_id"), "data"),
+                  "data_id"))
+    doc = json.loads([r["data"] for r in comp.collect()
+                      if '"parties"' in r["data"]][0])
+    assert doc["parties"][0]["roles"] == ["buyer"]
