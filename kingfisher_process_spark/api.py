@@ -68,15 +68,17 @@ def add_files(store: Store, collection_id: int, paths: list[str],
     (S1 — reference process/util.py:30-38). ``urls`` optionally maps a
     path to the source URL Kingfisher Collect downloaded it from — the
     api_loader metadata (api_loader.py:28-49, loader.py:23-39)."""
-    from kingfisher_process_spark.util import walk_files
+    from kingfisher_process_spark.pipeline import register_files
 
     coll = _get_collection(store, collection_id)
     if coll["store_end_at"] is not None:
         raise ApiError(f"Collection {collection_id} is closed; cannot add files")
     if coll["deleted_at"] is not None:
         raise ApiError(f"Collection {collection_id} is deleted")
-    return lifecycle.create_collection_files(store, collection_id,
-                                             walk_files(paths), urls=urls)
+    # register_files (not bare create_collection_files): files must carry
+    # LOAD steps and pin data_type so a later close_and_process actually
+    # loads them — the two add-files entry points share ONE semantics
+    return register_files(store.spark, store, collection_id, paths, urls=urls)
 
 
 def close_collection(store: Store, collection_id: int,

@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     close = sub.add_parser("closecollection")
     close.add_argument("collection_id", type=int)
     close.add_argument("--expected-files-count", type=int, default=None)
+    close.add_argument("--extension-bundle", default=None,
+                       help="overrides the bundle recorded at load --keep-open")
 
     status = sub.add_parser("collectionstatus")
     status.add_argument("collection_id", type=int)
@@ -116,6 +118,11 @@ def main(argv: list[str] | None = None) -> int:
             "%Y-%m-%d %H:%M:%S",
             time.gmtime(min(os.path.getmtime(f) for f in files)))
         if args.time:
+            from kingfisher_process_spark.api import DATA_VERSION_RE
+
+            if not DATA_VERSION_RE.match(args.time):
+                raise _fail(
+                    f"--time {args.time!r} is invalid: YYYY-MM-DD[ HH:MM:SS]")
             if args.time > data_version:
                 raise _fail(
                     f"{args.time!r} is greater than the earliest file "
@@ -127,7 +134,8 @@ def main(argv: list[str] | None = None) -> int:
             result = open_collection(
                 spark, store, args.source, data_version, files,
                 sample=args.sample, upgrade=args.upgrade,
-                compile_=args.compile_, check=args.check, note=args.note)
+                compile_=args.compile_, check=args.check, note=args.note,
+                extension_bundle=args.extension_bundle)
         else:
             result = process_collection(
                 spark, store, args.source, data_version, files,
@@ -149,7 +157,8 @@ def main(argv: list[str] | None = None) -> int:
 
         out = close_and_process(
             spark, store, args.collection_id,
-            expected_files_count=args.expected_files_count)
+            expected_files_count=args.expected_files_count,
+            extension_schemas=args.extension_bundle)
         print(json.dumps(out, default=str))
         return 0
 

@@ -123,8 +123,9 @@ def delete_steps(store: Store, step_ids: list[int]) -> None:
     (driver-sized) step table without the completed steps."""
     if not step_ids or not store.exists("processing_step"):
         return
+    done = set(step_ids)
     keep = [r for r in store.read_rows("processing_step")
-            if r["id"] not in set(step_ids)]
+            if r["id"] not in done]
     store.overwrite_rows("processing_step", keep)
 
 

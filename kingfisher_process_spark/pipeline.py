@@ -127,8 +127,8 @@ def process_collection(
         upg_id = ids["upgraded"]
         lifecycle._update_collection(store, upg_id, data_type=json.dumps(data_type))
         upg_pairs = lifecycle.create_collection_files(store, upg_id, paths)
-        cfid_map = {root_cfid: upg_cfid
-                    for (root_cfid, _), (upg_cfid, _) in zip(pairs, upg_pairs)}
+        upg_by_path = {p: uc for uc, p in upg_pairs}
+        cfid_map = {root_cfid: upg_by_path[p] for root_cfid, p in pairs}
         upgraded_parsed = _upgrade_parsed(parsed, cfid_map)
         result["upgrade"] = store_items(store, upg_id, fmt, upgraded_parsed)
         compile_parent = upg_id
@@ -182,22 +182,44 @@ def open_collection(spark: SparkSession, store: Store, source_id: str,
                     data_version: str, paths: list[str] | None = None, *,
                     sample: bool = False, upgrade: bool = False,
                     compile_: bool = False, check: bool = False,
-                    note: str | None = None) -> dict:
+                    note: str | None = None,
+                    extension_bundle: str | None = None) -> dict:
     """The --keep-open / Collect-integration path (load.py:156-161
     "unless --keep-open"; api_loader): create the collections, register +
     load any initial files, and leave the collection OPEN — more files
     can arrive via ``register_files``/``api.add_files`` +
     ``load_pending``, and ``close_and_process`` later runs the deferred
     compile/check and finishes (the reference's collection_closed →
-    compiler/finisher choreography, synchronously)."""
+    compiler/finisher choreography, synchronously).
+
+    ``extension_bundle``: offline schema bundle PATH, recorded in the
+    collection's ``options`` so the deferred compile at close uses it
+    without the closer having to re-supply it.
+
+    Detection/parse errors on the initial files record an ERROR note and
+    return {"error": ...} like the one-shot path (file_worker.py:172-175).
+    """
     ids = lifecycle.create_collections(
         store, source_id, data_version,
         sample=sample, upgrade=upgrade, compile_=compile_, check=check,
         note=note)
+    if extension_bundle:
+        lifecycle._update_collection(
+            store, ids["root"],
+            options=json.dumps({"extension_bundle": extension_bundle}))
     result: dict = {"collections": ids}
     if paths:
-        register_files(spark, store, ids["root"], paths)
-        result["load"] = load_pending(spark, store, ids["root"])
+        try:
+            register_files(spark, store, ids["root"], paths)
+            result["load"] = load_pending(spark, store, ids["root"])
+        except ValueError as e:
+            msg = f"Source {source_id} yields invalid JSON: {e}"
+            lifecycle.add_note(store, ids["root"], "ERROR", msg)
+            result["error"] = msg
+        except (detect.EmptyFormatError, detect.UnsupportedFormatError,
+                detect.UnknownFormatError, FileNotFoundError) as e:
+            lifecycle.add_note(store, ids["root"], "ERROR", str(e))
+            result["error"] = str(e)
     return result
 
 
@@ -213,10 +235,20 @@ def register_files(spark: SparkSession, store: Store, root_id: int,
     coll = [r for r in store.read_rows("collection") if r["id"] == root_id][0]
     if coll["store_end_at"] is not None:
         raise ValueError(f"Collection {root_id} is closed; cannot add files")
+    if coll["deleted_at"] is not None:
+        raise ValueError(f"Collection {root_id} is deleted; cannot add files")
     if coll["data_type"] is None:
-        data_type = detect.detect_format(files[0]).as_dict()
-        lifecycle._update_collection(store, root_id,
-                                     data_type=json.dumps(data_type))
+        # best-effort early detection (set_data_type runs once per
+        # collection, file_worker.py:216-242); an undetectable file is
+        # registered anyway and the error surfaces at load time, like the
+        # reference's processing-time abort
+        try:
+            data_type = detect.detect_format(files[0]).as_dict()
+            lifecycle._update_collection(store, root_id,
+                                         data_type=json.dumps(data_type))
+        except (ValueError, detect.EmptyFormatError,
+                detect.UnsupportedFormatError, detect.UnknownFormatError):
+            pass
     pairs = lifecycle.create_collection_files(store, root_id, files, urls=urls)
     lifecycle.create_load_steps(store, root_id, pairs)
     return pairs
@@ -251,12 +283,25 @@ def load_pending(spark: SparkSession, store: Store, root_id: int) -> dict:
     if not steps:
         return {"rows": 0, "notes": 0, "files": 0}
     fam = _family(store, root_id)
+    cf_all = {r["id"]: r["filename"]
+              for r in store.read_rows("collection_file")
+              if r["collection_id"] == root_id}
+    if fam["root"]["data_type"] is None:
+        # registration couldn't detect (bad first file): the error
+        # surfaces here, reference-style (file_worker abort + ERROR note)
+        first = cf_all[steps[0]["collection_file_id"]]
+        try:
+            data_type = detect.detect_format(first).as_dict()
+        except (ValueError, detect.EmptyFormatError,
+                detect.UnsupportedFormatError, detect.UnknownFormatError) as e:
+            lifecycle.add_note(store, root_id, "ERROR", str(e))
+            return {"rows": 0, "notes": 1, "files": 0, "error": str(e)}
+        lifecycle._update_collection(store, root_id,
+                                     data_type=json.dumps(data_type))
+        fam = _family(store, root_id)
     data_type = json.loads(fam["root"]["data_type"])
     fmt = data_type["format"]
-    cf = {r["id"]: r["filename"]
-          for r in store.read_rows("collection_file")
-          if r["collection_id"] == root_id}
-    pairs = [(s["collection_file_id"], cf[s["collection_file_id"]])
+    pairs = [(s["collection_file_id"], cf_all[s["collection_file_id"]])
              for s in steps]
 
     parsed = parse_files(spark, pairs, data_type).cache()
@@ -269,7 +314,11 @@ def load_pending(spark: SparkSession, store: Store, root_id: int) -> dict:
                                          data_type=json.dumps(data_type))
         upg_pairs = lifecycle.create_collection_files(
             store, upg_id, [p for _, p in pairs])
-        cfid_map = {rc: uc for (rc, _), (uc, _) in zip(pairs, upg_pairs)}
+        # map by FILENAME, not position: `pairs` follows step order while
+        # create_collection_files returns sorted order — a positional zip
+        # would cross-link files registered across multiple waves
+        upg_by_path = {p: uc for uc, p in upg_pairs}
+        cfid_map = {rc: upg_by_path[p] for rc, p in pairs}
         result["upgrade"] = store_items(
             store, upg_id, fmt, _upgrade_parsed(parsed, cfid_map))
     parsed.unpersist()
@@ -288,14 +337,26 @@ def close_and_process(spark: SparkSession, store: Store, root_id: int, *,
     finisher.py:116-176 completable): drain pending LOAD steps, compile
     and/or check per the collection's stored ``steps``, then finish the
     whole family. Idempotent stage writes make a re-close harmless."""
+    already = next(r for r in store.read_rows("collection")
+                   if r["id"] == root_id)
+    if extension_schemas is None and already["options"]:
+        # the bundle recorded at open time (open_collection) drives the
+        # deferred compile unless the closer supplies an explicit set
+        try:
+            extension_schemas = (json.loads(already["options"])
+                                 .get("extension_bundle"))
+        except ValueError:
+            pass
     if isinstance(extension_schemas, str):
         from kingfisher_process_spark.operators.merge import load_extension_bundle
 
         extension_schemas = load_extension_bundle(extension_schemas)
-    already = next(r for r in store.read_rows("collection")
-                   if r["id"] == root_id)
     if already["store_end_at"] is not None:
         raise ValueError(f"Collection {root_id} is already closed")
+    if already["deleted_at"] is not None:
+        # P8 soft-delete: every stage no-ops on cancelled collections
+        # (file_worker.py:86-88 and friends) — close included
+        raise ValueError(f"Collection {root_id} is deleted; cannot close")
     result: dict = {"load": load_pending(spark, store, root_id)}
     fam = _family(store, root_id)
     root = fam["root"]

@@ -86,3 +86,52 @@ def test_cli_keep_open_addfiles_close(spark, tmp_path, capsys):
     rc, status = run(capsys, "--store", store_dir, "collectionstatus", str(root))
     assert status["completable"] is True
     assert status["compiled_collection"]["completed_at"]
+
+
+def test_cli_time_format_validation(spark, tmp_path, capsys):
+    from kingfisher_process_spark.util import canonical_json
+
+    w = tmp_path / "p.json"
+    w.write_text(canonical_json(release_package([RELEASES[0]])))
+    with pytest.raises(SystemExit):
+        main(["--store", str(tmp_path / "s"), "load", "--source", "badtime",
+              "--time", "2020-1-5", str(w)])
+    err = capsys.readouterr().err
+    assert "invalid" in err
+
+
+def test_cli_keep_open_extension_bundle_defers_to_close(spark, tmp_path, capsys):
+    """--extension-bundle at load --keep-open is recorded on the
+    collection and drives the deferred compile at closecollection."""
+    from tests.test_merge_golden import LOTS_PATCH, LOTS_RELEASES, LOTS_URL
+    from kingfisher_process_spark.util import canonical_json
+
+    bundle = tmp_path / "bundle"
+    (bundle / "lots").mkdir(parents=True)
+    (bundle / "lots" / "release-schema.json").write_text(json.dumps(LOTS_PATCH))
+    (bundle / "index.json").write_text(json.dumps({LOTS_URL: "lots"}))
+
+    pkg = {"uri": "http://x", "publisher": {"name": "p"},
+           "extensions": [LOTS_URL], "releases": LOTS_RELEASES}
+    w = tmp_path / "pkg.json"
+    w.write_text(canonical_json(pkg))
+
+    store_dir = str(tmp_path / "store")
+    rc, r = run(capsys, "--store", store_dir, "load", "--source", "bundleopen",
+                "--compile", "--keep-open", "--extension-bundle", str(bundle),
+                str(w))
+    assert rc == 0
+    root = r["collections"]["root"]
+    rc, out = run(capsys, "--store", store_dir, "closecollection", str(root))
+    assert rc == 0 and out["compile"]["compiled"] == 1
+
+    from kingfisher_process_spark.store import Store
+    from pyspark.sql import functions as F
+    store = Store(spark, store_dir)
+    comp = r["collections"]["compiled"]
+    [row] = (store.read("compiled_release").where(F.col("collection_id") == comp)
+             .join(store.read("data").select(F.col("id").alias("data_id"), "data"),
+                   "data_id").select("data").collect())
+    # wholeListMerge applied -> only the revised lot survives
+    assert json.loads(row["data"])["tender"]["lots"] == \
+        [{"id": "lot-2", "title": "South (revised)"}]

@@ -466,3 +466,59 @@ def test_keep_open_with_upgrade_and_check(spark, store, tmp_path):
     doc = json.loads([r["data"] for r in comp.collect()
                       if '"parties"' in r["data"]][0])
     assert doc["parties"][0]["roles"] == ["buyer"]
+
+
+def test_keep_open_upgrade_file_links_across_waves(spark, store, tmp_path):
+    """Regression: upgraded-collection file links are keyed by FILENAME,
+    not zip position — waves registered in reverse-lexicographic order
+    must still link each upgraded row to its own file."""
+    from kingfisher_process_spark.pipeline import (
+        close_and_process, open_collection, register_files)
+
+    pz = write(tmp_path, "z.json", release_package([RELEASES[0]]))
+    pa = write(tmp_path, "a.json", release_package([RELEASES[2]]))
+    r = open_collection(spark, store, "openz", "2020-01-01 00:00:00",
+                        upgrade=True)
+    root = r["collections"]["root"]
+    register_files(spark, store, root, [pz])   # wave 1: z.json
+    register_files(spark, store, root, [pa])   # wave 2: a.json
+    close_and_process(spark, store, root)
+
+    upg = r["collections"]["upgraded"]
+    files = {r_["id"]: r_["filename"]
+             for r_ in store.read_rows("collection_file")
+             if r_["collection_id"] == upg}
+    rel = (store.read("release").where(F.col("collection_id") == upg)
+           .select("ocid", "collection_file_id").collect())
+    by_ocid = {r_["ocid"]: files[r_["collection_file_id"]] for r_ in rel}
+    assert by_ocid["ocds-x-1"].endswith("z.json")   # RELEASES[0] came in z
+    assert by_ocid["ocds-x-2"].endswith("a.json")   # RELEASES[2] came in a
+
+
+def test_api_add_files_load_at_http_close(spark, store, tmp_path):
+    """Regression: files registered through api.add_files (the Collect
+    integration path) must actually LOAD when the collection closes via
+    the HTTP endpoint — one add-files semantics everywhere."""
+    from kingfisher_process_spark import api
+    from kingfisher_process_spark.http_api import make_app
+    from tests.test_http_api import call
+
+    ids = api.create_collection(store, "collect_flow", "2020-01-01",
+                                compile_=True)
+    p = write(tmp_path, "pkg.json", release_package(RELEASES))
+    api.add_files(store, ids["root"], [p])
+
+    app = make_app(store)
+    status, _ = call(app, "POST", f"/api/collections/{ids['root']}/close/",
+                     {"stats": {"kingfisher_process_expected_files_count": 1}})
+    assert status == 202
+    assert store.read("release").where(
+        F.col("collection_id") == ids["root"]).count() == 3
+    assert store.read("compiled_release").where(
+        F.col("collection_id") == ids["compiled"]).count() == 2
+
+    # cancelled collections reject registration and close (P8)
+    ids2 = api.create_collection(store, "collect_gone", "2020-01-02")
+    api.cancel_collection(store, ids2["root"])
+    with pytest.raises(api.ApiError):
+        api.add_files(store, ids2["root"], [p])
