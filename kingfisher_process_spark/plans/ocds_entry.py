@@ -626,3 +626,52 @@ def st_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
               for t in ("collection_file", "compiled_release", "data", "release")}
     return spark.createDataFrame(
         sorted(counts.items()), "tbl string, n_rows long").orderBy("tbl")
+
+
+@probe("ocds_open_close_pipeline", PIPELINE_SQL,
+       survey_ids="S6,S9,A2,A8,C1,C3,lifecycle-ext")
+def ocds_open_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPEN-collection choreography under the value gate: files
+    arrive in two waves into an open collection (load --keep-open /
+    Collect semantics — LOAD processing_steps as work-in-flight markers),
+    and close runs the deferred compile (the collection_closed fan-out,
+    views.py:111-147 → compiler → finisher). Must produce the exact same
+    analyst answer as the one-shot ``ocds_compile_pipeline`` — the oracle
+    is shared, so wave boundaries leaking into the merge (lost releases,
+    double loads, wrong file links) break the hash."""
+    from kingfisher_process_spark.pipeline import (
+        close_and_process, open_collection, register_files)
+    from kingfisher_process_spark.store import Store
+
+    paths, tmp = _synth_order_packages(spark, sf_dir, 2000,
+                                       prefix="kps_ocds_open_")
+    store = Store(spark, f"{tmp}/store")
+    result = open_collection(
+        spark, store, "bench_open", "2020-01-01 00:00:00", paths[:3],
+        compile_=True)
+    root = result["collections"]["root"]
+    register_files(spark, store, root, paths[3:])     # second wave, open
+    close_and_process(spark, store, root)             # deferred compile
+    comp_id = result["collections"]["compiled"]
+
+    crs = store.read("compiled_release").where(F.col("collection_id") == comp_id)
+    data = store.read("data").select(F.col("id").alias("data_id"), "data")
+    awards = (
+        crs.join(data, "data_id")
+        .select(
+            "ocid",
+            F.get_json_object("data", "$.buyer.id").alias("buyer"),
+            F.get_json_object("data", "$.awards[0].value.amount")
+            .cast("decimal(38,6)").alias("amount"),
+        )
+    )
+    return (
+        awards.groupBy("buyer")
+        .agg(F.sum("amount").alias("total_award_value"),
+             F.count(F.lit(1)).alias("n_awards"))
+        .orderBy(F.desc("total_award_value"), "buyer")
+        .limit(10)
+        .select("buyer",
+                F.col("total_award_value").cast("double").alias("total_award_value"),
+                "n_awards")
+    )
