@@ -498,11 +498,16 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pseudo_partsupp(t):
+def _pseudo_partsupp(t, lineitem: DataFrame | None = None):
     # distinct (part, supplier) pairs seen in lineitem with a deterministic
-    # cost — the Q2/Q20 join shapes without a partsupp table in testdata
+    # cost — the Q2/Q20 join shapes without a partsupp table in testdata.
+    # ps_supplycost is a pure function of the key, so a caller that has
+    # already filtered lineitem may derive ps from the FILTERED scan
+    # (semi-join pruning): the downstream equi-join on (partkey, suppkey)
+    # returns identical rows while the distinct shuffle and the join build
+    # side shrink by the filter's selectivity.
     return (
-        t["lineitem"]
+        (lineitem if lineitem is not None else t["lineitem"])
         .select(F.col("l_partkey").alias("ps_partkey"),
                 F.col("l_suppkey").alias("ps_suppkey"))
         .distinct()
@@ -1244,10 +1249,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (same fact-fact equi-join shape as the real table).
     t = load_tables(spark, sf_dir)
     p = t["part"].where(F.col("p_name").like("%widget%")).select("p_partkey")
-    ps = _pseudo_partsupp(t)
+    # semi-join pruning: the %widget% filter keeps ~1/8 of parts, so ps is
+    # derived from the part-filtered lineitem — the distinct and the
+    # fact-fact sort-merge join shrink 8x, and (ps_supplycost being a pure
+    # function of the key) the join output is provably unchanged
+    li = t["lineitem"].join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    ps = _pseudo_partsupp(t, lineitem=li)
     j = (
-        t["lineitem"]
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li
         .join(ps, (F.col("ps_suppkey") == F.col("l_suppkey"))
               & (F.col("ps_partkey") == F.col("l_partkey")))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
