@@ -70,8 +70,9 @@ def _registry():
         # new in r3 (never driver-checked before)
         "t_sequence_packing", "t_mixture_sample",
         "ann_recall_audit", "d_dup_clusters_lss",
+        "t_global_shuffle_shards", "st_stream_stream_join",
         # LLM-pipeline families
-        "t_token_stats", "t_pii_redact",
+        "t_pii_redact",
         "d_minhash_lsh_pairs", "d_dup_clusters",
         "ann_brute_force_topk", "ann_ivf_topk", "s_embedding_near_dups",
         "m_media_features",
@@ -79,8 +80,12 @@ def _registry():
         "ocds_record_ladder", "ocds_upgrade_parties", "ocds_check_errors",
         "ocds_orphan_wipe",
         # structured streaming
-        "st_dedup_ingest", "st_sessionize", "st_ingest_pipeline",
+        "st_dedup_ingest", "st_ingest_pipeline",
     ]
+    # rotated out for r3 (driver-triple-green in r2, still CI-verified):
+    # t_token_stats, st_sessionize — displaced by t_global_shuffle_shards
+    # and st_stream_stream_join, the two probes added after the r3 cap
+    # was first drawn up.
     ordered = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     ordered.update((n, p) for n, p in REGISTRY.items() if n not in ordered)
     return ordered

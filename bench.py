@@ -61,6 +61,7 @@ HEADLINE = [
     "t_token_stats",
     "t_pii_redact",
     "t_sequence_packing",
+    "t_global_shuffle_shards",
     "e_asof_last_view_before_click",
     "m_media_features",
     # OCDS pipeline + streaming

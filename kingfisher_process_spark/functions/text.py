@@ -602,3 +602,83 @@ def t_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("bigint").alias("n_kept"))
         .orderBy("source")
     )
+
+
+SHARD_DOCS = 64  # documents per shuffled output shard
+
+
+@probe(
+    "t_global_shuffle_shards",
+    f"""
+    WITH d AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS nt
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, h, nt,
+             ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS rnk
+      FROM d
+    )
+    SELECT CAST(floor(rnk / {SHARD_DOCS}.0) AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           MIN(h) AS first_hash, MAX(h) AS last_hash
+    FROM r GROUP BY 1 ORDER BY shard
+    """,
+    survey_ids="text-ext,sampling-ext,O1,A5",
+)
+def t_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for pretraining shard writing: order
+    every document by md5(doc_id) — a stable, seedless permutation any
+    engine reproduces — and cut the permuted stream into
+    {SHARD_DOCS}-document shards; emit the shard manifest (doc/token
+    counts + hash range per shard) a dataloader validates against.
+
+    Scale shape: the naive plan is ``ROW_NUMBER() OVER (ORDER BY h)`` —
+    a single-task global window. Instead: range-partition by the hash
+    (the shuffle that a sorted shard write needs anyway), row_number
+    WITHIN each partition (parallel), then add per-partition row-count
+    offsets — a #partitions-row driver aggregate broadcast back, same
+    distributed-prefix-sum device as t_sequence_packing. One range
+    shuffle at any scale; the DuckDB oracle runs the naive global window
+    (fine at oracle scale) and equality proves the distributed rank.
+
+    Reference analogue: none (extends the sampling surface of
+    models.py:54 to the shuffled-export step of a training pipeline).
+    """
+    from pyspark.sql import Window
+
+    sc = spark.sparkContext
+    t = load_tables(spark, sf_dir)
+    n_parts = max(2, sc.defaultParallelism)
+    d = (
+        t["documents"]
+        .select("doc_id",
+                F.md5(F.col("doc_id").cast("string")).alias("h"),
+                F.size(_tokens(F.col("text"))).cast("long").alias("nt"))
+        .repartitionByRange(n_parts, "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    d = d.localCheckpoint()  # pin partitioning: offsets + row_number must see identical pids
+    per_part = {r["pid"]: r["n"] for r in
+                d.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = [], 0
+    for pid in sorted(per_part):
+        offsets.append((pid, acc))
+        acc += per_part[pid]
+    off_df = spark.createDataFrame(offsets, "pid int, part_off long")
+    w = Window.partitionBy("pid").orderBy("h", "doc_id")
+    r = (
+        d.join(F.broadcast(off_df), "pid")
+        .withColumn("rnk", F.col("part_off") + F.row_number().over(w) - 1)
+    )
+    return (
+        r.groupBy(F.floor(F.col("rnk") / SHARD_DOCS).cast("bigint").alias("shard"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nt").alias("n_tokens"),
+             F.min("h").alias("first_hash"),
+             F.max("h").alias("last_hash"))
+        .orderBy("shard")
+    )

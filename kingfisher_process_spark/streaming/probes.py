@@ -212,3 +212,73 @@ def st_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink).select("content_hash").orderBy("content_hash")
+
+
+@probe(
+    "st_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           CAST(epoch_ms(c.ts) - epoch_ms(v.ts) AS BIGINT) AS lag_ms
+    FROM events c
+    JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts <= c.ts AND v.ts > c.ts - INTERVAL 6 HOUR
+    ORDER BY click_id, view_id
+    """,
+    survey_ids="streaming-ext,J1,range-ext",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval self-join: every view by the
+    same user in the 6 hours before each click (attribution joins, the
+    streaming twin of the batch as-of/range probes). Both sides are
+    watermarked and the join carries an event-time range condition, so
+    the state store evicts a view row as soon as the click-side watermark
+    passes its 6-hour horizon — bounded state at any scale, where an
+    unconstrained stream join would buffer the whole history. Inner
+    joins emit on match (the watermark only drives eviction), so
+    draining with ``availableNow`` yields exactly the batch join the
+    DuckDB oracle runs.
+
+    Reference analogue: none — the reference's incremental path has no
+    cross-entity correlation; this extends §2.10 with the Spark-native
+    stream-stream join surface.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir, "kps_stream_clicks_")
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    views = (
+        _events_stream(spark, sf_dir, "kps_stream_views_")
+        .where(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "7 hours")
+    )
+    joined = clicks.join(
+        views,
+        (F.col("c_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("c_ts"))
+        & (F.col("v_ts") > F.col("c_ts") - F.expr("INTERVAL 6 HOURS")),
+    )
+    sink = f"st_ss_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select("click_id", "view_id", F.col("c_user").alias("user_id"),
+                (F.unix_millis("c_ts") - F.unix_millis("v_ts")).alias("lag_ms"))
+        .orderBy("click_id", "view_id")
+    )
