@@ -21,6 +21,7 @@ def _registry():
     import kingfisher_process_spark.plans.queries  # noqa: F401
 
     try:
+        import kingfisher_process_spark.functions.audit  # noqa: F401
         import kingfisher_process_spark.functions.text  # noqa: F401
         import kingfisher_process_spark.functions.dedup  # noqa: F401
         import kingfisher_process_spark.functions.similarity  # noqa: F401
@@ -58,9 +59,8 @@ def _registry():
         "ocds_compile_two_phase", "ocds_versioned_release",
         "st_hourly_rollup",
         # relational family coverage (one per shape, r2-green)
-        "p6_json_predicate",
-        "j3_customers_with_open_orders", "j4_explode_token_counts",
-        "j5_recursive_tree", "o3_latest_order_per_customer",
+        "p6_json_predicate", "j4_explode_token_counts",
+        "j5_recursive_tree",
         "u3_except_inactive_customers", "f_scalar_functions",
         # previously-unchecked rotation (r3)
         "q9_product_profit", "w1_running_customer_spend",
@@ -71,10 +71,11 @@ def _registry():
         "t_sequence_packing", "t_mixture_sample",
         "ann_recall_audit", "d_dup_clusters_lss",
         "t_global_shuffle_shards", "st_stream_stream_join",
+        "t_table_fingerprint", "t_table_diff", "j7_salted_skew_join",
+        "e_dedup_consecutive", "t_bm25_search",
         # LLM-pipeline families
-        "t_pii_redact",
-        "d_minhash_lsh_pairs", "d_dup_clusters",
-        "ann_brute_force_topk", "ann_ivf_topk", "s_embedding_near_dups",
+        "d_dup_clusters",
+        "ann_ivf_topk", "s_embedding_near_dups",
         "m_media_features",
         # OCDS core semantics (the reference's centerpiece)
         "ocds_record_ladder", "ocds_upgrade_parties", "ocds_check_errors",
@@ -83,9 +84,13 @@ def _registry():
         "st_dedup_ingest", "st_ingest_pipeline",
     ]
     # rotated out for r3 (driver-triple-green in r2, still CI-verified):
-    # t_token_stats, st_sessionize — displaced by t_global_shuffle_shards
-    # and st_stream_stream_join, the two probes added after the r3 cap
-    # was first drawn up.
+    # t_token_stats, st_sessionize, t_pii_redact, d_minhash_lsh_pairs,
+    # ann_brute_force_topk, j3_customers_with_open_orders,
+    # o3_latest_order_per_customer — displaced by the seven probes added
+    # after the r3 cap was first drawn up (t_global_shuffle_shards,
+    # st_stream_stream_join, t_table_fingerprint, t_table_diff,
+    # j7_salted_skew_join, e_dedup_consecutive, t_bm25_search), so every
+    # never-driver-checked probe sits inside the verified window.
     ordered = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     ordered.update((n, p) for n, p in REGISTRY.items() if n not in ordered)
     return ordered

@@ -62,6 +62,9 @@ HEADLINE = [
     "t_pii_redact",
     "t_sequence_packing",
     "t_global_shuffle_shards",
+    "t_bm25_search",
+    "t_table_fingerprint",
+    "j7_salted_skew_join",
     "e_asof_last_view_before_click",
     "m_media_features",
     # OCDS pipeline + streaming

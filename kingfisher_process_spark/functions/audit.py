@@ -1,0 +1,187 @@
+"""Data-engineering audit operators: orderless table fingerprints and
+table-version reconciliation (diff).
+
+These are the operations a 100 TB pipeline runs constantly around its real
+work: "did the copy/migration/backfill produce the same table?" answered
+without sorting anything (orderless XOR-of-row-hashes, pure map-side +
+one partial-aggregated groupBy), and "what changed between two versions?"
+answered with a single hash-partitioned full outer join.
+
+Reference analogue: none — the reference trusts Postgres transactional
+writes (`process/util.py:93-110` hashes single messages, never tables).
+These extend S8's content hashing to whole-table integrity at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.functions.dedup import H60_SQL, h60
+from kingfisher_process_spark.plans.base import load_tables, probe
+
+# \x1f (ASCII unit separator) cannot appear in the space-separated token
+# text, so the concatenation is prefix-collision-free.
+_SEP = "\x1f"
+
+_ROW_CANON_SQL = (
+    "concat_ws(chr(31), CAST(doc_id AS VARCHAR), text, lang, source, "
+    "CAST(n_chars AS VARCHAR))"
+)
+
+
+def row_hash(*cols) -> "F.Column":
+    """60-bit hash of the canonical row string — engine-portable (md5 of
+    an explicit concat, not a Spark-private hash like xxhash64)."""
+    return h60(F.concat_ws(_SEP, *cols))
+
+
+def _docs_row_hash():
+    return row_hash(
+        F.col("doc_id").cast("string"), F.col("text"), F.col("lang"),
+        F.col("source"), F.col("n_chars").cast("string"),
+    )
+
+
+@probe(
+    "t_table_fingerprint",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_rows,
+           bit_xor({H60_SQL.format(x=_ROW_CANON_SQL)}) AS fingerprint,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey_ids="audit-ext,A1,A7",
+)
+def t_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orderless per-partition table fingerprint: XOR of 60-bit row
+    hashes, plus row and char counts, grouped by source. Two tables are
+    byte-equal per source iff the fingerprints match, REGARDLESS of row
+    order — so two engines (or two snapshots) can be compared without a
+    global sort.
+
+    Scale shape: the row hash is a map-side expression on the scan; XOR
+    and the counts are all algebraic aggregates, so map-side partial
+    aggregation reduces each of the 1000 executors' input to
+    |sources| rows before the one tiny shuffle. This is the cheapest
+    possible whole-table integrity check: one pass, no sort, no
+    collect.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["documents"]
+        .select("source", "n_chars", _docs_row_hash().alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(h)").alias("fingerprint"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+# Deterministic synthetic "version 2" of documents, expressible
+# identically in both engines: drop every 97th doc, uppercase every 31st,
+# and append a derived batch of brand-new doc_ids.
+_V2_FILTER = "doc_id % 97 <> 3"
+_V2_TEXT = "CASE WHEN doc_id % 31 = 5 THEN upper(text) ELSE text END"
+_V2_ADD_FILTER = "doc_id % 101 = 7"
+_V2_ADD_OFFSET = 1_000_000
+
+
+@probe(
+    "t_table_diff",
+    f"""
+    WITH v1 AS (
+      SELECT doc_id, {H60_SQL.format(x=_ROW_CANON_SQL)} AS h FROM documents
+    ),
+    v2 AS (
+      SELECT doc_id,
+             {H60_SQL.format(x=_ROW_CANON_SQL.replace("text", _V2_TEXT))} AS h
+      FROM documents WHERE {_V2_FILTER}
+      UNION ALL
+      SELECT doc_id + {_V2_ADD_OFFSET} AS doc_id,
+             {H60_SQL.format(x=_ROW_CANON_SQL.replace(
+                 "CAST(doc_id AS VARCHAR)",
+                 f"CAST(doc_id + {_V2_ADD_OFFSET} AS VARCHAR)"))} AS h
+      FROM documents WHERE {_V2_ADD_FILTER}
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.h <> v2.h THEN 'changed'
+                ELSE 'same' END AS change_type,
+           COUNT(*) AS n_docs,
+           CAST(MIN(COALESCE(v1.doc_id, v2.doc_id)) AS BIGINT) AS min_doc_id,
+           CAST(MAX(COALESCE(v1.doc_id, v2.doc_id)) AS BIGINT) AS max_doc_id
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1 ORDER BY change_type
+    """,
+    survey_ids="audit-ext,J1,J2,A1",
+)
+def t_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version reconciliation: diff two snapshots of `documents`
+    on their key and row hash, and report added/removed/changed/same
+    counts with a doc_id range per class. V2 is derived in-plan by a
+    deterministic mutation (drop doc_id%97==3, uppercase doc_id%31==5,
+    append re-keyed copies of doc_id%101==7) so both engines construct
+    the identical pair of versions.
+
+    Scale shape: ONE hash-partitioned full outer join on the key — both
+    sides shuffle once on doc_id (or co-located for free if the tables
+    are bucketed by key, the layout `store.py` writes) — then the
+    change classification is a map-side CASE over the two row hashes.
+    Compare to a sort-based diff (two global sorts) or a collect-based
+    one (driver OOM): this is the join-shaped diff a 100 TB snapshot
+    pair needs.
+    """
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    v1 = docs.select("doc_id", _docs_row_hash().alias("h"))
+    v2_base = (
+        docs.where(F.expr(_V2_FILTER))
+        .select(
+            "doc_id",
+            row_hash(
+                F.col("doc_id").cast("string"),
+                F.expr(_V2_TEXT),
+                F.col("lang"), F.col("source"),
+                F.col("n_chars").cast("string"),
+            ).alias("h"),
+        )
+    )
+    new_id = (F.col("doc_id") + F.lit(_V2_ADD_OFFSET)).cast("long")
+    v2_added = (
+        docs.where(F.expr(_V2_ADD_FILTER))
+        .select(
+            new_id.alias("doc_id"),
+            row_hash(
+                new_id.cast("string"), F.col("text"), F.col("lang"),
+                F.col("source"), F.col("n_chars").cast("string"),
+            ).alias("h"),
+        )
+    )
+    v2 = v2_base.unionAll(v2_added)
+    joined = v1.alias("v1").join(
+        v2.alias("v2"), F.col("v1.doc_id") == F.col("v2.doc_id"), "full_outer"
+    )
+    change = (
+        F.when(F.col("v1.doc_id").isNull(), F.lit("added"))
+        .when(F.col("v2.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("v1.h") != F.col("v2.h"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    key = F.coalesce(F.col("v1.doc_id"), F.col("v2.doc_id"))
+    return (
+        joined.select(change.alias("change_type"), key.alias("doc_id"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc_id"),
+            F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        )
+        .orderBy("change_type")
+    )

@@ -682,3 +682,103 @@ def t_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("h").alias("last_hash"))
         .orderBy("shard")
     )
+
+
+BM25_QUERY = ("spark", "hash", "merge")  # query terms over the synthetic vocab
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_score_sql(i: int) -> str:
+    """Per-term rational-idf BM25 score, written with the exact same
+    association order as the Spark expression in t_bm25_search."""
+    return (
+        f"CASE WHEN tf{i} > 0 THEN "
+        f"(((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE)) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0}) / (CAST(tf{i} AS DOUBLE)"
+        f" + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B}"
+        f" * (CAST(dl AS DOUBLE) / avgdl)))) ELSE 0.0 END"
+    )
+
+
+@probe(
+    "t_bm25_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text,' '), t -> t <> '')) AS BIGINT) AS dl,
+             {", ".join(
+                 f"CAST(len(list_filter(string_split(text,' '), t -> t = '{t}')) AS BIGINT) AS tf{i}"
+                 for i, t in enumerate(BM25_QUERY))}
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+                 for i in range(len(BM25_QUERY)))}
+      FROM d
+    )
+    SELECT doc_id, dl,
+           CAST({" + ".join(f"tf{i}" for i in range(len(BM25_QUERY)))} AS BIGINT) AS tf_total,
+           (({_bm25_score_sql(0)} + {_bm25_score_sql(1)}) + {_bm25_score_sql(2)}) AS score
+    FROM d, s
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """,
+    survey_ids="text-ext,A6,O5",
+)
+def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 document retrieval for a fixed query term set — the
+    lexical-search half of a training-data curation stack (pairs with
+    the ANN probes for hybrid retrieval). Uses the RATIONAL idf variant
+    (no log): every operation is exactly-specified IEEE +,-,*,/ in a
+    fixed association order, so Spark and DuckDB produce bit-identical
+    scores — a log would expose libm-vs-Java 1-ulp differences.
+
+    Scale shape: term frequencies are map-side array expressions on the
+    scan (no explode, no per-token shuffle — the token array never
+    leaves the row); the corpus statistics (N, avgdl, df per term) are
+    ONE global aggregate producing a single broadcast row; scoring is a
+    map-side expression over the broadcast-joined stats; the only
+    ordered structure is a top-K (TakeOrderedAndProject — per-partition
+    heaps, never a global sort). One pass over the corpus at any scale.
+
+    Reference analogue: none (extends the text-analysis family; the
+    reference has no retrieval surface).
+    """
+    t = load_tables(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    d = t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[F.size(F.filter(toks, lambda x, t=t_: x == t_)).cast("long").alias(f"tf{i}")
+          for i, t_ in enumerate(BM25_QUERY)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("long").alias(f"df{i}")
+          for i in range(len(BM25_QUERY))],
+    )
+
+    def term_score(i: int):
+        idf = ((F.col("n_docs").cast("double") - F.col(f"df{i}").cast("double"))
+               + F.lit(0.5)) / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+        tfd = F.col(f"tf{i}").cast("double")
+        denom = tfd + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / F.col("avgdl")))
+        return F.when(F.col(f"tf{i}") > 0,
+                      idf * ((tfd * F.lit(BM25_K1 + 1.0)) / denom)
+                      ).otherwise(F.lit(0.0))
+
+    scored = d.join(F.broadcast(stats)).select(
+        "doc_id", "dl",
+        sum(F.col(f"tf{i}") for i in range(len(BM25_QUERY)))
+        .cast("bigint").alias("tf_total"),
+        ((term_score(0) + term_score(1)) + term_score(2)).alias("score"),
+    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(10)

@@ -1867,3 +1867,116 @@ def e_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("v").cast("double").alias("total_value"))
         .orderBy("day", "event_type")
     )
+
+
+N_SALTS = 8
+
+
+@probe(
+    "j7_salted_skew_join",
+    """
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1 ORDER BY priority
+    """,
+    survey_ids="J1,A5,skew-ext",
+)
+def j7_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-to-dim join, the manual skew device for when one join
+    key holds a disproportionate share of the fact rows (AQE skew-join
+    handles sort-merge skew, but a SALTED key also spreads a hot key
+    across REDUCERS in the aggregation that follows). Mechanics: each
+    fact row gets a deterministic salt in [0, N_SALTS); the dim side is
+    exploded N_SALTS ways; the join key becomes (key, salt), so a hot
+    orderkey's rows land on N_SALTS different reducers instead of one.
+    The salt never reaches the output — the DuckDB oracle runs the plain
+    unsalted join and equality proves salting is semantics-preserving.
+
+    At 100 TB: salting multiplies the dim side by N_SALTS, so it applies
+    when the dim is broadcast-small or the hot-key set is isolated first
+    (the two_phase_compiled hot/cold split, compile_release.py, is this
+    same device applied to grouped aggregation).
+
+    Reference analogue: none — Postgres never shuffles; this is the
+    Spark-native answer to the hot-OCID problem the reference hits as
+    lock contention (SURVEY §2.1).
+    """
+    t = load_tables(spark, sf_dir)
+    fact = t["lineitem"].select(
+        "l_orderkey", "l_extendedprice", "l_discount",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+        .cast("int").alias("salt"),
+    )
+    dim = t["orders"].select(
+        "o_orderkey", "o_orderpriority",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1))).alias("salt"),
+    )
+    return (
+        fact.join(dim, (fact.l_orderkey == dim.o_orderkey)
+                  & (fact.salt == dim.salt))
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy("priority")
+    )
+
+
+@probe(
+    "e_dedup_consecutive",
+    """
+    WITH seq AS (
+      SELECT event_id, user_id, event_type,
+             CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_kept,
+           CAST(MIN(event_id) AS BIGINT) AS first_event,
+           CAST(MAX(ts_ms) AS BIGINT) AS last_ts_ms
+    FROM seq
+    WHERE prev_type IS NULL OR prev_type <> event_type
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey_ids="O3,P8,cdc-ext",
+)
+def e_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style consecutive-duplicate collapse: within each user's
+    event stream (ordered by ts, event_id), keep a row only when its
+    event_type differs from the previous row's — the dedup a
+    change-data-capture consumer applies so repeated identical states
+    become one transition. Emits the per-user keeper profile.
+
+    Scale shape: ONE shuffle (window partitioned by user_id), then the
+    LAG and the keep-filter are computed inside each partition in a
+    single sort pass; the per-user aggregation that follows reuses the
+    same partitioning (no second shuffle — Catalyst sees the child
+    output partitioning satisfies the groupBy). Per-user streams are
+    human-scale (thousands of events), so no partition outgrows memory
+    even when the corpus is 100 TB.
+
+    Reference analogue: none — extends P8's soft-delete filtering to
+    ordered-stream semantics (SURVEY §2.10's sessionization sibling).
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t["events"].select(
+        "event_id", "user_id", "event_type",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNull()
+                  | (F.col("prev_type") != F.col("event_type")))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.min("event_id").cast("bigint").alias("first_event"),
+             F.max("ts_ms").cast("bigint").alias("last_ts_ms"))
+        .orderBy("user_id")
+    )
