@@ -510,3 +510,36 @@ def with_sequential_ids(df: DataFrame, start: int,
         .withColumn("id", F.col("_off") + F.col("_rn") - F.lit(1))
     )
     return out.drop("_mid", "_pid", "_rn", "_off"), n, df
+
+
+def write_bucketed(df: DataFrame, name: str, keys: list[str],
+                   n_buckets: int = 16, path: str | None = None,
+                   sort_by: list[str] | None = None) -> None:
+    """Write ``df`` as a BUCKETED catalog table: rows hash-partitioned by
+    ``keys`` into ``n_buckets`` files, optionally sorted in-bucket.
+
+    This is the co-location device for repeated joins: two tables
+    bucketed by the same keys into the same bucket count join WITHOUT a
+    shuffle — Spark's planner sees each side's output partitioning
+    already satisfies the join's distribution requirement and elides
+    both exchanges (and both sorts, when ``sort_by`` covers the keys).
+    At 100 TB that converts every fact-to-fact join on the bucket key
+    from a full-data shuffle into a zip of pre-matched files; the one
+    shuffle you pay is at WRITE time, amortized over every later join.
+    Bucketed layout needs the session catalog (bucket metadata lives
+    there, not in parquet), hence ``saveAsTable`` rather than the path
+    writes the Store uses for its own tables.
+
+    Reference analogue: Postgres-side btree indexes (`models.py` Meta
+    indexes) are the reference's only co-location story; this is the
+    Spark-native equivalent for scan-shaped workloads.
+    """
+    writer = (
+        df.write.format("parquet").mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+    )
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(name)

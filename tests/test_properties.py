@@ -88,3 +88,36 @@ def test_check_item_total_on_arbitrary_json(doc):
     keys = all_keys(doc, set())
     for entry in out["additional_fields"]:
         assert entry["field"] in keys
+
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 50),
+              st.text(alphabet="ab ", min_size=0, max_size=12)),
+    min_size=1, max_size=12, unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=rows_strategy, mut_idx=st.integers(0, 1000))
+def test_fingerprint_detects_any_single_mutation(spark, rows, mut_idx):
+    """XOR-of-row-hashes fingerprint: permutation-invariant, and ANY
+    single-row change (content or key) flips it."""
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.functions.audit import row_hash
+
+    def fp(rs):
+        df = spark.createDataFrame(rs, "doc_id long, text string")
+        h = row_hash(F.col("doc_id").cast("string"), F.col("text"))
+        return df.select(h.alias("h")).agg(
+            F.expr("bit_xor(h)").alias("fp")).collect()[0]["fp"]
+
+    base = fp(rows)
+    # permutation invariance
+    assert fp(list(reversed(rows))) == base
+    # single-row text mutation flips the fingerprint
+    i = mut_idx % len(rows)
+    mutated = list(rows)
+    mutated[i] = (mutated[i][0], mutated[i][1] + "x")
+    assert fp(mutated) != base
