@@ -70,6 +70,7 @@ HEADLINE = [
     # OCDS pipeline + streaming
     "ocds_compile_pipeline",
     "st_dedup_ingest",
+    "st_cdc_collapse",
 ]
 
 

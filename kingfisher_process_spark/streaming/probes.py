@@ -35,6 +35,17 @@ def _events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
     # dependent; pin UTC here too (load_tables does it for batch paths)
     # so a driver-supplied non-UTC session can't shift streamed instants.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Stateful streaming pins the state-store partition count to
+    # shuffle.partitions at first run AND cannot use AQE coalescing — on
+    # a driver-supplied session with the 200 default, every stateful
+    # stage runs 200 near-empty tasks. Size to the machine like
+    # load_tables does (results unaffected; state-store keying is by
+    # group key, not partition).
+    try:
+        par = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 8)))
+    except Exception:
+        pass
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     schema = spark.read.parquet(src).schema
     drop_dir = tempfile.mkdtemp(prefix=prefix)
@@ -282,3 +293,61 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.unix_millis("c_ts") - F.unix_millis("v_ts")).alias("lag_ms"))
         .orderBy("click_id", "view_id")
     )
+
+
+def _cdc_oracle() -> str:
+    # Shares the batch probe's oracle verbatim: stream/batch equivalence
+    # IS the correctness claim. Imported here (not at module top) so this
+    # module stays importable standalone.
+    import kingfisher_process_spark.plans.queries  # noqa: F401
+    from kingfisher_process_spark.plans.base import oracle_of
+
+    return oracle_of("e_dedup_consecutive")
+
+
+@probe(
+    "st_cdc_collapse",
+    None,  # replaced right below — needs the queries module registered
+    survey_ids="streaming-ext,cdc-ext,O3",
+)
+def st_cdc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``e_dedup_consecutive``: stateful per-user
+    consecutive-duplicate collapse via ``applyInPandasWithState`` (one
+    (last_type, last_ms) tuple per user in the state store, event-time
+    TTL eviction), drained with ``availableNow``; the kept transitions
+    are then aggregated per user exactly like the batch probe and hashed
+    against the SAME DuckDB oracle — micro-batch boundaries provably
+    change nothing.
+
+    Reference analogue: none (SURVEY §2.10 stateful-operator surface,
+    sibling of st_sessionize).
+    """
+    from kingfisher_process_spark.streaming.cdc import cdc_collapse_stream
+
+    events = _events_stream(spark, sf_dir, "kps_stream_cdc_")
+    kept = cdc_collapse_stream(
+        events.select("user_id", "event_id", "ts", "event_type"))
+    sink = f"st_cdc_{uuid.uuid4().hex[:8]}"
+    q = (
+        kept.writeStream
+        .format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.min("event_id").cast("bigint").alias("first_event"),
+             F.max("ts_ms").cast("bigint").alias("last_ts_ms"))
+        .orderBy("user_id")
+    )
+
+
+# late-bind the shared oracle (module import order safe)
+from kingfisher_process_spark.plans.base import REGISTRY as _REG  # noqa: E402
+
+_REG["st_cdc_collapse"].oracle = _cdc_oracle()
