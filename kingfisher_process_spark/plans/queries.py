@@ -1980,3 +1980,88 @@ def e_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("ts_ms").cast("bigint").alias("last_ts_ms"))
         .orderBy("user_id")
     )
+
+
+@probe(
+    "w4_moving_avg",
+    """
+    SELECT o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS mavg3,
+           CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+    survey_ids="O1,A5,window-ext",
+)
+def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame window (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    3-order moving average of order value per customer — the bounded
+    frame shape the w-family lacked (w1 is unbounded-preceding, w2 rank,
+    w3 rank-selection median). Decimal frame-sum then one double divide
+    keeps both engines bit-identical regardless of in-frame order.
+
+    Scale shape: one shuffle on o_custkey, then the frame is computed in
+    a single sorted pass per partition with an O(1) sliding state —
+    Spark's WindowExec never re-scans the frame for algebraic
+    aggregates. Per-customer partitions are human-scale, so no partition
+    outgrows an executor at 100 TB.
+
+    Reference analogue: none (relational window surface, SURVEY §2.7).
+    """
+    t = load_tables(spark, sf_dir)
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(-2, Window.currentRow))
+    return (
+        t["orders"]
+        .select(
+            "o_orderkey",
+            (F.sum(_d(F.col("o_totalprice"))).over(w).cast("double")
+             / F.count(F.lit(1)).over(w)).alias("mavg3"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@probe(
+    "a12_grouping_sets",
+    """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    ORDER BY priority, status
+    """,
+    survey_ids="A5,A7,rollup-ext",
+)
+def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of a9's ROLLUP and
+    a11's CUBE: two independent single-dimension breakdowns plus the
+    grand total in ONE pass. Spark expands the sets map-side (each input
+    row feeds every set it belongs to) and partially aggregates before
+    the single shuffle — at 100 TB that's one scan for what would
+    otherwise be three separate aggregation jobs plus a union.
+
+    Reference analogue: none (relational aggregation surface, SURVEY
+    §2.5).
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupingSets(
+            [[F.col("o_orderpriority")], [F.col("o_orderstatus")], []],
+            F.col("o_orderpriority"), F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             _dsum(F.col("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders", "total")
+        .orderBy("priority", "status")
+    )
