@@ -24,11 +24,6 @@ from kingfisher_process_spark.plans.base import load_tables, probe
 # text, so the concatenation is prefix-collision-free.
 _SEP = "\x1f"
 
-_ROW_CANON_SQL = (
-    "concat_ws(chr(31), CAST(doc_id AS VARCHAR), text, lang, source, "
-    "CAST(n_chars AS VARCHAR))"
-)
-
 
 def row_hash(*cols) -> "F.Column":
     """60-bit hash of the canonical row string — engine-portable (md5 of
@@ -36,9 +31,20 @@ def row_hash(*cols) -> "F.Column":
     return h60(F.concat_ws(_SEP, *cols))
 
 
-def _docs_row_hash():
+# The documents row-canon exists in exactly two generators — one per
+# engine — parameterized on the expressions the diff probe substitutes.
+# Column additions/renames happen HERE, once, never by string surgery.
+
+def _canon_sql(id_expr: str = "doc_id", text_expr: str = "text") -> str:
+    return (f"concat_ws(chr(31), CAST({id_expr} AS VARCHAR), {text_expr}, "
+            "lang, source, CAST(n_chars AS VARCHAR))")
+
+
+def _canon_hash(id_col=None, text_col=None) -> "F.Column":
+    id_col = F.col("doc_id") if id_col is None else id_col
+    text_col = F.col("text") if text_col is None else text_col
     return row_hash(
-        F.col("doc_id").cast("string"), F.col("text"), F.col("lang"),
+        id_col.cast("string"), text_col, F.col("lang"),
         F.col("source"), F.col("n_chars").cast("string"),
     )
 
@@ -48,7 +54,7 @@ def _docs_row_hash():
     f"""
     SELECT source,
            COUNT(*) AS n_rows,
-           bit_xor({H60_SQL.format(x=_ROW_CANON_SQL)}) AS fingerprint,
+           bit_xor({H60_SQL.format(x=_canon_sql())}) AS fingerprint,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY source
@@ -73,7 +79,7 @@ def t_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         t["documents"]
-        .select("source", "n_chars", _docs_row_hash().alias("h"))
+        .select("source", "n_chars", _canon_hash().alias("h"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -97,17 +103,15 @@ _V2_ADD_OFFSET = 1_000_000
     "t_table_diff",
     f"""
     WITH v1 AS (
-      SELECT doc_id, {H60_SQL.format(x=_ROW_CANON_SQL)} AS h FROM documents
+      SELECT doc_id, {H60_SQL.format(x=_canon_sql())} AS h FROM documents
     ),
     v2 AS (
       SELECT doc_id,
-             {H60_SQL.format(x=_ROW_CANON_SQL.replace("text", _V2_TEXT))} AS h
+             {H60_SQL.format(x=_canon_sql(text_expr=_V2_TEXT))} AS h
       FROM documents WHERE {_V2_FILTER}
       UNION ALL
       SELECT doc_id + {_V2_ADD_OFFSET} AS doc_id,
-             {H60_SQL.format(x=_ROW_CANON_SQL.replace(
-                 "CAST(doc_id AS VARCHAR)",
-                 f"CAST(doc_id + {_V2_ADD_OFFSET} AS VARCHAR)"))} AS h
+             {H60_SQL.format(x=_canon_sql(id_expr=f"doc_id + {_V2_ADD_OFFSET}"))} AS h
       FROM documents WHERE {_V2_ADD_FILTER}
     )
     SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
@@ -140,29 +144,17 @@ def t_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     docs = t["documents"]
-    v1 = docs.select("doc_id", _docs_row_hash().alias("h"))
+    v1 = docs.select("doc_id", _canon_hash().alias("h"))
     v2_base = (
         docs.where(F.expr(_V2_FILTER))
-        .select(
-            "doc_id",
-            row_hash(
-                F.col("doc_id").cast("string"),
-                F.expr(_V2_TEXT),
-                F.col("lang"), F.col("source"),
-                F.col("n_chars").cast("string"),
-            ).alias("h"),
-        )
+        .select("doc_id",
+                _canon_hash(text_col=F.expr(_V2_TEXT)).alias("h"))
     )
     new_id = (F.col("doc_id") + F.lit(_V2_ADD_OFFSET)).cast("long")
     v2_added = (
         docs.where(F.expr(_V2_ADD_FILTER))
-        .select(
-            new_id.alias("doc_id"),
-            row_hash(
-                new_id.cast("string"), F.col("text"), F.col("lang"),
-                F.col("source"), F.col("n_chars").cast("string"),
-            ).alias("h"),
-        )
+        .select(new_id.alias("doc_id"),
+                _canon_hash(id_col=new_id).alias("h"))
     )
     v2 = v2_base.unionAll(v2_added)
     joined = v1.alias("v1").join(

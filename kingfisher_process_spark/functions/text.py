@@ -637,45 +637,29 @@ def t_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts + hash range per shard) a dataloader validates against.
 
     Scale shape: the naive plan is ``ROW_NUMBER() OVER (ORDER BY h)`` —
-    a single-task global window. Instead: range-partition by the hash
-    (the shuffle that a sorted shard write needs anyway), row_number
-    WITHIN each partition (parallel), then add per-partition row-count
-    offsets — a #partitions-row driver aggregate broadcast back, same
-    distributed-prefix-sum device as t_sequence_packing. One range
-    shuffle at any scale; the DuckDB oracle runs the naive global window
-    (fine at oracle scale) and equality proves the distributed rank.
+    a single-task global window. The distributed rank is exactly
+    ``store.with_sequential_ids`` (range-partition, per-partition
+    row_number, P-row offset broadcast), so this probe REUSES it rather
+    than re-implementing the device; the DuckDB oracle runs the naive
+    global window (fine at oracle scale) and equality proves the
+    distributed rank. The rank's cached intermediate stays pinned for
+    the probe's lifetime (it guarantees the offsets and the row_numbers
+    see one partitioning); it is 3 narrow columns per document.
 
     Reference analogue: none (extends the sampling surface of
     models.py:54 to the shuffled-export step of a training pipeline).
     """
-    from pyspark.sql import Window
+    from kingfisher_process_spark.store import with_sequential_ids
 
-    sc = spark.sparkContext
     t = load_tables(spark, sf_dir)
-    n_parts = max(2, sc.defaultParallelism)
-    d = (
-        t["documents"]
-        .select("doc_id",
-                F.md5(F.col("doc_id").cast("string")).alias("h"),
-                F.size(_tokens(F.col("text"))).cast("long").alias("nt"))
-        .repartitionByRange(n_parts, "h", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    d = d.localCheckpoint()  # pin partitioning: offsets + row_number must see identical pids
-    per_part = {r["pid"]: r["n"] for r in
-                d.groupBy("pid").agg(F.count(F.lit(1)).alias("n")).collect()}
-    offsets, acc = [], 0
-    for pid in sorted(per_part):
-        offsets.append((pid, acc))
-        acc += per_part[pid]
-    off_df = spark.createDataFrame(offsets, "pid int, part_off long")
-    w = Window.partitionBy("pid").orderBy("h", "doc_id")
-    r = (
-        d.join(F.broadcast(off_df), "pid")
-        .withColumn("rnk", F.col("part_off") + F.row_number().over(w) - 1)
-    )
+    d = t["documents"].select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.size(_tokens(F.col("text"))).cast("long").alias("nt"))
+    r, _n, _pinned = with_sequential_ids(d, 0, order_by=["h", "doc_id"],
+                                         mode="range")
     return (
-        r.groupBy(F.floor(F.col("rnk") / SHARD_DOCS).cast("bigint").alias("shard"))
+        r.groupBy(F.floor(F.col("id") / SHARD_DOCS).cast("bigint").alias("shard"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("nt").alias("n_tokens"),
              F.min("h").alias("first_hash"),
@@ -751,11 +735,17 @@ def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     toks = _tokens(F.col("text"))
+
+    def tf_of(term: str):
+        # function scope (not a loop-shared cell) binds `term` per call,
+        # and the unary lambda keeps PySpark from treating the callable
+        # as an (element, index) higher-order function
+        return F.size(F.filter(toks, lambda x: x == term)).cast("long")
+
     d = t["documents"].select(
         "doc_id",
         F.size(toks).cast("long").alias("dl"),
-        *[F.size(F.filter(toks, lambda x, t=t_: x == t_)).cast("long").alias(f"tf{i}")
-          for i, t_ in enumerate(BM25_QUERY)],
+        *[tf_of(t_).alias(f"tf{i}") for i, t_ in enumerate(BM25_QUERY)],
     )
     stats = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -6,11 +6,22 @@ from the previous kept row's.
 State per user is ONE tuple (last event_type + its position), held in
 the Structured Streaming state store — so memory scales with distinct
 keys, not stream length, and the operator survives restarts via the
-checkpoint. Micro-batch boundaries are invisible to the semantics: the
-fold sorts each batch by (ts_ms, event_id) and seeds from the carried
-state, so a user's stream split across batches collapses identically to
-the batch window-LAG plan (proven by oracle equality — both the batch
-probe and ``st_cdc_collapse`` share one DuckDB oracle).
+checkpoint. Micro-batch boundaries are invisible to the semantics
+PROVIDED batches arrive in per-user event-time order (the CDC shape: a
+log tailer emits roughly in order; collapsing genuinely out-of-order
+input would need watermark-deep buffering, which this operator does not
+do): the fold sorts each batch by full-precision (ts, event_id) — the
+same key the batch window uses — and seeds from the carried state, so a
+user's stream split across ordered batches collapses identically to the
+batch window-LAG plan. Both the batch probe and ``st_cdc_collapse``
+share one DuckDB oracle, and ``tests/test_streaming.py`` exercises the
+multi-batch path (time-split files, one per micro-batch).
+
+State TTL is OPT-IN (``state_ttl_ms``): with a TTL, a user silent past
+the horizon restarts their collapse from scratch — deliberately NOT the
+batch semantics (the batch window has no notion of expiry), so the
+oracle-equivalent probe runs without it and production deployments
+bound state explicitly.
 
 Reference analogue: none — the reference's incremental path re-processes
 whole messages; this is the Spark-native stateful-operator surface
@@ -38,59 +49,69 @@ CDC_STATE_SCHEMA = T.StructType([
     T.StructField("last_ms", T.LongType()),
 ])
 
-STATE_TTL_MS = 60 * 60 * 1000  # drop a user's state after 1h of silence
+
+def _make_collapse_fn(state_ttl_ms: int | None):
+    def _collapse_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        # sort on full-precision ts (nanoseconds via pandas Timestamp
+        # .value), NOT the millisecond output column: the batch twin and
+        # the shared oracle order by (ts, event_id), and two same-user
+        # events inside one millisecond would collapse differently under
+        # a truncated key
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            rows.extend(zip((v.value for v in pdf["ts"]),
+                            pdf["event_id"], pdf["event_type"]))
+        rows.sort()
+
+        last_type, last_ms = state.get if state.exists else (None, 0)
+        kept: list[tuple[int, int, str]] = []
+        for ts_ns, event_id, etype in rows:
+            ts_ms = int(ts_ns) // 1_000_000
+            if etype != last_type:
+                kept.append((ts_ms, int(event_id), etype))
+                last_type = etype
+            last_ms = max(last_ms, ts_ms)
+        state.update((last_type, last_ms))
+        if state_ttl_ms is not None:
+            state.setTimeoutTimestamp(last_ms + state_ttl_ms)
+        if kept:
+            yield pd.DataFrame({
+                "user_id": [user_id] * len(kept),
+                "event_id": [e for _, e, _ in kept],
+                "ts_ms": [t for t, _, _ in kept],
+                "event_type": [y for _, _, y in kept],
+            })
+
+    return _collapse_fn
 
 
-def _collapse_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
-                 state: GroupState) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-
-    rows: list[tuple[int, int, str]] = []
-    for pdf in pdfs:
-        rows.extend(zip(pdf["ts_ms"], pdf["event_id"], pdf["event_type"]))
-    rows.sort()
-
-    last_type, last_ms = state.get if state.exists else (None, 0)
-    kept: list[tuple[int, int, str]] = []
-    for ts_ms, event_id, etype in rows:
-        if etype != last_type:
-            kept.append((int(ts_ms), int(event_id), etype))
-            last_type = etype
-        last_ms = max(last_ms, int(ts_ms))
-    state.update((last_type, last_ms))
-    state.setTimeoutTimestamp(last_ms + STATE_TTL_MS)
-    if kept:
-        yield pd.DataFrame({
-            "user_id": [user_id] * len(kept),
-            "event_id": [e for _, e, _ in kept],
-            "ts_ms": [t for t, _, _ in kept],
-            "event_type": [y for _, _, y in kept],
-        })
-
-
-def cdc_collapse_stream(events: DataFrame) -> DataFrame:
+def cdc_collapse_stream(events: DataFrame,
+                        state_ttl_ms: int | None = None) -> DataFrame:
     """events: streaming DataFrame with (user_id long, event_id long,
     ts timestamp, event_type string). Returns the kept transition rows.
 
-    The watermark bounds how late a row may arrive; state is one row per
-    user and is dropped after an hour of event-time silence (a CDC
-    consumer that has gone quiet restarts its collapse from scratch —
-    the semantics a keyed TTL cache gives).
+    ``state_ttl_ms=None`` (default): state lives for the query lifetime
+    — exact batch equivalence at any micro-batching; memory is one tuple
+    per distinct user. With a TTL, state is dropped after that much
+    event-time silence (keyed-cache semantics, diverges from the batch
+    window after an expiry — see module docstring).
     """
-    from pyspark.sql import functions as F
-
     prepared = (
         events.withWatermark("ts", "1 hour")
-        .select("user_id", "event_id", F.unix_millis("ts").alias("ts_ms"),
-                "event_type", "ts")
+        .select("user_id", "event_id", "event_type", "ts")
     )
+    timeout = (GroupStateTimeout.NoTimeout if state_ttl_ms is None
+               else GroupStateTimeout.EventTimeTimeout)
     return (
         prepared.groupBy("user_id")
         .applyInPandasWithState(
-            _collapse_fn, KEPT_SCHEMA, CDC_STATE_SCHEMA,
-            "append", GroupStateTimeout.EventTimeTimeout,
+            _make_collapse_fn(state_ttl_ms), KEPT_SCHEMA, CDC_STATE_SCHEMA,
+            "append", timeout,
         )
     )

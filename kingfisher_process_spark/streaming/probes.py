@@ -313,11 +313,13 @@ def _cdc_oracle() -> str:
 def st_cdc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``e_dedup_consecutive``: stateful per-user
     consecutive-duplicate collapse via ``applyInPandasWithState`` (one
-    (last_type, last_ms) tuple per user in the state store, event-time
-    TTL eviction), drained with ``availableNow``; the kept transitions
-    are then aggregated per user exactly like the batch probe and hashed
-    against the SAME DuckDB oracle — micro-batch boundaries provably
-    change nothing.
+    (last_type, last_ms) tuple per user in the state store; no TTL here
+    — exact batch equivalence requires state for the query lifetime, see
+    streaming/cdc.py), drained with ``availableNow``; the kept
+    transitions are then aggregated per user exactly like the batch
+    probe and hashed against the SAME DuckDB oracle. This drain is one
+    micro-batch; the multi-batch state-seeding path is exercised by
+    tests/test_streaming.py with time-split files, one per batch.
 
     Reference analogue: none (SURVEY §2.10 stateful-operator surface,
     sibling of st_sessionize).

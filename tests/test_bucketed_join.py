@@ -10,6 +10,8 @@ joined to an unbucketed one still shuffles the unbucketed side only.
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMOKE
+
 from kingfisher_process_spark.store import write_bucketed
 
 N_BUCKETS = 4
@@ -18,7 +20,7 @@ N_BUCKETS = 4
 @pytest.fixture(scope="module")
 def bucketed_pair(spark, tmp_path_factory):
     base = tmp_path_factory.mktemp("bucketed")
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     stats = docs.select(
         "doc_id", F.length("text").alias("n_chars_v2"))
     write_bucketed(docs, "b_docs", ["doc_id"], N_BUCKETS,
@@ -67,7 +69,7 @@ def test_unbucketed_side_still_shuffles(spark, bucketed_pair):
     the cluster so the counts agree)."""
     docs, _ = bucketed_pair
     plain = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet"
+        f"{SF_SMOKE}/documents.parquet"
     ).select("doc_id", F.col("lang").alias("lang_v2"))
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -129,3 +129,63 @@ def test_streaming_rate_limited_micro_batches(spark, tmp_path):
     assert len(batches) == 3  # one micro-batch per file
     assert store.read("release").count() == 3
     assert sl.files_seen == 3
+
+
+def test_cdc_collapse_multi_batch_matches_batch(spark, tmp_path):
+    """Split the events table into 3 time-ordered files, stream them ONE
+    PER MICRO-BATCH (maxFilesPerTrigger=1) through the stateful CDC
+    collapse, and require the kept-row set to equal the batch window-LAG
+    plan on the unified table — the state-seeding across batch
+    boundaries is exactly what this exercises."""
+    from tests.conftest import SF_SMOKE
+
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming.cdc import cdc_collapse_stream
+
+    events = load_tables(spark, SF_SMOKE)["events"].select(
+        "user_id", "event_id", "ts", "event_type")
+    # three event-time thirds, written as one file each, named in order
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds()
+    drop = tmp_path / "cdc_drop"
+    drop.mkdir()
+    import datetime
+    for i in range(3):
+        a = lo + datetime.timedelta(seconds=span * i / 3)
+        b = lo + datetime.timedelta(seconds=span * (i + 1) / 3)
+        part = events.where(
+            (F.col("ts") >= a) & (F.col("ts") < b) if i < 2
+            else (F.col("ts") >= a))
+        part.coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"stage{i}"))
+        import glob
+        import shutil
+        src = glob.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, drop / f"batch_{i}.parquet")
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(drop)))
+    kept = cdc_collapse_stream(stream)
+    sink = "cdc_multi_batch_sink"
+    q = (kept.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected >=3 non-empty micro-batches, got {n_batches}"
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    expected = (
+        events
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull()
+               | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_id", F.unix_millis("ts").alias("ts_ms"),
+                "event_type")
+    )
+    got = spark.table(sink).select("user_id", "event_id", "ts_ms",
+                                   "event_type")
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
