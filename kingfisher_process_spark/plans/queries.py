@@ -2065,3 +2065,65 @@ def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders", "total")
         .orderBy("priority", "status")
     )
+
+
+@probe(
+    "e_scd2_intervals",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    kept AS (
+      SELECT user_id, event_type, ts, event_id FROM seq
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_ms(ts) AS BIGINT) AS valid_from_ms,
+           CAST(COALESCE(epoch_ms(LEAD(ts) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS BIGINT)
+             AS valid_to_ms
+    FROM kept
+    ORDER BY user_id, valid_from_ms
+    """,
+    survey_ids="O3,cdc-ext,window-ext",
+)
+def e_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build from an event stream: collapse each
+    user's consecutive same-type runs (the e_dedup_consecutive step),
+    then assign each kept state its validity interval — valid_from = its
+    own timestamp, valid_to = the NEXT kept state's (-1 = still
+    current; a sentinel rather than NULL so both engines materialize the
+    column as non-nullable int64 — see the output-type policy).
+    This is how a warehouse derives an as-of-queryable dimension from a
+    CDC feed.
+
+    Scale shape: both windows (the LAG keep-filter and the LEAD over
+    kept rows) partition by user_id, so Catalyst plans ONE shuffle — the
+    second window finds its required distribution already satisfied and
+    only re-sorts the shrunken kept set in place. Per-user partitions
+    are human-scale; nothing global.
+
+    Reference analogue: none — the closest reference concept is the
+    versioned-release history (merge.py flattening), which tracks field
+    changes per OCID the way SCD2 tracks state changes per user.
+    """
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = (
+        t["events"]
+        .select("user_id", "event_type", "ts", "event_id",
+                F.lag("event_type").over(w).alias("prev_type"))
+        .where(F.col("prev_type").isNull()
+               | (F.col("prev_type") != F.col("event_type")))
+    )
+    return (
+        kept.select(
+            "user_id", "event_type",
+            F.unix_millis("ts").alias("valid_from_ms"),
+            F.coalesce(F.unix_millis(F.lead("ts").over(w)), F.lit(-1))
+            .cast("bigint").alias("valid_to_ms"))
+        .orderBy("user_id", "valid_from_ms")
+    )

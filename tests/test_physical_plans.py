@@ -168,3 +168,35 @@ def test_sequence_packing_window_is_partitioned(spark):
     m = re.search(r"Arguments: \[sum\(nt[^\]]*\], \[pid", plan)
     assert m, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
+    """Runtime-filter posture: with a selective dimension filter, Spark's
+    runtime bloom filter (spark.sql.optimizer.runtime.bloomFilter.enabled,
+    on by default) is injected on the fact side — at 100 TB the bloom
+    prunes fact rows BEFORE the join shuffle, the declarative analogue of
+    a hand-built semi-join reduction. Local data sits under the
+    application-side scan threshold (10 GiB), so the test lowers it to
+    exercise the path the production scale hits naturally."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        o = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+             .where(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
