@@ -38,8 +38,16 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+N_PROBES = 108  # bump when registering a probe — guards against the
+# _registry() import-guard silently swallowing a module and shrinking
+# the corpus the driver verifies
+
+
 def test_queries_have_callables():
     q = entrymod.queries()
-    assert len(q) >= 10
+    assert len(q) == N_PROBES, (
+        f"registry has {len(q)} probes, expected {N_PROBES} — "
+        "a probe module failed to import (the ImportError guard in "
+        "__spark_entry__._registry hides which; import them directly)")
     for name, fn in q.items():
         assert callable(fn), name
