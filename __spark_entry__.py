@@ -61,7 +61,7 @@ def _registry():
         # relational family coverage (one per shape)
         "j5_recursive_tree",
         "w4_moving_avg", "a12_grouping_sets", "e_scd2_intervals",
-        "f_scalar_functions",
+        "f_array_functions",
         # previously-unchecked rotation (r3)
         "q9_product_profit", "w1_running_customer_spend",
         "e_asof_last_view_before_click", "e_range_join_intervals",
@@ -88,13 +88,14 @@ def _registry():
     # ann_brute_force_topk, j3_customers_with_open_orders,
     # o3_latest_order_per_customer, st_dedup_ingest, p6_json_predicate,
     # u3_except_inactive_customers, j4_explode_token_counts (its explode
-    # shape stays covered in-cap by j7's dim explode) — displaced by the
-    # eleven probes added after the r3 cap was first drawn up
-    # (t_global_shuffle_shards, st_stream_stream_join,
+    # shape stays covered in-cap by j7's dim explode), f_scalar_functions
+    # — displaced by the twelve probes added after the r3 cap was first
+    # drawn up (t_global_shuffle_shards, st_stream_stream_join,
     # t_table_fingerprint, t_table_diff, j7_salted_skew_join,
     # e_dedup_consecutive, t_bm25_search, st_cdc_collapse,
-    # w4_moving_avg, a12_grouping_sets, e_scd2_intervals), so every
-    # never-driver-checked probe sits inside the verified window.
+    # w4_moving_avg, a12_grouping_sets, e_scd2_intervals,
+    # f_array_functions), so every never-driver-checked probe sits
+    # inside the verified window.
     ordered = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     ordered.update((n, p) for n, p in REGISTRY.items() if n not in ordered)
     return ordered

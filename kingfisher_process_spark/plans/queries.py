@@ -2127,3 +2127,58 @@ def e_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint").alias("valid_to_ms"))
         .orderBy("user_id", "valid_from_ms")
     )
+
+
+@probe(
+    "f_array_functions",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                           AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT)            AS n_distinct,
+           list_max(toks)                                      AS max_token,
+           array_to_string(list_sort(toks)[1:3], '-')          AS first3_sorted,
+           CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT)
+                                                               AS total_len,
+           CAST(len(list_filter(toks, t -> length(t) >= 4)) AS BIGINT)
+                                                               AS n_long
+    FROM d
+    ORDER BY doc_id
+    """,
+    survey_ids="§2.9,§2.11,text-ext",
+)
+def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function surface (§2.9/§2.11 sibling of
+    f_scalar_functions): transform / filter / aggregate lambdas plus
+    array_distinct / array_sort / array_max / slice, all evaluated
+    JVM-side inside whole-stage codegen — the token array never leaves
+    its row and no Python worker spawns. This is the idiom the repo
+    prefers over explode-shuffle-reaggregate whenever per-row array
+    arithmetic suffices (same design as t_bm25_search's in-place tf).
+
+    Reference analogue: none as an operator; exercises the function
+    registry breadth a drop-in engine must offer.
+    """
+    t = load_tables(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    d = t["documents"].select("doc_id", toks.alias("toks"))
+    return (
+        d.select(
+            "doc_id",
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct"),
+            F.array_max("toks").alias("max_token"),
+            F.concat_ws("-", F.slice(F.array_sort("toks"), 1, 3))
+            .alias("first3_sorted"),
+            F.aggregate("toks", F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + F.length(x))
+            .cast("bigint").alias("total_len"),
+            F.size(F.filter("toks", lambda x: F.length(x) >= 4))
+            .cast("bigint").alias("n_long"),
+        )
+        .orderBy("doc_id")
+    )
