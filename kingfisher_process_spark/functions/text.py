@@ -772,3 +772,93 @@ def t_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((term_score(0) + term_score(1)) + term_score(2)).alias("score"),
     )
     return scored.orderBy(F.desc("score"), "doc_id").limit(10)
+
+
+CHUNK_TOKENS = 32   # tokens per chunk
+CHUNK_STRIDE = 24   # stride between chunk starts (8-token overlap)
+
+
+@probe(
+    "t_chunk_documents",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ),
+    sized AS (
+      SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS nt,
+             CASE WHEN len(toks) <= {CHUNK_TOKENS} THEN 1
+                  ELSE 1 + CAST(floor((len(toks) - {CHUNK_TOKENS}
+                         + {CHUNK_STRIDE - 1}) / {CHUNK_STRIDE}.0) AS BIGINT)
+             END AS n_chunks
+      FROM d WHERE len(toks) > 0
+    ),
+    chunks AS (
+      SELECT doc_id, nt, toks, unnest(range(n_chunks)) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(chunk_idx * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least(CAST({CHUNK_TOKENS} AS BIGINT),
+                      nt - chunk_idx * {CHUNK_STRIDE}) AS BIGINT) AS chunk_len,
+           toks[CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT)] AS first_token,
+           toks[CAST(least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}, nt)
+                AS INT)] AS last_token
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    survey_ids="text-ext,J4,rag-ext",
+)
+def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pretraining document chunking: cut each document's token
+    stream into {CHUNK_TOKENS}-token windows advancing by {CHUNK_STRIDE}
+    (8-token overlap), emitting the chunk manifest (index, offset,
+    length, boundary tokens) an embedder or packer consumes.
+
+    Scale shape: chunk counts and boundaries are in-row arithmetic on
+    the token array; the only row-multiplying step is the
+    explode(sequence(...)) per document — map-side, no shuffle at all
+    until the presentation sort. The token array itself is sliced in
+    place (slice/element_at), never exploded to one-row-per-token — the
+    fan-out is #chunks (~nt/{CHUNK_STRIDE}), not #tokens.
+
+    Reference analogue: none (extends the text family toward the
+    retrieval-pipeline surface alongside t_bm25_search).
+    """
+    t = load_tables(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    sized = (
+        t["documents"]
+        .select("doc_id", toks.alias("toks"),
+                F.size(toks).cast("long").alias("nt"))
+        .where(F.col("nt") > 0)
+        .withColumn(
+            "n_chunks",
+            F.when(F.col("nt") <= CHUNK_TOKENS, F.lit(1).cast("long"))
+            .otherwise(
+                1 + F.floor((F.col("nt") - CHUNK_TOKENS + (CHUNK_STRIDE - 1))
+                            / float(CHUNK_STRIDE)).cast("long")))
+    )
+    start = (F.col("chunk_idx") * CHUNK_STRIDE).cast("long")
+    return (
+        sized
+        .select("doc_id", "nt", "toks",
+                F.explode(F.sequence(
+                    F.lit(0).cast("long"),
+                    (F.col("n_chunks") - 1).cast("long"))).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            start.alias("start_tok"),
+            F.least(F.lit(CHUNK_TOKENS).cast("long"),
+                    F.col("nt") - start).cast("bigint").alias("chunk_len"),
+            F.element_at("toks", (start + 1).cast("int")).alias("first_token"),
+            F.element_at(
+                "toks",
+                F.least(start + CHUNK_TOKENS, F.col("nt")).cast("int"))
+            .alias("last_token"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
