@@ -59,7 +59,6 @@ def _registry():
         "ocds_compile_two_phase", "ocds_versioned_release",
         "st_hourly_rollup",
         # relational family coverage (one per shape)
-        "j5_recursive_tree",
         "w4_moving_avg", "a12_grouping_sets", "e_scd2_intervals",
         "f_array_functions",
         # previously-unchecked rotation (r3)
@@ -81,7 +80,7 @@ def _registry():
         "ocds_record_ladder", "ocds_upgrade_parties", "ocds_check_errors",
         "ocds_orphan_wipe",
         # structured streaming
-        "st_cdc_collapse", "st_ingest_pipeline",
+        "st_cdc_collapse", "st_incremental_rollup", "st_ingest_pipeline",
     ]
     # rotated out for r3 (driver-triple-green in r2, still CI-verified):
     # t_token_stats, st_sessionize, t_pii_redact, d_minhash_lsh_pairs,
@@ -94,10 +93,11 @@ def _registry():
     # t_table_fingerprint, t_table_diff, j7_salted_skew_join,
     # e_dedup_consecutive, t_bm25_search, st_cdc_collapse,
     # w4_moving_avg, a12_grouping_sets, e_scd2_intervals,
-    # f_array_functions, t_chunk_documents — which also displaced
-    # d_dup_clusters, r2-green and still represented in-cap by its
-    # cross-checking twin d_dup_clusters_lss), so every
-    # never-driver-checked probe sits inside the verified window.
+    # f_array_functions, t_chunk_documents, st_incremental_rollup —
+    # which also displaced the r2-green d_dup_clusters (still
+    # represented in-cap by its cross-checking twin d_dup_clusters_lss)
+    # and j5_recursive_tree), so every never-driver-checked probe sits
+    # inside the verified window.
     ordered = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     ordered.update((n, p) for n, p in REGISTRY.items() if n not in ordered)
     return ordered

@@ -353,3 +353,72 @@ def st_cdc_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 from kingfisher_process_spark.plans.base import REGISTRY as _REG  # noqa: E402
 
 _REG["st_cdc_collapse"].oracle = _cdc_oracle()
+
+
+@probe(
+    "st_incremental_rollup",
+    None,  # replaced right below with st_hourly_rollup's oracle
+    survey_ids="streaming-ext,A5,mv-ext",
+)
+def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized view: the events table is staged as
+    three time-split files, streamed ONE FILE PER MICRO-BATCH, and each
+    batch's partial hourly aggregate is additively folded into a
+    persisted accumulator (streaming/mv.py) — view maintenance as data
+    arrives, O(view) per batch instead of O(history). The final
+    accumulator is hashed against st_hourly_rollup's DuckDB oracle: the
+    incrementally-maintained view must equal the full recompute
+    bit-for-bit (decimal partials make the fold order-free).
+
+    Reference analogue: the reference recomputes collection counts on
+    demand (finisher.py:116-176); this is the continuous-aggregate
+    surface a 100 TB event store needs.
+    """
+    import datetime
+    import os
+    import tempfile
+
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming.mv import merge_partial_into
+
+    events = load_tables(spark, sf_dir)["events"].select(
+        "ts", "event_type", "value")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds()
+    base = tempfile.mkdtemp(prefix="kps_mv_")
+    drop = os.path.join(base, "drop")
+    os.makedirs(drop)
+    for i in range(3):
+        a = lo + datetime.timedelta(seconds=span * i / 3)
+        b = lo + datetime.timedelta(seconds=span * (i + 1) / 3)
+        part = events.where(
+            (F.col("ts") >= a) & (F.col("ts") < b) if i < 2
+            else (F.col("ts") >= a))
+        # one file per batch, named in event-time order
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"stage{i}"))
+        import glob
+        import shutil
+        src = glob.glob(os.path.join(base, f"stage{i}", "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(drop, f"batch_{i}.parquet"))
+
+    acc = os.path.join(base, "acc")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    q = (
+        stream.writeStream
+        .foreachBatch(merge_partial_into(acc))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(acc)
+        .select("hour_start", "event_type", "n_events",
+                F.col("total_value").cast("double").alias("total_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+_REG["st_incremental_rollup"].oracle = _REG["st_hourly_rollup"].oracle
