@@ -543,3 +543,118 @@ def write_bucketed(df: DataFrame, name: str, keys: list[str],
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(name)
+
+
+# -- snapshot versioning (time travel) -----------------------------------
+#
+# Parquet data files are immutable once written: every mutation path in
+# this module (overwrite, merge_upsert, compact) REPLACES files and swaps
+# directories, never edits bytes in place. That makes snapshots nearly
+# free: hardlink the table's current file tree into a versioned side
+# directory — the inodes stay alive when a later swap rmtree's the
+# original names, so old versions remain readable forever at zero copy
+# cost. This is the reproducibility device a training-data pipeline
+# needs ("which exact table state produced run 47?"); the reference has
+# no equivalent (Postgres rows mutate in place).
+#
+# At 100 TB on an object store the same design is a manifest of
+# immutable object keys per version (the Delta/Iceberg shape); hardlinks
+# are the single-filesystem realization of that manifest.
+
+def _hardlink_tree(src: str, dst: str) -> None:
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            os.link(os.path.join(root, f), os.path.join(troot, f))
+
+
+class StoreSnapshots:
+    """Snapshot/version surface over a Store (composition, so the write
+    paths stay untouched): ``snapshot`` pins the current state,
+    ``read_version`` reads a pinned state, ``diff`` classifies row-level
+    changes between two versions via the orderless row-hash device."""
+
+    def __init__(self, store: "Store"):
+        self.store = store
+
+    def _snap_root(self, table: str) -> str:
+        return self.store.path(table) + "__snapshots"
+
+    def snapshot(self, table: str) -> int:
+        """Pin the table's current state; returns the new version id
+        (1-based, monotonically increasing)."""
+        if not self.store.exists(table):
+            raise FileNotFoundError(f"table {table} is empty/missing")
+        root = self._snap_root(table)
+        os.makedirs(root, exist_ok=True)
+        version = max(self.versions(table), default=0) + 1
+        tmp = os.path.join(root, f".v{version}.tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        _hardlink_tree(self.store.path(table), tmp)
+        os.replace(tmp, os.path.join(root, f"v{version}"))
+        return version
+
+    def versions(self, table: str) -> list[int]:
+        root = self._snap_root(table)
+        if not os.path.isdir(root):
+            return []
+        return sorted(int(d[1:]) for d in os.listdir(root)
+                      if d.startswith("v") and d[1:].isdigit())
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        p = os.path.join(self._snap_root(table), f"v{version}")
+        if not os.path.isdir(p):
+            raise FileNotFoundError(f"{table} has no snapshot v{version}")
+        return (self.store.spark.read.schema(SCHEMAS[table]).parquet(p)
+                .select(*[f.name for f in SCHEMAS[table].fields]))
+
+    def drop(self, table: str, version: int) -> None:
+        shutil.rmtree(os.path.join(self._snap_root(table), f"v{version}"),
+                      ignore_errors=True)
+
+    def diff(self, table: str, v_old: int, v_new: int,
+             keys: list[str]) -> DataFrame:
+        """(change_type, *keys) rows classifying v_old → v_new:
+        added / removed / changed (same rows are omitted — at scale the
+        overwhelmingly common class is the one you don't materialize)."""
+        old_df = self.read_version(table, v_old)
+        new_df = self.read_version(table, v_new)
+        return snapshot_diff(old_df, new_df, keys)
+
+
+def snapshot_diff(old_df: DataFrame, new_df: DataFrame,
+                  keys: list[str]) -> DataFrame:
+    """Generic row-level diff of two same-schema DataFrames on ``keys``:
+    one full outer join on the keys, change classified by comparing a
+    60-bit hash over all non-key columns (audit.row_hash device — no
+    column-by-column comparison plan, one expression per side). Returns
+    (change_type, *keys); 'same' rows are filtered out map-side."""
+    from kingfisher_process_spark.functions.audit import row_hash
+
+    cols = [c for c in old_df.columns if c not in keys]
+    assert set(old_df.columns) == set(new_df.columns), "schema mismatch"
+
+    def hashed(df, tag):
+        return df.select(
+            *[F.col(k).alias(f"{tag}_{k}") for k in keys],
+            row_hash(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                       for c in cols]).alias(f"{tag}_h"),
+        )
+
+    o, n = hashed(old_df, "o"), hashed(new_df, "n")
+    cond = [o[f"o_{k}"] == n[f"n_{k}"] for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col(f"o_{keys[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"n_{keys[0]}").isNull(), F.lit("removed"))
+        .when(F.col("o_h") != F.col("n_h"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    out_keys = [F.coalesce(F.col(f"o_{k}"), F.col(f"n_{k}")).alias(k)
+                for k in keys]
+    return (
+        joined.select(change.alias("change_type"), *out_keys)
+        .where(F.col("change_type") != "same")
+    )
