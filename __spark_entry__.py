@@ -73,9 +73,9 @@ def _registry():
         "t_table_fingerprint", "t_table_diff", "j7_salted_skew_join",
         "e_dedup_consecutive", "t_bm25_search",
         # LLM-pipeline families
-        "t_chunk_documents",
-        "ann_ivf_topk", "s_embedding_near_dups",
-        "m_media_features",
+        "t_chunk_documents", "e_key_skew_audit",
+        "ann_ivf_topk",
+        "m_embed_ann",
         # OCDS core semantics (the reference's centerpiece)
         "ocds_record_ladder", "ocds_upgrade_parties", "ocds_check_errors",
         "ocds_orphan_wipe",
@@ -93,10 +93,13 @@ def _registry():
     # t_table_fingerprint, t_table_diff, j7_salted_skew_join,
     # e_dedup_consecutive, t_bm25_search, st_cdc_collapse,
     # w4_moving_avg, a12_grouping_sets, e_scd2_intervals,
-    # f_array_functions, t_chunk_documents, st_incremental_rollup —
-    # which also displaced the r2-green d_dup_clusters (still
-    # represented in-cap by its cross-checking twin d_dup_clusters_lss)
-    # and j5_recursive_tree), so every never-driver-checked probe sits
+    # f_array_functions, t_chunk_documents, st_incremental_rollup,
+    # m_embed_ann, e_key_skew_audit — which also displaced the r2-greens
+    # d_dup_clusters (still represented in-cap by its cross-checking
+    # twin d_dup_clusters_lss), j5_recursive_tree, m_media_features
+    # (m_embed_ann drives the same extract_features stage further), and
+    # s_embedding_near_dups (similarity stays covered by ann_ivf_topk +
+    # ann_recall_audit)), so every never-driver-checked probe sits
     # inside the verified window.
     ordered = {n: REGISTRY[n] for n in priority if n in REGISTRY}
     ordered.update((n, p) for n, p in REGISTRY.items() if n not in ordered)

@@ -292,3 +292,104 @@ def m_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "width", "height", "n_bytes", "resized_bytes")
         .orderBy("media_id")
     )
+
+
+# 4 fixed integer centroids over the stub's 0..999 feature lattice —
+# cluster assignment is exact bigint arithmetic in both engines.
+ANN_CENTROIDS = [
+    [900, 100, 900, 100, 900, 100, 900, 100],
+    [100, 900, 100, 900, 100, 900, 100, 900],
+    [500, 500, 500, 500, 500, 500, 500, 500],
+    [900, 900, 100, 100, 900, 900, 100, 100],
+]
+
+
+def _ifeat_sql() -> list[str]:
+    """DuckDB expressions reproducing the stub's 8 integer feature
+    components from md5(text): little-endian uint32 per 4 digest bytes,
+    then (v % 1000) and ((v >> 4) % 1000)."""
+    out = []
+    for k in range(4):
+        le = " || ".join(f"substr(h, {8 * k + off}, 2)" for off in (7, 5, 3, 1))
+        v = f"CAST(('0x' || {le}) AS UBIGINT)"
+        out.append(f"CAST({v} % 1000 AS BIGINT)")
+        out.append(f"CAST(({v} // 16) % 1000 AS BIGINT)")
+    return out
+
+
+def _ann_score_sql(c: list[int]) -> str:
+    return " + ".join(f"f{j} * {c[j]}" for j in range(8))
+
+
+@probe(
+    "m_embed_ann",
+    f"""
+    WITH feats AS (
+      SELECT doc_id AS media_id, md5(text) AS h FROM documents
+    ),
+    ifeat AS (
+      SELECT media_id,
+             {", ".join(f"{e} AS f{j}" for j, e in enumerate(_ifeat_sql()))}
+      FROM feats
+    ),
+    scored AS (
+      SELECT media_id, f0,
+             [{", ".join(_ann_score_sql(c) for c in ANN_CENTROIDS)}] AS scores
+      FROM ifeat
+    )
+    SELECT CAST(list_position(scores, list_max(scores)) AS BIGINT) AS cluster,
+           COUNT(*) AS n_media,
+           CAST(MIN(media_id) AS BIGINT) AS min_media,
+           CAST(MAX(media_id) AS BIGINT) AS max_media,
+           CAST(SUM(f0) AS BIGINT) AS f0_checksum
+    FROM scored
+    GROUP BY 1 ORDER BY cluster
+    """,
+    survey_ids="multimodal-ext,ann-ext,A1",
+)
+def m_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal → embedding → ANN composition: blobs run through the
+    Arrow-batched feature extractor (the real mapInPandas stage, stub
+    model), the float features are de-quantized back to their integer
+    lattice (the stub emits k/1000 — round(x*1000) recovers k exactly,
+    so cluster assignment is exact bigint arithmetic, never float
+    comparison), and each media is assigned to its argmax centroid
+    (first-index tie-break) — the cell-assignment half of IVF indexing
+    (similarity.py) fed by the multimodal path. Output is the per-cluster
+    census.
+
+    Scale shape: feature extraction is embarrassingly parallel over
+    blobs; the de-quantize + 4 dot products + argmax are map-side
+    expressions; the census is one partially-aggregated groupBy over 4
+    keys. Swapping the stub for a real model forward changes only the
+    Python inside mapInPandas.
+
+    Reference analogue: none (composition of the multimodal and
+    similarity families).
+    """
+    from kingfisher_process_spark.plans.base import load_tables  # noqa: F401
+
+    feats = extract_features(_doc_media(spark, sf_dir))
+    ifeat = feats.select(
+        "media_id",
+        *[F.round(F.element_at("feature", j + 1) * 1000).cast("long")
+          .alias(f"f{j}") for j in range(8)],
+    )
+    scores = F.array(*[
+        sum(F.col(f"f{j}") * c[j] for j in range(8)).cast("long")
+        for c in ANN_CENTROIDS
+    ])
+    return (
+        ifeat
+        .withColumn("scores", scores)
+        .select(
+            F.array_position(F.col("scores"), F.array_max("scores"))
+            .cast("bigint").alias("cluster"),
+            "media_id", "f0")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_media"),
+             F.min("media_id").cast("bigint").alias("min_media"),
+             F.max("media_id").cast("bigint").alias("max_media"),
+             F.sum("f0").cast("bigint").alias("f0_checksum"))
+        .orderBy("cluster")
+    )

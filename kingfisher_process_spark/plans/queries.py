@@ -2182,3 +2182,58 @@ def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@probe(
+    "e_key_skew_audit",
+    """
+    WITH k AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS total_rows
+      FROM k
+    )
+    SELECT n_keys, total_rows,
+           CAST(MAX(n) AS BIGINT) AS max_rows,
+           CAST(SUM(CASE WHEN n * n_keys > 2 * total_rows THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hot_keys,
+           CAST(SUM(CASE WHEN n * n_keys > 2 * total_rows THEN n ELSE 0 END)
+             AS BIGINT) AS hot_rows
+    FROM k, tot
+    GROUP BY n_keys, total_rows
+    """,
+    survey_ids="A1,skew-ext",
+)
+def e_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the DETECT half of the skew device whose
+    FIX half is j7_salted_skew_join: per-key row counts for the
+    prospective join/aggregation key, reduced to the census that decides
+    whether to salt (key count, total, max per key, and the number/mass
+    of keys holding >2x their fair share — the integer cross-multiplied
+    form keeps the threshold exact, no float division).
+
+    Scale shape: one partially-aggregated groupBy over the key, then a
+    2-row-broadcast cross join and a 5-column census — the audit costs
+    one pass regardless of corpus size, which is why it can run
+    routinely before every large join (AQE detects skew only after the
+    shuffle is already materialized; this decides BEFORE shuffling).
+
+    Reference analogue: the hot-OCID problem the reference meets as row
+    locks (SURVEY §2.1); here it is measured, then salted.
+    """
+    t = load_tables(spark, sf_dir)
+    k = t["events"].groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = k.agg(F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("n").cast("long").alias("total_rows"))
+    hot = F.col("n") * F.col("n_keys") > 2 * F.col("total_rows")
+    return (
+        k.join(F.broadcast(tot))
+        .groupBy("n_keys", "total_rows")
+        .agg(F.max("n").cast("bigint").alias("max_rows"),
+             F.sum(F.when(hot, 1).otherwise(0)).cast("bigint")
+             .alias("n_hot_keys"),
+             F.sum(F.when(hot, F.col("n")).otherwise(0)).cast("bigint")
+             .alias("hot_rows"))
+    )
