@@ -84,6 +84,46 @@ class StreamingLoader:
         self.collection_id = self.ids["root"]
         self.files_seen = 0
 
+    @classmethod
+    def attach(cls, spark: SparkSession, store: Store,
+               collection_id: int) -> "StreamingLoader":
+        """Reattach to an OPEN collection after a driver restart: rebuild
+        the loader's state (data_type, derived-collection ids, files
+        already registered) from the catalog tables, so ``start`` with
+        the original checkpoint dir resumes exactly where the crashed
+        driver stopped — the file-source checkpoint skips files already
+        committed, and the dedup sink makes a replayed half-committed
+        batch idempotent. This is the restartable-worker property the
+        reference gets from RabbitMQ redelivery (api_loader.py:28-49).
+
+        The watch dir is not persisted in the catalog (it is
+        infrastructure, not data); set ``watch_dir`` before ``start``.
+        """
+        rows = {r["id"]: r for r in store.read_rows("collection")}
+        root = rows.get(collection_id)
+        if root is None:
+            raise KeyError(f"collection {collection_id} not found")
+        if root["store_end_at"] is not None:
+            raise ValueError(f"collection {collection_id} is already closed")
+        sl = cls.__new__(cls)
+        sl.spark = spark
+        sl.store = store
+        sl.watch_dir = None
+        sl.data_type = json.loads(root["data_type"]) if root["data_type"] else {}
+        sl.collection_id = collection_id
+        sl.ids = {"root": collection_id}
+        for r in rows.values():
+            if r["parent_id"] == collection_id and r["transform_type"] == lifecycle.TRANSFORM_COMPILE:
+                sl.ids["compiled"] = r["id"]
+            if r["parent_id"] == collection_id and r["transform_type"] == lifecycle.TRANSFORM_UPGRADE:
+                sl.ids["upgraded"] = r["id"]
+        sl.compile_ = "compiled" in sl.ids
+        sl.max_files_per_trigger = 16
+        sl.files_seen = len([
+            r for r in store.read_rows("collection_file")
+            if r["collection_id"] == collection_id])
+        return sl
+
     def _process_batch(self, batch_df, batch_id: int) -> None:
         from kingfisher_process_spark.operators.compile_record import compile_records
         from kingfisher_process_spark.sources.loader import store_items
@@ -112,6 +152,9 @@ class StreamingLoader:
         respect ``max_files_per_trigger`` so one giant drop of files
         becomes a sequence of bounded micro-batches instead of one
         unbounded job."""
+        if not self.watch_dir:
+            raise ValueError("watch_dir is unset — assign it before start() "
+                             "(attach() does not persist infrastructure paths)")
         stream = (
             self.spark.readStream
             .option("wholetext", "true")

@@ -189,3 +189,51 @@ def test_cdc_collapse_multi_batch_matches_batch(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_streaming_loader_reattach_after_driver_restart(spark, tmp_path):
+    """Simulated driver crash: the first loader object is discarded
+    mid-ingest; a NEW loader reattaches to the open collection from the
+    catalog tables alone and resumes from the same checkpoint — already-
+    committed files are skipped, the late file loads, close() sees the
+    full count."""
+    store = Store(spark, str(tmp_path / "store"))
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    sl1 = StreamingLoader(
+        spark, store, "restart_src", "2020-01-01 00:00:00", str(watch),
+        data_type={"format": "release package", "concatenated": False,
+                   "array": False},
+    )
+    cid = sl1.collection_id
+    (watch / "a.json").write_text(json.dumps(_pkg("ocds-rs-1", "1", "2020-01-01")))
+    (watch / "b.json").write_text(json.dumps(_pkg("ocds-rs-2", "1", "2020-01-02")))
+    q = sl1.start(ckpt)
+    q.processAllAvailable()
+    q.stop()
+    del sl1  # driver "crash": all in-memory loader state is gone
+
+    (watch / "c.json").write_text(json.dumps(_pkg("ocds-rs-3", "1", "2020-02-01")))
+    sl2 = StreamingLoader.attach(spark, store, cid)
+    assert sl2.files_seen == 2  # rebuilt from the catalog, not memory
+    sl2.watch_dir = str(watch)
+    q = sl2.start(ckpt)
+    q.processAllAvailable()
+    q.stop()
+
+    releases = store.read("release").where(F.col("collection_id") == cid)
+    assert releases.count() == 3
+    assert store.read("collection_file").count() == 3
+
+    counts = sl2.close()
+    assert counts["cached_releases_count"] == 3
+    root = {r["id"]: r for r in store.read("collection").collect()}[cid]
+    assert root["completed_at"] is not None
+    assert root["expected_files_count"] == 3
+
+    # reattaching to a closed collection must refuse
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        StreamingLoader.attach(spark, store, cid)
