@@ -18,6 +18,8 @@ Commands map to the reference's management commands:
 - ``deleteorphan``     → commands/deleteorphan.py
 - ``addchecks``        → commands/addchecks.py
 - ``serve``            → the REST layer (http_api) under wsgiref
+- ``snapshot`` / ``snapshotdiff`` → no reference analogue: time-travel
+  surface over the store (StoreSnapshots)
 """
 
 from __future__ import annotations
@@ -87,6 +89,19 @@ def build_parser() -> argparse.ArgumentParser:
     checks.add_argument("collection_id", type=int)
     checks.add_argument("--kind", choices=["release", "record"],
                         default="release")
+
+    snap = sub.add_parser("snapshot", help="pin/list a table's versions")
+    snap.add_argument("table")
+    snap.add_argument("--list", action="store_true", dest="list_only",
+                      help="list versions instead of creating one")
+
+    sdiff = sub.add_parser("snapshotdiff",
+                           help="row-level diff between two pinned versions")
+    sdiff.add_argument("table")
+    sdiff.add_argument("v_old", type=int)
+    sdiff.add_argument("v_new", type=int)
+    sdiff.add_argument("--keys", required=True,
+                       help="comma-separated key columns")
 
     serve = sub.add_parser("serve", help="run the REST API (wsgiref)")
     serve.add_argument("--host", default="127.0.0.1")
@@ -186,6 +201,30 @@ def main(argv: list[str] | None = None) -> int:
 
         n = check_collection(store, args.collection_id, kind=args.kind)
         print(json.dumps({"checked": n}))
+        return 0
+
+    if args.command == "snapshot":
+        from kingfisher_process_spark.store import StoreSnapshots
+
+        snaps = StoreSnapshots(store)
+        if args.list_only:
+            print(json.dumps({"table": args.table,
+                              "versions": snaps.versions(args.table)}))
+        else:
+            v = snaps.snapshot(args.table)
+            print(json.dumps({"table": args.table, "version": v}))
+        return 0
+
+    if args.command == "snapshotdiff":
+        from kingfisher_process_spark.store import StoreSnapshots
+
+        snaps = StoreSnapshots(store)
+        rows = snaps.diff(args.table, args.v_old, args.v_new,
+                          args.keys.split(",")).collect()
+        print(json.dumps({"table": args.table, "v_old": args.v_old,
+                          "v_new": args.v_new,
+                          "changes": [r.asDict() for r in rows]},
+                         default=str))
         return 0
 
     if args.command == "serve":

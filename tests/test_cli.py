@@ -135,3 +135,33 @@ def test_cli_keep_open_extension_bundle_defers_to_close(spark, tmp_path, capsys)
     # wholeListMerge applied -> only the revised lot survives
     assert json.loads(row["data"])["tender"]["lots"] == \
         [{"id": "lot-2", "title": "South (revised)"}]
+
+
+def test_cli_snapshot_and_diff(spark, tmp_path, capsys):
+    from kingfisher_process_spark.util import canonical_json
+
+    pkg_dir = tmp_path / "in"
+    pkg_dir.mkdir()
+    (pkg_dir / "a.json").write_text(canonical_json(release_package(RELEASES[:1])))
+    store_dir = str(tmp_path / "store")
+    rc, r = run(capsys, "--store", store_dir, "load", "--source", "snapcli",
+                str(pkg_dir))
+    assert rc == 0
+
+    rc, out = run(capsys, "--store", store_dir, "snapshot", "collection")
+    assert rc == 0 and out["version"] == 1
+    rc, out = run(capsys, "--store", store_dir, "snapshot", "collection",
+                  "--list")
+    assert out["versions"] == [1]
+
+    # second load mutates the collection table; snapshot + diff
+    (pkg_dir / "b.json").write_text(canonical_json(release_package(RELEASES[1:2])))
+    rc, _ = run(capsys, "--store", store_dir, "load", "--source", "snapcli2",
+                str(pkg_dir / "b.json"))
+    assert rc == 0
+    rc, out = run(capsys, "--store", store_dir, "snapshot", "collection")
+    assert out["version"] == 2
+    rc, out = run(capsys, "--store", store_dir, "snapshotdiff", "collection",
+                  "1", "2", "--keys", "id")
+    kinds = {c["change_type"] for c in out["changes"]}
+    assert "added" in kinds  # the new collection row appears as added
