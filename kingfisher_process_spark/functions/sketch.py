@@ -93,3 +93,120 @@ def sk_count_min_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself (not a sampled estimate) is the verified artifact."""
     t = load_tables(spark, sf_dir)
     return cms_build(t["events"], F.col("event_type")).orderBy("row", "bucket")
+
+
+BLOOM_BITS = 4096
+BLOOM_K = 3
+
+
+def _bloom_pos_sql(key_sql: str, i: int) -> str:
+    """DuckDB: bit position i for a key — seeded md5, mod BLOOM_BITS."""
+    seeded = f"'bf{i}:' || CAST({key_sql} AS VARCHAR)"
+    return f"CAST({H60_SQL.format(x=seeded)} % {BLOOM_BITS} AS BIGINT)"
+
+
+def bloom_positions(df: DataFrame, key) -> DataFrame:
+    """(pos) — the distinct bloom bit positions set by ``key``'s values
+    (BLOOM_K seeded hashes per key). Building the filter IS a distinct —
+    map-side partials reduce each task to <= BLOOM_BITS rows before the
+    one tiny shuffle, the same merge-for-free property as cms_build."""
+    return (
+        df.select(F.explode(F.array(*[
+            F.pmod(h60(F.concat(F.lit(f"bf{i}:"), key.cast("string"))),
+                   F.lit(BLOOM_BITS))
+            for i in range(BLOOM_K)
+        ])).alias("pos"))
+        .distinct()
+    )
+
+
+@probe(
+    "sk_bloom_prejoin_audit",
+    f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    dim_pos AS (
+      {" UNION ".join(f"SELECT {_bloom_pos_sql('c_custkey', i)} AS pos FROM dim"
+                      for i in range(BLOOM_K))}
+    ),
+    probe_keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    probe_pos AS (
+      {" UNION ".join(f"SELECT k, {_bloom_pos_sql('k', i)} AS pos FROM probe_keys"
+                      for i in range(BLOOM_K))}
+    ),
+    flagged AS (
+      SELECT pp.k,
+             MIN(CASE WHEN dp.pos IS NULL THEN 0 ELSE 1 END) AS all_hit
+      FROM probe_pos pp LEFT JOIN dim_pos dp ON pp.pos = dp.pos
+      GROUP BY pp.k
+    ),
+    truth AS (
+      SELECT k, CASE WHEN k IN (SELECT c_custkey FROM dim) THEN 1 ELSE 0 END
+             AS is_member
+      FROM probe_keys
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_keys,
+           CAST(SUM(t.is_member) AS BIGINT) AS n_true_members,
+           CAST(SUM(f.all_hit) AS BIGINT) AS n_maybe,
+           CAST(SUM(CASE WHEN f.all_hit = 1 AND t.is_member = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN f.all_hit = 0 AND t.is_member = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negatives
+    FROM flagged f JOIN truth t ON f.k = t.k
+    """,
+    survey_ids="sketch-ext,J3,A1",
+)
+def sk_bloom_prejoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bloom filter as a pre-join runtime filter, audited
+    against ground truth: the dim side (one customer segment) sets
+    BLOOM_K seeded md5 bits in a {BLOOM_BITS}-bit space; every probe-side
+    key is classified maybe-in/definitely-out, then compared to the
+    exact semi-join. The audit emits the false-positive count (the price
+    of the filter) and the false-negative count (must be 0 — Bloom
+    filters never miss members; the oracle equality proves it).
+
+    This is the hand-rolled, engine-portable twin of Spark's injected
+    runtime bloom filter (tests/test_physical_plans.py pins the
+    built-in): at 100 TB you broadcast the {BLOOM_BITS}-bit dim filter
+    and drop definitely-out fact rows BEFORE the join shuffle; the
+    position-set build is a distinct with map-side partials (each task
+    reduces to <= {BLOOM_BITS} rows), so the filter costs one tiny
+    shuffle regardless of dim size.
+
+    Reference analogue: none (sketch family; complements
+    sk_count_min_event_types).
+    """
+    t = load_tables(spark, sf_dir)
+    dim = t["customer"].where(F.col("c_mktsegment") == "BUILDING") \
+                       .select("c_custkey")
+    dim_pos = bloom_positions(dim, F.col("c_custkey"))
+    probe_keys = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    probe_pos = probe_keys.select(
+        "k",
+        F.explode(F.array(*[
+            F.pmod(h60(F.concat(F.lit(f"bf{i}:"), F.col("k").cast("string"))),
+                   F.lit(BLOOM_BITS))
+            for i in range(BLOOM_K)
+        ])).alias("pos"),
+    ).distinct()
+    flagged = (
+        probe_pos.join(F.broadcast(dim_pos.withColumn("hit", F.lit(1))),
+                       "pos", "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce(F.col("hit"), F.lit(0))).alias("all_hit"))
+    )
+    truth = probe_keys.join(
+        dim.select(F.col("c_custkey").alias("k")).distinct()
+        .withColumn("is_member", F.lit(1)),
+        "k", "left").na.fill({"is_member": 0})
+    return (
+        flagged.join(truth, "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_probe_keys"),
+             F.sum("is_member").cast("bigint").alias("n_true_members"),
+             F.sum("all_hit").cast("bigint").alias("n_maybe"),
+             F.sum(F.when((F.col("all_hit") == 1) & (F.col("is_member") == 0), 1)
+                   .otherwise(0)).cast("bigint").alias("n_false_positives"),
+             F.sum(F.when((F.col("all_hit") == 0) & (F.col("is_member") == 1), 1)
+                   .otherwise(0)).cast("bigint").alias("n_false_negatives"))
+    )

@@ -2237,3 +2237,35 @@ def e_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when(hot, F.col("n")).otherwise(0)).cast("bigint")
              .alias("hot_rows"))
     )
+
+
+@probe(
+    "u4_intersect_buyers_suppliers_nations",
+    """
+    SELECT n_nationkey AS nationkey FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+    INTERSECT
+    SELECT n_nationkey AS nationkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY nationkey
+    """,
+    survey_ids="U1,J1,set-ext",
+)
+def u4_intersect_buyers_suppliers_nations(spark: SparkSession,
+                                          sf_dir: str) -> DataFrame:
+    """INTERSECT — the set operation the U-family lacked (u1 union
+    distinct, u2 union all, u3 except): nations hosting both customers
+    and suppliers. Spark plans intersect() as a left-semi join over
+    distinct inputs — the aggregate-then-semi-join shape that shuffles
+    each side once on the compared columns.
+
+    Reference analogue: SURVEY §2.8 set operations.
+    """
+    t = load_tables(spark, sf_dir)
+    cust_n = (t["customer"].join(t["nation"],
+                                 F.col("n_nationkey") == F.col("c_nationkey"))
+              .select(F.col("n_nationkey").alias("nationkey")))
+    supp_n = (t["supplier"].join(t["nation"],
+                                 F.col("n_nationkey") == F.col("s_nationkey"))
+              .select(F.col("n_nationkey").alias("nationkey")))
+    return cust_n.intersect(supp_n).orderBy("nationkey")
