@@ -367,8 +367,6 @@ def m_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none (composition of the multimodal and
     similarity families).
     """
-    from kingfisher_process_spark.plans.base import load_tables  # noqa: F401
-
     feats = extract_features(_doc_media(spark, sf_dir))
     ifeat = feats.select(
         "media_id",

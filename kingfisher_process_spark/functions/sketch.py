@@ -105,17 +105,25 @@ def _bloom_pos_sql(key_sql: str, i: int) -> str:
     return f"CAST({H60_SQL.format(x=seeded)} % {BLOOM_BITS} AS BIGINT)"
 
 
+def _bloom_pos_cols(key) -> list:
+    """The BLOOM_K seeded-hash bit positions for a key expression — the
+    ONE definition both the build side and the probe side use (a seed or
+    hash change that touched only one side would silently break the
+    no-false-negatives guarantee)."""
+    return [
+        F.pmod(h60(F.concat(F.lit(f"bf{i}:"), key.cast("string"))),
+               F.lit(BLOOM_BITS))
+        for i in range(BLOOM_K)
+    ]
+
+
 def bloom_positions(df: DataFrame, key) -> DataFrame:
     """(pos) — the distinct bloom bit positions set by ``key``'s values
     (BLOOM_K seeded hashes per key). Building the filter IS a distinct —
     map-side partials reduce each task to <= BLOOM_BITS rows before the
     one tiny shuffle, the same merge-for-free property as cms_build."""
     return (
-        df.select(F.explode(F.array(*[
-            F.pmod(h60(F.concat(F.lit(f"bf{i}:"), key.cast("string"))),
-                   F.lit(BLOOM_BITS))
-            for i in range(BLOOM_K)
-        ])).alias("pos"))
+        df.select(F.explode(F.array(*_bloom_pos_cols(key))).alias("pos"))
         .distinct()
     )
 
@@ -183,12 +191,7 @@ def sk_bloom_prejoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim_pos = bloom_positions(dim, F.col("c_custkey"))
     probe_keys = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
     probe_pos = probe_keys.select(
-        "k",
-        F.explode(F.array(*[
-            F.pmod(h60(F.concat(F.lit(f"bf{i}:"), F.col("k").cast("string"))),
-                   F.lit(BLOOM_BITS))
-            for i in range(BLOOM_K)
-        ])).alias("pos"),
+        "k", F.explode(F.array(*_bloom_pos_cols(F.col("k")))).alias("pos"),
     ).distinct()
     flagged = (
         probe_pos.join(F.broadcast(dim_pos.withColumn("hit", F.lit(1))),

@@ -2163,9 +2163,10 @@ def f_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none as an operator; exercises the function
     registry breadth a drop-in engine must offer.
     """
+    from kingfisher_process_spark.functions.text import _tokens
+
     t = load_tables(spark, sf_dir)
-    toks = F.filter(F.split("text", " "), lambda x: x != "")
-    d = t["documents"].select("doc_id", toks.alias("toks"))
+    d = t["documents"].select("doc_id", _tokens(F.col("text")).alias("toks"))
     return (
         d.select(
             "doc_id",

@@ -630,7 +630,11 @@ def snapshot_diff(old_df: DataFrame, new_df: DataFrame,
     one full outer join on the keys, change classified by comparing a
     60-bit hash over all non-key columns (audit.row_hash device — no
     column-by-column comparison plan, one expression per side). Returns
-    (change_type, *keys); 'same' rows are filtered out map-side."""
+    (change_type, *keys); 'same' rows are filtered out map-side.
+
+    NULL-safe on the keys: the join uses eqNullSafe and presence is
+    tracked with explicit flags, so a NULL-keyed row pair classifies as
+    changed/same rather than surfacing as a spurious added+removed."""
     from kingfisher_process_spark.functions.audit import row_hash
 
     cols = [c for c in old_df.columns if c not in keys]
@@ -641,14 +645,15 @@ def snapshot_diff(old_df: DataFrame, new_df: DataFrame,
             *[F.col(k).alias(f"{tag}_{k}") for k in keys],
             row_hash(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
                        for c in cols]).alias(f"{tag}_h"),
+            F.lit(1).alias(f"{tag}_present"),
         )
 
     o, n = hashed(old_df, "o"), hashed(new_df, "n")
-    cond = [o[f"o_{k}"] == n[f"n_{k}"] for k in keys]
+    cond = [o[f"o_{k}"].eqNullSafe(n[f"n_{k}"]) for k in keys]
     joined = o.join(n, cond, "full_outer")
     change = (
-        F.when(F.col(f"o_{keys[0]}").isNull(), F.lit("added"))
-        .when(F.col(f"n_{keys[0]}").isNull(), F.lit("removed"))
+        F.when(F.col("o_present").isNull(), F.lit("added"))
+        .when(F.col("n_present").isNull(), F.lit("removed"))
         .when(F.col("o_h") != F.col("n_h"), F.lit("changed"))
         .otherwise(F.lit("same"))
     )

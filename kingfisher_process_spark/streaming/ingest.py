@@ -85,8 +85,8 @@ class StreamingLoader:
         self.files_seen = 0
 
     @classmethod
-    def attach(cls, spark: SparkSession, store: Store,
-               collection_id: int) -> "StreamingLoader":
+    def attach(cls, spark: SparkSession, store: Store, collection_id: int,
+               max_files_per_trigger: int = 16) -> "StreamingLoader":
         """Reattach to an OPEN collection after a driver restart: rebuild
         the loader's state (data_type, derived-collection ids, files
         already registered) from the catalog tables, so ``start`` with
@@ -96,8 +96,10 @@ class StreamingLoader:
         batch idempotent. This is the restartable-worker property the
         reference gets from RabbitMQ redelivery (api_loader.py:28-49).
 
-        The watch dir is not persisted in the catalog (it is
-        infrastructure, not data); set ``watch_dir`` before ``start``.
+        Infrastructure settings are not persisted in the catalog: set
+        ``watch_dir`` before ``start``, and re-pass the original
+        ``max_files_per_trigger`` if it was non-default (the
+        backpressure bound does not survive the restart on its own).
         """
         rows = {r["id"]: r for r in store.read_rows("collection")}
         root = rows.get(collection_id)
@@ -118,9 +120,9 @@ class StreamingLoader:
             if r["parent_id"] == collection_id and r["transform_type"] == lifecycle.TRANSFORM_UPGRADE:
                 sl.ids["upgraded"] = r["id"]
         sl.compile_ = "compiled" in sl.ids
-        sl.max_files_per_trigger = 16
+        sl.max_files_per_trigger = max_files_per_trigger
         sl.files_seen = len([
-            r for r in store.read_rows("collection_file")
+            r for r in store.read_rows("collection_file", ["collection_id"])
             if r["collection_id"] == collection_id])
         return sl
 

@@ -44,13 +44,42 @@ def hourly_partial(events: DataFrame) -> DataFrame:
     )
 
 
+_BATCH_MARKER = "_last_batch_id"  # "_"-prefixed: invisible to parquet scans
+
+
+def _recover(acc_dir: str) -> None:
+    """If a crash left the accumulator renamed aside (the single-rename
+    window in Store._swap_in), restore it before folding anything."""
+    bak = acc_dir + "__precompact"
+    if not os.path.isdir(acc_dir) and os.path.isdir(bak):
+        os.replace(bak, acc_dir)
+
+
+def _applied_batch(acc_dir: str) -> int:
+    marker = os.path.join(acc_dir, _BATCH_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            return int(f.read().strip() or -1)
+    return -1
+
+
 def merge_partial_into(acc_dir: str):
     """foreachBatch function: additively fold the batch's partial
-    aggregate into the accumulator directory (write-aside + swap, so a
-    crash leaves either the old or the new view, never a torn one)."""
+    aggregate into the accumulator directory. Idempotent under
+    at-least-once delivery — the applied batch_id travels INSIDE the
+    accumulator dir (a "_"-prefixed marker parquet ignores), so a
+    replayed batch whose id is already committed is skipped, and the
+    marker swaps atomically with the data it describes. The swap itself
+    reuses Store._swap_in (backup-rename → replace → rollback on
+    failure); _recover() heals the one crash window where the live dir
+    sits renamed aside."""
+    from kingfisher_process_spark.store import Store
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover(acc_dir)
+        if os.path.isdir(acc_dir) and _applied_batch(acc_dir) >= batch_id:
+            return  # replayed micro-batch: already folded in
         part = hourly_partial(batch_df)
         if os.path.isdir(acc_dir):
             old = spark.read.parquet(acc_dir)
@@ -66,13 +95,8 @@ def merge_partial_into(acc_dir: str):
         tmp = acc_dir + "__next"
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
-        if os.path.isdir(acc_dir):
-            bak = acc_dir + "__bak"
-            shutil.rmtree(bak, ignore_errors=True)
-            os.replace(acc_dir, bak)
-            os.replace(tmp, acc_dir)
-            shutil.rmtree(bak, ignore_errors=True)
-        else:
-            os.replace(tmp, acc_dir)
+        with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
+            f.write(str(batch_id))
+        Store._swap_in(tmp, acc_dir)
 
     return fn

@@ -69,3 +69,10 @@ def test_snapshot_diff_generic_dataframes(spark):
     b = spark.createDataFrame([(2, "y2"), (3, "z")], "k long, v string")
     d = {r["k"]: r["change_type"] for r in snapshot_diff(a, b, ["k"]).collect()}
     assert d == {1: "removed", 2: "changed", 3: "added"}
+
+
+def test_snapshot_diff_null_keys(spark):
+    a = spark.createDataFrame([(None, "x"), (1, "same")], "k long, v string")
+    b = spark.createDataFrame([(None, "y"), (1, "same")], "k long, v string")
+    rows = snapshot_diff(a, b, ["k"]).collect()
+    assert [(r["k"], r["change_type"]) for r in rows] == [(None, "changed")]

@@ -237,3 +237,52 @@ def test_streaming_loader_reattach_after_driver_restart(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         StreamingLoader.attach(spark, store, cid)
+
+
+def test_incremental_mv_replayed_batch_is_idempotent(spark, tmp_path):
+    """At-least-once delivery: folding the SAME micro-batch (same
+    batch_id) twice must leave the accumulator unchanged."""
+    from kingfisher_process_spark.streaming.mv import merge_partial_into
+
+    acc = str(tmp_path / "acc")
+    fn = merge_partial_into(acc)
+    events = spark.createDataFrame(
+        [("2024-01-01 10:15:00", "click", 2.5),
+         ("2024-01-01 10:45:00", "view", 1.0)],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type",
+             "value")
+    fn(events, 0)
+    first = sorted(spark.read.parquet(acc).collect())
+    fn(events, 0)  # replay of the same batch
+    assert sorted(spark.read.parquet(acc).collect()) == first
+    fn(events, 1)  # a genuinely new batch still folds in
+    doubled = {(r["hour_start"], r["event_type"]): r["n_events"]
+               for r in spark.read.parquet(acc).collect()}
+    assert doubled[("2024-01-01 10:00", "click")] == 2
+
+
+def test_incremental_mv_recovers_mid_swap_crash(spark, tmp_path):
+    """Crash window: accumulator renamed aside but replacement not yet
+    in place — the next fold must restore it, not restart from zero."""
+    import os
+    import shutil
+
+    from kingfisher_process_spark.streaming.mv import merge_partial_into
+
+    acc = str(tmp_path / "acc")
+    fn = merge_partial_into(acc)
+    events = spark.createDataFrame(
+        [("2024-01-01 10:15:00", "click", 2.5)],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type",
+             "value")
+    fn(events, 0)
+    # simulate the crash: live dir sits renamed aside
+    os.replace(acc, acc + "__precompact")
+    fn(events, 1)
+    counts = {(r["hour_start"], r["event_type"]): r["n_events"]
+              for r in spark.read.parquet(acc).collect()}
+    assert counts[("2024-01-01 10:00", "click")] == 2  # 1 recovered + 1 new
+    assert not os.path.isdir(acc + "__precompact")
+    shutil.rmtree(acc, ignore_errors=True)
