@@ -77,7 +77,8 @@ def _registry():
         "sk_bloom_prejoin_audit", "u4_intersect_buyers_suppliers_nations",
         "m_embed_ann",
         # OCDS core semantics (the reference's centerpiece)
-        "ocds_record_ladder", "ocds_upgrade_parties", "ocds_check_errors",
+        "ocds_record_ladder", "ocds_check_errors",
+        "d_shared_window_dups",
         # structured streaming
         "st_cdc_collapse", "st_incremental_rollup", "st_ingest_pipeline",
     ]
@@ -94,9 +95,10 @@ def _registry():
     # w4_moving_avg, a12_grouping_sets, e_scd2_intervals,
     # f_array_functions, t_chunk_documents, st_incremental_rollup,
     # m_embed_ann, e_key_skew_audit, sk_bloom_prejoin_audit,
-    # u4_intersect_buyers_suppliers_nations — which also displaced the
-    # r2-greens ann_ivf_topk (IVF stays covered by ann_recall_audit,
-    # which cross-checks it against brute force), ocds_orphan_wipe,
+    # u4_intersect_buyers_suppliers_nations, d_shared_window_dups —
+    # which also displaced the r2-greens ann_ivf_topk (IVF stays covered
+    # by ann_recall_audit, which cross-checks it against brute force),
+    # ocds_orphan_wipe, ocds_upgrade_parties,
     # d_dup_clusters (still represented in-cap by its cross-checking
     # twin d_dup_clusters_lss), j5_recursive_tree, m_media_features
     # (m_embed_ann drives the same extract_features stage further), and

@@ -979,3 +979,78 @@ def d_dup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this one wins when chains of borderline near-dups stretch a
     component's diameter past a handful of hops."""
     return connected_components_lss(_lsh_edges(spark, sf_dir)).orderBy("doc_id")
+
+
+DUP_WINDOW = 8  # tokens per exact-duplication window
+
+
+@probe(
+    "d_shared_window_dups",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+             {H60_SQL.format(
+                 x=f"array_to_string(tk[CAST(i AS INT):CAST(i + {DUP_WINDOW} - 1 AS INT)], ' ')")}
+               AS wh
+      FROM toks, LATERAL unnest(generate_series(1, len(tk) - {DUP_WINDOW} + 1)) r(i)
+    ),
+    per_window AS (
+      SELECT wh, COUNT(DISTINCT doc_id) AS n_docs
+      FROM wins GROUP BY wh
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           COUNT(*) AS n_windows,
+           CAST(MIN(wh) AS BIGINT) AS min_hash,
+           CAST(MAX(wh) AS BIGINT) AS max_hash
+    FROM per_window
+    WHERE n_docs >= 2
+    GROUP BY n_docs ORDER BY n_docs
+    """,
+    survey_ids="dedup-ext,A3,J4",
+)
+def d_shared_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication census — the third dedup
+    granularity next to whole-document (S8 exact) and near-document
+    (MinHash/SimHash): every {DUP_WINDOW}-token window shared VERBATIM
+    by >= 2 documents, profiled by how many documents share it. This is
+    the fixed-granularity form of suffix-array substring dedup (the
+    "deduplicating training data" method): at 100 TB you remove or
+    down-weight the windows that thousands of documents repeat
+    (boilerplate, licenses, templates).
+
+    Scale shape: windows are generated IN-ROW (transform over a
+    sequence — no per-token explode until the window hash is already a
+    single bigint), so the shuffle carries one 8-byte hash per window
+    position, grouped with map-side partials. The census never
+    materializes window text after the map side. Window width is the
+    recall/cost lever exactly as in the simhash banding analysis.
+
+    Reference analogue: none (extends S8/util.py:93-110 a third level
+    down, below document and near-duplicate granularity).
+    """
+    t = load_tables(spark, sf_dir)
+    tk = F.filter(F.split("text", " "), lambda x: x != "")
+    docs = fanout(t["documents"]).select("doc_id", tk.alias("tk"))
+    # windows as in-row array of h60 hashes, then ONE explode of bigints
+    win_hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("tk") - (DUP_WINDOW - 1), F.lit(0))),
+        lambda i: h60(F.concat_ws(" ", F.slice("tk", i, DUP_WINDOW))),
+    )
+    wins = (
+        docs.where(F.size("tk") >= DUP_WINDOW)
+        .select("doc_id", F.explode(win_hashes).alias("wh"))
+    )
+    per_window = wins.groupBy("wh").agg(
+        F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        per_window.where(F.col("n_docs") >= 2)
+        .groupBy(F.col("n_docs").cast("bigint").alias("n_docs"))
+        .agg(F.count(F.lit(1)).alias("n_windows"),
+             F.min("wh").cast("bigint").alias("min_hash"),
+             F.max("wh").cast("bigint").alias("max_hash"))
+        .orderBy("n_docs")
+    )
