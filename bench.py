@@ -50,6 +50,7 @@ HEADLINE = [
     "e_sessionize",
     # LLM-pipeline families
     "d_exact_dup_groups",
+    "d_shared_window_dups",
     "d_minhash_lsh_pairs",
     "d_simhash_banded_pairs",
     "d_dup_clusters",
@@ -61,12 +62,16 @@ HEADLINE = [
     "t_token_stats",
     "t_pii_redact",
     "t_sequence_packing",
+    "t_chunk_documents",
     "t_global_shuffle_shards",
     "t_bm25_search",
     "t_table_fingerprint",
     "j7_salted_skew_join",
     "e_asof_last_view_before_click",
+    "e_scd2_intervals",
+    "sk_bloom_prejoin_audit",
     "m_media_features",
+    "m_embed_ann",
     # OCDS pipeline + streaming
     "ocds_compile_pipeline",
     "st_dedup_ingest",

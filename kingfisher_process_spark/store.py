@@ -663,3 +663,37 @@ def snapshot_diff(old_df: DataFrame, new_df: DataFrame,
         joined.select(change.alias("change_type"), *out_keys)
         .where(F.col("change_type") != "same")
     )
+
+
+def zorder_value(a, b, bits: int = 16):
+    """Interleave the low ``bits`` bits of two non-negative integer
+    column expressions into a Z-order (Morton) key. Sorting a table by
+    this key clusters BOTH dimensions into each parquet file, so the
+    per-file min/max footer stats are narrow in a AND b — a filter on
+    either (or both) dimensions skips most files/row-groups, where a
+    plain sort clusters only its leading column. This is the multi-
+    dimensional layout device (Delta OPTIMIZE ZORDER BY) expressed as a
+    pure column expression — no engine support needed.
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             .bitwiseOR(F.shiftleft(F.shiftright(a.cast("long"), i)
+                                    .bitwiseAND(1), 2 * i))
+             .bitwiseOR(F.shiftleft(F.shiftright(b.cast("long"), i)
+                                    .bitwiseAND(1), 2 * i + 1)))
+    return z
+
+
+def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
+                   n_files: int = 8, bits: int = 16) -> None:
+    """Write ``df`` as ``n_files`` parquet files range-partitioned and
+    sorted by the Z-order key of (col_a, col_b) — each output file then
+    covers a small rectangle of the (a, b) plane instead of a full
+    stripe, which is what makes 2-D predicate pruning work at 100 TB."""
+    z = zorder_value(F.col(col_a), F.col(col_b), bits)
+    (df.withColumn("_z", z)
+       .repartitionByRange(n_files, "_z")
+       .sortWithinPartitions("_z")
+       .drop("_z")
+       .write.mode("overwrite").parquet(path))
