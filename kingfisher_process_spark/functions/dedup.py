@@ -1015,7 +1015,7 @@ DUP_WINDOW = 8  # tokens per exact-duplication window
 def d_shared_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-level duplication census — the third dedup
     granularity next to whole-document (S8 exact) and near-document
-    (MinHash/SimHash): every {DUP_WINDOW}-token window shared VERBATIM
+    (MinHash/SimHash): every DUP_WINDOW(=8)-token window shared VERBATIM
     by >= 2 documents, profiled by how many documents share it. This is
     the fixed-granularity form of suffix-array substring dedup (the
     "deduplicating training data" method): at 100 TB you remove or
@@ -1026,8 +1026,9 @@ def d_shared_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence — no per-token explode until the window hash is already a
     single bigint), so the shuffle carries one 8-byte hash per window
     position, grouped with map-side partials. The census never
-    materializes window text after the map side. Window width is the
-    recall/cost lever exactly as in the simhash banding analysis.
+    materializes window text after the map side. Window width
+    (DUP_WINDOW tokens) is the recall/cost lever exactly as in the
+    simhash banding analysis.
 
     Reference analogue: none (extends S8/util.py:93-110 a third level
     down, below document and near-duplicate granularity).
@@ -1035,11 +1036,18 @@ def d_shared_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     tk = F.filter(F.split("text", " "), lambda x: x != "")
     docs = fanout(t["documents"]).select("doc_id", tk.alias("tk"))
-    # windows as in-row array of h60 hashes, then ONE explode of bigints
-    win_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("tk") - (DUP_WINDOW - 1), F.lit(0))),
-        lambda i: h60(F.concat_ws(" ", F.slice("tk", i, DUP_WINDOW))),
-    )
+    # windows as in-row array of h60 hashes, then ONE explode of bigints.
+    # The expression is TOTAL (short docs -> empty array via the when
+    # guard; sequence(1, 0) would yield the DESCENDING [1, 0], not
+    # empty, and slice at 0 throws) — the where() below is pruning, not
+    # the safety net.
+    win_hashes = F.when(
+        F.size("tk") >= DUP_WINDOW,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - (DUP_WINDOW - 1)),
+            lambda i: h60(F.concat_ws(" ", F.slice("tk", i, DUP_WINDOW))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     wins = (
         docs.where(F.size("tk") >= DUP_WINDOW)
         .select("doc_id", F.explode(win_hashes).alias("wh"))

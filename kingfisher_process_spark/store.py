@@ -626,35 +626,42 @@ class StoreSnapshots:
 
 def snapshot_diff(old_df: DataFrame, new_df: DataFrame,
                   keys: list[str]) -> DataFrame:
-    """Generic row-level diff of two same-schema DataFrames on ``keys``:
-    one full outer join on the keys, change classified by comparing a
-    60-bit hash over all non-key columns (audit.row_hash device — no
-    column-by-column comparison plan, one expression per side). Returns
-    (change_type, *keys); 'same' rows are filtered out map-side.
-
-    NULL-safe on the keys: the join uses eqNullSafe and presence is
-    tracked with explicit flags, so a NULL-keyed row pair classifies as
-    changed/same rather than surfacing as a spurious added+removed."""
+    """Key-group diff of two same-schema DataFrames on ``keys``: each
+    side is first reduced to one row per key group (row count + an
+    orderless exact SUM of 60-bit row hashes over the non-key columns —
+    decimal accumulation, so no overflow and, unlike XOR, sensitive to
+    even multiplicities: {A,A} vs {} would XOR-cancel), then ONE
+    null-safe full outer join
+    classifies each key as added / removed / changed. 'changed' means
+    the MULTISET of rows under that key differs (count or content) —
+    well-defined even for duplicate and NULL keys, where a plain
+    row-level outer join would cross-join the duplicates. 'same' groups
+    are filtered out map-side. Returns (change_type, *keys)."""
     from kingfisher_process_spark.functions.audit import row_hash
 
     cols = [c for c in old_df.columns if c not in keys]
     assert set(old_df.columns) == set(new_df.columns), "schema mismatch"
 
-    def hashed(df, tag):
-        return df.select(
-            *[F.col(k).alias(f"{tag}_{k}") for k in keys],
-            row_hash(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                       for c in cols]).alias(f"{tag}_h"),
-            F.lit(1).alias(f"{tag}_present"),
+    def grouped(df, tag):
+        h = row_hash(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                       for c in cols]).alias("h")
+        return (
+            df.select(*keys, h)
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias(f"{tag}_n"),
+                 F.sum(F.col("h").cast("decimal(38,0)")).alias(f"{tag}_h"))
+            .select(*[F.col(k).alias(f"{tag}_{k}") for k in keys],
+                    f"{tag}_n", f"{tag}_h")
         )
 
-    o, n = hashed(old_df, "o"), hashed(new_df, "n")
+    o, n = grouped(old_df, "o"), grouped(new_df, "n")
     cond = [o[f"o_{k}"].eqNullSafe(n[f"n_{k}"]) for k in keys]
     joined = o.join(n, cond, "full_outer")
     change = (
-        F.when(F.col("o_present").isNull(), F.lit("added"))
-        .when(F.col("n_present").isNull(), F.lit("removed"))
-        .when(F.col("o_h") != F.col("n_h"), F.lit("changed"))
+        F.when(F.col("o_n").isNull(), F.lit("added"))
+        .when(F.col("n_n").isNull(), F.lit("removed"))
+        .when((F.col("o_n") != F.col("n_n"))
+              | (F.col("o_h") != F.col("n_h")), F.lit("changed"))
         .otherwise(F.lit("same"))
     )
     out_keys = [F.coalesce(F.col(f"o_{k}"), F.col(f"n_{k}")).alias(k)

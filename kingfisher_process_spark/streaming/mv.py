@@ -55,21 +55,32 @@ def _recover(acc_dir: str) -> None:
         os.replace(bak, acc_dir)
 
 
-def _applied_batch(acc_dir: str) -> int:
+def _applied_batch(acc_dir: str, run_id: str) -> int:
+    """Last folded batch_id for THIS run identity; -1 if the marker
+    belongs to a different run (checkpoint reset / other query) — those
+    batch ids restart at 0 and must not be mistaken for replays."""
     marker = os.path.join(acc_dir, _BATCH_MARKER)
     if os.path.isfile(marker):
         with open(marker) as f:
-            return int(f.read().strip() or -1)
+            raw = f.read().strip()
+        rid, _, bid = raw.rpartition(":")
+        if rid == run_id and bid:
+            return int(bid)
     return -1
 
 
-def merge_partial_into(acc_dir: str):
+def merge_partial_into(acc_dir: str, run_id: str = ""):
     """foreachBatch function: additively fold the batch's partial
     aggregate into the accumulator directory. Idempotent under
-    at-least-once delivery — the applied batch_id travels INSIDE the
-    accumulator dir (a "_"-prefixed marker parquet ignores), so a
-    replayed batch whose id is already committed is skipped, and the
-    marker swaps atomically with the data it describes. The swap itself
+    at-least-once delivery — the applied (run_id, batch_id) travels
+    INSIDE the accumulator dir (a "_"-prefixed marker parquet ignores),
+    so a replayed batch whose id is already committed is skipped, and
+    the marker swaps atomically with the data it describes. ``run_id``
+    is the query's checkpoint identity: pass the checkpoint path (or
+    any token that lives and dies with it) so that a checkpoint RESET —
+    which restarts batch ids at 0 — is not mistaken for a replay and
+    silently skipped; a marker from a different run_id never
+    suppresses a fold. The swap itself
     reuses Store._swap_in (backup-rename → replace → rollback on
     failure); _recover() heals the one crash window where the live dir
     sits renamed aside."""
@@ -78,7 +89,7 @@ def merge_partial_into(acc_dir: str):
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover(acc_dir)
-        if os.path.isdir(acc_dir) and _applied_batch(acc_dir) >= batch_id:
+        if os.path.isdir(acc_dir) and _applied_batch(acc_dir, run_id) >= batch_id:
             return  # replayed micro-batch: already folded in
         part = hourly_partial(batch_df)
         if os.path.isdir(acc_dir):
@@ -96,7 +107,7 @@ def merge_partial_into(acc_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
-            f.write(str(batch_id))
+            f.write(f"{run_id}:{batch_id}")
         Store._swap_in(tmp, acc_dir)
 
     return fn

@@ -403,13 +403,14 @@ def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(src, os.path.join(drop, f"batch_{i}.parquet"))
 
     acc = os.path.join(base, "acc")
+    ckpt = os.path.join(base, "ckpt")
     stream = (spark.readStream.schema(events.schema)
               .option("maxFilesPerTrigger", 1).parquet(drop))
     q = (
         stream.writeStream
-        .foreachBatch(merge_partial_into(acc))
+        .foreachBatch(merge_partial_into(acc, run_id=ckpt))
         .trigger(availableNow=True)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()

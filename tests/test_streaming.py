@@ -245,7 +245,7 @@ def test_incremental_mv_replayed_batch_is_idempotent(spark, tmp_path):
     from kingfisher_process_spark.streaming.mv import merge_partial_into
 
     acc = str(tmp_path / "acc")
-    fn = merge_partial_into(acc)
+    fn = merge_partial_into(acc, run_id="ckpt-A")
     events = spark.createDataFrame(
         [("2024-01-01 10:15:00", "click", 2.5),
          ("2024-01-01 10:45:00", "view", 1.0)],
@@ -260,6 +260,13 @@ def test_incremental_mv_replayed_batch_is_idempotent(spark, tmp_path):
     doubled = {(r["hour_start"], r["event_type"]): r["n_events"]
                for r in spark.read.parquet(acc).collect()}
     assert doubled[("2024-01-01 10:00", "click")] == 2
+    # checkpoint reset: batch ids restart at 0 under a NEW run identity
+    # — the stale marker must NOT suppress the fold
+    fn2 = merge_partial_into(acc, run_id="ckpt-B")
+    fn2(events, 0)
+    tripled = {(r["hour_start"], r["event_type"]): r["n_events"]
+               for r in spark.read.parquet(acc).collect()}
+    assert tripled[("2024-01-01 10:00", "click")] == 3
 
 
 def test_incremental_mv_recovers_mid_swap_crash(spark, tmp_path):
@@ -271,7 +278,7 @@ def test_incremental_mv_recovers_mid_swap_crash(spark, tmp_path):
     from kingfisher_process_spark.streaming.mv import merge_partial_into
 
     acc = str(tmp_path / "acc")
-    fn = merge_partial_into(acc)
+    fn = merge_partial_into(acc, run_id="ckpt-R")
     events = spark.createDataFrame(
         [("2024-01-01 10:15:00", "click", 2.5)],
         "ts_s string, event_type string, value double",
