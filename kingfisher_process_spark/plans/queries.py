@@ -2270,3 +2270,88 @@ def u4_intersect_buyers_suppliers_nations(spark: SparkSession,
                                  F.col("n_nationkey") == F.col("s_nationkey"))
               .select(F.col("n_nationkey").alias("nationkey")))
     return cust_n.intersect(supp_n).orderBy("nationkey")
+
+
+@probe(
+    "a13_conditional_agg",
+    """
+    SELECT o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_value
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    survey_ids="A5,A7,agg-ext",
+)
+def a13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause (conditional) aggregation — several differently-
+    predicated aggregates in ONE pass over the fact table, where naive
+    SQL would union three separate scans. Spark compiles the DataFrame
+    form (agg of when/otherwise) to the same single partially-aggregated
+    pass; at 100 TB the win is pass-count, the dominant cost.
+
+    Reference analogue: the reference's per-status counts come from
+    separate ORM queries (collectionstatus.py); this is the one-pass
+    form.
+    """
+    t = load_tables(spark, sf_dir)
+    fin = F.col("o_orderstatus") == "F"
+    return (
+        t["orders"]
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.count(F.when(fin, 1)).alias("n_finished"),
+             F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+             F.sum(F.when(fin, _d(F.col("o_totalprice"))))
+             .cast("double").alias("finished_value"))
+        .orderBy("priority")
+    )
+
+
+@probe(
+    "f_datetime_functions",
+    """
+    SELECT event_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d')          AS day,
+           strftime(date_trunc('month', ts), '%Y-%m-01')        AS month_start,
+           CAST(strftime(last_day(CAST(ts AS DATE)), '%d') AS BIGINT) AS days_in_month,
+           CAST(isodow(ts) AS BIGINT)                           AS iso_dow,
+           CAST(hour(ts) AS BIGINT)                             AS hr,
+           CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT)
+                                                                AS days_since_2024,
+           strftime(CAST(ts AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d') AS plus_90d
+    FROM events
+    ORDER BY event_id
+    """,
+    survey_ids="§2.9,date-ext",
+)
+def f_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (§2.9 sibling of f_scalar_functions'
+    string/hash/regex set): truncation, last-day, ISO weekday, hour,
+    day arithmetic and date differences — all JVM-side expressions under
+    the session's pinned UTC, matched against DuckDB duals. The
+    reference leans on Postgres date functions in its summary queries
+    (docs/querying-data.rst); a drop-in engine must cover the family.
+    """
+    t = load_tables(spark, sf_dir)
+    d = F.col("ts").cast("date")
+    return (
+        t["events"]
+        .select(
+            "event_id",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM-01")
+            .alias("month_start"),
+            F.dayofmonth(F.last_day(d)).cast("bigint").alias("days_in_month"),
+            F.dayofweek(F.date_sub(d, 1)).cast("bigint").alias("iso_dow"),
+            F.hour("ts").cast("bigint").alias("hr"),
+            F.datediff(d, F.lit("2024-01-01").cast("date")).cast("bigint")
+            .alias("days_since_2024"),
+            F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("plus_90d"),
+        )
+        .orderBy("event_id")
+    )
