@@ -111,3 +111,63 @@ def merge_partial_into(acc_dir: str, run_id: str = ""):
         Store._swap_in(tmp, acc_dir)
 
     return fn
+
+
+def merge_partial_into_partitioned(acc_dir: str, run_id: str = ""):
+    """Day-partitioned fold — the 100 TB form of ``merge_partial_into``:
+    the accumulator lives as ``acc_dir/day=YYYY-MM-DD/`` partitions and a
+    micro-batch rewrites ONLY the partitions its event-times touch
+    (replaceWhere semantics, same device as ``Store.merge_upsert``).
+    An idle day's files are never read or written, so the per-batch cost
+    is O(touched-days x per-day view), not O(whole view) — with a
+    watermarked source, touched days ≈ 1-2 regardless of history depth.
+
+    Idempotency is PER PARTITION: each day dir carries its own
+    (run_id, batch_id) marker and swaps atomically with it, so a crash
+    midway through a multi-day batch replays only the days that had not
+    yet committed — the already-swapped days skip, and no day is ever
+    folded twice.
+    """
+    from kingfisher_process_spark.store import Store
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (hourly_partial(batch_df)
+                .withColumn("day", F.substring("hour_start", 1, 10))
+                .cache())
+        try:
+            days = sorted(r["day"] for r in part.select("day").distinct().collect())
+            for day in days:
+                ddir = os.path.join(acc_dir, f"day={day}")
+                _recover(ddir)
+                if os.path.isdir(ddir) and _applied_batch(ddir, run_id) >= batch_id:
+                    continue  # this day already committed for this batch
+                day_part = part.where(F.col("day") == day).drop("day")
+                if os.path.isdir(ddir):
+                    old = spark.read.parquet(ddir)
+                    merged = (
+                        old.unionByName(day_part)
+                        .groupBy("hour_start", "event_type")
+                        .agg(F.sum("n_events").alias("n_events"),
+                             F.sum("total_value").cast("decimal(38,6)")
+                             .alias("total_value"))
+                    )
+                else:
+                    merged = day_part
+                tmp = ddir + "__next"
+                shutil.rmtree(tmp, ignore_errors=True)
+                merged.write.mode("overwrite").parquet(tmp)
+                with open(os.path.join(tmp, _BATCH_MARKER), "w") as f:
+                    f.write(f"{run_id}:{batch_id}")
+                os.makedirs(acc_dir, exist_ok=True)
+                Store._swap_in(tmp, ddir)
+        finally:
+            part.unpersist()
+
+    return fn
+
+
+def read_partitioned_view(spark, acc_dir: str) -> DataFrame:
+    """Read the day-partitioned accumulator back as one view (the day
+    column returns as a partition column; scans prune on it)."""
+    return spark.read.parquet(acc_dir)

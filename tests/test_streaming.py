@@ -293,3 +293,48 @@ def test_incremental_mv_recovers_mid_swap_crash(spark, tmp_path):
     assert counts[("2024-01-01 10:00", "click")] == 2  # 1 recovered + 1 new
     assert not os.path.isdir(acc + "__precompact")
     shutil.rmtree(acc, ignore_errors=True)
+
+
+def test_partitioned_mv_rewrites_only_touched_days(spark, tmp_path):
+    """Day-partitioned accumulator: a batch touching only day 2 must
+    leave day 1's partition files untouched on disk (same inodes), a
+    replayed batch must change nothing, and the final view must equal
+    the full recompute."""
+    import glob
+    import os
+
+    from kingfisher_process_spark.streaming.mv import (
+        hourly_partial, merge_partial_into_partitioned,
+        read_partitioned_view)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "ts_s string, event_type string, value double"
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type",
+                 "value")
+
+    acc = str(tmp_path / "acc")
+    fn = merge_partial_into_partitioned(acc, run_id="ckpt-P")
+    b0 = ev([("2024-01-01 10:15:00", "click", 2.5),
+             ("2024-01-02 09:00:00", "view", 1.0)])
+    fn(b0, 0)
+
+    day1 = os.path.join(acc, "day=2024-01-01")
+    inodes_before = {f: os.stat(f).st_ino
+                     for f in glob.glob(day1 + "/part-*.parquet")}
+    assert inodes_before
+
+    b1 = ev([("2024-01-02 11:30:00", "click", 4.0)])
+    fn(b1, 1)
+    inodes_after = {f: os.stat(f).st_ino
+                    for f in glob.glob(day1 + "/part-*.parquet")}
+    assert inodes_after == inodes_before  # day 1 never rewritten
+
+    fn(b1, 1)  # replay: nothing changes anywhere
+    view = {(r["hour_start"], r["event_type"]): (r["n_events"],
+                                                 float(r["total_value"]))
+            for r in read_partitioned_view(spark, acc).collect()}
+    expected = {(r["hour_start"], r["event_type"]): (r["n_events"],
+                                                     float(r["total_value"]))
+                for r in hourly_partial(b0.unionByName(b1)).collect()}
+    assert view == expected
