@@ -2355,3 +2355,54 @@ def f_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@probe(
+    "w5_cumulative_distinct_buyers",
+    """
+    WITH firsts AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    daily AS (
+      SELECT day, COUNT(*) FILTER (WHERE rn = 1) AS n_new
+      FROM firsts GROUP BY day
+    )
+    SELECT day,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    ORDER BY day
+    """,
+    survey_ids="O3,A3,window-ext",
+)
+def w5_cumulative_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative DISTINCT count over time — a window no engine supports
+    directly (COUNT(DISTINCT) OVER is not a thing in Spark), expressed
+    with the first-occurrence idiom: mark each user's first event
+    (row_number = 1 per user), count the marks per day, then running-sum
+    the daily new-user counts. Per-user windows parallelize on user_id;
+    the only ordered structure is the final running sum over |days| rows
+    — driver-trivial at any corpus size, where a naive distinct-over-
+    growing-frame would rescan history per day.
+
+    Reference analogue: none (analytics surface, SURVEY §2.7).
+    """
+    t = load_tables(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firsts = t["events"].select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.row_number().over(w_user).alias("rn"),
+    )
+    daily = (firsts.groupBy("day")
+             .agg(F.count(F.when(F.col("rn") == 1, 1)).alias("n_new")))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "day",
+            F.sum("n_new").over(w_days).cast("bigint")
+            .alias("cum_distinct_users"))
+        .orderBy("day")
+    )

@@ -423,3 +423,67 @@ def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["st_incremental_rollup"].oracle = _REG["st_hourly_rollup"].oracle
+
+
+@probe(
+    "st_incremental_rollup_partitioned",
+    None,  # shares st_hourly_rollup's oracle — bound right below
+    survey_ids="streaming-ext,A5,mv-ext",
+)
+def st_incremental_rollup_partitioned(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Partitioned twin of st_incremental_rollup: the same three-file
+    drain, but folded with merge_partial_into_partitioned — each
+    micro-batch rewrites only the day=YYYY-MM-DD accumulator partitions
+    its event-times touch, with per-partition idempotency markers. The
+    reassembled view is hashed against the same full-recompute oracle.
+    """
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming.mv import (
+        merge_partial_into_partitioned, read_partitioned_view)
+
+    events = load_tables(spark, sf_dir)["events"].select(
+        "ts", "event_type", "value")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds()
+    base = tempfile.mkdtemp(prefix="kps_mvp_")
+    drop = os.path.join(base, "drop")
+    os.makedirs(drop)
+    for i in range(3):
+        a = lo + datetime.timedelta(seconds=span * i / 3)
+        b = lo + datetime.timedelta(seconds=span * (i + 1) / 3)
+        part = events.where(
+            (F.col("ts") >= a) & (F.col("ts") < b) if i < 2
+            else (F.col("ts") >= a))
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"stage{i}"))
+        src = glob.glob(os.path.join(base, f"stage{i}", "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(drop, f"batch_{i}.parquet"))
+
+    acc = os.path.join(base, "acc")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    q = (
+        stream.writeStream
+        .foreachBatch(merge_partial_into_partitioned(acc, run_id=ckpt))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        read_partitioned_view(spark, acc)
+        .select("hour_start", "event_type", "n_events",
+                F.col("total_value").cast("double").alias("total_value"))
+        .orderBy("hour_start", "event_type")
+    )
+
+
+_REG["st_incremental_rollup_partitioned"].oracle = _REG["st_hourly_rollup"].oracle
