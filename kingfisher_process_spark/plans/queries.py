@@ -2406,3 +2406,88 @@ def w5_cumulative_distinct_buyers(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("cum_distinct_users"))
         .orderBy("day")
     )
+
+
+_PIVOT_STATUSES = ("F", "O", "P")
+
+
+@probe(
+    "a14_pivot_status_counts",
+    f"""
+    SELECT o_orderpriority AS priority,
+           {", ".join(
+               "COUNT(*) FILTER (WHERE o_orderstatus = '" + st + "') AS status_" + st
+               for st in _PIVOT_STATUSES)}
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY priority
+    """,
+    survey_ids="A7,pivot-ext",
+)
+def a14_pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — long-to-wide reshaping via the dedicated DataFrame API
+    (groupBy().pivot(col, values)). With the value list given explicitly
+    Spark skips the extra distinct-values job and compiles the pivot to
+    ONE pass of conditional aggregates (exactly the FILTER form the
+    oracle runs) — at 100 TB, pass-count parity with a13 and none of
+    the two-job penalty an unconstrained pivot pays.
+
+    Reference analogue: none (reshaping surface, SURVEY §2.5 sibling).
+    """
+    t = load_tables(spark, sf_dir)
+    wide = (
+        t["orders"]
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", list(_PIVOT_STATUSES))
+        .count()
+    )
+    return (
+        wide.select(
+            "priority",
+            *[F.coalesce(F.col(st), F.lit(0)).cast("bigint")
+              .alias(f"status_{st}") for st in _PIVOT_STATUSES])
+        .orderBy("priority")
+    )
+
+
+@probe(
+    "a15_unpivot_monthly_metrics",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY month
+    )
+    SELECT month, metric, CAST(value AS BIGINT) AS value FROM (
+      SELECT month, 'n_events' AS metric, n_events AS value FROM m
+      UNION ALL
+      SELECT month, 'n_users' AS metric, n_users AS value FROM m
+    ) u
+    ORDER BY month, metric
+    """,
+    survey_ids="A7,pivot-ext",
+)
+def a15_unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide-to-long reshaping via DataFrame.unpivot: a
+    monthly metrics table (two measure columns) melts into (month,
+    metric, value) rows. Spark expands the melt map-side (one output row
+    per measure per input row — no shuffle beyond the upstream
+    aggregate), which is why the metric catalog a dashboard reads can be
+    maintained long-form at no extra pass.
+
+    Reference analogue: none (reshaping surface, SURVEY §2.5 sibling).
+    """
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["events"]
+        .groupBy(F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
+                 .alias("month"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count_distinct("user_id").alias("n_users"))
+    )
+    return (
+        m.unpivot("month", ["n_events", "n_users"], "metric", "value")
+        .select("month", "metric", F.col("value").cast("bigint").alias("value"))
+        .orderBy("month", "metric")
+    )
