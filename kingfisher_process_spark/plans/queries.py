@@ -2491,3 +2491,63 @@ def a15_unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("month", "metric", F.col("value").cast("bigint").alias("value"))
         .orderBy("month", "metric")
     )
+
+
+@probe(
+    "p7_null_semantics",
+    """
+    WITH d AS (
+      SELECT o_orderkey,
+             NULLIF(o_orderstatus, 'P') AS status_np,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS price_n
+      FROM orders
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT)                            AS n_rows,
+      CAST(COUNT(status_np) AS BIGINT)                    AS n_status_nonnull,
+      CAST(COUNT(price_n) AS BIGINT)                      AS n_price_nonnull,
+      CAST(SUM(CASE WHEN status_np IS NOT DISTINCT FROM NULL
+               THEN 1 ELSE 0 END) AS BIGINT)              AS n_status_null_ds,
+      CAST(SUM(CASE WHEN price_n > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_big_price,
+      CAST(SUM(CASE WHEN NOT (price_n > 100000) THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_not_big_price,
+      CAST(SUM(CASE WHEN COALESCE(price_n, 0) = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                          AS n_coalesced_zero
+    FROM d
+    """,
+    survey_ids="P4,null-ext",
+)
+def p7_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic audit: NULLIF-derived nulls, COUNT(col) vs
+    COUNT(*), null-safe equality (eqNullSafe / IS NOT DISTINCT FROM),
+    and the 3VL trap the census makes visible — n_big_price +
+    n_not_big_price < n_rows, because ``NOT (NULL > x)`` is NULL, not
+    TRUE, in BOTH engines. A drop-in engine must agree with the
+    reference's Postgres semantics on every one of these; hash equality
+    against DuckDB pins them all in one probe.
+
+    Reference analogue: P4 (NULL/existence predicates,
+    views.py/finisher.py guards).
+    """
+    t = load_tables(spark, sf_dir)
+    d = t["orders"].select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice")).alias("price_n"),
+    )
+    big = F.col("price_n") > 100000
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("status_np").cast("bigint").alias("n_status_nonnull"),
+        F.count("price_n").cast("bigint").alias("n_price_nonnull"),
+        F.sum(F.when(F.col("status_np").eqNullSafe(F.lit(None)), 1)
+              .otherwise(0)).cast("bigint").alias("n_status_null_ds"),
+        F.sum(F.when(big, 1).otherwise(0)).cast("bigint").alias("n_big_price"),
+        F.sum(F.when(~big, 1).otherwise(0)).cast("bigint")
+        .alias("n_not_big_price"),
+        F.sum(F.when(F.coalesce(F.col("price_n"), F.lit(0)) == 0, 1)
+              .otherwise(0)).cast("bigint").alias("n_coalesced_zero"),
+    )
