@@ -355,6 +355,54 @@ from kingfisher_process_spark.plans.base import REGISTRY as _REG  # noqa: E402
 _REG["st_cdc_collapse"].oracle = _cdc_oracle()
 
 
+def _drain_events_three_batches(spark: SparkSession, sf_dir: str,
+                                prefix: str, fold_factory) -> str:
+    """Shared incremental-MV harness: stage the events table as three
+    time-split files, stream them ONE PER MICRO-BATCH through a
+    foreachBatch fold built by ``fold_factory(acc_dir, run_id)``, and
+    return the accumulator path once the drain terminates."""
+    import datetime
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from kingfisher_process_spark.plans.base import load_tables
+
+    events = load_tables(spark, sf_dir)["events"].select(
+        "ts", "event_type", "value")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo).total_seconds()
+    base = tempfile.mkdtemp(prefix=prefix)
+    drop = os.path.join(base, "drop")
+    os.makedirs(drop)
+    for i in range(3):
+        a = lo + datetime.timedelta(seconds=span * i / 3)
+        b = lo + datetime.timedelta(seconds=span * (i + 1) / 3)
+        part = events.where(
+            (F.col("ts") >= a) & (F.col("ts") < b) if i < 2
+            else (F.col("ts") >= a))
+        # one file per batch, named in event-time order
+        part.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(base, f"stage{i}"))
+        src = glob.glob(os.path.join(base, f"stage{i}", "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(drop, f"batch_{i}.parquet"))
+
+    acc = os.path.join(base, "acc")
+    ckpt = os.path.join(base, "ckpt")
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(drop))
+    q = (
+        stream.writeStream
+        .foreachBatch(fold_factory(acc, run_id=ckpt))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return acc
+
+
 @probe(
     "st_incremental_rollup",
     None,  # replaced right below with st_hourly_rollup's oracle
@@ -374,46 +422,10 @@ def st_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     demand (finisher.py:116-176); this is the continuous-aggregate
     surface a 100 TB event store needs.
     """
-    import datetime
-    import os
-    import tempfile
-
-    from kingfisher_process_spark.plans.base import load_tables
     from kingfisher_process_spark.streaming.mv import merge_partial_into
 
-    events = load_tables(spark, sf_dir)["events"].select(
-        "ts", "event_type", "value")
-    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo).total_seconds()
-    base = tempfile.mkdtemp(prefix="kps_mv_")
-    drop = os.path.join(base, "drop")
-    os.makedirs(drop)
-    for i in range(3):
-        a = lo + datetime.timedelta(seconds=span * i / 3)
-        b = lo + datetime.timedelta(seconds=span * (i + 1) / 3)
-        part = events.where(
-            (F.col("ts") >= a) & (F.col("ts") < b) if i < 2
-            else (F.col("ts") >= a))
-        # one file per batch, named in event-time order
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(base, f"stage{i}"))
-        import glob
-        import shutil
-        src = glob.glob(os.path.join(base, f"stage{i}", "part-*.parquet"))[0]
-        shutil.copy(src, os.path.join(drop, f"batch_{i}.parquet"))
-
-    acc = os.path.join(base, "acc")
-    ckpt = os.path.join(base, "ckpt")
-    stream = (spark.readStream.schema(events.schema)
-              .option("maxFilesPerTrigger", 1).parquet(drop))
-    q = (
-        stream.writeStream
-        .foreachBatch(merge_partial_into(acc, run_id=ckpt))
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    acc = _drain_events_three_batches(spark, sf_dir, "kps_mv_",
+                                      merge_partial_into)
     return (
         spark.read.parquet(acc)
         .select("hour_start", "event_type", "n_events",
@@ -438,46 +450,11 @@ def st_incremental_rollup_partitioned(spark: SparkSession,
     its event-times touch, with per-partition idempotency markers. The
     reassembled view is hashed against the same full-recompute oracle.
     """
-    import datetime
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    from kingfisher_process_spark.plans.base import load_tables
     from kingfisher_process_spark.streaming.mv import (
         merge_partial_into_partitioned, read_partitioned_view)
 
-    events = load_tables(spark, sf_dir)["events"].select(
-        "ts", "event_type", "value")
-    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo).total_seconds()
-    base = tempfile.mkdtemp(prefix="kps_mvp_")
-    drop = os.path.join(base, "drop")
-    os.makedirs(drop)
-    for i in range(3):
-        a = lo + datetime.timedelta(seconds=span * i / 3)
-        b = lo + datetime.timedelta(seconds=span * (i + 1) / 3)
-        part = events.where(
-            (F.col("ts") >= a) & (F.col("ts") < b) if i < 2
-            else (F.col("ts") >= a))
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(base, f"stage{i}"))
-        src = glob.glob(os.path.join(base, f"stage{i}", "part-*.parquet"))[0]
-        shutil.copy(src, os.path.join(drop, f"batch_{i}.parquet"))
-
-    acc = os.path.join(base, "acc")
-    ckpt = os.path.join(base, "ckpt")
-    stream = (spark.readStream.schema(events.schema)
-              .option("maxFilesPerTrigger", 1).parquet(drop))
-    q = (
-        stream.writeStream
-        .foreachBatch(merge_partial_into_partitioned(acc, run_id=ckpt))
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    acc = _drain_events_three_batches(spark, sf_dir, "kps_mvp_",
+                                      merge_partial_into_partitioned)
     return (
         read_partitioned_view(spark, acc)
         .select("hour_start", "event_type", "n_events",

@@ -284,14 +284,17 @@ def test_incremental_mv_recovers_mid_swap_crash(spark, tmp_path):
         "ts_s string, event_type string, value double",
     ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type",
              "value")
+    from kingfisher_process_spark.streaming.mv import _side_dirs
+
+    _tmp, bak = _side_dirs(acc)
     fn(events, 0)
     # simulate the crash: live dir sits renamed aside
-    os.replace(acc, acc + "__precompact")
+    os.replace(acc, bak)
     fn(events, 1)
     counts = {(r["hour_start"], r["event_type"]): r["n_events"]
               for r in spark.read.parquet(acc).collect()}
     assert counts[("2024-01-01 10:00", "click")] == 2  # 1 recovered + 1 new
-    assert not os.path.isdir(acc + "__precompact")
+    assert not os.path.isdir(bak)
     shutil.rmtree(acc, ignore_errors=True)
 
 
@@ -338,3 +341,32 @@ def test_partitioned_mv_rewrites_only_touched_days(spark, tmp_path):
                                                      float(r["total_value"]))
                 for r in hourly_partial(b0.unionByName(b1)).collect()}
     assert view == expected
+
+
+def test_partitioned_mv_side_dirs_invisible_to_discovery(spark, tmp_path):
+    """A leaked backup or tmp dir (crash before cleanup) must NEVER be
+    picked up as a day= partition by read_partitioned_view — side dirs
+    are underscore-prefixed, which partition discovery skips."""
+    import os
+    import shutil
+
+    from kingfisher_process_spark.streaming.mv import (
+        _side_dirs, merge_partial_into_partitioned, read_partitioned_view)
+
+    acc = str(tmp_path / "acc")
+    fn = merge_partial_into_partitioned(acc, run_id="ckpt-L")
+    events = spark.createDataFrame(
+        [("2024-01-01 10:15:00", "click", 2.5)],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type",
+             "value")
+    fn(events, 0)
+    day_dir = os.path.join(acc, "day=2024-01-01")
+    # simulate a crash that leaked the backup after commit
+    _tmp, bak = _side_dirs(day_dir)
+    shutil.copytree(day_dir, bak)
+    view = read_partitioned_view(spark, acc)
+    assert view.count() == 1  # the leaked backup contributed nothing
+    # and the next fold cleans the leak up
+    fn(events, 1)
+    assert not os.path.isdir(bak)
