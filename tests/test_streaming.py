@@ -370,3 +370,36 @@ def test_partitioned_mv_side_dirs_invisible_to_discovery(spark, tmp_path):
     # and the next fold cleans the leak up
     fn(events, 1)
     assert not os.path.isdir(bak)
+
+
+def test_streaming_loader_reattach_restores_compile_lineage(spark, tmp_path):
+    """attach() must rebuild the derived-collection ids (compiled child)
+    and the compile flag from the catalog, so close() after a restart
+    still runs the release-package compile."""
+    store = Store(spark, str(tmp_path / "store"))
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    sl1 = StreamingLoader(
+        spark, store, "restart_c", "2020-01-01 00:00:00", str(watch),
+        data_type={"format": "release package", "concatenated": False,
+                   "array": False},
+        compile_=True,
+    )
+    cid, compiled_id = sl1.collection_id, sl1.ids["compiled"]
+    (watch / "a.json").write_text(json.dumps(_pkg("ocds-rc-1", "1", "2020-01-01")))
+    q = sl1.start(ckpt)
+    q.processAllAvailable()
+    q.stop()
+    del sl1
+
+    sl2 = StreamingLoader.attach(spark, store, cid, max_files_per_trigger=4)
+    assert sl2.compile_ is True
+    assert sl2.ids["compiled"] == compiled_id
+    assert sl2.max_files_per_trigger == 4
+    sl2.watch_dir = str(watch)
+    sl2.close()
+    crs = store.read("compiled_release").where(
+        F.col("collection_id") == compiled_id)
+    assert {r["ocid"] for r in crs.collect()} == {"ocds-rc-1"}
