@@ -1062,3 +1062,113 @@ def d_shared_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("wh").cast("bigint").alias("max_hash"))
         .orderBy("n_docs")
     )
+
+
+@probe(
+    "d_minhash_estimate_audit",
+    f"""
+    WITH sigs AS ({MINHASH_SQL}),
+    pairs AS ({_LSH_PAIRS_SQL}),
+    matches AS (
+      SELECT p.doc_a, p.doc_b,
+             {" + ".join(f"CASE WHEN a.m{s} = b.m{s} THEN 1 ELSE 0 END"
+                         for s in range(N_HASHES))} AS n_match
+      FROM pairs p
+      JOIN sigs a ON a.doc_id = p.doc_a
+      JOIN sigs b ON b.doc_id = p.doc_b
+    ),
+    sh AS ({SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS n_common
+      FROM pairs p
+      JOIN sh a ON a.doc_id = p.doc_a
+      JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.n_match AS BIGINT)                       AS n_match,
+           CAST(COALESCE(i.n_common, 0) AS BIGINT)         AS n_common,
+           CAST(sa.n + sb.n - COALESCE(i.n_common, 0) AS BIGINT) AS n_union
+    FROM matches m
+    LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+    JOIN sizes sa ON sa.doc_id = m.doc_a
+    JOIN sizes sb ON sb.doc_id = m.doc_b
+    ORDER BY m.doc_a, m.doc_b
+    """,
+    survey_ids="dedup-ext,audit-ext,J1",
+)
+def d_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for MinHash — the sketch-measurement
+    sibling of ann_recall_audit: for every LSH candidate pair, the
+    signature-agreement count (n_match/{N_HASHES} is the MinHash Jaccard
+    ESTIMATE) next to the EXACT shingle-set intersection and union —
+    integers only, so both engines agree bit-for-bit and the estimator's
+    error distribution can be read straight off the result.
+
+    Scale shape: pairs come from the banded LSH join (never all-pairs);
+    the exact side is candidates-only shingle intersection
+    (jaccard_verify's shape — semi-join pruned, keyed (doc, shingle));
+    the estimate side is a map-side expression over two joined
+    signature rows. This is the audit that tells you whether K={N_HASHES}
+    hashes suffice for your corpus BEFORE trusting the near-dup sweep.
+
+    Reference analogue: none (measurement layer over the dedup family).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sigs = minhash_signatures(docs).cache()
+    buckets = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(":", *_band_cols(band))).alias("bucket"),
+            )
+            for band in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    n_match = None
+    for s in range(N_HASHES):
+        term = F.when(F.col(f"sa.m{s}") == F.col(f"sb.m{s}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    matches = (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", n_match.cast("bigint").alias("n_match"))
+    )
+    sh = shingles_df(docs).join(
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id"))).distinct(),
+        "doc_id", "left_semi").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        matches
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", "n_match",
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint")
+                .alias("n_common"),
+                (F.col("na") + F.col("nb")
+                 - F.coalesce(F.col("n_common"), F.lit(0))).cast("bigint")
+                .alias("n_union"))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2551,3 +2551,73 @@ def p7_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.coalesce(F.col("price_n"), F.lit(0)) == 0, 1)
               .otherwise(0)).cast("bigint").alias("n_coalesced_zero"),
     )
+
+
+@probe(
+    "e_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewed,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after,
+           CAST((SELECT CAST(SUM(epoch_ms(p.t_purchase) - epoch_ms(v.t_view))
+                 AS BIGINT)
+                 FROM p JOIN v ON v.user_id = p.user_id) AS BIGINT)
+             AS total_funnel_ms
+    """,
+    survey_ids="A4,J3,funnel-ext",
+)
+def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who VIEWED, then CLICKED strictly
+    after their first view, then PURCHASED strictly after that first
+    click — the sequential-pattern census every event-analytics stack
+    ships (the ordering constraint is what a naive
+    count-users-with-all-three misses).
+
+    Scale shape: three chained (filter → per-user MIN) aggregations,
+    each joined to the previous stage's (user, ts) frontier — every
+    stage is a hash-partitioned groupBy on user_id plus one join that
+    reuses that partitioning, and each stage's frontier is ≤ |users|
+    rows. No window over the whole event history, no per-user event
+    sorting; at 100 TB the event scans are filtered by type at the
+    parquet level before anything shuffles.
+
+    Reference analogue: none (event-analytics surface, extends the
+    e-family).
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.where(F.col("event_type") == "click").alias("e")
+         .join(v, "user_id")
+         .where(F.col("e.ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("e.ts").alias("t_click")))
+    p = (ev.where(F.col("event_type") == "purchase").alias("e")
+         .join(c, "user_id")
+         .where(F.col("e.ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("e.ts").alias("t_purchase")))
+    pv = p.join(v, "user_id").agg(
+        F.sum(F.unix_millis("t_purchase") - F.unix_millis("t_view"))
+        .cast("bigint").alias("total_funnel_ms"))
+    counts = (
+        v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+        .join(c.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked_after")))
+        .join(p.agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_purchased_after")))
+        .join(pv)
+    )
+    return counts
