@@ -22,11 +22,35 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+ROCKSDB_STATE_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state_store(spark: SparkSession) -> None:
+    """Switch stateful streaming operators (sessionize, CDC collapse,
+    dedup-across-batches) to the RocksDB state store.
+
+    The default HDFS-backed provider keeps every key's state in executor
+    heap — fine for bounded key spaces, the weak joint at 100 TB key
+    cardinality (billions of users/content-hashes). RocksDB spills state
+    to local SSD with bounded block-cache memory, and supports changelog
+    checkpointing so commits upload deltas instead of full snapshots.
+    Trade: per-access JNI + (de)serialization cost on small state.
+    See SCALE.md "State store" for sizing.
+
+    Runtime-settable: the provider is read at STREAM START, so calling
+    this before ``writeStream.start()`` applies to that query even on a
+    session created elsewhere (e.g. the driver's)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_STATE_PROVIDER)
+
 
 def get_spark(
     app_name: str = "kingfisher_process_spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
@@ -51,5 +75,9 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if rocksdb_state or os.environ.get("SPARK_GRAFT_ROCKSDB_STATE") == "1":
+        # set post-getOrCreate so it also applies when an existing
+        # session is reused (the conf is read at stream start)
+        enable_rocksdb_state_store(spark)
     spark.sparkContext.setLogLevel("WARN")
     return spark

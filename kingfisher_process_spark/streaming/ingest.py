@@ -68,7 +68,8 @@ class StreamingLoader:
 
     def __init__(self, spark: SparkSession, store: Store, source_id: str,
                  data_version: str, watch_dir: str, data_type: dict,
-                 compile_: bool = False, max_files_per_trigger: int = 16):
+                 compile_: bool = False, max_files_per_trigger: int = 16,
+                 state_store_provider: str | None = None):
         self.spark = spark
         self.store = store
         self.watch_dir = watch_dir
@@ -77,6 +78,10 @@ class StreamingLoader:
         # backpressure: bounds each micro-batch's parse/dedup job (the
         # reference's prefetch=20 consumer window, process/util.py:47)
         self.max_files_per_trigger = max_files_per_trigger
+        # state store for stateful stages sharing this session (e.g.
+        # RocksDB via session.ROCKSDB_STATE_PROVIDER at large key
+        # cardinality — see SCALE.md "State store"); applied at start()
+        self.state_store_provider = state_store_provider
         self.ids = lifecycle.create_collections(store, source_id, data_version,
                                                 compile_=compile_)
         lifecycle._update_collection(store, self.ids["root"],
@@ -121,6 +126,7 @@ class StreamingLoader:
                 sl.ids["upgraded"] = r["id"]
         sl.compile_ = "compiled" in sl.ids
         sl.max_files_per_trigger = max_files_per_trigger
+        sl.state_store_provider = None  # infrastructure, not persisted
         sl.files_seen = len([
             r for r in store.read_rows("collection_file", ["collection_id"])
             if r["collection_id"] == collection_id])
@@ -157,6 +163,10 @@ class StreamingLoader:
         if not self.watch_dir:
             raise ValueError("watch_dir is unset — assign it before start() "
                              "(attach() does not persist infrastructure paths)")
+        if self.state_store_provider:
+            self.spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                self.state_store_provider)
         stream = (
             self.spark.readStream
             .option("wholetext", "true")
