@@ -1608,6 +1608,54 @@ RECURSIVE_TREE_SQL = """
 """
 
 
+# Frontier plans re-embed every prior level's join, so an uncheckpointed
+# descent carries O(depth²) joins in the final union — measured FASTER at
+# bounded depth (≤ ~12: one fused job beats per-level materialization by
+# 2x, see j5's NOTE) but unbounded above it (plan/codegen time grows
+# quadratically and the lineage eventually overflows). Above this depth,
+# truncate lineage per level.
+CHECKPOINT_DEPTH = 12
+
+
+def frontier_descend(root: DataFrame, edges: DataFrame,
+                     max_depth: int | None = None,
+                     checkpoint_above: int = CHECKPOINT_DEPTH) -> DataFrame:
+    """Iterative-frontier tree traversal (the Spark form of WITH
+    RECURSIVE): ``root`` is (node, depth) seed rows, ``edges`` is
+    (parent, node); each level is one equi-join the optimizer can
+    broadcast.
+
+    ``max_depth=None`` descends until the frontier is empty (unbounded
+    hierarchies); levels deeper than ``checkpoint_above`` are
+    ``localCheckpoint``-ed so the per-level plan stays O(1) instead of
+    re-embedding every prior join — the emptiness probe is then a cheap
+    scan of the materialized RDD, not a recompute. Bounded shallow
+    descents (``max_depth <= checkpoint_above``) keep the single fused
+    job, which measures ~2x faster at that depth."""
+    levels = [root]
+    frontier = root
+    d = 0
+    while max_depth is None or d < max_depth:
+        d += 1
+        e = edges.alias("e")
+        frontier = (
+            frontier.alias("f")
+            .join(e, F.col("f.node") == F.col("e.parent"))
+            .select(F.col("e.node").alias("node"), F.lit(d).alias("depth"))
+        )
+        if d > checkpoint_above:
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.isEmpty():
+                break
+        elif max_depth is None and frontier.isEmpty():
+            break
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionAll(lv)
+    return out
+
+
 @probe("j5_recursive_tree", RECURSIVE_TREE_SQL, survey_ids="J5")
 def j5_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE as iterative frontier joins: a synthetic binary
@@ -1638,26 +1686,12 @@ def j5_recursive_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = spark.range(1, 2).select(
         F.col("id").alias("node"), F.lit(0).alias("depth"))
-    levels = [root]
-    frontier = root
-    for d in range(1, int(math.log2(n)) + 1):
-        e = edges.alias("e")
-        frontier = (
-            frontier.alias("f")
-            .join(e, F.col("f.node") == F.col("e.parent"))
-            .select(F.col("e.node").alias("node"), F.lit(d).alias("depth"))
-        )
-        # NOTE: deliberately NOT caching/checkpointing per level. Each
-        # level's plan re-embeds prior joins (O(depth²) joins in the
-        # union), which is the right trade at bounded depth ~log2(N):
-        # measured at sf0.1, per-level caching costs 2x wall-clock in
-        # materialization overhead vs the single fused job. Unbounded-depth
-        # recursion (not this probe) needs localCheckpoint truncation.
-        levels.append(frontier)
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionAll(lv)
-    return out.orderBy("node")
+    # depth log2(4095) = 11 ≤ CHECKPOINT_DEPTH: frontier_descend keeps
+    # the single fused job (no per-level materialization — measured 2x
+    # faster at this depth; see frontier_descend docstring). Deeper
+    # hierarchies get automatic localCheckpoint lineage truncation.
+    return frontier_descend(
+        root, edges, max_depth=int(math.log2(n))).orderBy("node")
 
 
 @probe(
