@@ -74,6 +74,10 @@ HEADLINE = [
     "m_embed_ann",
     # OCDS pipeline + streaming
     "ocds_compile_pipeline",
+    # skew device: per-OCID hot/cold routing + two-phase partial merge
+    # (50k-release hot OCID at sf0.1; single-phase measures 2.7x slower —
+    # never bench ocds_compile_skewed_single, it's the documented baseline)
+    "ocds_compile_skewed",
     "st_dedup_ingest",
     "st_cdc_collapse",
 ]

@@ -184,6 +184,39 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
     return persist_compiled(store, compiled_collection_id, compiled)
 
 
+def skew_routed_compiled(inputs: DataFrame, batch: int | None = None,
+                         extension_schemas: dict[str, dict] | None = None
+                         ) -> DataFrame:
+    """Per-OCID hot/cold routing over a direct (ocid, release_date, data,
+    package_data) input — the same decision ``compile_collection``'s
+    ``two_phase="auto"`` makes off the envelope scan, for callers that
+    hold the release rows already joined: OCIDs with more than ``batch``
+    releases merge through the two-phase partial path (parallel phase-A
+    batches), everything else in ONE ``applyInPandas`` pass. The hot set
+    is a column-pruned count agg (only ``ocid`` is read) broadcast into
+    semi/anti joins, so the plan never embeds an id list and the cold
+    majority pays zero two-phase overhead."""
+    from kingfisher_process_spark.operators import merge_partial as mp
+
+    limit = batch or mp.BATCH
+    merge_fn = (_merge_group if extension_schemas is None else
+                _bind_schemas(_merge_group_impl, extension_schemas))
+    hot = (
+        inputs.groupBy("ocid").agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > limit).select("ocid")
+    ).cache()
+    if not hot.limit(1).count():
+        return grouped_apply_sorted(
+            inputs, ["ocid"], merge_fn, COMPILED_SCHEMA,
+            extra_sort=["release_date", "data"])
+    cold = inputs.join(F.broadcast(hot), "ocid", "left_anti")
+    hot_in = inputs.join(F.broadcast(hot), "ocid", "left_semi")
+    return grouped_apply_sorted(
+        cold, ["ocid"], merge_fn, COMPILED_SCHEMA,
+        extra_sort=["release_date", "data"],
+    ).unionAll(two_phase_compiled(hot_in, batch, extension_schemas))
+
+
 def _bind_schemas(fn, extension_schemas):
     def wrapped(pdf: pd.DataFrame) -> pd.DataFrame:
         return fn(pdf, extension_schemas)

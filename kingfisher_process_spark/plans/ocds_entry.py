@@ -675,3 +675,109 @@ def ocds_open_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("total_award_value").cast("double").alias("total_award_value"),
                 "n_awards")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewed compile (reference issue #460, compiler.py:61-62): ONE hot OCID
+# holding ~1/15 of all orders as releases (10k at sf0.1) next to a uniform
+# tail of single-release OCIDs. Unique fixed-width release dates make the
+# merge order — and therefore the surviving award amount — exactly
+# predictable, so the oracle is an arg_max, not a merge engine.
+# ---------------------------------------------------------------------------
+
+SKEWED_SQL = """
+  WITH sel AS (
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 3 = 0 THEN 'ocds-kps-hot'
+                ELSE 'ocds-kps-u-' || o_orderkey END AS ocid
+    FROM orders WHERE o_orderkey % 3 = 0 OR o_orderkey % 150 = 1
+  )
+  SELECT ocid,
+         CAST(CAST(arg_max(o_totalprice, o_orderkey) AS DECIMAL(38,6))
+              AS DOUBLE) AS award_amount,
+         printf('2020-01-01T%010d', MAX(o_orderkey)) AS merged_date,
+         COUNT(*) AS n_releases
+  FROM sel GROUP BY ocid ORDER BY ocid
+"""
+
+
+def _skewed_releases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release rows (ocid, release_date, data, package_data) with one hot
+    OCID — the direct input shape of the merge stage, skipping file
+    synthesis so the bench measures the COMPILE under skew, not parsing."""
+    t = load_tables(spark, sf_dir)
+    sel = t["orders"].where(
+        ((F.col("o_orderkey") % 3) == 0) | ((F.col("o_orderkey") % 150) == 1)
+    ).select(
+        "o_orderkey", "o_totalprice",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("ocds-kps-hot"))
+        .otherwise(F.concat(F.lit("ocds-kps-u-"), F.col("o_orderkey")))
+        .alias("ocid"),
+        # fixed-width numeric suffix: lexicographic date order == numeric
+        # orderkey order, and every date is unique, so the merge's
+        # last-wins scalar semantics select arg_max(o_orderkey)
+        F.format_string("2020-01-01T%010d", F.col("o_orderkey"))
+        .alias("release_date"),
+    )
+    data = F.to_json(F.struct(
+        F.col("ocid").alias("ocid"),
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("-r")).alias("id"),
+        F.col("release_date").alias("date"),
+        F.array(F.lit("award")).alias("tag"),
+        F.array(F.struct(
+            F.lit("a-1").alias("id"),
+            F.struct(F.col("o_totalprice").alias("amount"),
+                     F.lit("USD").alias("currency")).alias("value"),
+        )).alias("awards"),
+    ))
+    return sel.select("ocid", "release_date", data.alias("data"),
+                      F.lit(None).cast("string").alias("package_data"))
+
+
+def _compiled_summary(rel: DataFrame, compiled: DataFrame) -> DataFrame:
+    counts = rel.groupBy("ocid").agg(F.count(F.lit(1)).alias("n_releases"))
+    return (
+        compiled.where(F.col("row_kind") == "item")
+        .join(counts, "ocid")
+        .select(
+            "ocid",
+            F.get_json_object("merged", "$.awards[0].value.amount")
+            .cast("decimal(38,6)").cast("double").alias("award_amount"),
+            F.get_json_object("merged", "$.date").alias("merged_date"),
+            "n_releases")
+        .orderBy("ocid")
+    )
+
+
+@probe("ocds_compile_skewed", SKEWED_SQL, survey_ids="C1,C3,skew-ext")
+def ocds_compile_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-OCID compile through the production skew routing
+    (skew_routed_compiled — the same per-OCID hot/cold decision
+    compile_collection's two_phase="auto" makes): the cold tail merges in
+    ONE applyInPandas pass, the hot OCID goes through the two-phase
+    partial merge — phase A pre-merges each ≤100-release batch in
+    parallel, phase B reduces ~N/100 partials — so the hot OCID's
+    wall-clock is O(N/cores + N/batch) instead of one task's O(N).
+    Measured at sf0.1 (50k-release hot OCID): see SCALE.md §10."""
+    from kingfisher_process_spark.operators.compile_release import skew_routed_compiled
+
+    rel = _skewed_releases(spark, sf_dir)
+    return _compiled_summary(rel, skew_routed_compiled(rel, batch=100))
+
+
+@probe("ocds_compile_skewed_single", SKEWED_SQL, survey_ids="C1,C3,skew-ext")
+def ocds_compile_skewed_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-phase baseline on the SAME skewed fixture (one
+    groupBy(ocid).applyInPandas task merges all hot releases
+    sequentially) — shares ocds_compile_skewed's oracle, so the two
+    paths are pinned equal cross-engine; the bench carries only the
+    two-phase form (this baseline exists to document the speedup and
+    must not rotate into the headline set at scale)."""
+    from kingfisher_process_spark.operators.compile_release import _merge_group
+
+    rel = _skewed_releases(spark, sf_dir)
+    compiled = rel.groupBy("ocid").applyInPandas(
+        _merge_group,
+        "row_kind string, ocid string, merged string, release_date string,"
+        " hash_md5 string, note_code string, note string, note_data string")
+    return _compiled_summary(rel, compiled)

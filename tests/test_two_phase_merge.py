@@ -259,3 +259,53 @@ def test_two_phase_fallback_plan_has_no_literal_id_list(spark, tmp_path):
     # and the fallback still produces each OCID exactly once
     out = compiled.where(compiled.row_kind == "item").select("ocid").collect()
     assert sorted(r["ocid"] for r in out) == [f"ocds-badplan-{i}" for i in range(3)]
+
+
+def test_skew_routing_spares_cold_ocids_the_two_phase_passes(spark):
+    """skew_routed_compiled: with no hot OCID the plan is ONE grouped
+    pass; with a hot OCID only the hot rows take the partial/finalize
+    stages, and the output equals the all-single-phase merge."""
+    from kingfisher_process_spark.operators.compile_release import (
+        _merge_group, skew_routed_compiled)
+
+    def rel(ocid, rid, date):
+        return (ocid, date, json.dumps(
+            {"ocid": ocid, "id": rid, "date": date,
+             "awards": [{"id": "a", "v": rid}]}), None)
+
+    cold = [rel(f"ocds-cold-{i}", "r0", "2020-01-01") for i in range(4)]
+    hot = [rel("ocds-hot", f"r{j}", f"2020-01-{j + 1:02d}") for j in range(6)]
+    schema = "ocid string, release_date string, data string, package_data string"
+
+    def stage_counts(df):
+        # grouped_apply_sorted runs as MapInPandas over sorted partitions;
+        # the two-phase partial/finalize stages as FlatMapGroupsInPandas.
+        # Count formatted-plan node HEADERS (the raw string repeats AQE
+        # initial/final subtrees; cached relations may still re-embed one)
+        import re
+
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+        names = re.findall(r"^\(\d+\) (\S+)", plan, re.M)
+        return (sum(1 for n in names if n == "MapInPandas"),
+                sum(1 for n in names if n == "FlatMapGroupsInPandas"))
+
+    cold_only = skew_routed_compiled(spark.createDataFrame(cold, schema), batch=3)
+    assert stage_counts(cold_only) == (1, 0)  # single fused pass, no partials
+
+    routed = skew_routed_compiled(spark.createDataFrame(cold + hot, schema), batch=3)
+    n_map, n_flat = stage_counts(routed)
+    assert n_map == 1, "cold rows must take exactly the one fused pass"
+    assert n_flat >= 2, "hot branch must carry partial + finalize stages"
+
+    single = (spark.createDataFrame(cold + hot, schema)
+              .groupBy("ocid").applyInPandas(
+                  _merge_group,
+                  "row_kind string, ocid string, merged string,"
+                  " release_date string, hash_md5 string, note_code string,"
+                  " note string, note_data string"))
+    got = {r["ocid"]: r["hash_md5"] for r in
+           routed.where(routed.row_kind == "item").collect()}
+    want = {r["ocid"]: r["hash_md5"] for r in
+            single.where(single.row_kind == "item").collect()}
+    assert got == want and len(got) == 5
