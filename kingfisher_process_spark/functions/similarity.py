@@ -573,3 +573,189 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("n_hit").cast("double") / F.col("k")).alias("recall"))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC) — the
+# memory-compression half of billion-scale ANN (IVF above is the routing
+# half): each 64-dim vector collapses to M=8 one-byte codes, and query
+# scans touch only the codes plus a 160-entry broadcast distance table.
+# Codebooks here are FIXED ±0.25 sign patterns (exact binary fractions,
+# reproducible in SQL) so encoding and ADC are exact decimal arithmetic in
+# both engines — swapping in per-subspace k-means (train_ivf_centroids on
+# vector slices) changes only the broadcast literals, not the plan.
+# Reference analogue: none (similarity-search extension family).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces
+PQ_DSUB = 8       # dims per subspace (8 × 8 = 64)
+PQ_K = 4          # centroids per subspace
+
+
+def pq_codebook() -> list[list[float]]:
+    """CB[c][j]: c0 = all -0.25, c1 = all +0.25, c2/c3 = alternating sign
+    patterns — same codebook for every subspace."""
+    return [
+        [-0.25] * PQ_DSUB,
+        [0.25] * PQ_DSUB,
+        [0.25 if j % 2 == 0 else -0.25 for j in range(PQ_DSUB)],
+        [-0.25 if j % 2 == 0 else 0.25 for j in range(PQ_DSUB)],
+    ]
+
+
+def _pq_dist2(vec, m: int, c: int) -> F.Column:
+    """Exact squared distance of subvector m to centroid c: per-element
+    (x - v)² is one IEEE multiply (identical cross-engine), cast to
+    DECIMAL(16,12); the 8-term chain adds exactly."""
+    cb = pq_codebook()
+    terms = []
+    for j in range(PQ_DSUB):
+        d = F.element_at(vec, m * PQ_DSUB + j + 1).cast("double") - F.lit(cb[c][j])
+        terms.append((d * d).cast("decimal(16,12)"))
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_encode(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """vec_id + M code columns (code_0..code_{M-1}), each the argmin
+    centroid of its subspace — a pure map-side projection (array_min over
+    per-centroid (dist², c) structs picks smallest distance, smallest-c
+    tiebreak); nothing shuffles, 1 byte of entropy per code at scale."""
+    v = F.col(vec_col)
+    cols = [F.col("vec_id")]
+    for m in range(PQ_M):
+        best = F.array_min(F.array(*[
+            F.struct(_pq_dist2(v, m, c).alias("d2"),
+                     F.lit(c).cast("bigint").alias("c"))
+            for c in range(PQ_K)
+        ]))
+        cols.append(best["c"].alias(f"code_{m}"))
+    return emb.select(*cols)
+
+
+_PQ_SQL_CB = """
+      SELECT m, c, j,
+             CASE WHEN c = 0 THEN -0.25 WHEN c = 1 THEN 0.25
+                  WHEN c = 2 THEN (CASE WHEN j % 2 = 0 THEN 0.25 ELSE -0.25 END)
+                  ELSE (CASE WHEN j % 2 = 0 THEN -0.25 ELSE 0.25 END) END AS v
+      FROM range(8) rm(m), range(4) rc(c), range(8) rj(j)
+"""
+
+_PQ_SQL_D2 = f"""
+      SELECT e.vec_id, cb.m, cb.c,
+             SUM(CAST((CAST(e.embedding[cb.m * 8 + cb.j + 1] AS DOUBLE) - cb.v)
+                      * (CAST(e.embedding[cb.m * 8 + cb.j + 1] AS DOUBLE) - cb.v)
+                      AS DECIMAL(16,12))) AS dist2
+      FROM embeddings e, ({_PQ_SQL_CB}) cb
+      GROUP BY e.vec_id, cb.m, cb.c
+"""
+
+_PQ_SQL_CODES = f"""
+      SELECT vec_id, m, c AS code FROM (
+        SELECT vec_id, m, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist2, c) AS rn
+        FROM ({_PQ_SQL_D2}) d2) x WHERE rn = 1
+"""
+
+
+@probe(
+    "ann_pq_codes",
+    f"""
+    SELECT m, code, COUNT(*) AS n_vectors,
+           MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
+    FROM ({_PQ_SQL_CODES}) codes
+    GROUP BY m, code ORDER BY m, code
+    """,
+    survey_ids="similarity-ext,A1",
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding census: per (subspace, code) population — the
+    codebook-balance check a PQ deployment monitors (a collapsed code
+    means a dead centroid). Encoding is map-side; the census is one
+    partially-aggregated groupBy over 32 keys."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    codes = pq_encode(emb)
+    narrow = codes.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).cast("bigint").alias("m"),
+                     F.col(f"code_{m}").alias("code"))
+            for m in range(PQ_M)
+        ])).alias("e"),
+    ).select("vec_id", "e.m", "e.code")
+    return (
+        narrow.groupBy("m", "code")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.min("vec_id").alias("min_vec"),
+             F.max("vec_id").alias("max_vec"))
+        .orderBy("m", "code")
+    )
+
+
+@probe(
+    "ann_pq_adc_topk",
+    f"""
+    WITH d2 AS ({_PQ_SQL_D2}),
+    codes AS ({_PQ_SQL_CODES}),
+    adc AS (
+      SELECT t.vec_id AS query_id, n.vec_id AS neighbor_id,
+             SUM(t.dist2) AS adc
+      FROM codes n JOIN d2 t ON t.m = n.m AND t.c = n.code
+      WHERE t.vec_id < {N_QUERIES} AND n.vec_id <> t.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rnk
+      FROM adc) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k: the query never reconstructs a vector — its exact
+    subvectors are compared to every CENTROID once (M × K = 32 decimal
+    distances per query, the classic ADC lookup table, broadcast), and
+    each corpus vector's approximate distance is the sum of 8 table
+    lookups over its codes. At billions of vectors the scan reads 8
+    bytes/vector + one broadcast table — this is why PQ is the memory
+    device of IVF-PQ. Exact decimal arithmetic end-to-end makes the
+    result (and its rank order) bit-identical to the DuckDB oracle."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    codes = pq_encode(emb)
+    narrow = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(m).cast("bigint").alias("m"),
+                     F.col(f"code_{m}").alias("c"))
+            for m in range(PQ_M)
+        ])).alias("e"),
+    ).select("neighbor_id", "e.m", "e.c")
+    v = F.col("embedding")
+    table = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"),
+                F.explode(F.array(*[
+                    F.struct(F.lit(m).cast("bigint").alias("m"),
+                             F.lit(c).cast("bigint").alias("c"),
+                             _pq_dist2(v, m, c).alias("d2"))
+                    for m in range(PQ_M) for c in range(PQ_K)
+                ])).alias("e"))
+        .select("query_id", "e.m", "e.c", "e.d2")
+    )
+    adc = (
+        narrow.join(F.broadcast(table), ["m", "c"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.col("adc").cast("double").alias("adc_dist"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
