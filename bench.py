@@ -80,6 +80,7 @@ HEADLINE = [
     # never bench ocds_compile_skewed_single, it's the documented baseline)
     "ocds_compile_skewed",
     "st_dedup_ingest",
+    "st_dedup_watermarked",
     "st_cdc_collapse",
 ]
 

@@ -1006,6 +1006,58 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@probe(
+    "e_session_window_builtin",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sno
+      FROM gaps
+    )
+    SELECT user_id,
+           epoch_ms(MIN(ts)) AS session_start_ms,
+           epoch_ms(MAX(ts)) AS session_last_ms,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY user_id, sno
+    ORDER BY user_id, session_start_ms
+    """,
+    survey_ids="window-ext,streaming-ext",
+)
+def e_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN dynamic-gap sessionization (``F.session_window``
+    — the SessionWindow catalyst node with in-aggregation window merge)
+    cross-checked against the gaps-and-islands form the custom operators
+    use (e_sessionize's lag-gap scan, streaming/sessions.py's stateful
+    fold). Semantics note the oracle encodes: session_window treats the
+    window end (last_ts + gap) as EXCLUSIVE, so an event arriving exactly
+    `gap` after its predecessor starts a NEW session — a `>=` split,
+    where the lag-gap probes split on `>`. One shuffle on (user_id,
+    merged window); the window merge itself is inside the aggregation,
+    not a separate pass."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .select(
+            "user_id",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("last_ts").alias("session_last_ms"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start_ms")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Explode / unnest (J4) — jsonb_array_elements parity
 # (docs/querying-data.rst:103-125) exercised on tokenized text.

@@ -19,17 +19,7 @@ from pyspark.sql import functions as F
 from kingfisher_process_spark.plans.base import normalize_events_ts, probe
 
 
-def _events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
-    """Stage the events file behind a drop directory (FileStreamSource
-    wants a dir — the live-ingest shape: files arriving as they land) and
-    open a stream with whatever schema the parquet actually has. The
-    footer read is one driver-side metadata fetch; ``readStream``
-    requires an explicit schema, and hardcoding one broke when testdata
-    regenerated ts as timestamp[us] — see plans/base.normalize_events_ts.
-    """
-    import os
-    import tempfile
-
+def _pin_stream_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # normalize_events_ts's timestamp_ntz→timestamp cast is session-tz
     # dependent; pin UTC here too (load_tables does it for batch paths)
@@ -46,10 +36,27 @@ def _events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 8)))
     except Exception:
         pass
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, prefix: str,
+                   copies: int = 1) -> DataFrame:
+    """Stage the events file behind a drop directory (FileStreamSource
+    wants a dir — the live-ingest shape: files arriving as they land) and
+    open a stream with whatever schema the parquet actually has. The
+    footer read is one driver-side metadata fetch; ``readStream``
+    requires an explicit schema, and hardcoding one broke when testdata
+    regenerated ts as timestamp[us] — see plans/base.normalize_events_ts.
+    ``copies`` links the source more than once (duplicate-delivery
+    fixtures)."""
+    import os
+    import tempfile
+
+    _pin_stream_confs(spark)
     src = os.path.abspath(f"{sf_dir}/events.parquet")
     schema = spark.read.parquet(src).schema
     drop_dir = tempfile.mkdtemp(prefix=prefix)
-    os.symlink(src, os.path.join(drop_dir, "events.parquet"))
+    for i in range(copies):
+        os.symlink(src, os.path.join(drop_dir, f"events_{i}.parquet"))
     return normalize_events_ts(
         spark.readStream.schema(schema).parquet(drop_dir))
 
@@ -464,3 +471,51 @@ def st_incremental_rollup_partitioned(spark: SparkSession,
 
 
 _REG["st_incremental_rollup_partitioned"].oracle = _REG["st_hourly_rollup"].oracle
+
+
+@probe(
+    "st_dedup_watermarked",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS min_event,
+           MAX(event_id) AS max_event,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+    survey_ids="streaming-ext,S8,dedup-ext",
+)
+def st_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE streaming dedup — ``dropDuplicatesWithinWatermark``,
+    the 100 TB form of st_dedup_ingest's exact dedup: per-key state is
+    EVICTED once the event-time watermark passes it, so state size is
+    (keys arriving within the lateness horizon), not (all keys ever).
+    The input doubles every event (two copies of the source file in the
+    drop directory); the dedup must collapse the stream back to exactly
+    the original census, which the oracle computes from the base table.
+    Trade vs full dedup: a duplicate arriving LATER than the watermark
+    horizon would pass through — the operator guarantees exactness only
+    within the horizon, which is the right contract for re-delivery-style
+    duplicates (the reference's RabbitMQ redelivery window, SURVEY §2.10).
+    """
+    stream = _events_stream(spark, sf_dir, "kps_stream_wmdedup_", copies=2)
+    deduped = (
+        stream
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    sink = f"st_dedup_wm_{uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.format("memory").queryName(sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("event_id").alias("min_event"),
+             F.max("event_id").alias("max_event"),
+             F.sum("event_id").cast("bigint").alias("id_checksum"))
+        .orderBy("event_type")
+    )
