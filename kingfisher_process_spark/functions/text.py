@@ -862,3 +862,137 @@ def t_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary TRAINING (t_bpe_token_counts above only applies a
+# BPE-ish regex; this learns the merge rules): the classic corpus→vocab
+# reduction makes each round vocab-scale, not corpus-scale — one explode
+# + groupBy over the (word, freq) table per round, an argmax collect of
+# ONE row, and a map-side fold applying the merge greedily left-to-right.
+# Reference analogue: none (text-pipeline extension family).
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 4
+
+
+def _bpe_apply(symbols, a: str, b: str) -> F.Column:
+    """Greedy left-to-right merge of adjacent (a, b) inside a symbol
+    array, as one fold expression (map-side, no UDF). Self-overlap (a==b
+    runs) resolves exactly like sequential BPE: a merged token has
+    len(a)+len(b) > len(a), so it can never re-match as the pair's left
+    element."""
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(a + b))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str, int]]:
+    """Learn ``rounds`` BPE merges over whitespace words of ``text``.
+
+    Scale shape: the corpus collapses ONCE to (word, freq) — the only
+    corpus-scale job; every round then runs on the vocabulary (pair
+    explode + partially-aggregated groupBy + TakeOrdered argmax), and the
+    merge application is a per-row fold. Only the 1-row argmax is ever
+    collected (the same driver-scale pattern as k-means centroids)."""
+    vocab = (
+        docs.select(F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("l"), "freq")
+    ).cache()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        pairs = vocab.select(
+            "freq",
+            F.explode(F.arrays_zip(
+                F.slice("l", 1, F.size("l") - 1),
+                F.slice(F.col("l"), 2, F.size("l") - 1))).alias("p"),
+        ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"), "freq")
+        best = (pairs.groupBy("a", "b").agg(F.sum("freq").alias("n"))
+                .orderBy(F.desc("n"), "a", "b").limit(1).collect())
+        if not best:
+            break
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        merges.append((a, b, n))
+        nxt = vocab.select(_bpe_apply(F.col("l"), a, b).alias("l"), "freq").cache()
+        vocab.unpersist()
+        vocab = nxt
+    vocab.unpersist()
+    return merges
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled oracle round: pair counts → argmax (same tiebreak) →
+    greedy merge via match-run islands (keep alternating positions of
+    each run — exactly the sequential left-to-right semantics)."""
+    return f"""
+    p{r} AS (
+      SELECT l[i + 1] AS a, l[i + 2] AS b, CAST(SUM(freq) AS BIGINT) AS n
+      FROM v{r}, LATERAL unnest(range(len(l) - 1)) t(i)
+      GROUP BY a, b),
+    b{r} AS (SELECT a, b, n FROM p{r} ORDER BY n DESC, a, b LIMIT 1),
+    pos{r} AS (
+      SELECT v.word, v.freq, t.i, v.l[t.i + 1] AS s,
+             CASE WHEN t.i < len(v.l) - 1 AND v.l[t.i + 1] = b.a
+                       AND v.l[t.i + 2] = b.b THEN 1 ELSE 0 END AS m
+      FROM v{r} v, b{r} b, LATERAL unnest(range(len(v.l))) t(i)),
+    keep{r} AS (
+      SELECT word, i FROM (
+        SELECT word, i, MIN(i) OVER (PARTITION BY word, g) AS g0
+        FROM (SELECT word, i,
+                     i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS g
+              FROM pos{r} WHERE m = 1) runs) x
+      WHERE (i - g0) % 2 = 0),
+    v{r + 1} AS (
+      SELECT p.word, p.freq,
+             list(CASE WHEN k1.i IS NOT NULL THEN b.a || b.b ELSE p.s END
+                  ORDER BY p.i) AS l
+      FROM pos{r} p
+      CROSS JOIN b{r} b
+      LEFT JOIN keep{r} k1 ON k1.word = p.word AND k1.i = p.i
+      LEFT JOIN keep{r} k2 ON k2.word = p.word AND k2.i = p.i - 1
+      WHERE k2.i IS NULL
+      GROUP BY p.word, p.freq)"""
+
+
+def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
+    body = ",\n".join(_bpe_round_sql(r) for r in range(rounds))
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r + 1} AS round, a AS pair_a, b AS pair_b,"
+        f" a || b AS merged, n AS n_occurrences FROM b{r}"
+        for r in range(rounds))
+    return f"""
+    WITH w0 AS (
+      SELECT token AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS token
+            FROM documents) toks
+      GROUP BY token),
+    v0 AS (SELECT word, freq, string_split(word, '') AS l FROM w0),
+    {body}
+    SELECT * FROM ({unions}) m ORDER BY round
+    """
+
+
+@probe("t_bpe_train", _bpe_train_sql(), survey_ids="text-ext,A6,iterative-ext")
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table for BPE_ROUNDS rounds — pair choice,
+    merged token, and weighted occurrence count per round, all
+    hash-checked against an unrolled DuckDB oracle that replays the same
+    greedy algorithm (argmax tiebreak (count DESC, pair) and
+    alternating-position run semantics included)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = bpe_train(docs)
+    return spark.createDataFrame(
+        [(r + 1, a, b, a + b, n) for r, (a, b, n) in enumerate(merges)],
+        "round bigint, pair_a string, pair_b string, merged string,"
+        " n_occurrences bigint",
+    ).orderBy("round")
