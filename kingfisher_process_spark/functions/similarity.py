@@ -603,36 +603,71 @@ def pq_codebook() -> list[list[float]]:
     ]
 
 
-def _pq_dist2(vec, m: int, c: int) -> F.Column:
-    """Exact squared distance of subvector m to centroid c: per-element
-    (x - v)² is one IEEE multiply (identical cross-engine), cast to
-    DECIMAL(16,12); the 8-term chain adds exactly."""
+def _sq_term_sql(vec: str, k: int, v: float) -> str:
+    """SQL for one exact distance term: (x_k - v)² is one IEEE multiply
+    (identical cross-engine), cast to DECIMAL(16,12). Double literal
+    suffix keeps 0.25 a DOUBLE, not a SQL decimal."""
+    x = f"(CAST(element_at({vec}, {k}) AS DOUBLE) - {v}D)"
+    return f"CAST({x} * {x} AS DECIMAL(16,12))"
+
+
+def _pq_dist2_sql(vec: str, m: int, c: int) -> str:
+    """Exact squared distance of subvector m to centroid c as a SQL
+    string — the 8-term chain adds exact decimals left-to-right."""
     cb = pq_codebook()
-    terms = []
-    for j in range(PQ_DSUB):
-        d = F.element_at(vec, m * PQ_DSUB + j + 1).cast("double") - F.lit(cb[c][j])
-        terms.append((d * d).cast("decimal(16,12)"))
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    return " + ".join(
+        _sq_term_sql(vec, m * PQ_DSUB + j + 1, cb[c][j])
+        for j in range(PQ_DSUB))
+
+
+# centroid c0 = all -q → en+on; c1 = all +q → ep+op;
+# c2 = +q even / -q odd → ep+on; c3 = -q even / +q odd → en+op
+PQ_COMBOS = [("en", "on"), ("ep", "op"), ("ep", "on"), ("en", "op")]
+
+
+def _pq_partial_exprs(vec_col: str, q: float = 0.25) -> list[str]:
+    """The 4 shared partial sums per subspace — (even/odd) × (±q) — as
+    SQL select expressions; every centroid distance is one addition of
+    two of these (see PQ_COMBOS)."""
+    def partial_sql(m: int, sign: float, parity: int) -> str:
+        return " + ".join(
+            _sq_term_sql(vec_col, m * PQ_DSUB + j + 1, sign * q)
+            for j in range(parity, PQ_DSUB, 2))
+
+    return [
+        f"{partial_sql(m, sign, parity)} AS {nm}_{m}"
+        for m in range(PQ_M)
+        for nm, sign, parity in (("ep", 1.0, 0), ("op", 1.0, 1),
+                                 ("en", -1.0, 0), ("on", -1.0, 1))
+    ]
 
 
 def pq_encode(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """vec_id + M code columns (code_0..code_{M-1}), each the argmin
     centroid of its subspace — a pure map-side projection (array_min over
     per-centroid (dist², c) structs picks smallest distance, smallest-c
-    tiebreak); nothing shuffles, 1 byte of entropy per code at scale."""
-    v = F.col(vec_col)
-    cols = [F.col("vec_id")]
+    tiebreak); nothing shuffles, 1 byte of entropy per code at scale.
+
+    Two implementation choices that are pure wall-clock (values are
+    bit-identical to the naive 32-chain _pq_dist2_sql form):
+
+    - the four sign-pattern centroids share their per-element terms, so
+      distances are built from four partial sums per subspace —
+      (even/odd positions) × (±q sign) — computed once in a FIRST
+      projection and recombined in a second (decimal addition is exact
+      and associative, so regrouping cannot change a value);
+    - the projections are generated SQL strings (selectExpr, ONE parse)
+      rather than composed Column objects — the ~2000-node expression
+      tree costs seconds of py4j round-trips to build object-by-object.
+    """
+    parts = emb.selectExpr("vec_id", *_pq_partial_exprs(vec_col))
+    code_exprs = []
     for m in range(PQ_M):
-        best = F.array_min(F.array(*[
-            F.struct(_pq_dist2(v, m, c).alias("d2"),
-                     F.lit(c).cast("bigint").alias("c"))
-            for c in range(PQ_K)
-        ]))
-        cols.append(best["c"].alias(f"code_{m}"))
-    return emb.select(*cols)
+        structs = ", ".join(
+            f"named_struct('d2', {a}_{m} + {b}_{m}, 'c', CAST({c} AS BIGINT))"
+            for c, (a, b) in enumerate(PQ_COMBOS))
+        code_exprs.append(f"array_min(array({structs})).c AS code_{m}")
+    return parts.selectExpr("vec_id", *code_exprs)
 
 
 _PQ_SQL_CB = """
@@ -733,16 +768,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(PQ_M)
         ])).alias("e"),
     ).select("neighbor_id", "e.m", "e.c")
-    v = F.col("embedding")
+    # the 32-entry-per-query ADC table — same shared-partials regrouping
+    # and generated-SQL construction as pq_encode (values bit-identical
+    # to the naive 32-chain form; the tree is 4x smaller, which is
+    # optimizer/codegen wall-clock, and ONE parse replaces thousands of
+    # py4j round-trips)
+    structs = ", ".join(
+        f"named_struct('m', CAST({m} AS BIGINT), 'c', CAST({c} AS BIGINT),"
+        f" 'd2', {a}_{m} + {b}_{m})"
+        for m in range(PQ_M) for c, (a, b) in enumerate(PQ_COMBOS))
     table = (
         emb.where(F.col("vec_id") < N_QUERIES)
-        .select(F.col("vec_id").alias("query_id"),
-                F.explode(F.array(*[
-                    F.struct(F.lit(m).cast("bigint").alias("m"),
-                             F.lit(c).cast("bigint").alias("c"),
-                             _pq_dist2(v, m, c).alias("d2"))
-                    for m in range(PQ_M) for c in range(PQ_K)
-                ])).alias("e"))
+        .selectExpr("vec_id AS query_id", *_pq_partial_exprs("embedding"))
+        .selectExpr("query_id", f"explode(array({structs})) AS e")
         .select("query_id", "e.m", "e.c", "e.d2")
     )
     adc = (
