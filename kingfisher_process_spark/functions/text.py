@@ -996,3 +996,47 @@ def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round bigint, pair_a string, pair_b string, merged string,"
         " n_occurrences bigint",
     ).orderBy("round")
+
+
+def _bpe_encode_sql(rounds: int = BPE_ROUNDS) -> str:
+    body = ",\n".join(_bpe_round_sql(r) for r in range(rounds))
+    return f"""
+    WITH w0 AS (
+      SELECT token AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS token
+            FROM documents) toks
+      GROUP BY token),
+    v0 AS (SELECT word, freq, string_split(word, '') AS l FROM w0),
+    {body}
+    SELECT CAST((SELECT COUNT(*) FROM v0) AS BIGINT) AS n_words,
+           CAST((SELECT SUM(freq * len(l)) FROM v0) AS BIGINT)
+             AS n_tokens_before,
+           CAST((SELECT SUM(freq * len(l)) FROM v{rounds}) AS BIGINT)
+             AS n_tokens_after
+    """
+
+
+@probe("t_bpe_encode", _bpe_encode_sql(), survey_ids="text-ext,A5,iterative-ext")
+def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the train→apply loop: corpus token counts before and after
+    applying the BPE_ROUNDS learned merges (the compression a tokenizer
+    deployment actually buys). Application is the same map-side fold per
+    round over the vocabulary; the corpus itself is never rescanned after
+    the one (word, freq) reduction."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = bpe_train(docs)
+    base = (
+        docs.select(F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    ).cache()
+    before = base.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("freq") * F.length("word")).alias("n_tokens_before"))
+    vocab = base.select(F.split("word", "").alias("l"), "freq")
+    for a, b, _ in merges:
+        vocab = vocab.select(_bpe_apply(F.col("l"), a, b).alias("l"), "freq")
+    after = vocab.agg(
+        F.sum(F.col("freq") * F.size("l")).alias("n_tokens_after"))
+    return before.crossJoin(after)
