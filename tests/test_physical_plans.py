@@ -200,3 +200,53 @@ def test_runtime_bloom_filter_injects_on_selective_dim_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_pq_adc_broadcasts_table_and_stays_map_side(spark):
+    plan = plan_of(spark, "ann_pq_adc_topk")
+    # the 32-entry/query ADC table must broadcast; the code scan must
+    # never shuffle against it sort-merge
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # encode is pure projection work — no exchange before the join other
+    # than the broadcast itself and the final per-query aggregation
+    assert "BatchEvalPython" not in plan
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    from kingfisher_process_spark.functions.similarity import pq_encode
+    from kingfisher_process_spark.plans.base import load_tables
+
+    df = pq_encode(load_tables(spark, SF_SMOKE)["embeddings"])
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan  # map-side projections only
+
+
+def test_bpe_pair_count_partial_aggregates(spark):
+    # the per-round pair count must combine map-side: the shuffle carries
+    # (pair, partial) rows, not one row per pair occurrence
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.plans.base import load_tables
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    vocab = (
+        docs.select(F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "").alias("l"), "freq")
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(F.arrays_zip(
+            F.slice("l", 1, F.size("l") - 1),
+            F.slice(F.col("l"), 2, F.size("l") - 1))).alias("p"),
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"), "freq")
+    best = (pairs.groupBy("a", "b").agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b").limit(1))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        best._jdf.queryExecution(), "formatted")
+    assert "partial_sum" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # argmax is a heap, not a sort

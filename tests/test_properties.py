@@ -194,3 +194,83 @@ def test_snapshot_diff_matches_dict_diff(spark, a, b):
         elif a[k] != b[k]:
             want[k] = "changed"
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r4: PQ encoding and BPE merge against independent pure-Python references
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.floats(min_value=-0.625, max_value=0.625, width=32),
+                min_size=64, max_size=64),
+       st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=20, deadline=None)
+def test_pq_encode_matches_python_reference(vec, vec_id):
+    from decimal import Decimal
+
+    from kingfisher_process_spark.functions.similarity import (
+        PQ_DSUB, PQ_M, pq_codebook, pq_encode)
+    from kingfisher_process_spark.session import get_spark
+
+    spark = get_spark("kps-tests", cpus=8)
+    df = spark.createDataFrame([(vec_id, vec)],
+                               "vec_id long, embedding array<float>")
+    got = pq_encode(df).first()
+
+    cb = pq_codebook()
+    import struct as _struct
+
+    def f32(x):  # the stored float32 value, as exact double
+        return _struct.unpack("f", _struct.pack("f", x))[0]
+
+    q12 = Decimal(1).scaleb(-12)
+    for m in range(PQ_M):
+        dists = []
+        for c in range(PQ_K := 4):
+            s = Decimal(0)
+            for j in range(PQ_DSUB):
+                d = f32(vec[m * PQ_DSUB + j]) - cb[c][j]
+                s += Decimal(d * d).quantize(q12)
+            dists.append((s, c))
+        want = min(dists)[1]
+        assert got[f"code_{m}"] == want, (m, dists, got)
+
+
+@given(st.lists(st.text(alphabet="abcd", min_size=1, max_size=6),
+                min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=3))
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_bpe_train_matches_python_reference(words, rounds):
+    from collections import Counter
+
+    from kingfisher_process_spark.functions.text import bpe_train
+    from kingfisher_process_spark.session import get_spark
+
+    def ref_bpe(words, rounds):
+        freq = Counter(words)
+        vocab = {w: list(w) for w in freq}
+        merges = []
+        for _ in range(rounds):
+            pairs = Counter()
+            for w, f in freq.items():
+                syms = vocab[w]
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += f
+            if not pairs:
+                break
+            # max count, then lexicographically smallest (a, b)
+            (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((a, b, n))
+            for w in vocab:
+                syms, out = vocab[w], []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                vocab[w] = out
+        return merges
+
+    spark = get_spark("kps-tests", cpus=8)
+    docs = spark.createDataFrame([(" ".join(words),)], "text string")
+    assert bpe_train(docs, rounds=rounds) == ref_bpe(words, rounds)
