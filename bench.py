@@ -58,6 +58,7 @@ HEADLINE = [
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
     "s_embedding_near_dups",
     "t_quality_scores",
     "t_token_stats",

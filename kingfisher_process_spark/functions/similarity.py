@@ -797,3 +797,129 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("adc").cast("double").alias("adc_dist"), "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+_IVF_ROUTE_SQL = f"""
+    cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+             WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CELLS}),
+    vc0 AS (
+      SELECT v.vec_id, c.cid,
+             CAST(SUM(CAST(CAST(v.embedding[i + 1] AS DOUBLE)
+                           * CAST(c.ce[i + 1] AS DOUBLE)
+                           AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      FROM embeddings v, cent c, range(64) r(i)
+      GROUP BY v.vec_id, c.cid),
+    vc AS (
+      SELECT vc0.vec_id, vc0.cid, vc0.dot / (nv.nrm * nc.nrm) AS cos
+      FROM vc0 JOIN norms nv ON nv.vec_id = vc0.vec_id
+               JOIN norms nc ON nc.vec_id = vc0.cid),
+    asg AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM vc) x WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM vc WHERE vec_id < {N_QUERIES}) x WHERE rn <= {N_PROBE})
+"""
+
+
+@probe(
+    "ann_ivfpq_topk",
+    f"""
+    WITH norms AS ({NORMS_SQL}),
+    {_IVF_ROUTE_SQL},
+    codes AS ({_PQ_SQL_CODES}),
+    d2 AS ({_PQ_SQL_D2}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probes p JOIN asg a ON a.cid = p.cid
+             WHERE a.vec_id <> p.query_id),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id, SUM(t.dist2) AS adc
+      FROM cand c
+      JOIN codes n ON n.vec_id = c.neighbor_id
+      JOIN d2 t ON t.vec_id = c.query_id AND t.m = n.m AND t.c = n.code
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rnk
+      FROM adc) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ end-to-end — the full billion-vector serving architecture:
+    IVF routing picks each query's N_PROBE nearest cells (broadcast
+    centroids, map-side argmax assignment), and within the probed cells
+    candidates are scored by ADC over their 8-byte PQ codes — the scan
+    reads codes, never raw vectors; raw vectors exist only in the
+    broadcast 32-entry/query distance table build. At scale the memory
+    story compounds: IVF prunes which codes are read (N_PROBE/K of the
+    corpus), PQ shrinks what a code read costs (8 B vs 256 B). Exact
+    decimal arithmetic end-to-end keeps the result bit-identical to the
+    composed DuckDB oracle."""
+    from kingfisher_process_spark.functions.dedup import fanout
+
+    t = load_tables(spark, sf_dir)
+    emb = fanout(t["embeddings"]).select(
+        "vec_id", "embedding", norm_col(F.col("embedding")).alias("nv"))
+    cent = t["embeddings"].where(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + K_CELLS)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+             norm_col(F.col("embedding")).alias("nc"))
+    vc = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "nv", "cid",
+        (dot_col(F.col("embedding"), F.col("ce")) / (F.col("nv") * F.col("nc")))
+        .alias("cos"))
+    asg = (
+        vc.groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("neg"))).alias("m"))
+        .select(F.col("vec_id").alias("neighbor_id"), (-F.col("m.neg")).alias("cid"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "cid")
+    probes_df = (
+        vc.where(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    cand = (asg.join(F.broadcast(probes_df), "cid")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id"))
+
+    codes = pq_encode(t["embeddings"])
+    narrow = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(m).cast("bigint").alias("m"),
+                     F.col(f"code_{m}").alias("c"))
+            for m in range(PQ_M)
+        ])).alias("e"),
+    ).select("neighbor_id", "e.m", "e.c")
+    structs = ", ".join(
+        f"named_struct('m', CAST({m} AS BIGINT), 'c', CAST({c} AS BIGINT),"
+        f" 'd2', {a}_{m} + {b}_{m})"
+        for m in range(PQ_M) for c, (a, b) in enumerate(PQ_COMBOS))
+    table = (
+        t["embeddings"].where(F.col("vec_id") < N_QUERIES)
+        .selectExpr("vec_id AS query_id", *_pq_partial_exprs("embedding"))
+        .selectExpr("query_id", f"explode(array({structs})) AS e")
+        .select("query_id", "e.m", "e.c", "e.d2")
+    )
+    adc = (
+        cand.join(narrow, "neighbor_id")
+        .join(F.broadcast(table), ["query_id", "m", "c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.col("adc").cast("double").alias("adc_dist"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
