@@ -403,3 +403,69 @@ def test_streaming_loader_reattach_restores_compile_lineage(spark, tmp_path):
     crs = store.read("compiled_release").where(
         F.col("collection_id") == compiled_id)
     assert {r["ocid"] for r in crs.collect()} == {"ocds-rc-1"}
+
+
+def test_windowed_agg_drops_late_data_past_watermark(spark, tmp_path):
+    """Pin the watermark contract st_hourly_rollup's unbounded form
+    relies on, as Spark actually implements it: rows for windows far
+    behind the watermark are dropped (numRowsDroppedByWatermark counts
+    them); rows near the boundary can still be absorbed because the drop
+    filter uses the PREVIOUS batch's watermark (one-batch lag — Spark's
+    documented weak guarantee: within-horizon data is definitely kept,
+    beyond-horizon data is dropped only once eviction catches up); and
+    append mode emits a window exactly once, only after the watermark
+    passes its end."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    def ev(*hhmm):
+        return [(1, i, dt.datetime(2024, 1, 1, h, m), "view", 1.0)
+                for i, (h, m) in enumerate(hhmm)]
+
+    schema = ("user_id long, event_id long, ts timestamp,"
+              " event_type string, value double")
+    drop = tmp_path / "late_drop"
+    drop.mkdir()
+    batches = [
+        ev((10, 5), (10, 40), (11, 50)),   # watermark after: 10:50
+        ev((10, 30), (12, 10)),            # in-horizon late row → kept
+        ev((10, 45), (13, 30)),            # boundary row: absorbed (lag)
+        ev((8, 10), (14, 30)),             # far-late row → DROPPED
+        ev((15, 30),),                     # advance watermark → flush 13
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(tmp_path / f"stage{i}"))
+        src = glob.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        dst = drop / f"batch_{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(drop)))
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    sink = "late_data_sink"
+    q = (agg.writeStream.format("memory").queryName(sink)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    dropped = sum(op["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress
+                  for op in p.get("stateOperators", []))
+    assert dropped == 1, "exactly the hour-8 far-late row must be dropped"
+
+    rows = spark.table(sink).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["w"]["start"].hour, []).append(r["n"])
+    # exactly-once emission: one row per finalized window
+    assert all(len(v) == 1 for v in got.values()), got
+    # hour 10: two on-time + in-horizon late + lag-absorbed boundary row;
+    # the hour-8 row appears NOWHERE (dropped, never re-emitted)
+    assert {h: v[0] for h, v in got.items()} == {10: 4, 11: 1, 12: 1, 13: 1}, got
+    # 14/15 windows never finalize before the stream drains → unemitted
