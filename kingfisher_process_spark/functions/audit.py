@@ -177,3 +177,96 @@ def t_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table profiling — the per-column data-quality summary (null counts,
+# cardinalities, ranges) a pipeline runs before trusting a new drop of
+# data. ONE aggregation pass: every statistic partial-aggregates
+# map-side; only the distinct counts add exchanges (Spark's multi-distinct
+# expand). At 100 TB swap COUNT(DISTINCT) for approx_count_distinct and
+# the pass is fully map-side-combining.
+# Reference analogue: none (audit extension family).
+# ---------------------------------------------------------------------------
+
+def profile_table(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
+    """Per-column profile rows for ``columns`` = [(name, kind)] with kind
+    in {"num", "str", "ts"}: (col_name, n_rows, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str). Ranges land in the type-true
+    slot (numeric → DOUBLE, string → lexicographic, timestamp → UTC
+    'yyyy-MM-dd HH:mm:ss' strings) so no cross-engine casts of floats to
+    text are ever compared."""
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, kind in columns:
+        c = F.col(name)
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"__nulls_{name}"),
+            F.count_distinct(c).alias(f"__nd_{name}"),
+        ]
+        if kind == "num":
+            aggs += [F.min(c).cast("double").alias(f"__min_{name}"),
+                     F.max(c).cast("double").alias(f"__max_{name}")]
+        elif kind == "ts":
+            fmt = "yyyy-MM-dd HH:mm:ss"
+            aggs += [F.date_format(F.min(c), fmt).alias(f"__smin_{name}"),
+                     F.date_format(F.max(c), fmt).alias(f"__smax_{name}")]
+        else:
+            aggs += [F.min(c).alias(f"__smin_{name}"),
+                     F.max(c).alias(f"__smax_{name}")]
+    one = df.agg(*aggs)
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    rows = F.array(*[
+        F.struct(
+            F.lit(name).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nulls_{name}").alias("n_nulls"),
+            F.col(f"__nd_{name}").alias("n_distinct"),
+            (F.col(f"__min_{name}") if kind == "num" else null_d).alias("min_num"),
+            (F.col(f"__max_{name}") if kind == "num" else null_d).alias("max_num"),
+            (F.col(f"__smin_{name}") if kind != "num" else null_s).alias("min_str"),
+            (F.col(f"__smax_{name}") if kind != "num" else null_s).alias("max_str"),
+        )
+        for name, kind in columns
+    ])
+    return (one.select(F.explode(rows).alias("p")).select("p.*")
+            .orderBy("col_name"))
+
+
+ORDERS_PROFILE_COLS = [
+    ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+    ("o_totalprice", "num"), ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_col_sql(name: str, kind: str) -> str:
+    if kind == "num":
+        mins = f"CAST(MIN({name}) AS DOUBLE)", f"CAST(MAX({name}) AS DOUBLE)"
+        strs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mins = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        strs = (f"strftime(MIN({name}), '%Y-%m-%d %H:%M:%S')",
+                f"strftime(MAX({name}), '%Y-%m-%d %H:%M:%S')")
+    else:
+        mins = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        strs = f"MIN({name})", f"MAX({name})"
+    return f"""
+      SELECT '{name}' AS col_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+             CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+             {mins[0]} AS min_num, {mins[1]} AS max_num,
+             {strs[0]} AS min_str, {strs[1]} AS max_str
+      FROM orders"""
+
+
+@probe(
+    "e_profile_orders",
+    " UNION ALL ".join(_profile_col_sql(n, k) for n, k in ORDERS_PROFILE_COLS)
+    + " ORDER BY col_name",
+    survey_ids="audit-ext,A1,A3,A4",
+)
+def e_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return profile_table(t["orders"], ORDERS_PROFILE_COLS)

@@ -1007,6 +1007,66 @@ def e_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @probe(
+    "w6_quartile_spend_by_segment",
+    """
+    WITH ranked AS (
+      SELECT c_mktsegment, o_orderkey,
+             CAST(o_totalprice AS DECIMAL(38,6)) AS total,
+             ROW_NUMBER() OVER w AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WINDOW w AS (PARTITION BY c_mktsegment
+                   ORDER BY CAST(o_totalprice AS DECIMAL(38,6)), o_orderkey)
+    )
+    SELECT c_mktsegment,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                    THEN total END) AS DOUBLE) AS p25,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                    THEN total END) AS DOUBLE) AS p50,
+           CAST(MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                    THEN total END) AS DOUBLE) AS p75,
+           CAST(MAX(n) AS BIGINT) AS n_orders
+    FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    survey_ids="O3,A5,window-ext",
+)
+def w6_quartile_spend_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile summary by rank selection (value-based p25/p50/p75,
+    no interpolation — interpolating percentiles would compare doubles
+    produced by different arithmetic; selected VALUES are engine-
+    independent). One window shuffle on the segment; the quartile pick is
+    a conditional aggregation over the same partitioning, so the plan
+    carries a single data exchange. At 100 TB the same shape holds per
+    group; for a single global quantile use the distributed rank-offset
+    device instead (t_global_shuffle_shards' prefix sums)."""
+    t = load_tables(spark, sf_dir)
+    j = (
+        t["orders"]
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_mktsegment", "o_orderkey", _d(F.col("o_totalprice")).alias("total"))
+    )
+    w = Window.partitionBy("c_mktsegment")
+    ranked = (
+        j.withColumn("rn", F.row_number().over(w.orderBy("total", "o_orderkey")))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+
+    def pick(q: float):
+        return F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+            F.col("total"))).cast("double")
+
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(pick(0.25).alias("p25"), pick(0.50).alias("p50"),
+             pick(0.75).alias("p75"),
+             F.max("n").cast("bigint").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@probe(
     "e_session_window_builtin",
     """
     WITH gaps AS (
