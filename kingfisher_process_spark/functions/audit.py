@@ -270,3 +270,57 @@ def _profile_col_sql(name: str, kind: str) -> str:
 def e_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return profile_table(t["orders"], ORDERS_PROFILE_COLS)
+
+
+@probe(
+    "e_referential_audit",
+    """
+    SELECT 'customer.c_nationkey->nation' AS fk, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', COUNT(*),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM orders ord LEFT JOIN customer c ON c.c_custkey = ord.o_custkey
+    ORDER BY fk
+    """,
+    survey_ids="audit-ext,J2,A1",
+)
+def e_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — orphan counts per foreign key, the
+    check a pipeline runs before joining a new drop of data. Each FK is
+    one aggregated existence join; the small parent side broadcasts (or
+    its DISTINCT key set does), so the audit costs one pass over each
+    child table with a map-side probe — never a shuffle of the child.
+    Reference analogue: the deleteorphan maintenance command
+    (process/management/commands/deleteorphan.py) reports/wipes orphans
+    after manual deletes; this generalizes it to any FK as a query."""
+    t = load_tables(spark, sf_dir)
+
+    def fk(name: str, child: DataFrame, ckey: str, parent: DataFrame,
+           pkey: str) -> DataFrame:
+        probe_side = F.broadcast(
+            parent.select(F.col(pkey).alias("__pk")).distinct())
+        return (
+            child.join(probe_side, F.col(ckey) == F.col("__pk"), "left")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("__pk").isNull().cast("long")).alias("n_orphans"))
+            .select(F.lit(name).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    return (
+        fk("customer.c_nationkey->nation", t["customer"], "c_nationkey",
+           t["nation"], "n_nationkey")
+        .unionAll(fk("lineitem.l_orderkey->orders", t["lineitem"],
+                     "l_orderkey", t["orders"], "o_orderkey"))
+        .unionAll(fk("orders.o_custkey->customer", t["orders"], "o_custkey",
+                     t["customer"], "c_custkey"))
+        .orderBy("fk")
+    )
