@@ -93,6 +93,8 @@ def decode_ppm(content: bytes) -> DecodedImage:
         fields.append(int(content[start:pos]))
     pos += 1  # single whitespace byte after maxval, then raster
     width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError(f"degenerate PPM dimensions {width}x{height}")
     if not (0 < maxval < 256):
         raise ValueError(f"unsupported PPM maxval {maxval}")
     need = width * height * 3
@@ -124,6 +126,8 @@ def decode_bmp(content: bytes) -> DecodedImage:
             "uncompressed; install Pillow for other variants")
     top_down = height < 0
     height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError(f"degenerate BMP dimensions {width}x{height}")
     stride = (width * 3 + 3) & ~3
     out = bytearray(width * height * 3)
     for row in range(height):
@@ -167,7 +171,16 @@ def decode_image(content: bytes) -> DecodedImage:
 
         import PIL.Image
 
-        img = PIL.Image.open(io.BytesIO(content)).convert("RGB")
+        try:
+            img = PIL.Image.open(io.BytesIO(content)).convert("RGB")
+        except Exception as e:
+            # PIL raises UnidentifiedImageError (an OSError) and various
+            # codec errors — normalize to the ValueError contract so the
+            # undecodable-blob fallbacks in extract_features/resize_images
+            # catch them instead of failing the job
+            raise ValueError(f"Pillow could not decode blob: {e}") from e
+        if img.width <= 0 or img.height <= 0:
+            raise ValueError("degenerate image dimensions")
         return DecodedImage(img.width, img.height, img.tobytes())
     raise NotImplementedError(
         "decoding this format requires Pillow (stdlib codecs cover P6 "

@@ -923,8 +923,9 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str,
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         merges.append((a, b, n))
         nxt = vocab.select(_bpe_apply(F.col("l"), a, b).alias("l"), "freq").cache()
-        vocab.unpersist()
-        vocab = nxt
+        nxt.count()  # materialize the fold OFF the old cache before
+        vocab.unpersist()  # evicting it — unpersisting first would force
+        vocab = nxt  # every later round to replay the whole fold chain
     vocab.unpersist()
     return merges
 

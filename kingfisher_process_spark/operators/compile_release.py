@@ -155,26 +155,17 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
         # holds for the actual compile input — no group can be hot
         two_phase = False
     if two_phase == "auto":
-        # one agg over the (pruned, two-column) envelope decides; hot OCIDs
-        # route via semi/anti joins so the plan never embeds an id list
+        # one agg over the (pruned, two-column) envelope decides; the
+        # actual hot/cold split is skew_routed_compiled — one
+        # implementation of the routing, two hot-detection inputs
         hot = (
             releases.join(existing, "ocid", "left_anti")
             .groupBy("ocid").agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > limit)
             .select("ocid")
         ).cache()
-        any_hot = bool(hot.limit(1).count())
-        if not any_hot:
-            compiled = grouped_apply_sorted(
-                inputs, ["ocid"], merge_fn, COMPILED_SCHEMA,
-                extra_sort=["release_date", "data"])
-        else:
-            cold = inputs.join(F.broadcast(hot), "ocid", "left_anti")
-            hot_in = inputs.join(F.broadcast(hot), "ocid", "left_semi")
-            compiled = grouped_apply_sorted(
-                cold, ["ocid"], merge_fn, COMPILED_SCHEMA,
-                extra_sort=["release_date", "data"],
-            ).unionAll(two_phase_compiled(hot_in, batch, extension_schemas))
+        compiled = skew_routed_compiled(inputs, batch, extension_schemas,
+                                        hot=hot)
     elif two_phase:
         compiled = two_phase_compiled(inputs, batch, extension_schemas)
     else:
@@ -185,26 +176,30 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
 
 
 def skew_routed_compiled(inputs: DataFrame, batch: int | None = None,
-                         extension_schemas: dict[str, dict] | None = None
-                         ) -> DataFrame:
+                         extension_schemas: dict[str, dict] | None = None,
+                         hot: DataFrame | None = None) -> DataFrame:
     """Per-OCID hot/cold routing over a direct (ocid, release_date, data,
-    package_data) input — the same decision ``compile_collection``'s
-    ``two_phase="auto"`` makes off the envelope scan, for callers that
-    hold the release rows already joined: OCIDs with more than ``batch``
-    releases merge through the two-phase partial path (parallel phase-A
-    batches), everything else in ONE ``applyInPandas`` pass. The hot set
-    is a column-pruned count agg (only ``ocid`` is read) broadcast into
-    semi/anti joins, so the plan never embeds an id list and the cold
-    majority pays zero two-phase overhead."""
+    package_data) input — the ONE implementation of the two_phase="auto"
+    decision (``compile_collection`` delegates here): OCIDs with more
+    than ``batch`` releases merge through the two-phase partial path
+    (parallel phase-A batches), everything else in ONE ``applyInPandas``
+    pass. The hot set is a column-pruned count agg (only ``ocid`` is
+    read) broadcast into semi/anti joins, so the plan never embeds an id
+    list and the cold majority pays zero two-phase overhead.
+
+    ``hot`` overrides hot detection with a caller-computed (ocid) set —
+    compile_collection passes one derived from the pruned two-column
+    envelope scan, cheaper than counting over the payload-joined rows."""
     from kingfisher_process_spark.operators import merge_partial as mp
 
     limit = batch or mp.BATCH
     merge_fn = (_merge_group if extension_schemas is None else
                 _bind_schemas(_merge_group_impl, extension_schemas))
-    hot = (
-        inputs.groupBy("ocid").agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > limit).select("ocid")
-    ).cache()
+    if hot is None:
+        hot = (
+            inputs.groupBy("ocid").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > limit).select("ocid")
+        ).cache()
     if not hot.limit(1).count():
         return grouped_apply_sorted(
             inputs, ["ocid"], merge_fn, COMPILED_SCHEMA,

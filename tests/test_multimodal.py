@@ -144,3 +144,24 @@ def test_resize_preserves_schema_and_scales_metadata(spark):
     # chains: a second resize is a no-op on metadata already within bounds
     twice = mm.resize_images(resized, max_side=256).collect()
     assert {(r["width"], r["height"]) for r in twice} == {(256, 192)}
+
+
+def test_degenerate_and_undecodable_blobs_fall_back_not_crash(spark):
+    """Zero-dimension 'valid' headers and codec failures must take the
+    stub fallback (ValueError contract), never kill the job — the
+    never-fail clause of extract_features/resize_images."""
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P6\n0 0\n255\n")
+    with pytest.raises(ValueError):
+        mm.decode_ppm(b"P6\n-3 2\n255\n" + b"\x00" * 18)
+    rows = [
+        (1, "image", "x", bytearray(b"P6\n0 0\n255\n"), 4, 4, None),
+        (2, "image", "x", bytearray(b"junk that is no image"), 4, 4, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"]
+             for r in mm.extract_features(media, decode=True).collect()}
+    assert feats[1] == pytest.approx(
+        mm._feature_stub(b"P6\n0 0\n255\n"), abs=1e-6)
+    resized = mm.resize_images(media, max_side=2).collect()
+    assert len(resized) == 2  # truncation stand-in, no crash
