@@ -519,3 +519,60 @@ def st_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("event_id").cast("bigint").alias("id_checksum"))
         .orderBy("event_type")
     )
+
+
+@probe(
+    "st_stream_static_enrich",
+    """
+    SELECT n.n_name AS nation,
+           e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id % (SELECT COUNT(*) FROM customer) + 1
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY nation, e.event_type
+    ORDER BY nation, e.event_type
+    """,
+    survey_ids="streaming-ext,J1,A5",
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the remaining cell of the streaming join
+    matrix (stream-stream: st_stream_stream_join): each micro-batch of
+    events is enriched against a static dimension (customer→nation),
+    which Spark plans as a broadcast hash join per batch with NO state
+    store involvement — the static side is re-broadcast, never buffered.
+    That is exactly the 100 TB dimension-enrichment shape: the stream
+    scales with ingest, the dim with customers, and the join cost is one
+    map-side probe per event. Users are mapped onto the customer key
+    space deterministically (mod) so the oracle is a plain batch join."""
+    from kingfisher_process_spark.plans.base import load_tables
+
+    t = load_tables(spark, sf_dir)
+    n_cust = t["customer"].count()
+    dim = (
+        t["customer"].select("c_custkey", "c_nationkey")
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("nation"))
+    )
+    stream = _events_stream(spark, sf_dir, "kps_stream_enrich_")
+    joined = (
+        stream.withColumn("c_custkey", F.col("user_id") % n_cust + 1)
+        .join(F.broadcast(dim), "c_custkey")
+        .select("nation", "event_type",
+                F.col("value").cast("decimal(38,6)").alias("v"))
+    )
+    sink = f"st_enrich_{uuid.uuid4().hex[:8]}"
+    q = (joined.groupBy("nation", "event_type")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum("v").alias("tv"))
+         .writeStream.format("memory").queryName(sink)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (
+        spark.table(sink)
+        .select("nation", "event_type", "n_events",
+                F.col("tv").cast("double").alias("total_value"))
+        .orderBy("nation", "event_type")
+    )
