@@ -469,3 +469,61 @@ def test_windowed_agg_drops_late_data_past_watermark(spark, tmp_path):
     # the hour-8 row appears NOWHERE (dropped, never re-emitted)
     assert {h: v[0] for h, v in got.items()} == {10: 4, 11: 1, 12: 1, 13: 1}, got
     # 14/15 windows never finalize before the stream drains → unemitted
+
+
+def test_stateful_sessionize_survives_restart_from_checkpoint(spark, tmp_path):
+    """Durability of custom stateful operators: stop the sessionize
+    stream mid-input, start a NEW query from the same checkpoint, drain
+    the rest — open-session state must be recovered from the state store
+    (a session spanning the restart boundary emits ONCE, with its full
+    event count), and the final session set equals running the stream
+    unbroken."""
+    import datetime as dt
+    import glob
+    import shutil
+
+    from kingfisher_process_spark.streaming.sessions import sessionize_stream
+
+    schema = "user_id long, ts timestamp"
+    base = dt.datetime(2024, 1, 1, 9, 0)
+    # user 1: one session spanning the restart (9:00, 9:10 | 9:20), then
+    # a gap > 30 min, then a closing burst; user 2: one session per half
+    batch_a = [(1, base), (1, base + dt.timedelta(minutes=10)),
+               (2, base)]
+    batch_b = [(1, base + dt.timedelta(minutes=20)),
+               (1, base + dt.timedelta(hours=2)),
+               (2, base + dt.timedelta(hours=2)),
+               (1, base + dt.timedelta(hours=6)),  # watermark pusher
+               (2, base + dt.timedelta(hours=6))]
+    drop = tmp_path / "restart_drop"
+    drop.mkdir()
+    ck = str(tmp_path / "ck")
+    sink_rows = []
+
+    def run_wave(i, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite").parquet(str(tmp_path / f"stage{i}"))
+        src = glob.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        shutil.copy(src, drop / f"wave_{i}.parquet")
+        stream = (spark.readStream.schema(schema).parquet(str(drop))
+                  .select("user_id", "ts"))
+
+        def absorb(batch_df, batch_id):
+            sink_rows.extend(batch_df.collect())
+
+        # memory sink cannot recover from a checkpoint; foreachBatch can
+        q = (sessionize_stream(stream).writeStream.foreachBatch(absorb)
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_wave(0, batch_a)   # first query object dies here (driver restart)
+    run_wave(1, batch_b)   # NEW query, same checkpoint
+
+    got = sorted((r["user_id"], r["session_start"].minute, r["n_events"])
+                 for r in sink_rows)
+    # user 1 session 9:00-9:20 spans the restart: emitted once, 3 events
+    # (state recovered — a lost state store would emit (1, 20, 1) or a
+    # duplicate (1, 0, 2)); the 11:00 singles close when the 15:00
+    # watermark passes; 15:00 sessions stay open (never emitted)
+    assert got == sorted([(1, 0, 3), (1, 0, 1), (2, 0, 1), (2, 0, 1)]), got
