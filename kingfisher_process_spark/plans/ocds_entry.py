@@ -781,3 +781,109 @@ def ocds_compile_skewed_single(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_kind string, ocid string, merged string, release_date string,"
         " hash_md5 string, note_code string, note string, note_data string")
     return _compiled_summary(rel, compiled)
+
+
+# ---------------------------------------------------------------------------
+# Crawl-to-crawl diff: what changed between two compiled collections —
+# the question an analyst asks after every re-crawl. Four deterministic
+# OCID classes (by orderkey mod 4) make every diff class exactly
+# countable: 0 = same (identical release in both), 1 = changed (second
+# crawl adds an award release), 2 = added (new OCID), 3 = removed.
+# ---------------------------------------------------------------------------
+
+CRAWL_DIFF_SQL = """
+  WITH sel AS (
+    SELECT o_orderkey, CAST(o_orderkey % 4 AS INT) AS cls,
+           'ocds-kps-' || o_orderkey AS ocid
+    FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2000) o
+  )
+  SELECT change_type, COUNT(*) AS n_ocids,
+         MIN(ocid) AS min_ocid, MAX(ocid) AS max_ocid
+  FROM (SELECT CASE cls WHEN 0 THEN 'same' WHEN 1 THEN 'changed'
+                        WHEN 2 THEN 'added' ELSE 'removed' END AS change_type,
+               ocid
+        FROM sel) x
+  GROUP BY change_type ORDER BY change_type
+"""
+
+
+@probe("ocds_crawl_diff", CRAWL_DIFF_SQL,
+       survey_ids="C1,C3,audit-ext,U3,J2")
+def ocds_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compile BOTH crawls through the real merge engine, then classify
+    per-OCID changes with ONE full-outer hash join on (ocid, hash_md5) —
+    the same device as snapshot_diff, applied to the reference's central
+    artifact. Both compiles are the single applyInPandas pass (uniform
+    single/double-release groups); the diff join is hash-partitioned on
+    ocid and classification is a map-side CASE. At 100 TB this is two
+    partition-pruned compiled-release scans plus one join — no sort, no
+    collect. The 'same' class is the strong check: it holds only if the
+    merge is byte-deterministic across both runs (canonical JSON +
+    payload tiebreaks)."""
+    from kingfisher_process_spark.operators.compile_release import _merge_group
+
+    t = load_tables(spark, sf_dir)
+    base = t["orders"].orderBy("o_orderkey").limit(2000).select(
+        "o_orderkey", "o_totalprice",
+        (F.col("o_orderkey") % 4).cast("int").alias("cls"),
+        F.concat(F.lit("ocds-kps-"), "o_orderkey").alias("ocid"),
+    )
+
+    def release(tag: str, rid: str, date: str, with_award: bool):
+        fields = [
+            F.col("ocid").alias("ocid"),
+            F.concat(F.col("o_orderkey").cast("string"), F.lit(rid)).alias("id"),
+            F.lit(date).alias("date"),
+            F.array(F.lit(tag)).alias("tag"),
+        ]
+        if with_award:
+            fields.append(F.array(F.struct(
+                F.lit("a-1").alias("id"),
+                F.struct(F.col("o_totalprice").alias("amount"),
+                         F.lit("USD").alias("currency")).alias("value"),
+            )).alias("awards"))
+        return F.to_json(F.struct(*fields))
+
+    def inputs(df, rel_col):
+        return df.select("ocid", F.lit("2020-01-01T00:00:00Z").alias("release_date"),
+                         rel_col.alias("data"),
+                         F.lit(None).cast("string").alias("package_data"))
+
+    r1 = release("tender", "-r1", "2020-01-01T00:00:00Z", False)
+    r2 = release("award", "-r2", "2020-06-01T00:00:00Z", True)
+    v1_in = inputs(base.where(F.col("cls").isin(0, 1, 3)), r1)
+    v2_in = (inputs(base.where(F.col("cls").isin(0, 1, 2)), r1)
+             .unionAll(inputs(base.where(F.col("cls") == 1)
+                              .withColumn("release_date",
+                                          F.lit("2020-06-01T00:00:00Z")), r2)
+                       .select("ocid", F.lit("2020-06-01T00:00:00Z")
+                               .alias("release_date"), "data", "package_data")))
+
+    schema = ("row_kind string, ocid string, merged string, release_date"
+              " string, hash_md5 string, note_code string, note string,"
+              " note_data string")
+
+    def compiled(rel):
+        return (rel.groupBy("ocid").applyInPandas(_merge_group, schema)
+                .where(F.col("row_kind") == "item")
+                .select("ocid", "hash_md5"))
+
+    old = compiled(v1_in).select(F.col("ocid").alias("o_ocid"),
+                                 F.col("hash_md5").alias("o_hash"))
+    new = compiled(v2_in).select(F.col("ocid").alias("n_ocid"),
+                                 F.col("hash_md5").alias("n_hash"))
+    joined = old.join(new, F.col("o_ocid") == F.col("n_ocid"), "full_outer")
+    classified = joined.select(
+        F.coalesce("o_ocid", "n_ocid").alias("ocid"),
+        F.when(F.col("o_ocid").isNull(), "added")
+        .when(F.col("n_ocid").isNull(), "removed")
+        .when(F.col("o_hash") == F.col("n_hash"), "same")
+        .otherwise("changed").alias("change_type"),
+    )
+    return (
+        classified.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_ocids"),
+             F.min("ocid").alias("min_ocid"),
+             F.max("ocid").alias("max_ocid"))
+        .orderBy("change_type")
+    )
