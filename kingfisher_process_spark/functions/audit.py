@@ -296,18 +296,24 @@ def e_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit — orphan counts per foreign key, the
     check a pipeline runs before joining a new drop of data. Each FK is
-    one aggregated existence join; the small parent side broadcasts (or
-    its DISTINCT key set does), so the audit costs one pass over each
-    child table with a map-side probe — never a shuffle of the child.
+    one aggregated existence join over the parent's DISTINCT key set:
+    genuinely-small parents (nation) take a FORCED broadcast (map-side
+    probe, child never shuffles); row-scale parents (orders, customer)
+    must NOT be force-broadcast — at sf100+ their key sets blow the
+    broadcast limit — so they take a plain left join and the planner
+    picks broadcast vs shuffled existence join by size (a Bloom
+    pre-probe, sk_bloom_prejoin_audit, is the cheap first pass when even
+    the shuffle is too much).
     Reference analogue: the deleteorphan maintenance command
     (process/management/commands/deleteorphan.py) reports/wipes orphans
     after manual deletes; this generalizes it to any FK as a query."""
     t = load_tables(spark, sf_dir)
 
     def fk(name: str, child: DataFrame, ckey: str, parent: DataFrame,
-           pkey: str) -> DataFrame:
-        probe_side = F.broadcast(
-            parent.select(F.col(pkey).alias("__pk")).distinct())
+           pkey: str, small_parent: bool = False) -> DataFrame:
+        probe_side = parent.select(F.col(pkey).alias("__pk")).distinct()
+        if small_parent:
+            probe_side = F.broadcast(probe_side)
         return (
             child.join(probe_side, F.col(ckey) == F.col("__pk"), "left")
             .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -317,7 +323,7 @@ def e_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         fk("customer.c_nationkey->nation", t["customer"], "c_nationkey",
-           t["nation"], "n_nationkey")
+           t["nation"], "n_nationkey", small_parent=True)
         .unionAll(fk("lineitem.l_orderkey->orders", t["lineitem"],
                      "l_orderkey", t["orders"], "o_orderkey"))
         .unionAll(fk("orders.o_custkey->customer", t["orders"], "o_custkey",

@@ -304,7 +304,10 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     # in one select (chained withColumn would see the replaced width)
     resized_meta = media.where(F.col("kind") == "image").select(
         *[
-            (F.col(c.name) * scale).cast("int").alias(c.name)
+            # clamp to >=1: an extreme-aspect image must not resize to a
+            # zero dimension the decoders (rightly) reject on re-decode
+            F.greatest(F.lit(1), (F.col(c.name) * scale).cast("int"))
+            .alias(c.name)
             if c.name in ("width", "height") else F.col(c.name)
             for c in MEDIA_SCHEMA.fields
         ]
@@ -438,14 +441,14 @@ def m_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(greatest(1, octet_length(encode(text)) // 2) AS BIGINT)
              AS resized_bytes
     FROM (SELECT doc_id AS media_id, text,
-                 CAST(floor((100 + doc_id % 1000)
+                 greatest(1, CAST(floor((100 + doc_id % 1000)
                       * least(1.0, 256.0 / greatest(100 + doc_id % 1000,
                                                     150 + (doc_id * 7) % 900)))
-                      AS INT) AS width,
-                 CAST(floor((150 + (doc_id * 7) % 900)
+                      AS INT)) AS width,
+                 greatest(1, CAST(floor((150 + (doc_id * 7) % 900)
                       * least(1.0, 256.0 / greatest(100 + doc_id % 1000,
                                                     150 + (doc_id * 7) % 900)))
-                      AS INT) AS height,
+                      AS INT)) AS height,
                  octet_length(encode(text)) AS n_bytes
           FROM documents
           WHERE doc_id % 3 = 0) r

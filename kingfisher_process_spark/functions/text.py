@@ -909,7 +909,7 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str,
         .select(F.split("word", "").alias("l"), "freq")
     ).cache()
     merges: list[tuple[str, str, int]] = []
-    for _ in range(rounds):
+    for r in range(rounds):
         pairs = vocab.select(
             "freq",
             F.explode(F.arrays_zip(
@@ -922,6 +922,8 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str,
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         merges.append((a, b, n))
+        if r + 1 == rounds:
+            break  # the final merge is never applied — skip the fold job
         nxt = vocab.select(_bpe_apply(F.col("l"), a, b).alias("l"), "freq").cache()
         nxt.count()  # materialize the fold OFF the old cache before
         vocab.unpersist()  # evicting it — unpersisting first would force

@@ -844,8 +844,8 @@ def ocds_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )).alias("awards"))
         return F.to_json(F.struct(*fields))
 
-    def inputs(df, rel_col):
-        return df.select("ocid", F.lit("2020-01-01T00:00:00Z").alias("release_date"),
+    def inputs(df, rel_col, date="2020-01-01T00:00:00Z"):
+        return df.select("ocid", F.lit(date).alias("release_date"),
                          rel_col.alias("data"),
                          F.lit(None).cast("string").alias("package_data"))
 
@@ -853,11 +853,8 @@ def ocds_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = release("award", "-r2", "2020-06-01T00:00:00Z", True)
     v1_in = inputs(base.where(F.col("cls").isin(0, 1, 3)), r1)
     v2_in = (inputs(base.where(F.col("cls").isin(0, 1, 2)), r1)
-             .unionAll(inputs(base.where(F.col("cls") == 1)
-                              .withColumn("release_date",
-                                          F.lit("2020-06-01T00:00:00Z")), r2)
-                       .select("ocid", F.lit("2020-06-01T00:00:00Z")
-                               .alias("release_date"), "data", "package_data")))
+             .unionAll(inputs(base.where(F.col("cls") == 1), r2,
+                              date="2020-06-01T00:00:00Z")))
 
     schema = ("row_kind string, ocid string, merged string, release_date"
               " string, hash_md5 string, note_code string, note string,"

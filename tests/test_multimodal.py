@@ -165,3 +165,19 @@ def test_degenerate_and_undecodable_blobs_fall_back_not_crash(spark):
         mm._feature_stub(b"P6\n0 0\n255\n"), abs=1e-6)
     resized = mm.resize_images(media, max_side=2).collect()
     assert len(resized) == 2  # truncation stand-in, no crash
+
+
+def test_extreme_aspect_resize_clamps_to_one_pixel(spark):
+    """A 64x2 image at max_side=8 would naively resize to 8x0; the
+    producer clamps to >=1 so chained stages can still decode it."""
+    img = _gradient(64, 2)
+    media = spark.createDataFrame(
+        [(1, "image", "image/x-portable-pixmap",
+          bytearray(mm.encode_ppm(img)), 64, 2, None)], mm.MEDIA_SCHEMA)
+    row = mm.resize_images(media, max_side=8).collect()[0]
+    assert (row["width"], row["height"]) == (8, 1)
+    out = mm.decode_image(bytes(row["content"]))  # still decodable
+    assert out.size == (8, 1)
+    twice = mm.resize_images(
+        mm.resize_images(media, max_side=8), max_side=8).collect()[0]
+    assert (twice["width"], twice["height"]) == (8, 1)
