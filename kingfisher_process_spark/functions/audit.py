@@ -189,19 +189,29 @@ def t_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference analogue: none (audit extension family).
 # ---------------------------------------------------------------------------
 
-def profile_table(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
+def profile_table(df: DataFrame, columns: list[tuple[str, str]],
+                  exact: bool = True) -> DataFrame:
     """Per-column profile rows for ``columns`` = [(name, kind)] with kind
     in {"num", "str", "ts"}: (col_name, n_rows, n_nulls, n_distinct,
     min_num, max_num, min_str, max_str). Ranges land in the type-true
     slot (numeric → DOUBLE, string → lexicographic, timestamp → UTC
     'yyyy-MM-dd HH:mm:ss' strings) so no cross-engine casts of floats to
-    text are ever compared."""
+    text are ever compared.
+
+    ``exact=False`` swaps COUNT(DISTINCT) for approx_count_distinct
+    (HLL++), which removes the multi-distinct Expand/extra exchange and
+    makes the whole profile ONE fully map-side-combining aggregation
+    pass — the 100 TB setting (plan asserted in
+    tests/test_physical_plans.py). The oracle-checked probe keeps
+    exact=True; n_distinct is then an estimate, everything else is
+    identical."""
+    distinct = F.count_distinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("__n")]
     for name, kind in columns:
         c = F.col(name)
         aggs += [
             F.sum(c.isNull().cast("long")).alias(f"__nulls_{name}"),
-            F.count_distinct(c).alias(f"__nd_{name}"),
+            distinct(c).alias(f"__nd_{name}"),
         ]
         if kind == "num":
             aggs += [F.min(c).cast("double").alias(f"__min_{name}"),

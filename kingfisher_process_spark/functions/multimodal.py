@@ -155,17 +155,145 @@ def encode_bmp(img: DecodedImage) -> bytes:
     return header + info + bytes(raster)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def decode_png(content: bytes) -> DecodedImage:
+    """Pure-stdlib PNG decoder: zlib inflate of the IDAT stream + the
+    five scanline unfilters (None/Sub/Up/Average/Paeth), normalized to
+    RGB24. Covers the real-world baseline — non-interlaced, 8
+    bits/sample, color types 0 (gray), 2 (RGB), 3 (palette), 4
+    (gray+alpha), 6 (RGBA); alpha is dropped (no compositing), palette
+    indexes resolve through PLTE. Interlaced (Adam7) and 16-bit files
+    raise — Pillow's tier covers those."""
+    if content[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    import zlib
+
+    pos, width = 8, None
+    idat, plte = bytearray(), None
+    while pos + 8 <= len(content):
+        (length,), ctype = struct.unpack_from(">I", content, pos), \
+            content[pos + 4:pos + 8]
+        body = content[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            width, height, bit_depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if bit_depth != 8:
+                raise ValueError(
+                    f"unsupported PNG bit depth {bit_depth} — stdlib codec "
+                    "handles 8-bit samples; install Pillow for the rest")
+            if color not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace:
+                raise ValueError("interlaced (Adam7) PNG needs Pillow")
+            if width <= 0 or height <= 0:
+                raise ValueError(f"degenerate PNG dimensions {width}x{height}")
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    nch = _PNG_CHANNELS[color]
+    stride = width * nch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < (stride + 1) * height:
+        raise ValueError("truncated PNG raster")
+    # unfilter scanline-by-scanline: each row is 1 filter byte + stride
+    # sample bytes; Sub/Up/Average/Paeth reference the row above and the
+    # pixel nch bytes to the left
+    prev = bytearray(stride)
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        base = row * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1:base + 1 + stride])
+        if ftype == 1:      # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:    # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:    # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:    # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        dst = row * width * 3
+        if color == 2:          # RGB
+            out[dst:dst + width * 3] = line
+        elif color == 6:        # RGBA → drop alpha
+            for x in range(width):
+                out[dst + 3 * x:dst + 3 * x + 3] = line[4 * x:4 * x + 3]
+        elif color == 0:        # gray
+            for x in range(width):
+                out[dst + 3 * x:dst + 3 * x + 3] = line[x:x + 1] * 3
+        elif color == 4:        # gray+alpha
+            for x in range(width):
+                out[dst + 3 * x:dst + 3 * x + 3] = line[2 * x:2 * x + 1] * 3
+        else:                   # palette
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            for x in range(width):
+                idx = line[x] * 3
+                if idx + 3 > len(plte):
+                    raise ValueError(f"palette index {line[x]} out of range")
+                out[dst + 3 * x:dst + 3 * x + 3] = plte[idx:idx + 3]
+        prev = line
+    return DecodedImage(width, height, bytes(out))
+
+
+def encode_png(img: DecodedImage) -> bytes:
+    """Minimal RGB8 PNG writer (filter 0 rows, one zlib IDAT) — the
+    round-trip partner decode_png's tests pin themselves against."""
+    import zlib
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", img.width, img.height, 8, 2, 0, 0, 0)
+    stride = img.width * 3
+    raw = b"".join(
+        b"\x00" + img.pixels[r * stride:(r + 1) * stride]
+        for r in range(img.height))
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
 def decode_image(content: bytes) -> DecodedImage:
     """Real decode hook. Magic-sniffs the pure-stdlib codecs first (P6
-    PPM, 24-bit BMP — always available, so the pixel path runs in CI),
-    then falls back to Pillow for real formats (feature-flagged — this
-    sandbox ships no imaging library), else raises. The Spark plumbing
-    around it (Arrow batching, schema, partitioning) is identical in
-    every branch; only which codec fills the pixel buffer differs."""
+    PPM, 24-bit BMP, baseline PNG — always available, so the pixel path
+    runs in CI on a real-world format), then falls back to Pillow
+    (feature-flagged — this sandbox ships no imaging library), else
+    raises. The Spark plumbing around it (Arrow batching, schema,
+    partitioning) is identical in every branch; only which codec fills
+    the pixel buffer differs."""
     if content[:2] == b"P6":
         return decode_ppm(content)
     if content[:2] == b"BM":
         return decode_bmp(content)
+    if content[:8] == PNG_MAGIC:
+        return decode_png(content)
     if codec_available():
         import io
 
@@ -184,8 +312,8 @@ def decode_image(content: bytes) -> DecodedImage:
         return DecodedImage(img.width, img.height, img.tobytes())
     raise NotImplementedError(
         "decoding this format requires Pillow (stdlib codecs cover P6 "
-        "PPM and 24-bit BMP) — the Spark plumbing (batching, schema, "
-        "partitioning) is already in place"
+        "PPM, 24-bit BMP, and baseline 8-bit PNG) — the Spark plumbing "
+        "(batching, schema, partitioning) is already in place"
     )
 
 

@@ -157,13 +157,17 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
     if two_phase == "auto":
         # one agg over the (pruned, two-column) envelope decides; the
         # actual hot/cold split is skew_routed_compiled — one
-        # implementation of the routing, two hot-detection inputs
+        # implementation of the routing, two hot-detection inputs.
+        # Deliberately NOT cached: the hot set is scanned at most three
+        # times (existence count + two broadcast builds), each a
+        # column-pruned count agg — caching it leaked a persisted
+        # relation per compile in long-lived drivers (r4 advice).
         hot = (
             releases.join(existing, "ocid", "left_anti")
             .groupBy("ocid").agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > limit)
             .select("ocid")
-        ).cache()
+        )
         compiled = skew_routed_compiled(inputs, batch, extension_schemas,
                                         hot=hot)
     elif two_phase:
@@ -196,10 +200,12 @@ def skew_routed_compiled(inputs: DataFrame, batch: int | None = None,
     merge_fn = (_merge_group if extension_schemas is None else
                 _bind_schemas(_merge_group_impl, extension_schemas))
     if hot is None:
+        # not cached — scanned at most three times, each a pruned count
+        # agg; caching accumulated persisted relations across compiles
         hot = (
             inputs.groupBy("ocid").agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > limit).select("ocid")
-        ).cache()
+        )
     if not hot.limit(1).count():
         return grouped_apply_sorted(
             inputs, ["ocid"], merge_fn, COMPILED_SCHEMA,
@@ -526,3 +532,78 @@ def _persist_notes(store: Store, collection_id: int, compiled: DataFrame,
             pinned_n.unpersist()
         store.advance_next_id("collection_note", nb + n_notes)
     return n_notes
+
+
+# ---------------------------------------------------------------------------
+# Incremental recompile — the production device for recurring crawls.
+# The reference recompiles whole collections every time
+# (process/processors/compiler.py:21-84); at 100 TB a re-crawl that
+# touches 1% of OCIDs must not pay a 100% merge. The dirty set is
+# detected at the RELEASE level (no merge engine involved): per-OCID
+# fingerprints over the raw release rows are order-independent sums of
+# row hashes, so two crawls with identical release sets fingerprint
+# identically regardless of partitioning or arrival order.
+# ---------------------------------------------------------------------------
+
+
+def release_fingerprints(releases: DataFrame) -> DataFrame:
+    """(ocid, n_releases, fp) — an order-independent per-OCID fingerprint
+    of the raw release set: SUM over rows of the first 14 hex digits of
+    md5(release_date || data) as a bigint (commutative, so partition
+    order can't perturb it; 56 bits × count keeps collisions negligible
+    and the sum well inside BIGINT for millions of releases per OCID).
+    ONE column-pruned scan + ONE partially-aggregated groupBy."""
+    row_h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", F.coalesce("release_date", F.lit("")),
+                                      F.coalesce("data", F.lit("")))), 1, 14),
+        16, 10).cast("bigint")
+    return releases.groupBy("ocid").agg(
+        F.count(F.lit(1)).alias("n_releases"),
+        F.sum(row_h).alias("fp"))
+
+
+def dirty_ocids(old_releases: DataFrame, new_releases: DataFrame) -> DataFrame:
+    """OCIDs whose release set changed between crawls, classified:
+    (ocid, change_type ∈ {added, removed, changed}). Unchanged OCIDs are
+    absent — the whole point is that the downstream recompile never sees
+    them. One full-outer hash join of two fingerprint aggregates."""
+    old_fp = release_fingerprints(old_releases).select(
+        F.col("ocid").alias("o_ocid"), F.col("n_releases").alias("o_n"),
+        F.col("fp").alias("o_fp"))
+    new_fp = release_fingerprints(new_releases).select(
+        F.col("ocid").alias("n_ocid"), F.col("n_releases").alias("n_n"),
+        F.col("fp").alias("n_fp"))
+    joined = old_fp.join(new_fp, F.col("o_ocid") == F.col("n_ocid"),
+                         "full_outer")
+    change = (
+        F.when(F.col("o_ocid").isNull(), F.lit("added"))
+        .when(F.col("n_ocid").isNull(), F.lit("removed"))
+        .when((F.col("o_fp") != F.col("n_fp")) | (F.col("o_n") != F.col("n_n")),
+              F.lit("changed")))
+    return (joined.select(F.coalesce("n_ocid", "o_ocid").alias("ocid"),
+                          change.alias("change_type"))
+            .where(F.col("change_type").isNotNull()))
+
+
+def incremental_recompile(old_compiled: DataFrame, old_releases: DataFrame,
+                          new_releases: DataFrame,
+                          batch: int | None = None,
+                          extension_schemas: dict[str, dict] | None = None,
+                          ) -> DataFrame:
+    """Compiled table for the NEW crawl, recompiling ONLY dirty OCIDs.
+
+    kept   = old_compiled rows whose OCID is clean (anti join vs dirty)
+    redone = skew-routed compile of the new crawl's releases for dirty
+             added/changed OCIDs (semi join; removed OCIDs simply drop)
+    result = kept ∪ redone — byte-identical to a full recompile of the
+    new crawl because the merge is byte-deterministic (canonical JSON +
+    payload tiebreaks — the property ocds_crawl_diff's 'same' class
+    already proves), so clean OCIDs' old bytes ARE their recompiled
+    bytes. At scale: two fingerprint aggregates, one broadcast-able
+    dirty set (proportional to the CHANGE, not the corpus), and a merge
+    pass over dirty releases only."""
+    dirty = dirty_ocids(old_releases, new_releases).select("ocid")
+    kept = old_compiled.join(F.broadcast(dirty), "ocid", "left_anti")
+    redo_in = new_releases.join(F.broadcast(dirty), "ocid", "left_semi")
+    redone = skew_routed_compiled(redo_in, batch, extension_schemas)
+    return kept.unionByName(redone)

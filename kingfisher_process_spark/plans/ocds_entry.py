@@ -679,7 +679,7 @@ def ocds_open_close_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Skewed compile (reference issue #460, compiler.py:61-62): ONE hot OCID
-# holding ~1/15 of all orders as releases (10k at sf0.1) next to a uniform
+# holding ~1/3 of all orders as releases (~50k at sf0.1) next to a uniform
 # tail of single-release OCIDs. Unique fixed-width release dates make the
 # merge order — and therefore the surviving award amount — exactly
 # predictable, so the oracle is an arg_max, not a merge engine.
@@ -807,21 +807,12 @@ CRAWL_DIFF_SQL = """
 """
 
 
-@probe("ocds_crawl_diff", CRAWL_DIFF_SQL,
-       survey_ids="C1,C3,audit-ext,U3,J2")
-def ocds_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compile BOTH crawls through the real merge engine, then classify
-    per-OCID changes with ONE full-outer hash join on (ocid, hash_md5) —
-    the same device as snapshot_diff, applied to the reference's central
-    artifact. Both compiles are the single applyInPandas pass (uniform
-    single/double-release groups); the diff join is hash-partitioned on
-    ocid and classification is a map-side CASE. At 100 TB this is two
-    partition-pruned compiled-release scans plus one join — no sort, no
-    collect. The 'same' class is the strong check: it holds only if the
-    merge is byte-deterministic across both runs (canonical JSON +
-    payload tiebreaks)."""
-    from kingfisher_process_spark.operators.compile_release import _merge_group
-
+def _two_crawl_fixture(spark: SparkSession, sf_dir: str
+                       ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(base, v1_in, v2_in): the four-class two-crawl release fixture
+    shared by ocds_crawl_diff and ocds_incremental_compile. ``base``
+    carries (ocid, cls); v1/v2 are merge-stage inputs (ocid,
+    release_date, data, package_data)."""
     t = load_tables(spark, sf_dir)
     base = t["orders"].orderBy("o_orderkey").limit(2000).select(
         "o_orderkey", "o_totalprice",
@@ -855,15 +846,33 @@ def ocds_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2_in = (inputs(base.where(F.col("cls").isin(0, 1, 2)), r1)
              .unionAll(inputs(base.where(F.col("cls") == 1), r2,
                               date="2020-06-01T00:00:00Z")))
+    return base.select("ocid", "cls"), v1_in, v2_in
 
-    schema = ("row_kind string, ocid string, merged string, release_date"
-              " string, hash_md5 string, note_code string, note string,"
-              " note_data string")
 
-    def compiled(rel):
-        return (rel.groupBy("ocid").applyInPandas(_merge_group, schema)
-                .where(F.col("row_kind") == "item")
-                .select("ocid", "hash_md5"))
+def _compiled_items(rel: DataFrame) -> DataFrame:
+    from kingfisher_process_spark.operators.compile_release import (
+        COMPILED_SCHEMA, _merge_group)
+
+    return (rel.groupBy("ocid").applyInPandas(_merge_group, COMPILED_SCHEMA)
+            .where(F.col("row_kind") == "item")
+            .select("ocid", "hash_md5"))
+
+
+@probe("ocds_crawl_diff", CRAWL_DIFF_SQL,
+       survey_ids="C1,C3,audit-ext,U3,J2")
+def ocds_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compile BOTH crawls through the real merge engine, then classify
+    per-OCID changes with ONE full-outer hash join on (ocid, hash_md5) —
+    the same device as snapshot_diff, applied to the reference's central
+    artifact. Both compiles are the single applyInPandas pass (uniform
+    single/double-release groups); the diff join is hash-partitioned on
+    ocid and classification is a map-side CASE. At 100 TB this is two
+    partition-pruned compiled-release scans plus one join — no sort, no
+    collect. The 'same' class is the strong check: it holds only if the
+    merge is byte-deterministic across both runs (canonical JSON +
+    payload tiebreaks)."""
+    _, v1_in, v2_in = _two_crawl_fixture(spark, sf_dir)
+    compiled = _compiled_items
 
     old = compiled(v1_in).select(F.col("ocid").alias("o_ocid"),
                                  F.col("hash_md5").alias("o_hash"))
@@ -880,6 +889,80 @@ def ocds_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         classified.groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n_ocids"),
+             F.min("ocid").alias("min_ocid"),
+             F.max("ocid").alias("max_ocid"))
+        .orderBy("change_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental recompile — closes the crawl-diff loop: instead of
+# recompiling the whole second crawl (the reference's only mode,
+# processors/compiler.py:21-84), detect dirty OCIDs from RELEASE-level
+# fingerprints and recompile only those, merging into the old compiled
+# table. The probe proves the result byte-identical to a full recompile:
+# n_hash_equal counts incremental-vs-full hash_md5 agreement per class
+# and the oracle pins it to the full class population.
+# ---------------------------------------------------------------------------
+
+INCREMENTAL_SQL = """
+  WITH sel AS (
+    SELECT o_orderkey, CAST(o_orderkey % 4 AS INT) AS cls,
+           'ocds-kps-' || o_orderkey AS ocid
+    FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2000) o
+  )
+  SELECT CASE cls WHEN 0 THEN 'same' WHEN 1 THEN 'changed'
+                  ELSE 'added' END AS change_type,
+         COUNT(*) AS n_ocids, COUNT(*) AS n_hash_equal,
+         MIN(ocid) AS min_ocid, MAX(ocid) AS max_ocid
+  FROM sel WHERE cls <> 3
+  GROUP BY change_type ORDER BY change_type
+"""
+
+
+@probe("ocds_incremental_compile", INCREMENTAL_SQL,
+       survey_ids="C1,C3,C4,audit-ext,J2,J3")
+def ocds_incremental_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recompile vs full recompile, proven byte-identical.
+
+    incremental_recompile (operators/compile_release.py) fingerprints
+    both crawls' raw release sets per OCID (order-independent hash sums
+    — no merge engine involved in dirty detection), recompiles ONLY the
+    dirty added/changed OCIDs through the skew-routed production path,
+    and keeps clean OCIDs' old compiled bytes. The full recompile runs
+    every v2 OCID through the single-phase engine. The full-outer join
+    then counts hash_md5 agreement per change class: the oracle pins
+    n_hash_equal == n_ocids for every class, so ONE byte of divergence
+    (a stale kept row, a dropped removed OCID, routing-dependent merge
+    output) breaks the hash match. 'same' is the strong class: those
+    bytes come from the OLD crawl's compile. At 100 TB the win is
+    proportional: two pruned fingerprint aggs + a merge over the change
+    set, never the corpus."""
+    from kingfisher_process_spark.operators.compile_release import (
+        COMPILED_SCHEMA, _merge_group, incremental_recompile)
+
+    base, v1_in, v2_in = _two_crawl_fixture(spark, sf_dir)
+    old_compiled = v1_in.groupBy("ocid").applyInPandas(
+        _merge_group, COMPILED_SCHEMA)
+    inc = (incremental_recompile(old_compiled, v1_in, v2_in)
+           .where(F.col("row_kind") == "item")
+           .select(F.col("ocid").alias("i_ocid"),
+                   F.col("hash_md5").alias("i_hash")))
+    full = _compiled_items(v2_in).select(
+        F.col("ocid").alias("f_ocid"), F.col("hash_md5").alias("f_hash"))
+    joined = inc.join(full, F.col("i_ocid") == F.col("f_ocid"), "full_outer")
+    per_ocid = joined.select(
+        F.coalesce("f_ocid", "i_ocid").alias("ocid"),
+        (F.col("i_hash") == F.col("f_hash")).cast("long").alias("hash_equal"))
+    labelled = per_ocid.join(base, "ocid").select(
+        "ocid", "hash_equal",
+        F.when(F.col("cls") == 0, "same")
+        .when(F.col("cls") == 1, "changed")
+        .otherwise("added").alias("change_type"))
+    return (
+        labelled.groupBy("change_type")
+        .agg(F.count(F.lit(1)).alias("n_ocids"),
+             F.sum("hash_equal").alias("n_hash_equal"),
              F.min("ocid").alias("min_ocid"),
              F.max("ocid").alias("max_ocid"))
         .orderBy("change_type")

@@ -248,9 +248,13 @@ def a9_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids="A3,approx-ext",
 )
 def a10_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The 100 TB path for A3: approx_count_distinct is one pass, no
-    # shuffle of distinct values — exactness swapped for a mergeable
-    # HLL sketch (relative error 1%).
+    """The 100 TB path for A3: approx_count_distinct is one pass, no
+    shuffle of distinct values — exactness swapped for a mergeable
+    HLL++ sketch configured for 1% relative standard deviation. The
+    driver check stays rows-only by design (sketches are
+    engine-specific), but the quality IS pinned in CI:
+    tests/test_approx_quality.py asserts the estimate lands within
+    3×rsd of the exact COUNT(DISTINCT) on the same fixture."""
     t = load_tables(spark, sf_dir)
     return t["orders"].agg(
         F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"),

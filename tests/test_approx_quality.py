@@ -1,0 +1,57 @@
+"""Quality bounds for the approximate operators.
+
+``a10_approx_distinct`` is the registry's one rows-only driver check
+(HLL sketches are engine-specific, so no cross-engine hash can hold).
+That makes CI the place where its guarantee is pinned: the HLL++
+estimate must land within 3× the configured relative standard
+deviation (rsd=0.01) of the exact COUNT(DISTINCT) — the standard
+3-sigma band for the sketch's error model.
+
+``profile_table(exact=False)`` swaps COUNT(DISTINCT) for the same
+sketch; its estimates get the same bound here and its plan shape is
+asserted in test_physical_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from kingfisher_process_spark.functions.audit import (
+    ORDERS_PROFILE_COLS, profile_table)
+from kingfisher_process_spark.plans.base import load_tables
+from tests.conftest import SF_SMOKE
+
+A10_RSD = 0.01  # matches approx_count_distinct("o_custkey", 0.01) in the probe
+BOUND = 3 * A10_RSD
+
+REGISTRY = entrymod._registry()
+
+
+def test_a10_estimate_within_3_rsd_of_exact(spark):
+    row = REGISTRY["a10_approx_distinct"].fn(spark, SF_SMOKE).collect()[0]
+    exact = (load_tables(spark, SF_SMOKE)["orders"]
+             .agg(F.count_distinct("o_custkey")).collect()[0][0])
+    assert exact > 0
+    rel_err = abs(row["approx_customers"] - exact) / exact
+    assert rel_err <= BOUND, (
+        f"HLL estimate {row['approx_customers']} vs exact {exact}: "
+        f"relative error {rel_err:.4f} exceeds 3*rsd={BOUND}")
+
+
+def test_profile_approx_distincts_track_exact(spark):
+    orders = load_tables(spark, SF_SMOKE)["orders"]
+    exact = {r["col_name"]: r for r in
+             profile_table(orders, ORDERS_PROFILE_COLS).collect()}
+    approx = {r["col_name"]: r for r in
+              profile_table(orders, ORDERS_PROFILE_COLS, exact=False).collect()}
+    assert exact.keys() == approx.keys()
+    # default approx_count_distinct rsd is 0.05 → 3-sigma band of 15%
+    for name, er in exact.items():
+        ar = approx[name]
+        # every non-distinct statistic is computed identically
+        for f in ("n_rows", "n_nulls", "min_num", "max_num",
+                  "min_str", "max_str"):
+            assert ar[f] == er[f], (name, f)
+        rel_err = abs(ar["n_distinct"] - er["n_distinct"]) / max(er["n_distinct"], 1)
+        assert rel_err <= 0.15, (name, ar["n_distinct"], er["n_distinct"])

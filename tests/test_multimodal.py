@@ -34,20 +34,41 @@ def test_frame_sampling_explode(spark):
 
 
 def test_decode_feature_flag():
-    """Without a codec the stub raises explicitly; with Pillow installed
-    the same hook decodes for real (skipped-unless-available)."""
+    """Formats outside the stdlib tier (here: JPEG magic) raise
+    explicitly without Pillow; baseline PNG no longer depends on the
+    flag — the stdlib tier decodes it (see the PNG tests below)."""
     if not mm.codec_available():
         with pytest.raises(NotImplementedError):
-            mm.decode_image(b"\x89PNG")
+            mm.decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
         return
-    # minimal valid 1x1 PNG
-    import base64
+    import io
 
-    png = base64.b64decode(
-        b"iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR4nGNg"
-        b"YGAAAAAEAAH2FzhVAAAAAElFTkSuQmCC")
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (1, 1)).save(buf, "JPEG")
+    assert mm.decode_image(buf.getvalue()).size == (1, 1)
+
+
+def test_minimal_gray_png_decodes_without_pillow():
+    # spec-correct 1x1 8-bit grayscale PNG, assembled chunk-by-chunk here
+    # (grayscale + a non-IDAT ancillary chunk — neither shape our RGB-only
+    # encode_png can emit), routed through the magic-sniffing dispatcher
+    import struct
+    import zlib
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    png = (mm.PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+           + chunk(b"tEXt", b"Comment\x00ancillary chunks are skipped")
+           + chunk(b"IDAT", zlib.compress(b"\x00\x8c"))
+           + chunk(b"IEND", b""))
     img = mm.decode_image(png)
     assert img.size == (1, 1)
+    assert img.pixels == b"\x8c\x8c\x8c"
 
 
 def _gradient(width: int, height: int) -> mm.DecodedImage:
@@ -181,3 +202,144 @@ def test_extreme_aspect_resize_clamps_to_one_pixel(spark):
     twice = mm.resize_images(
         mm.resize_images(media, max_side=8), max_side=8).collect()[0]
     assert (twice["width"], twice["height"]) == (8, 1)
+
+
+def test_png_round_trip_rgb():
+    img = _gradient(7, 5)
+    out = mm.decode_image(mm.encode_png(img))
+    assert out.size == (7, 5) and out.pixels == img.pixels
+
+
+def _png_with_filters(img: mm.DecodedImage, filters: list[int]) -> bytes:
+    """Forward-filter each row with the given filter type and wrap in a
+    valid PNG container — exercises the decoder's unfilter paths that
+    encode_png (filter 0 only) never emits."""
+    import struct
+    import zlib
+
+    stride = img.width * 3
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, ft in zip(range(img.height), filters):
+        line = img.pixels[r * stride:(r + 1) * stride]
+        out = bytearray([ft])
+        for i in range(stride):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out.append((line[i] - pred) & 0xFF)
+        raw += out
+        prev = line
+
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", img.width, img.height, 8, 2, 0, 0, 0)
+    return (mm.PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    img = _gradient(6, 5)
+    data = _png_with_filters(img, [0, 1, 2, 3, 4])
+    assert mm.decode_png(data).pixels == img.pixels
+
+
+def test_png_color_type_normalization():
+    import struct
+    import zlib
+
+    def png(color, plte, rows):
+        def chunk(ctype, body):
+            return (struct.pack(">I", len(body)) + ctype + body
+                    + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+        h = len(rows)
+        w = {0: len(rows[0]), 2: len(rows[0]) // 3, 3: len(rows[0]),
+             4: len(rows[0]) // 2, 6: len(rows[0]) // 4}[color]
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + bytes(r) for r in rows)
+        out = mm.PNG_MAGIC + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", bytes(plte))
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # gray → replicated channels
+    assert mm.decode_png(png(0, None, [[7, 200]])).pixels == bytes(
+        [7, 7, 7, 200, 200, 200])
+    # gray+alpha → alpha dropped
+    assert mm.decode_png(png(4, None, [[9, 255, 40, 0]])).pixels == bytes(
+        [9, 9, 9, 40, 40, 40])
+    # RGBA → alpha dropped
+    assert mm.decode_png(png(6, None, [[1, 2, 3, 255, 4, 5, 6, 0]])).pixels \
+        == bytes([1, 2, 3, 4, 5, 6])
+    # palette → PLTE lookup
+    assert mm.decode_png(png(3, [10, 20, 30, 40, 50, 60], [[1, 0]])).pixels \
+        == bytes([40, 50, 60, 10, 20, 30])
+    # palette index past PLTE end is malformed, not silent garbage
+    with pytest.raises(ValueError):
+        mm.decode_png(png(3, [10, 20, 30], [[1]]))
+
+
+def test_png_malformed_and_unsupported_raise():
+    import struct
+    import zlib
+
+    img = _gradient(3, 3)
+    good = mm.encode_png(img)
+    with pytest.raises(ValueError):
+        mm.decode_png(b"\x89PNGnope")
+    with pytest.raises(ValueError):       # truncated raster
+        mm.decode_png(good[:40])
+    # 16-bit and interlaced route to the Pillow tier by raising
+    def with_ihdr(bit_depth, interlace):
+        ihdr = struct.pack(">IIBBBBB", 3, 3, bit_depth, 2, 0, 0, interlace)
+        chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+                 + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+        return mm.PNG_MAGIC + chunk + good[8 + 12 + 13:]
+    with pytest.raises(ValueError):
+        mm.decode_png(with_ihdr(16, 0))
+    with pytest.raises(ValueError):
+        mm.decode_png(with_ihdr(8, 1))
+    # stream where IDAT inflates short
+    def chunk(ctype, body):
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = (mm.PNG_MAGIC + chunk(b"IHDR", ihdr)
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 5)) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        mm.decode_png(short)
+
+
+def test_resize_resamples_real_png_pixels_through_spark(spark):
+    """The real-world-format pixel path end-to-end in Spark: PNG blobs in,
+    mapInPandas decode→resample→re-encode, PNG blobs out with exact
+    nearest-neighbor pixel values."""
+    img = _gradient(8, 4)
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", bytearray(mm.encode_png(img)), 8, 4, None)],
+        mm.MEDIA_SCHEMA)
+    row = mm.resize_images(media, max_side=4).collect()[0]
+    assert (row["width"], row["height"]) == (4, 2)
+    out = mm.decode_image(bytes(row["content"]))
+    assert out.size == (4, 2)
+    # nearest-neighbor at exact 2x downscale: pixel (x,y) ← source (2x,2y)
+    for y in range(2):
+        for x in range(4):
+            src = (2 * y * 8 + 2 * x) * 3
+            assert out.pixels[(y * 4 + x) * 3:(y * 4 + x) * 3 + 3] == \
+                img.pixels[src:src + 3]

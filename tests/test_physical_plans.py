@@ -250,3 +250,27 @@ def test_bpe_pair_count_partial_aggregates(spark):
         best._jdf.queryExecution(), "formatted")
     assert "partial_sum" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan  # argmax is a heap, not a sort
+
+
+def test_profile_approx_drops_expand_and_extra_exchange(spark):
+    # exact=True pays the multi-distinct Expand (each distinct column
+    # fans the input out before the shuffle); exact=False must be ONE
+    # fully map-side-combining aggregation — no Expand node, and no
+    # exchange beyond the single-partition agg + final orderBy
+    from kingfisher_process_spark.functions.audit import (
+        ORDERS_PROFILE_COLS, profile_table)
+    from kingfisher_process_spark.plans.base import load_tables
+
+    orders = load_tables(spark, SF_SMOKE)["orders"]
+
+    def plan(exact):
+        df = profile_table(orders, ORDERS_PROFILE_COLS, exact=exact)
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    exact_plan, approx_plan = plan(True), plan(False)
+    assert "Expand" in exact_plan  # the cost the toggle removes
+    assert "Expand" not in approx_plan, approx_plan
+    assert approx_plan.count("Exchange") < exact_plan.count("Exchange"), (
+        approx_plan)
+    assert approx_plan.count("Exchange") <= 2, approx_plan
