@@ -23,6 +23,8 @@ Scale posture (100 TB / billions of vectors):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -696,23 +698,236 @@ _PQ_SQL_CODES = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# TRAINED PQ codebooks — per-subspace Lloyd's k-means (K=16, the real
+# codebook architecture; the 4-pattern fixed codebook above remains as
+# the recall-comparison baseline). Exactness device: every embedding
+# value quantizes to an integer grid with a POWER-OF-TWO scale
+# (floor(x · 2^20) — a double times 2^20 only shifts the exponent, so
+# the quantization is exact IEEE in Spark, DuckDB, and Python alike),
+# and from there training, encoding, and ADC are pure BIGINT arithmetic:
+# sums are exact and order-independent, centroid updates are
+# floor(sum / count) where sum < 2^53 so the one division is the same
+# IEEE op in all three engines. The DuckDB oracle replays the training
+# itself (seeded init + PQ_TRAIN_ITERS unrolled Lloyd rounds), the same
+# device t_bpe_train uses for iterative training.
+# Reference analogue: none (similarity-search extension family).
+# ---------------------------------------------------------------------------
+
+PQ_TRAIN_K = 16       # centroids per subspace (trained path)
+PQ_TRAIN_ITERS = 2    # Lloyd rounds, unrolled in the oracle
+PQ_GRID = 1 << 20     # power-of-two quantization scale → exact everywhere
+PQ_SEED_LO = N_QUERIES + K_CELLS  # 16 seed vectors, disjoint from IVF's
+
+
+def _quantized(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """vec_id + qa (array<bigint>): the exact integer-grid image of
+    each vector — one map-side projection, the shared input of
+    training, encoding, and ADC tables."""
+    return emb.selectExpr(
+        "vec_id",
+        f"transform({vec_col}, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+        f" * {PQ_GRID}) AS BIGINT)) AS qa")
+
+
+def _cb_literal(cb_m: list[list[int]]) -> str:
+    """One subspace's centroids as an array-of-structs SQL literal."""
+    return "array({})".format(", ".join(
+        "named_struct('c', CAST({c} AS BIGINT), 'v', array({v}))".format(
+            c=c, v=", ".join(f"CAST({x} AS BIGINT)" for x in cb))
+        for c, cb in enumerate(cb_m)))
+
+
+def _sub(m: int) -> str:
+    """Subvector m of the quantized array (1-based slice)."""
+    return f"slice(qa, {m * PQ_DSUB + 1}, {PQ_DSUB})"
+
+
+def _code_exprs(cbs: list[list[list[int]]]) -> list[str]:
+    """code_m = argmin-centroid over the quantized subvector. Uses the
+    expanded form (x-c)² = x² - 2cx + c²: x² is constant per (row, m),
+    so the argmin compares score = Σ(c² - 2cx) — same ordering and the
+    same smallest-c tiebreak (array_min's lexicographic struct
+    compare), 8 multiplies per centroid. Scores are computed with
+    higher-order array functions over a LITERAL centroid array —
+    loop-shaped generated code that stays inside whole-stage codegen
+    where an unrolled 16×8-term expression tree blows Janino's 64 KB
+    method limit and drops the stage to interpreted mode."""
+    return [
+        f"array_min(transform({_cb_literal(cbs[m])},"
+        f" cb -> named_struct('s',"
+        f" aggregate(zip_with({_sub(m)}, cb.v, (a, b) -> b * b - 2 * b * a),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x),"
+        f" 'c', cb.c))).c AS code_{m}"
+        for m in range(PQ_M)]
+
+
+def pq_encode_trained(emb: DataFrame, cbs: list[list[list[int]]],
+                      vec_col: str = "embedding") -> DataFrame:
+    """vec_id + code_0..code_{M-1} under a TRAINED codebook — still a
+    pure map-side projection (quantize, then argmin over broadcast
+    literal centroids): nothing shuffles, the plan shape is identical
+    to the fixed-codebook pq_encode."""
+    return _quantized(emb, vec_col).selectExpr("vec_id", *_code_exprs(cbs))
+
+
+def train_pq_codebooks(emb: DataFrame, k: int = PQ_TRAIN_K,
+                       iters: int = PQ_TRAIN_ITERS,
+                       vec_col: str = "embedding") -> list[list[list[int]]]:
+    """Per-subspace k-means over the integer grid → cbs[m][c][j] ints.
+
+    Scale shape per Lloyd round (same pattern as train_ivf_centroids):
+    ASSIGNMENT is map-side (centroids are literals in the generated
+    projection — no join, no shuffle); UPDATE is one narrow shuffle
+    whose exchange carries M × K × (DSUB+1) partial sums per map task,
+    independent of corpus size; only the K×M×DSUB centroid matrix is
+    ever collected. Deterministic: seeds are the PQ_SEED_LO..+k
+    vectors' quantized subvectors, distances are exact ints with
+    smallest-c tiebreaks, and the centroid update floor(sum/count) is
+    the same IEEE division in Spark SQL, DuckDB, and Python — so the
+    DuckDB oracle's unrolled replay reproduces these codebooks bit for
+    bit. Empty clusters keep their previous centroid."""
+    seed_rows = (_quantized(emb.where((F.col("vec_id") >= PQ_SEED_LO)
+                                      & (F.col("vec_id") < PQ_SEED_LO + k)),
+                            vec_col)
+                 .orderBy("vec_id").collect())
+    if len(seed_rows) != k:
+        raise ValueError(
+            f"need {k} seed vectors with vec_id in "
+            f"[{PQ_SEED_LO}, {PQ_SEED_LO + k}), found {len(seed_rows)}")
+    cbs = [[[seed_rows[c]["qa"][m * PQ_DSUB + j] for j in range(PQ_DSUB)]
+            for c in range(k)] for m in range(PQ_M)]
+    q = _quantized(emb, vec_col)
+    for _ in range(iters):
+        coded = q.selectExpr("qa", *_code_exprs(cbs))
+        structs = ", ".join(
+            f"named_struct('m', CAST({m} AS BIGINT), 'c', code_{m},"
+            f" 'xs', {_sub(m)})"
+            for m in range(PQ_M))
+        narrow = coded.selectExpr(f"explode(array({structs})) AS e")
+        rows = (narrow.groupBy("e.m", "e.c")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.col("e.xs")[j]).alias(f"s{j}")
+                       for j in range(PQ_DSUB)])
+                .collect())
+        got = {(r["m"], r["c"]): r for r in rows}
+        cbs = [[
+            [math.floor(got[(m, c)][f"s{j}"] / got[(m, c)]["n"])
+             for j in range(PQ_DSUB)] if (m, c) in got else cbs[m][c]
+            for c in range(k)] for m in range(PQ_M)]
+    return cbs
+
+
+def _adc_explode_expr(cbs: list[list[list[int]]]) -> str:
+    """explode(...) AS e over the per-query ADC lookup table: one
+    (m, c, d2) entry per centroid — M × K = 128 exact bigint distances
+    per query, the broadcast side of the ADC join. TRUE distances here
+    (the top-k ordering sums across subspaces, so no x² dropping),
+    computed with the same loop-shaped higher-order functions as
+    _code_exprs."""
+    per_m = ", ".join(
+        f"transform({_cb_literal(cbs[m])},"
+        f" cb -> named_struct('m', CAST({m} AS BIGINT), 'c', cb.c,"
+        f" 'd2', aggregate(zip_with({_sub(m)}, cb.v,"
+        f" (a, b) -> (a - b) * (a - b)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)))"
+        for m in range(PQ_M))
+    return f"explode(concat({per_m})) AS e"
+
+
+# ---- DuckDB mirror of the training (unrolled, à la t_bpe_train) ----
+
+_PQT_SQL_Q = f"""
+      SELECT vec_id, rm.m, rj.j,
+             CAST(FLOOR(CAST(embedding[rm.m * 8 + rj.j + 1] AS DOUBLE)
+                        * {PQ_GRID}) AS BIGINT) AS x
+      FROM embeddings, range(8) rm(m), range(8) rj(j)
+"""
+
+_PQT_SQL_CB0 = f"""
+      SELECT m, vec_id - {PQ_SEED_LO} AS c, j, x AS v
+      FROM pqq
+      WHERE vec_id >= {PQ_SEED_LO} AND vec_id < {PQ_SEED_LO + PQ_TRAIN_K}
+"""
+
+
+def _pqt_round_sql(r: int) -> str:
+    """One unrolled Lloyd round: exact-int assignment (smallest-c
+    tiebreak) then floor(sum/count) centroid update, empty clusters
+    COALESCE-ing to their previous value."""
+    return f"""
+    pqasg{r} AS (
+      SELECT vec_id, m, c FROM (
+        SELECT d.vec_id, d.m, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                                  ORDER BY d.d2, d.c) AS rn
+        FROM (SELECT q.vec_id, q.m, cb.c,
+                     SUM((q.x - cb.v) * (q.x - cb.v)) AS d2
+              FROM pqq q JOIN pqcb{r} cb ON cb.m = q.m AND cb.j = q.j
+              GROUP BY q.vec_id, q.m, cb.c) d) t WHERE rn = 1),
+    pqcb{r + 1} AS (
+      SELECT p.m, p.c, p.j,
+             COALESCE(CAST(FLOOR(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
+                      p.v) AS v
+      FROM pqcb{r} p LEFT JOIN (
+        SELECT a.m, a.c, q.j, SUM(q.x) AS sx, COUNT(*) AS n
+        FROM pqasg{r} a JOIN pqq q ON q.vec_id = a.vec_id AND q.m = a.m
+        GROUP BY a.m, a.c, q.j) s
+      ON s.m = p.m AND s.c = p.c AND s.j = p.j)"""
+
+
+def _pqt_train_ctes(iters: int = PQ_TRAIN_ITERS) -> str:
+    """'pqq AS (...), pqcb0 AS (...), pqasg0.., pqcb{iters}' — paste
+    after WITH; downstream CTEs read pqq and pqcb{iters}."""
+    parts = [f"pqq AS ({_PQT_SQL_Q})", f"pqcb0 AS ({_PQT_SQL_CB0})"]
+    parts += [_pqt_round_sql(r).strip() for r in range(iters)]
+    return ",\n    ".join(parts)
+
+
+_PQT_SQL_CODES = f"""
+      SELECT vec_id, m, c AS code FROM (
+        SELECT d.vec_id, d.m, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                                  ORDER BY d.d2, d.c) AS rn
+        FROM (SELECT q.vec_id, q.m, cb.c,
+                     SUM((q.x - cb.v) * (q.x - cb.v)) AS d2
+              FROM pqq q JOIN pqcb{PQ_TRAIN_ITERS} cb
+                ON cb.m = q.m AND cb.j = q.j
+              GROUP BY q.vec_id, q.m, cb.c) d) t WHERE rn = 1
+"""
+
+_PQT_SQL_D2 = f"""
+      SELECT q.vec_id, q.m, cb.c,
+             SUM((q.x - cb.v) * (q.x - cb.v)) AS dist2
+      FROM pqq q JOIN pqcb{PQ_TRAIN_ITERS} cb ON cb.m = q.m AND cb.j = q.j
+      WHERE q.vec_id < {N_QUERIES}
+      GROUP BY q.vec_id, q.m, cb.c
+"""
+
+
 @probe(
     "ann_pq_codes",
     f"""
+    WITH {_pqt_train_ctes()},
+    codes AS ({_PQT_SQL_CODES})
     SELECT m, code, COUNT(*) AS n_vectors,
            MIN(vec_id) AS min_vec, MAX(vec_id) AS max_vec
-    FROM ({_PQ_SQL_CODES}) codes
+    FROM codes
     GROUP BY m, code ORDER BY m, code
     """,
-    survey_ids="similarity-ext,A1",
+    survey_ids="similarity-ext,A1,iterative-ext",
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ encoding census: per (subspace, code) population — the
-    codebook-balance check a PQ deployment monitors (a collapsed code
-    means a dead centroid). Encoding is map-side; the census is one
-    partially-aggregated groupBy over 32 keys."""
+    """TRAINED-PQ encoding census: per (subspace, code) population over
+    the K=16 k-means codebook — the codebook-balance check a PQ
+    deployment monitors (a collapsed code means a dead centroid).
+    Training is PQ_TRAIN_ITERS Lloyd rounds (map-side assignment + one
+    narrow update shuffle each); encoding is map-side; the census is
+    one partially-aggregated groupBy over ≤128 keys. The oracle
+    retrains the same codebook in unrolled SQL — a single drifted
+    centroid coordinate reassigns vectors and breaks the hash."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    codes = pq_encode(emb)
+    codes = pq_encode_trained(emb, train_pq_codebooks(emb))
     narrow = codes.select(
         "vec_id",
         F.explode(F.array(*[
@@ -730,37 +945,10 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@probe(
-    "ann_pq_adc_topk",
-    f"""
-    WITH d2 AS ({_PQ_SQL_D2}),
-    codes AS ({_PQ_SQL_CODES}),
-    adc AS (
-      SELECT t.vec_id AS query_id, n.vec_id AS neighbor_id,
-             SUM(t.dist2) AS adc
-      FROM codes n JOIN d2 t ON t.m = n.m AND t.c = n.code
-      WHERE t.vec_id < {N_QUERIES} AND n.vec_id <> t.vec_id
-      GROUP BY 1, 2)
-    SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist, rnk FROM (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY adc, neighbor_id) AS rnk
-      FROM adc) x WHERE rnk <= {TOP_K}
-    ORDER BY query_id, rnk
-    """,
-    survey_ids="similarity-ext,J1,O5",
-)
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADC top-k: the query never reconstructs a vector — its exact
-    subvectors are compared to every CENTROID once (M × K = 32 decimal
-    distances per query, the classic ADC lookup table, broadcast), and
-    each corpus vector's approximate distance is the sum of 8 table
-    lookups over its codes. At billions of vectors the scan reads 8
-    bytes/vector + one broadcast table — this is why PQ is the memory
-    device of IVF-PQ. Exact decimal arithmetic end-to-end makes the
-    result (and its rank order) bit-identical to the DuckDB oracle."""
-    emb = load_tables(spark, sf_dir)["embeddings"]
-    codes = pq_encode(emb)
-    narrow = codes.select(
+def _pq_narrow_codes(codes: DataFrame) -> DataFrame:
+    """(neighbor_id, m, c): one row per (vector, subspace) — the
+    8-lookups-per-vector side of the ADC join."""
+    return codes.select(
         F.col("vec_id").alias("neighbor_id"),
         F.explode(F.array(*[
             F.struct(F.lit(m).cast("bigint").alias("m"),
@@ -768,6 +956,13 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(PQ_M)
         ])).alias("e"),
     ).select("neighbor_id", "e.m", "e.c")
+
+
+def _pq_adc_topk_fixed_df(emb: DataFrame) -> DataFrame:
+    """ADC top-k under the FIXED sign-pattern codebook (exact decimal
+    pipeline) — retained as the baseline the recall audit compares the
+    trained codebook against."""
+    narrow = _pq_narrow_codes(pq_encode(emb))
     # the 32-entry-per-query ADC table — same shared-partials regrouping
     # and generated-SQL construction as pq_encode (values bit-identical
     # to the naive 32-chain form; the tree is 4x smaller, which is
@@ -796,6 +991,90 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id",
                 F.col("adc").cast("double").alias("adc_dist"), "rnk")
         .orderBy("query_id", "rnk")
+    )
+
+
+_PQ_SQL_ADC_FIXED = f"""
+      SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist, rnk
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rnk
+        FROM (
+          SELECT t.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 SUM(t.dist2) AS adc
+          FROM ({_PQ_SQL_CODES}) n JOIN ({_PQ_SQL_D2}) t
+            ON t.m = n.m AND t.c = n.code
+          WHERE t.vec_id < {N_QUERIES} AND n.vec_id <> t.vec_id
+          GROUP BY 1, 2) a) x
+      WHERE rnk <= {TOP_K}
+"""
+
+
+@probe(
+    "ann_pq_adc_topk",
+    f"""
+    WITH {_pqt_train_ctes()},
+    codes AS ({_PQT_SQL_CODES}),
+    d2 AS ({_PQT_SQL_D2}),
+    adc AS (
+      SELECT t.vec_id AS query_id, n.vec_id AS neighbor_id,
+             SUM(t.dist2) AS adc
+      FROM codes n JOIN d2 t ON t.m = n.m AND t.c = n.code
+      WHERE n.vec_id <> t.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rnk
+      FROM adc) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5,iterative-ext",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k under the TRAINED codebook: the query never
+    reconstructs a vector — its quantized subvectors are compared to
+    every centroid once (M × K = 128 exact bigint distances per query,
+    the classic ADC lookup table, broadcast), and each corpus vector's
+    approximate distance is the sum of 8 table lookups over its codes.
+    At billions of vectors the scan reads 8 bytes/vector + one
+    broadcast table — this is why PQ is the memory device of IVF-PQ.
+    Exact integer-grid arithmetic end-to-end makes the result (and its
+    rank order) bit-identical to a DuckDB oracle that RETRAINS the
+    codebook itself."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return _pq_adc_topk_trained(emb, train_pq_codebooks(emb))
+
+
+def _pq_adc_topk_trained(emb: DataFrame,
+                         cbs: list[list[list[int]]]) -> DataFrame:
+    """ADC top-k under a trained codebook (the body of
+    ann_pq_adc_topk, reusable by the recall audit)."""
+    narrow = _pq_narrow_codes(pq_encode_trained(emb, cbs))
+    table = _pq_adc_table_trained(emb, cbs)
+    adc = (
+        narrow.join(F.broadcast(table), ["m", "c"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.col("adc").cast("double").alias("adc_dist"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _pq_adc_table_trained(emb: DataFrame,
+                          cbs: list[list[list[int]]]) -> DataFrame:
+    """(query_id, m, c, d2): the broadcast ADC lookup table under a
+    trained codebook — 128 exact bigint entries per query."""
+    return (
+        _quantized(emb.where(F.col("vec_id") < N_QUERIES))
+        .selectExpr("vec_id AS query_id", _adc_explode_expr(cbs))
+        .select("query_id", "e.m", "e.c", "e.d2")
     )
 
 
@@ -831,8 +1110,9 @@ _IVF_ROUTE_SQL = f"""
     f"""
     WITH norms AS ({NORMS_SQL}),
     {_IVF_ROUTE_SQL},
-    codes AS ({_PQ_SQL_CODES}),
-    d2 AS ({_PQ_SQL_D2}),
+    {_pqt_train_ctes()},
+    codes AS ({_PQT_SQL_CODES}),
+    d2 AS ({_PQT_SQL_D2}),
     cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
              FROM probes p JOIN asg a ON a.cid = p.cid
              WHERE a.vec_id <> p.query_id),
@@ -848,7 +1128,7 @@ _IVF_ROUTE_SQL = f"""
       FROM adc) x WHERE rnk <= {TOP_K}
     ORDER BY query_id, rnk
     """,
-    survey_ids="similarity-ext,J1,O5",
+    survey_ids="similarity-ext,J1,O5,iterative-ext",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ end-to-end — the full billion-vector serving architecture:
@@ -858,9 +1138,10 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads codes, never raw vectors; raw vectors exist only in the
     broadcast 32-entry/query distance table build. At scale the memory
     story compounds: IVF prunes which codes are read (N_PROBE/K of the
-    corpus), PQ shrinks what a code read costs (8 B vs 256 B). Exact
-    decimal arithmetic end-to-end keeps the result bit-identical to the
-    composed DuckDB oracle."""
+    corpus), PQ shrinks what a code read costs (8 B vs 256 B). Codes
+    and ADC tables come from the TRAINED K=16 codebook; exact
+    integer-grid arithmetic end-to-end keeps the result bit-identical
+    to the composed DuckDB oracle, which replays the training too."""
     from kingfisher_process_spark.functions.dedup import fanout
 
     t = load_tables(spark, sf_dir)
@@ -890,25 +1171,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("neighbor_id") != F.col("query_id"))
             .select("query_id", "neighbor_id"))
 
-    codes = pq_encode(t["embeddings"])
-    narrow = codes.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(m).cast("bigint").alias("m"),
-                     F.col(f"code_{m}").alias("c"))
-            for m in range(PQ_M)
-        ])).alias("e"),
-    ).select("neighbor_id", "e.m", "e.c")
-    structs = ", ".join(
-        f"named_struct('m', CAST({m} AS BIGINT), 'c', CAST({c} AS BIGINT),"
-        f" 'd2', {a}_{m} + {b}_{m})"
-        for m in range(PQ_M) for c, (a, b) in enumerate(PQ_COMBOS))
-    table = (
-        t["embeddings"].where(F.col("vec_id") < N_QUERIES)
-        .selectExpr("vec_id AS query_id", *_pq_partial_exprs("embedding"))
-        .selectExpr("query_id", f"explode(array({structs})) AS e")
-        .select("query_id", "e.m", "e.c", "e.d2")
-    )
+    cbs = train_pq_codebooks(t["embeddings"])
+    narrow = _pq_narrow_codes(pq_encode_trained(t["embeddings"], cbs))
+    table = _pq_adc_table_trained(t["embeddings"], cbs)
     adc = (
         cand.join(narrow, "neighbor_id")
         .join(F.broadcast(table), ["query_id", "m", "c"])
@@ -922,4 +1187,112 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id",
                 F.col("adc").cast("double").alias("adc_dist"), "rnk")
         .orderBy("query_id", "rnk")
+    )
+
+
+_PQT_SQL_ADC_TOPK = None  # assigned below (needs the train CTE text)
+
+
+def _pqt_adc_topk_sql() -> str:
+    """Trained ADC top-k as a CTE body (matches ann_pq_adc_topk)."""
+    return f"""
+      SELECT query_id, neighbor_id, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rnk
+        FROM (
+          SELECT t.vec_id AS query_id, n.vec_id AS neighbor_id,
+                 SUM(t.dist2) AS adc
+          FROM pqtcodes n JOIN pqtd2 t ON t.m = n.m AND t.c = n.code
+          WHERE n.vec_id <> t.vec_id
+          GROUP BY 1, 2) a) x
+      WHERE rnk <= {TOP_K}
+"""
+
+
+@probe(
+    "ann_pq_recall_audit",
+    f"""
+    WITH {_pqt_train_ctes()},
+    pqtcodes AS ({_PQT_SQL_CODES}),
+    pqtd2 AS ({_PQT_SQL_D2}),
+    tr AS ({_pqt_adc_topk_sql()}),
+    fx AS ({_PQ_SQL_ADC_FIXED}),
+    gt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT g.query_id, g.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY g.query_id
+                                  ORDER BY g.d2, g.neighbor_id) AS rn
+        FROM (SELECT qq.vec_id AS query_id, qn.vec_id AS neighbor_id,
+                     SUM((qq.x - qn.x) * (qq.x - qn.x)) AS d2
+              FROM pqq qq JOIN pqq qn ON qn.m = qq.m AND qn.j = qq.j
+              WHERE qq.vec_id < {N_QUERIES} AND qn.vec_id <> qq.vec_id
+              GROUP BY 1, 2) g) t
+      WHERE rn <= {TOP_K})
+    SELECT gt.query_id,
+           CAST(COUNT(tr.neighbor_id) AS BIGINT) AS n_hit_trained,
+           CAST(COUNT(fx.neighbor_id) AS BIGINT) AS n_hit_fixed,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(tr.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_trained,
+           CAST(COUNT(fx.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_fixed
+    FROM gt
+    LEFT JOIN tr ON tr.query_id = gt.query_id
+                AND tr.neighbor_id = gt.neighbor_id
+    LEFT JOIN fx ON fx.query_id = gt.query_id
+                AND fx.neighbor_id = gt.neighbor_id
+    GROUP BY gt.query_id
+    ORDER BY gt.query_id
+    """,
+    survey_ids="similarity-ext,J2,A1,iterative-ext",
+)
+def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codebook-quality acceptance check: recall@k of the TRAINED
+    (K=16 k-means) and FIXED (4 sign patterns) PQ-ADC paths against the
+    same exact ground truth — L2 top-k on the integer grid, so every
+    number (ground truth, both top-k sets, both recalls) is exact and
+    the whole audit is hash-checked cross-engine. The trained codebook
+    must not lose to the baseline: tests/test_pq.py pins
+    recall_trained ≥ recall_fixed in aggregate. At 100 TB the ground
+    truth runs over a sampled query set (these N_QUERIES queries ARE
+    that sample); each side of the audit joins only 2×k rows per
+    query."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cbs = train_pq_codebooks(emb)
+    tr = (_pq_adc_topk_trained(emb, cbs)
+          .select(F.col("query_id").alias("tq"),
+                  F.col("neighbor_id").alias("tn")))
+    fx = (_pq_adc_topk_fixed_df(emb)
+          .select(F.col("query_id").alias("fq"),
+                  F.col("neighbor_id").alias("fn")))
+    qq = (_quantized(emb.where(F.col("vec_id") < N_QUERIES))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qa").alias("qs")))
+    corpus = _quantized(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qa").alias("qn"))
+    d2 = (corpus.crossJoin(F.broadcast(qq))
+          .where(F.col("neighbor_id") != F.col("query_id"))
+          .selectExpr("query_id", "neighbor_id",
+                      "aggregate(zip_with(qs, qn, (a, b) ->"
+                      " (a - b) * (a - b)), CAST(0 AS BIGINT),"
+                      " (acc, x) -> acc + x) AS d2"))
+    wg = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    gt = (d2.withColumn("rn", F.row_number().over(wg))
+          .where(F.col("rn") <= TOP_K)
+          .select("query_id", "neighbor_id"))
+    joined = (
+        gt.join(tr, (F.col("tq") == F.col("query_id"))
+                & (F.col("tn") == F.col("neighbor_id")), "left")
+        .join(fx, (F.col("fq") == F.col("query_id"))
+              & (F.col("fn") == F.col("neighbor_id")), "left")
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("tn").alias("n_hit_trained"),
+             F.count("fn").alias("n_hit_fixed"),
+             F.count(F.lit(1)).alias("k"))
+        .select("query_id", "n_hit_trained", "n_hit_fixed", "k",
+                (F.col("n_hit_trained").cast("double") / F.col("k"))
+                .alias("recall_trained"),
+                (F.col("n_hit_fixed").cast("double") / F.col("k"))
+                .alias("recall_fixed"))
+        .orderBy("query_id")
     )

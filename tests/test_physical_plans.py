@@ -274,3 +274,16 @@ def test_profile_approx_drops_expand_and_extra_exchange(spark):
     assert approx_plan.count("Exchange") < exact_plan.count("Exchange"), (
         approx_plan)
     assert approx_plan.count("Exchange") <= 2, approx_plan
+
+
+def test_trained_pq_encode_is_shuffle_free(spark):
+    from kingfisher_process_spark.functions.similarity import (
+        pq_encode_trained, train_pq_codebooks)
+    from kingfisher_process_spark.plans.base import load_tables
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    df = pq_encode_trained(emb, train_pq_codebooks(emb))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan, plan  # map-side projections only
+    assert "BatchEvalPython" not in plan
