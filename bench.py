@@ -120,6 +120,25 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
 
+    # Batched BPE trainer at a ≥256-merge request — not a registry probe
+    # (a batched schedule has no tractable SQL oracle; t_bpe_train's
+    # 4-round oracle pins the sequential semantics it approximates), so
+    # it is timed here directly. The synthetic corpus (31 distinct
+    # words) exhausts at ~100 learnable merges; the entry measures the
+    # rounds-collapse device (top-k disjoint merges per Spark round),
+    # which is what must hold at a real 32k-merge vocabulary.
+    from kingfisher_process_spark.functions.text import bpe_train_batched
+    from kingfisher_process_spark.plans.base import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        bpe_train_batched(docs, n_merges=256, batch=32)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["t_bpe_train_batched_256"] = round(best, 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
