@@ -38,69 +38,64 @@ def _registry():
 
     # The driver's correctness gate verifies the first 50 registry entries
     # (r1 captured exactly registry[:50]). Rotation policy (judge r2 §9 +
-    # advisor, reaffirmed r3 "Next round" #1): probes already
+    # advisor, reaffirmed every round since): probes already
     # driver-triple-green in a past round rotate OUT to make room for
     # previously-unchecked ones. Everything outside the cap is still
     # verified every CI run by tests/test_oracle_parity.py, which walks
     # the FULL registry against the same DuckDB oracle — the cap selects
     # what the driver re-checks, never what gets verified at all.
     #
-    # r4 cap = the 44 probes that have never been inside the r2/r3 cap
-    # (the r1 window predates the canonicalization fix and counts as
-    # unchecked) + 6 sentinels, one per family, all r2/r3-triple-green:
-    # q1_pricing_summary (relational agg, also the entry flagship),
-    # ocds_compile_pipeline (OCDS), st_ingest_pipeline (streaming),
-    # d_dup_clusters_lss (dedup), ann_recall_audit (ANN),
-    # t_sequence_packing (text). Multimodal's sentinel IS in the 44
-    # (m_resize_images, never checked).
+    # ROTATION LEDGER through r5 (judge r4 "Next round" #1):
+    #   r2 window: the 16-probe hash-mismatch fix-proof set + 34 more —
+    #     every probe then registered except the r3 additions.
+    #   r3 window: 44 previously-unchecked + 6 sentinels — all green.
+    #   r4 window: the remaining 44 never-checked (TPC-H tail, a9-a15,
+    #     w2/w5/p7, f_datetime, funnel/estimator audits, text
+    #     fingerprint family, LSH/ANN variants, m_resize_images,
+    #     partitioned MV, two OCDS pipelines) + 6 sentinels — all green.
+    #   r5 window (this one): the 14 r4-ADDED probes that have never had
+    #     a driver row + the 2 r5 additions (ocds_incremental_compile,
+    #     ann_pq_recall_audit) + 6 family sentinels + the 28
+    #     longest-unchecked probes (last driver-checked in r2; the other
+    #     three r2-era probes — a4_minmax_prefix, o6_newest_first,
+    #     u2_union_all_counts — rotate in r6, their shapes are covered
+    #     in-cap by a3/a7/o3/u1/u3).
+    #   After r5 every registered probe has ≥1 driver-green row.
+    # NOTE: ann_pq_codes / ann_pq_adc_topk / ann_ivfpq_topk carry NEW
+    # trained-codebook oracles this round (r5 change) — their r5 rows
+    # are their first driver checks, now against the stronger oracle.
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",
-        "st_ingest_pipeline", "d_dup_clusters_lss", "ann_recall_audit",
-        "t_sequence_packing",
-        # never-driver-checked: TPC-H tail
-        "q2_min_cost_supplier", "q3_unshipped_orders", "q4_order_priority",
-        "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-        "q10_returned_revenue", "q11_important_stock",
-        "q12_late_lines_by_flag", "q13_order_count_distribution",
-        "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_count_by_part", "q17_below_avg_quantity",
-        "q18_large_orders", "q19_disjunctive_revenue",
-        "q20_suppliers_with_excess", "q21_waiting_supplier",
-        "q22_wealthy_inactive_customers",
-        # never-driver-checked: aggregation / window / predicate shapes
-        "a9_rollup_revenue", "a10_approx_distinct", "a11_cube_volume",
-        "a13_conditional_agg", "a14_pivot_status_counts",
-        "a15_unpivot_monthly_metrics", "w2_rank_by_balance",
-        "w5_cumulative_distinct_buyers", "p7_null_semantics",
-        "f_datetime_functions", "e_funnel_conversion",
-        # never-driver-checked: dedup / text / ANN / multimodal
-        "d_ngram_jaccard_pairs", "d_simhash_signatures",
-        "d_curation_funnel", "d_minhash_estimate_audit",
-        "t_bpe_token_counts", "t_winnow_fingerprints", "t_fingerprint",
-        "t_repetition_metrics", "ann_lsh_topk", "s_lsh_buckets",
-        "m_resize_images",
-        # never-driver-checked: streaming + OCDS pipeline
-        "st_incremental_rollup_partitioned",
-        "ocds_tender_value_by_currency", "ocds_open_close_pipeline",
+        "st_ingest_pipeline", "d_dup_clusters_lss",
+        "t_sequence_packing", "m_resize_images",
+        # never-driver-checked: r4/r5 additions
+        "ann_pq_codes", "ann_pq_adc_topk", "ann_ivfpq_topk",
+        "ann_pq_recall_audit", "t_bpe_train", "t_bpe_encode",
+        "ocds_compile_skewed", "ocds_compile_skewed_single",
+        "ocds_crawl_diff", "ocds_incremental_compile",
+        "e_profile_orders", "e_referential_audit",
+        "e_session_window_builtin", "st_dedup_watermarked",
+        "st_stream_static_enrich", "w6_quartile_spend_by_segment",
+        # longest-unchecked (last driver row: r2)
+        "a3_distinct_counts", "a7_group_counter", "a8_exists_guard",
+        "j2_customers_without_orders", "j3_customers_with_open_orders",
+        "o3_latest_order_per_customer", "u1_union_distinct_buyers",
+        "u3_except_inactive_customers", "p6_json_predicate",
+        "f_scalar_functions", "j4_explode_token_counts",
+        "j5_recursive_tree", "d_exact_dup_groups", "d_minhash_lsh_pairs",
+        "d_simhash_near_pairs", "d_dup_clusters", "t_token_stats",
+        "t_langid_heuristic", "t_pii_redact", "ann_brute_force_topk",
+        "s_embedding_near_dups", "ann_ivf_topk", "m_media_features",
+        "m_frame_sample", "st_sessionize", "st_dedup_ingest",
+        "ocds_upgrade_parties", "ocds_orphan_wipe",
     ]
-    # Rotated out for r4 (all r2/r3-driver-triple-green, still verified
-    # every CI run): the 16-probe r2 hash-mismatch fix-proof set minus
-    # the two kept as sentinels, plus the whole r3 rotation
-    # (q5, q9, a6, a12, p3, p5_json_extract_agg, p5_variant_json, w1, w3,
-    # w4, e_sessionize, e_hourly_event_rollup, e_asof, e_range_join,
-    # e_multires, e_scd2, e_dedup_consecutive, e_key_skew_audit,
-    # f_array_functions, f_scalar siblings, t_stratified_split,
-    # t_mixture_sample, t_quality_scores, t_global_shuffle_shards,
-    # t_table_fingerprint, t_table_diff, t_chunk_documents, t_bm25_search,
-    # d_decontaminate, d_lsh_bucket_stats, d_simhash_banded_pairs,
-    # d_shared_window_dups, sk_count_min, sk_bloom_prejoin_audit,
-    # u4_intersect, j7_salted_skew_join, m_embed_ann, ocds_compile_two_phase,
-    # ocds_versioned_release, ocds_record_ladder, ocds_check_errors,
-    # st_hourly_rollup, st_stream_stream_join, st_cdc_collapse,
-    # st_incremental_rollup). Probes ADDED in r4 sit below the cap
-    # (CI-verified now, rotate into the r5 window).
-    ordered = {n: REGISTRY[n] for n in priority if n in REGISTRY}
+    missing = set(priority) - REGISTRY.keys()
+    # a misspelled priority name would silently pull a different probe
+    # into the driver-verified window (r4 advice)
+    assert not missing, f"priority names not in registry: {sorted(missing)}"
+    assert len(priority) == len(set(priority)) == 50, len(priority)
+    ordered = {n: REGISTRY[n] for n in priority}
     ordered.update((n, p) for n, p in REGISTRY.items() if n not in ordered)
     return ordered
 
