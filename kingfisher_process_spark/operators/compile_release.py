@@ -547,19 +547,22 @@ def _persist_notes(store: Store, collection_id: int, compiled: DataFrame,
 
 
 def release_fingerprints(releases: DataFrame) -> DataFrame:
-    """(ocid, n_releases, fp) — an order-independent per-OCID fingerprint
-    of the raw release set: SUM over rows of the first 14 hex digits of
-    md5(release_date || data) as a bigint (commutative, so partition
-    order can't perturb it; 56 bits × count keeps collisions negligible
-    and the sum well inside BIGINT for millions of releases per OCID).
-    ONE column-pruned scan + ONE partially-aggregated groupBy."""
-    row_h = F.conv(
-        F.substring(F.md5(F.concat_ws("\x1f", F.coalesce("release_date", F.lit("")),
-                                      F.coalesce("data", F.lit("")))), 1, 14),
-        16, 10).cast("bigint")
+    """(ocid, n_releases, fp1, fp2) — an order-independent per-OCID
+    fingerprint of the raw release set: SUMs over rows of two
+    independent 32-bit slices of md5(release_date || data) (commutative,
+    so partition order can't perturb them). Two 32-bit sums give
+    ~64-bit collision strength while keeping each sum safely inside
+    BIGINT even at a billion releases per OCID (2^32 × 2^30 < 2^63 —
+    a single wider hash would overflow at millions). ONE column-pruned
+    scan + ONE partially-aggregated groupBy."""
+    h = F.md5(F.concat_ws("\x1f", F.coalesce("release_date", F.lit("")),
+                          F.coalesce("data", F.lit(""))))
+    slice1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    slice2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
     return releases.groupBy("ocid").agg(
         F.count(F.lit(1)).alias("n_releases"),
-        F.sum(row_h).alias("fp"))
+        F.sum(slice1).alias("fp1"),
+        F.sum(slice2).alias("fp2"))
 
 
 def dirty_ocids(old_releases: DataFrame, new_releases: DataFrame) -> DataFrame:
@@ -569,16 +572,18 @@ def dirty_ocids(old_releases: DataFrame, new_releases: DataFrame) -> DataFrame:
     them. One full-outer hash join of two fingerprint aggregates."""
     old_fp = release_fingerprints(old_releases).select(
         F.col("ocid").alias("o_ocid"), F.col("n_releases").alias("o_n"),
-        F.col("fp").alias("o_fp"))
+        F.col("fp1").alias("o_fp1"), F.col("fp2").alias("o_fp2"))
     new_fp = release_fingerprints(new_releases).select(
         F.col("ocid").alias("n_ocid"), F.col("n_releases").alias("n_n"),
-        F.col("fp").alias("n_fp"))
+        F.col("fp1").alias("n_fp1"), F.col("fp2").alias("n_fp2"))
     joined = old_fp.join(new_fp, F.col("o_ocid") == F.col("n_ocid"),
                          "full_outer")
     change = (
         F.when(F.col("o_ocid").isNull(), F.lit("added"))
         .when(F.col("n_ocid").isNull(), F.lit("removed"))
-        .when((F.col("o_fp") != F.col("n_fp")) | (F.col("o_n") != F.col("n_n")),
+        .when((F.col("o_fp1") != F.col("n_fp1"))
+              | (F.col("o_fp2") != F.col("n_fp2"))
+              | (F.col("o_n") != F.col("n_n")),
               F.lit("changed")))
     return (joined.select(F.coalesce("n_ocid", "o_ocid").alias("ocid"),
                           change.alias("change_type"))

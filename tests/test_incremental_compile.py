@@ -1,0 +1,89 @@
+"""Incremental recompile units: fingerprint order-independence, dirty
+classification, and byte-identity with a full recompile (the corpus-level
+probe ocds_incremental_compile is the oracle-checked version; these pin
+the pieces directly on adversarial fixtures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.operators.compile_release import (
+    COMPILED_SCHEMA, _merge_group, dirty_ocids, incremental_recompile,
+    release_fingerprints)
+
+REL_SCHEMA = ("ocid string, release_date string, data string,"
+              " package_data string")
+
+
+def _rel(spark, rows):
+    return spark.createDataFrame(
+        [(o, d, s, None) for o, d, s in rows], REL_SCHEMA)
+
+
+def test_fingerprints_are_order_and_partitioning_independent(spark):
+    rows = [("ocds-1", f"2020-01-{i:02d}", f'{{"ocid":"ocds-1","id":"{i}"}}')
+            for i in range(1, 21)]
+    a = release_fingerprints(_rel(spark, rows)).collect()[0]
+    b = release_fingerprints(
+        _rel(spark, list(reversed(rows))).repartition(7)).collect()[0]
+    assert (a["n_releases"], a["fp1"], a["fp2"]) == \
+        (b["n_releases"], b["fp1"], b["fp2"])
+    # one changed byte flips the fingerprint
+    rows[3] = (rows[3][0], rows[3][1], rows[3][2].replace('"4"', '"x"'))
+    c = release_fingerprints(_rel(spark, rows)).collect()[0]
+    assert (c["fp1"], c["fp2"]) != (a["fp1"], a["fp2"])
+
+
+def test_dirty_ocids_classifies_all_four_transitions(spark):
+    old = _rel(spark, [
+        ("same", "d1", '{"ocid":"same","id":"1"}'),
+        ("changed", "d1", '{"ocid":"changed","id":"1"}'),
+        ("removed", "d1", '{"ocid":"removed","id":"1"}'),
+        # count-only change: same single row duplicated in the new crawl
+        ("grew", "d1", '{"ocid":"grew","id":"1"}'),
+    ])
+    new = _rel(spark, [
+        ("same", "d1", '{"ocid":"same","id":"1"}'),
+        ("changed", "d2", '{"ocid":"changed","id":"2"}'),
+        ("added", "d1", '{"ocid":"added","id":"1"}'),
+        ("grew", "d1", '{"ocid":"grew","id":"1"}'),
+        ("grew", "d1", '{"ocid":"grew","id":"1"}'),
+    ])
+    got = {r["ocid"]: r["change_type"]
+           for r in dirty_ocids(old, new).collect()}
+    assert got == {"changed": "changed", "removed": "removed",
+                   "added": "added", "grew": "changed"}  # 'same' absent
+
+
+def test_incremental_equals_full_recompile_bytes(spark):
+    def release(ocid, rid, date, amount=None):
+        body = f'"ocid":"{ocid}","id":"{rid}","date":"{date}"'
+        if amount is not None:
+            body += (',"awards":[{"id":"a-1","value":'
+                     f'{{"amount":{amount},"currency":"USD"}}}}]')
+        return "{" + body + "}"
+
+    old_rel = _rel(spark, [
+        ("keep", "2020-01-01", release("keep", "k1", "2020-01-01")),
+        ("mod", "2020-01-01", release("mod", "m1", "2020-01-01")),
+        ("gone", "2020-01-01", release("gone", "g1", "2020-01-01")),
+    ])
+    new_rel = _rel(spark, [
+        ("keep", "2020-01-01", release("keep", "k1", "2020-01-01")),
+        ("mod", "2020-01-01", release("mod", "m1", "2020-01-01")),
+        ("mod", "2020-06-01", release("mod", "m2", "2020-06-01", 12.5)),
+        ("new", "2020-01-01", release("new", "n1", "2020-01-01", 3.25)),
+    ])
+    old_compiled = old_rel.groupBy("ocid").applyInPandas(
+        _merge_group, COMPILED_SCHEMA)
+    inc = incremental_recompile(old_compiled, old_rel, new_rel)
+    full = new_rel.groupBy("ocid").applyInPandas(
+        _merge_group, COMPILED_SCHEMA)
+    inc_rows = {r["ocid"]: r for r in
+                inc.where(F.col("row_kind") == "item").collect()}
+    full_rows = {r["ocid"]: r for r in
+                 full.where(F.col("row_kind") == "item").collect()}
+    assert set(inc_rows) == set(full_rows) == {"keep", "mod", "new"}
+    for ocid in full_rows:
+        assert inc_rows[ocid]["merged"] == full_rows[ocid]["merged"], ocid
+        assert inc_rows[ocid]["hash_md5"] == full_rows[ocid]["hash_md5"]
