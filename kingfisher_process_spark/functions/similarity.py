@@ -1208,9 +1208,6 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PQT_SQL_ADC_TOPK = None  # assigned below (needs the train CTE text)
-
-
 def _pqt_adc_topk_sql() -> str:
     """Trained ADC top-k as a CTE body (matches ann_pq_adc_topk)."""
     return f"""
