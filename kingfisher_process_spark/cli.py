@@ -103,6 +103,17 @@ def build_parser() -> argparse.ArgumentParser:
     sdiff.add_argument("--keys", required=True,
                        help="comma-separated key columns")
 
+    recomp = sub.add_parser(
+        "recompile",
+        help="incremental recompile: reuse an old compiled collection's "
+             "bytes for OCIDs whose release set is unchanged")
+    recomp.add_argument("old_parent", type=int)
+    recomp.add_argument("new_parent", type=int)
+    recomp.add_argument("old_compiled", type=int)
+    recomp.add_argument("new_compiled", type=int)
+    recomp.add_argument("--batch", type=int, default=None,
+                        help="hot-OCID routing threshold (releases/OCID)")
+
     serve = sub.add_parser("serve", help="run the REST API (wsgiref)")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
@@ -201,6 +212,16 @@ def main(argv: list[str] | None = None) -> int:
 
         n = check_collection(store, args.collection_id, kind=args.kind)
         print(json.dumps({"checked": n}))
+        return 0
+
+    if args.command == "recompile":
+        from kingfisher_process_spark.operators.compile_release import (
+            incremental_compile_collection)
+
+        counts = incremental_compile_collection(
+            store, args.old_parent, args.new_parent,
+            args.old_compiled, args.new_compiled, batch=args.batch)
+        print(json.dumps(counts))
         return 0
 
     if args.command == "snapshot":

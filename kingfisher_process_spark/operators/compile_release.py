@@ -612,3 +612,57 @@ def incremental_recompile(old_compiled: DataFrame, old_releases: DataFrame,
     redo_in = new_releases.join(F.broadcast(dirty), "ocid", "left_semi")
     redone = skew_routed_compiled(redo_in, batch, extension_schemas)
     return kept.unionByName(redone)
+
+
+def incremental_compile_collection(store: Store, old_parent_id: int,
+                                   new_parent_id: int, old_compiled_id: int,
+                                   new_compiled_id: int,
+                                   batch: int | None = None,
+                                   extension_schemas: dict[str, dict] | None = None,
+                                   ) -> dict:
+    """Store-level incremental recompile: compile ``new_parent_id`` into
+    ``new_compiled_id`` (assumed empty), reusing ``old_compiled_id``'s
+    stored bytes for every OCID whose raw release set is unchanged vs
+    ``old_parent_id``.
+
+    Reuse is conservative: an OCID is kept only if it is fingerprint-
+    clean AND has a stored compiled item row — clean OCIDs that
+    previously produced notes only (ocid-less, incomposable) recompile,
+    since their notes are stored without an OCID key and cannot be
+    re-attributed. Kept rows rebuild their COMPILED_SCHEMA shape from
+    the stored canonical payload (hash_md5 = md5 of those bytes, the
+    same definition the merge path writes). At 100 TB: two pruned
+    fingerprint aggregates + one partition-pruned read of the old
+    compiled collection; the merge engine runs only over the change
+    set. Byte-parity with a from-scratch compile is pinned by
+    tests/test_incremental_compile.py."""
+    def merge_inputs(pid: int) -> DataFrame:
+        releases = store.read("release").where(F.col("collection_id") == pid)
+        data = store.read("data").select(F.col("id").alias("data_id"), "data")
+        pkg = store.read("package_data").select(
+            F.col("id").alias("package_data_id"),
+            F.col("data").alias("package_data"))
+        return (releases.join(data, "data_id")
+                .join(pkg, "package_data_id", "left")
+                .select("ocid", "release_date", "data", "package_data"))
+
+    old_in, new_in = merge_inputs(old_parent_id), merge_inputs(new_parent_id)
+    dirty = dirty_ocids(old_in, new_in).select("ocid")
+    payload = store.read("data").select(
+        F.col("id").alias("data_id"), F.col("data").alias("merged"))
+    kept = (
+        store.read("compiled_release")
+        .where(F.col("collection_id") == old_compiled_id)
+        .join(F.broadcast(dirty), "ocid", "left_anti")
+        .join(payload, "data_id")
+        .select(
+            F.lit("item").alias("row_kind"), "ocid", "merged",
+            "release_date", F.md5("merged").alias("hash_md5"),
+            F.lit(None).cast("string").alias("note_code"),
+            F.lit(None).cast("string").alias("note"),
+            F.lit(None).cast("string").alias("note_data"))
+    )
+    redo_in = new_in.join(kept.select("ocid"), "ocid", "left_anti")
+    redone = skew_routed_compiled(redo_in, batch, extension_schemas)
+    return persist_compiled(store, new_compiled_id,
+                            kept.unionByName(redone))

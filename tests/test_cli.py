@@ -165,3 +165,59 @@ def test_cli_snapshot_and_diff(spark, tmp_path, capsys):
                   "1", "2", "--keys", "id")
     kinds = {c["change_type"] for c in out["changes"]}
     assert "added" in kinds  # the new collection row appears as added
+
+
+def test_recompile_incremental_via_cli(tmp_path, capsys):
+    """`recompile` reuses unchanged OCIDs' compiled bytes: crawl2 differs
+    from crawl1 in one OCID, and the CLI-driven incremental target ends
+    up byte-identical to crawl2's full compile."""
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.operators import lifecycle
+    from kingfisher_process_spark.session import get_spark
+    from kingfisher_process_spark.store import Store
+
+    store_path = str(tmp_path / "store")
+
+    def pkg(name, releases):
+        p = tmp_path / name
+        p.write_text(json.dumps(release_package(releases)))
+        return str(p)
+
+    r1_rel = [{"ocid": "ocds-A", "id": "A-1",
+               "date": "2020-01-01T00:00:00Z", "tag": ["tender"]},
+              {"ocid": "ocds-B", "id": "B-1",
+               "date": "2020-01-01T00:00:00Z", "tag": ["tender"]}]
+    r2_rel = r1_rel + [{"ocid": "ocds-B", "id": "B-2",
+                        "date": "2020-06-01T00:00:00Z", "tag": ["award"]}]
+
+    rc, out1 = run(capsys, "--store", store_path, "load", "--source", "c1",
+                   "--time", "2020-01-01", "--compile", pkg("c1.json", r1_rel))
+    assert rc == 0
+    rc, outf = run(capsys, "--store", store_path, "load", "--source", "c2f",
+                   "--time", "2020-06-01", "--compile", pkg("c2.json", r2_rel))
+    assert rc == 0
+    rc, out2 = run(capsys, "--store", store_path, "load", "--source", "c2",
+                   "--time", "2020-06-01", pkg("c2b.json", r2_rel))
+    assert rc == 0
+
+    spark = get_spark("kps-cli")
+    store = Store(spark, store_path)
+    target = lifecycle.create_collections(
+        store, "c2-inc", "2020-06-01 00:00:00", compile_=True)["compiled"]
+    rc, counts = run(capsys, "--store", store_path, "recompile",
+                     str(out1["collections"]["root"]),
+                     str(out2["collections"]["root"]),
+                     str(out1["collections"]["compiled"]), str(target))
+    assert rc == 0 and counts["compiled"] == 2
+
+    data = store.read("data").select(F.col("id").alias("data_id"),
+                                     F.col("data").alias("payload"))
+
+    def payloads(cid):
+        return {r["ocid"]: r["payload"] for r in
+                store.read("compiled_release")
+                .where(F.col("collection_id") == cid)
+                .join(data, "data_id").collect()}
+
+    assert payloads(target) == payloads(outf["collections"]["compiled"])

@@ -87,3 +87,75 @@ def test_incremental_equals_full_recompile_bytes(spark):
     for ocid in full_rows:
         assert inc_rows[ocid]["merged"] == full_rows[ocid]["merged"], ocid
         assert inc_rows[ocid]["hash_md5"] == full_rows[ocid]["hash_md5"]
+
+
+def test_store_level_incremental_matches_full_compile(spark, tmp_path):
+    """End-to-end through the Store: two crawls loaded via
+    process_collection; incremental_compile_collection(new crawl vs old)
+    must persist exactly the same per-OCID compiled payloads as a
+    from-scratch compile of the new crawl."""
+    import json as _json
+
+    from kingfisher_process_spark.operators import lifecycle
+    from kingfisher_process_spark.operators.compile_release import (
+        incremental_compile_collection)
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    def release(ocid, rid, date, tag, amount=None):
+        rel = {"ocid": ocid, "id": rid, "date": date, "tag": [tag]}
+        if amount is not None:
+            rel["awards"] = [{"id": "a-1",
+                              "value": {"amount": amount, "currency": "USD"}}]
+        return rel
+
+    def pkg_file(name, releases):
+        p = tmp_path / name
+        p.write_text(_json.dumps({
+            "uri": f"http://example.com/{name}", "version": "1.1",
+            "publishedDate": "2020-01-01T00:00:00Z",
+            "publisher": {"name": "t"}, "releases": releases,
+        }))
+        return str(p)
+
+    crawl1 = pkg_file("c1.json", [
+        release("ocds-A", "A-1", "2020-01-01T00:00:00Z", "tender"),
+        release("ocds-B", "B-1", "2020-01-01T00:00:00Z", "tender"),
+        release("ocds-C", "C-1", "2020-01-01T00:00:00Z", "tender"),
+    ])
+    crawl2 = pkg_file("c2.json", [
+        release("ocds-A", "A-1", "2020-01-01T00:00:00Z", "tender"),
+        release("ocds-B", "B-1", "2020-01-01T00:00:00Z", "tender"),
+        release("ocds-B", "B-2", "2020-06-01T00:00:00Z", "award", 41.5),
+        release("ocds-D", "D-1", "2020-02-01T00:00:00Z", "tender"),
+    ])
+
+    store = Store(spark, str(tmp_path / "store"))
+    r1 = process_collection(spark, store, "crawl1", "2020-01-01 00:00:00",
+                            [crawl1], compile_=True)
+    rfull = process_collection(spark, store, "crawl2f", "2020-06-01 00:00:00",
+                               [crawl2], compile_=True)
+    r2 = process_collection(spark, store, "crawl2", "2020-06-01 00:00:00",
+                            [crawl2], compile_=False)
+    target = lifecycle.create_collections(
+        store, "crawl2-inc", "2020-06-01 00:00:00", compile_=True)["compiled"]
+
+    counts = incremental_compile_collection(
+        store, r1["collections"]["root"], r2["collections"]["root"],
+        r1["collections"]["compiled"], target)
+    assert counts["compiled"] == 3  # A kept, B recompiled, D compiled
+
+    data = store.read("data").select(F.col("id").alias("data_id"),
+                                     F.col("data").alias("payload"))
+
+    def payloads(cid):
+        return {r["ocid"]: r["payload"] for r in
+                store.read("compiled_release")
+                .where(F.col("collection_id") == cid)
+                .join(data, "data_id").collect()}
+
+    full = payloads(rfull["collections"]["compiled"])
+    inc = payloads(target)
+    assert set(full) == set(inc) == {"ocds-A", "ocds-B", "ocds-D"}
+    for ocid in full:
+        assert inc[ocid] == full[ocid], ocid  # byte-identical
