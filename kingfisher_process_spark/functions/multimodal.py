@@ -450,8 +450,16 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
                 try:
                     img = decode_image(b)
                     out = _resample_nearest(img, int(w), int(h))
-                    new_content.append(
-                        encode_bmp(out) if b[:2] == b"BM" else encode_ppm(out))
+                    # re-encode in the blob's own container (magic-
+                    # dispatched, like decode); formats only Pillow can
+                    # read come back as PPM — the one stdlib-writable
+                    # lossless fallback
+                    if b[:2] == b"BM":
+                        new_content.append(encode_bmp(out))
+                    elif b[:8] == PNG_MAGIC:
+                        new_content.append(encode_png(out))
+                    else:
+                        new_content.append(encode_ppm(out))
                 except (ValueError, NotImplementedError):
                     # undecodable blob: deterministic truncation stand-in
                     # bounds the bytes like a resize would

@@ -938,11 +938,13 @@ _BPE_SEP = "\x00"    # pair-key separator (never appears in symbols)
 
 def _bpe_apply_multi(symbols, pairs: list[tuple[str, str]]) -> F.Column:
     """Greedy left-to-right application of a SET of symbol-disjoint
-    merges in ONE fold pass. For disjoint pairs this is exactly the
-    sequential per-pair application (_bpe_apply chained): a match of one
-    pair can never overlap, create, or destroy a match of another when
-    their symbols don't intersect, and self-overlap runs resolve the
-    same way (the merged token is never a map key's left element)."""
+    merges in ONE fold pass. Precondition (what _select_batch
+    guarantees): pairs are pairwise disjoint in BOTH their elements and
+    their merged tokens — then this equals sequential per-pair
+    application (_bpe_apply chained): a match of one pair can never
+    overlap, create, or destroy a match of another, no merged token is
+    any map key's left or right element (no in-pass cascades), and
+    self-overlap runs resolve the same way."""
     kv = []
     for a, b in pairs:
         kv += [F.lit(a + _BPE_SEP + b), F.lit(a + b)]
@@ -961,8 +963,13 @@ def _bpe_apply_multi(symbols, pairs: list[tuple[str, str]]) -> F.Column:
 def _select_batch(cands: list[tuple[str, str, int]],
                   limit: int) -> list[tuple[str, str, int]]:
     """Top-≤limit NON-CONFLICTING pairs from the (count DESC, a, b)-
-    ordered candidates: scan in rank order, keep a pair iff it shares no
-    symbol with one already kept (skip-scan). On natural text top pairs
+    ordered candidates: scan in rank order, keep a pair iff neither its
+    elements NOR its merged token collide with any kept pair's elements
+    or merged token (skip-scan). The merged-token check matters: keeping
+    both ('ab','c') and ('a','b') would let _bpe_apply_multi's single
+    pass cascade a,b,c → abc at one position — something sequential
+    per-pair application never does — because merging (a,b) produces
+    exactly the token ('ab','c') matches on. On natural text top pairs
     share letters heavily, so a stop-at-first-conflict prefix would
     collapse to 1-3 pairs/round; skipping keeps batches near ``limit``.
     The cost is the standard batched-BPE approximation: a skipped pair's
@@ -973,10 +980,10 @@ def _select_batch(cands: list[tuple[str, str, int]],
     used: set[str] = set()
     batch: list[tuple[str, str, int]] = []
     for a, b, n in cands:
-        if a in used or b in used:
+        if {a, b, a + b} & used:
             continue
         batch.append((a, b, n))
-        used.update((a, b))
+        used.update((a, b, a + b))
         if len(batch) >= limit:
             break
     return batch

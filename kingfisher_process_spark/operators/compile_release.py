@@ -549,14 +549,19 @@ def _persist_notes(store: Store, collection_id: int, compiled: DataFrame,
 def release_fingerprints(releases: DataFrame) -> DataFrame:
     """(ocid, n_releases, fp1, fp2) — an order-independent per-OCID
     fingerprint of the raw release set: SUMs over rows of two
-    independent 32-bit slices of md5(release_date || data) (commutative,
-    so partition order can't perturb them). Two 32-bit sums give
-    ~64-bit collision strength while keeping each sum safely inside
-    BIGINT even at a billion releases per OCID (2^32 × 2^30 < 2^63 —
-    a single wider hash would overflow at millions). ONE column-pruned
-    scan + ONE partially-aggregated groupBy."""
+    independent 32-bit slices of md5(release_date || data ||
+    package_data) (commutative, so partition order can't perturb them).
+    package_data is IN the hash because package metadata changes merge
+    semantics — a newly declared extension patches the merge rules and
+    emits warning notes, so a metadata-only change must classify as
+    dirty. Two 32-bit sums give ~64-bit collision strength while
+    keeping each sum safely inside BIGINT even at a billion releases
+    per OCID (2^32 × 2^30 < 2^63 — a single wider hash would overflow
+    at millions). ONE column-pruned scan + ONE partially-aggregated
+    groupBy."""
     h = F.md5(F.concat_ws("\x1f", F.coalesce("release_date", F.lit("")),
-                          F.coalesce("data", F.lit(""))))
+                          F.coalesce("data", F.lit("")),
+                          F.coalesce("package_data", F.lit(""))))
     slice1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
     slice2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
     return releases.groupBy("ocid").agg(
@@ -627,15 +632,23 @@ def incremental_compile_collection(store: Store, old_parent_id: int,
 
     Reuse is conservative: an OCID is kept only if it is fingerprint-
     clean AND has a stored compiled item row — clean OCIDs that
-    previously produced notes only (ocid-less, incomposable) recompile,
-    since their notes are stored without an OCID key and cannot be
-    re-attributed. Kept rows rebuild their COMPILED_SCHEMA shape from
-    the stored canonical payload (hash_md5 = md5 of those bytes, the
-    same definition the merge path writes). At 100 TB: two pruned
-    fingerprint aggregates + one partition-pruned read of the old
-    compiled collection; the merge engine runs only over the change
-    set. Byte-parity with a from-scratch compile is pinned by
-    tests/test_incremental_compile.py."""
+    previously produced notes only (incomposable) recompile, since
+    their notes are stored without an OCID key and cannot be
+    re-attributed. CONTRACT — compiled_release parity is exact (pinned
+    byte-identical by tests/test_incremental_compile.py);
+    collection_note parity is scoped to recompiled OCIDs: a clean OCID
+    whose old compile emitted an item PLUS warning notes (repeated-date
+    / duplicate-id warnings) keeps its item bytes here while those
+    notes stay queryable, unchanged, in the OLD collection — the store
+    schema (like the reference's collection_note) does not key notes by
+    OCID, so they cannot be selectively copied. Fingerprints cover
+    package_data, so extension-declaration changes (which alter merge
+    rules AND note output) always classify dirty and recompile. Kept
+    rows rebuild their COMPILED_SCHEMA shape from the stored canonical
+    payload (hash_md5 = md5 of those bytes, the same definition the
+    merge path writes). At 100 TB: two pruned fingerprint aggregates +
+    one partition-pruned read of the old compiled collection; the merge
+    engine runs only over the change set."""
     def merge_inputs(pid: int) -> DataFrame:
         releases = store.read("release").where(F.col("collection_id") == pid)
         data = store.read("data").select(F.col("id").alias("data_id"), "data")

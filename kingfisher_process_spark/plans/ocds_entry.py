@@ -701,24 +701,49 @@ SKEWED_SQL = """
 """
 
 
-def _skewed_releases(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _skewed_releases(spark: SparkSession, sf_dir: str,
+                     hot_n: int | None = None,
+                     tail: int = 1000) -> DataFrame:
     """Release rows (ocid, release_date, data, package_data) with one hot
     OCID — the direct input shape of the merge stage, skipping file
-    synthesis so the bench measures the COMPILE under skew, not parsing."""
+    synthesis so the bench measures the COMPILE under skew, not parsing.
+
+    Default (``hot_n=None``): the probe fixture — hot = every orderkey
+    divisible by 3 (~1/3 of orders), tail = orderkey % 150 == 1 (its
+    oracle depends on exactly this selection). With ``hot_n`` set: the
+    crossover-sweep shape (scripts/sweep_skew_compile.py) — the first
+    ``hot_n`` orders become the hot OCID's releases, the next ``tail``
+    stay single-release OCIDs; same payloads, parameterized skew."""
     t = load_tables(spark, sf_dir)
-    sel = t["orders"].where(
-        ((F.col("o_orderkey") % 3) == 0) | ((F.col("o_orderkey") % 150) == 1)
-    ).select(
-        "o_orderkey", "o_totalprice",
-        F.when(F.col("o_orderkey") % 3 == 0, F.lit("ocds-kps-hot"))
-        .otherwise(F.concat(F.lit("ocds-kps-u-"), F.col("o_orderkey")))
-        .alias("ocid"),
-        # fixed-width numeric suffix: lexicographic date order == numeric
-        # orderkey order, and every date is unique, so the merge's
-        # last-wins scalar semantics select arg_max(o_orderkey)
-        F.format_string("2020-01-01T%010d", F.col("o_orderkey"))
-        .alias("release_date"),
-    )
+    if hot_n is None:
+        sel = t["orders"].where(
+            ((F.col("o_orderkey") % 3) == 0) | ((F.col("o_orderkey") % 150) == 1)
+        ).select(
+            "o_orderkey", "o_totalprice",
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit("ocds-kps-hot"))
+            .otherwise(F.concat(F.lit("ocds-kps-u-"), F.col("o_orderkey")))
+            .alias("ocid"),
+            # fixed-width numeric suffix: lexicographic date order ==
+            # numeric orderkey order, and every date is unique, so the
+            # merge's last-wins scalar semantics select
+            # arg_max(o_orderkey)
+            F.format_string("2020-01-01T%010d", F.col("o_orderkey"))
+            .alias("release_date"),
+        )
+    else:
+        from pyspark.sql import Window
+
+        sel = (t["orders"].orderBy("o_orderkey").limit(hot_n + tail)
+               .select("o_orderkey", "o_totalprice",
+                       F.row_number().over(
+                           Window.orderBy("o_orderkey")).alias("rn"))
+               .select(
+                   "o_orderkey", "o_totalprice",
+                   F.when(F.col("rn") <= hot_n, F.lit("ocds-kps-hot"))
+                   .otherwise(F.concat(F.lit("ocds-kps-u-"),
+                                       F.col("o_orderkey"))).alias("ocid"),
+                   F.format_string("2020-01-01T%010d", F.col("o_orderkey"))
+                   .alias("release_date")))
     data = F.to_json(F.struct(
         F.col("ocid").alias("ocid"),
         F.concat(F.col("o_orderkey").cast("string"), F.lit("-r")).alias("id"),

@@ -25,12 +25,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import Window  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
-
 from kingfisher_process_spark.operators.compile_release import (  # noqa: E402
     COMPILED_SCHEMA, _merge_group, skew_routed_compiled)
-from kingfisher_process_spark.plans.base import load_tables  # noqa: E402
+from kingfisher_process_spark.plans.ocds_entry import _skewed_releases  # noqa: E402
 from kingfisher_process_spark.session import get_spark  # noqa: E402
 
 HOT_SIZES = (1_000, 10_000, 50_000, 100_000)
@@ -39,35 +36,10 @@ REPS = 2
 
 
 def skewed_releases(spark, sf_dir: str, hot_n: int):
-    """(ocid, release_date, data, package_data) with one hot OCID of
-    hot_n releases + TAIL single-release OCIDs — the parameterized form
-    of ocds_entry._skewed_releases."""
-    orders = load_tables(spark, sf_dir)["orders"]
-    base = (orders.orderBy("o_orderkey").limit(hot_n + TAIL)
-            .select("o_orderkey", "o_totalprice",
-                    F.row_number().over(
-                        Window.orderBy("o_orderkey")).alias("rn")))
-    sel = base.select(
-        "o_orderkey", "o_totalprice",
-        F.when(F.col("rn") <= hot_n, F.lit("ocds-kps-hot"))
-        .otherwise(F.concat(F.lit("ocds-kps-u-"), F.col("o_orderkey")))
-        .alias("ocid"),
-        F.format_string("2020-01-01T%010d", F.col("o_orderkey"))
-        .alias("release_date"),
-    )
-    data = F.to_json(F.struct(
-        F.col("ocid").alias("ocid"),
-        F.concat(F.col("o_orderkey").cast("string"), F.lit("-r")).alias("id"),
-        F.col("release_date").alias("date"),
-        F.array(F.lit("award")).alias("tag"),
-        F.array(F.struct(
-            F.lit("a-1").alias("id"),
-            F.struct(F.col("o_totalprice").alias("amount"),
-                     F.lit("USD").alias("currency")).alias("value"),
-        )).alias("awards"),
-    ))
-    return sel.select("ocid", "release_date", data.alias("data"),
-                      F.lit(None).cast("string").alias("package_data"))
+    """The probe fixture's release synthesis, hot size parameterized —
+    ONE implementation (ocds_entry._skewed_releases) serves the oracle
+    probe and this sweep so they cannot drift apart."""
+    return _skewed_releases(spark, sf_dir, hot_n=hot_n, tail=TAIL)
 
 
 def timed(fn) -> float:

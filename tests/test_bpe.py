@@ -74,6 +74,13 @@ def test_select_batch_skips_conflicts_keeps_disjoint():
     assert _select_batch([("a", "a", 9), ("a", "b", 8)], 10) == [("a", "a", 9)]
     # limit caps the batch
     assert _select_batch([("a", "b", 9), ("c", "d", 8)], 1) == [("a", "b", 9)]
+    # merged-token cascade guard: keeping both ('ab','c') and ('a','b')
+    # would let one fold pass turn a,b,c into abc (sequential never
+    # does) — whichever ranks first wins, the collider is skipped
+    assert _select_batch([("ab", "c", 9), ("a", "b", 8)], 10) == [
+        ("ab", "c", 9)]
+    assert _select_batch([("a", "b", 9), ("ab", "c", 8)], 10) == [
+        ("a", "b", 9)]
     # accepted set is always pairwise disjoint
     sel = _select_batch(
         [("a", "b", 9), ("b", "c", 8), ("c", "a", 7), ("x", "y", 6)], 10)

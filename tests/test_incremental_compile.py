@@ -159,3 +159,15 @@ def test_store_level_incremental_matches_full_compile(spark, tmp_path):
     assert set(full) == set(inc) == {"ocds-A", "ocds-B", "ocds-D"}
     for ocid in full:
         assert inc[ocid] == full[ocid], ocid  # byte-identical
+
+
+def test_package_metadata_change_classifies_dirty(spark):
+    """Extension declarations live in package_data and CHANGE merge
+    rules + note output — a metadata-only recrawl must recompile."""
+    rows_old = [("ocds-1", "2020-01-01", '{"ocid":"ocds-1","id":"1"}', None)]
+    rows_new = [("ocds-1", "2020-01-01", '{"ocid":"ocds-1","id":"1"}',
+                 '{"extensions":["http://example.com/ext.json"]}')]
+    old = spark.createDataFrame(rows_old, REL_SCHEMA)
+    new = spark.createDataFrame(rows_new, REL_SCHEMA)
+    got = {r["ocid"]: r["change_type"] for r in dirty_ocids(old, new).collect()}
+    assert got == {"ocds-1": "changed"}

@@ -335,6 +335,9 @@ def test_resize_resamples_real_png_pixels_through_spark(spark):
         mm.MEDIA_SCHEMA)
     row = mm.resize_images(media, max_side=4).collect()[0]
     assert (row["width"], row["height"]) == (4, 2)
+    # re-encoded in its OWN container: bytes are a real PNG again, so
+    # content_type "image/png" stays truthful
+    assert bytes(row["content"])[:8] == mm.PNG_MAGIC
     out = mm.decode_image(bytes(row["content"]))
     assert out.size == (4, 2)
     # nearest-neighbor at exact 2x downscale: pixel (x,y) ← source (2x,2y)
