@@ -54,13 +54,16 @@ def _registry():
     #     fingerprint family, LSH/ANN variants, m_resize_images,
     #     partitioned MV, two OCDS pipelines) + 6 sentinels — all green.
     #   r5 window (this one): the 14 r4-ADDED probes that have never had
-    #     a driver row + the 2 r5 additions (ocds_incremental_compile,
+    #     a driver row + 2 r5 additions (ocds_incremental_compile,
     #     ann_pq_recall_audit) + 6 family sentinels + the 28
     #     longest-unchecked probes (last driver-checked in r2; the other
     #     three r2-era probes — a4_minmax_prefix, o6_newest_first,
     #     u2_union_all_counts — rotate in r6, their shapes are covered
     #     in-cap by a3/a7/o3/u1/u3).
-    #   After r5 every registered probe has ≥1 driver-green row.
+    #   After r5 every probe registered through the cap freeze has ≥1
+    #     driver-green row; ann_ivf_trained_topk (added after the r5
+    #     freeze, CI-green) heads the r6 window with the three r2-era
+    #     holdovers.
     # NOTE: ann_pq_codes / ann_pq_adc_topk / ann_ivfpq_topk carry NEW
     # trained-codebook oracles this round (r5 change) — their r5 rows
     # are their first driver checks, now against the stronger oracle.

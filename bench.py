@@ -57,6 +57,7 @@ HEADLINE = [
     "d_decontaminate",
     "ann_brute_force_topk",
     "ann_ivf_topk",
+    "ann_ivf_trained_topk",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "s_embedding_near_dups",

@@ -1311,3 +1311,199 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("recall_fixed"))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TRAINED IVF coarse quantizer — the routing half gets the same upgrade
+# the PQ half received: full-64-dim k-means (K_CELLS centroids, Lloyd
+# rounds unrolled in the oracle) over the exact integer grid, so cell
+# assignment, routing, and candidate scoring are exact BIGINT and the
+# DuckDB oracle retrains the quantizer bit-for-bit. Seeds are the same
+# vec_ids [N_QUERIES, N_QUERIES+K_CELLS) that the sample-centroid IVF
+# (ann_ivf_topk) uses AS its centroids — the trained probe is literally
+# "those centroids, refined".
+# ---------------------------------------------------------------------------
+
+IVF_TRAIN_ITERS = 2
+_DIMS = PQ_M * PQ_DSUB  # 64
+
+
+def _ivf_cb_literal(cents: list[list[int]]) -> str:
+    return "array({})".format(", ".join(
+        "named_struct('c', CAST({c} AS BIGINT), 'v', array({v}))".format(
+            c=c, v=", ".join(f"CAST({x} AS BIGINT)" for x in cv))
+        for c, cv in enumerate(cents)))
+
+
+def _ivf_cell_expr(cents: list[list[int]]) -> str:
+    """cell = argmin centroid over the FULL quantized vector (same
+    expanded-form HOF shape as _code_exprs, one 64-dim space)."""
+    return (
+        f"array_min(transform({_ivf_cb_literal(cents)},"
+        f" cb -> named_struct('s',"
+        f" aggregate(zip_with(qa, cb.v, (a, b) -> b * b - 2 * b * a),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x),"
+        f" 'c', cb.c))).c AS cell")
+
+
+def _ivf_dist_expr(cents: list[list[int]]) -> str:
+    """(c, d2) entries for a query row — exact grid distance to every
+    trained centroid (the routing table)."""
+    return (
+        f"explode(transform({_ivf_cb_literal(cents)},"
+        f" cb -> named_struct('c', cb.c,"
+        f" 'd2', aggregate(zip_with(qa, cb.v, (a, b) -> (a - b) * (a - b)),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)))) AS e")
+
+
+def train_ivf_grid_centroids(emb: DataFrame, k: int = K_CELLS,
+                             iters: int = IVF_TRAIN_ITERS,
+                             vec_col: str = "embedding") -> list[list[int]]:
+    """Full-dimension Lloyd's on the exact grid → cents[c][i] ints.
+    Same scale shape as train_pq_codebooks: map-side assignment against
+    literal centroids, ONE narrow update shuffle per round (k × dims
+    partials per map task), k × dims ints collected. Deterministic and
+    engine-portable for the same reasons (power-of-two grid, smallest-c
+    ties, floor(sum/count) updates)."""
+    seed_rows = (_quantized(emb.where(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + k)), vec_col)
+        .orderBy("vec_id").collect())
+    if len(seed_rows) != k:
+        raise ValueError(f"need {k} seed vectors, found {len(seed_rows)}")
+    cents = [list(r["qa"]) for r in seed_rows]
+    q = _quantized(emb, vec_col)
+    for _ in range(iters):
+        assigned = q.selectExpr("qa", _ivf_cell_expr(cents))
+        rows = (assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.col("qa")[i]).alias(f"s{i}")
+                       for i in range(_DIMS)])
+                .collect())
+        got = {r["cell"]: r for r in rows}
+        cents = [
+            [math.floor(got[c][f"s{i}"] / got[c]["n"]) for i in range(_DIMS)]
+            if c in got else cents[c]
+            for c in range(k)]
+    return cents
+
+
+_IVFT_SQL_CB0 = f"""
+      SELECT vec_id - {N_QUERIES} AS c, m, j, x AS v
+      FROM pqq
+      WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + K_CELLS}
+"""
+
+
+def _ivft_round_sql(r: int) -> str:
+    return f"""
+    ivfasg{r} AS (
+      SELECT vec_id, c FROM (
+        SELECT d.vec_id, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.d2, d.c) AS rn
+        FROM (SELECT q.vec_id, cb.c,
+                     SUM((q.x - cb.v) * (q.x - cb.v)) AS d2
+              FROM pqq q JOIN ivfcb{r} cb ON cb.m = q.m AND cb.j = q.j
+              GROUP BY q.vec_id, cb.c) d) t WHERE rn = 1),
+    ivfcb{r + 1} AS (
+      SELECT p.c, p.m, p.j,
+             COALESCE(CAST(FLOOR(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
+                      p.v) AS v
+      FROM ivfcb{r} p LEFT JOIN (
+        SELECT a.c, q.m, q.j, SUM(q.x) AS sx, COUNT(*) AS n
+        FROM ivfasg{r} a JOIN pqq q ON q.vec_id = a.vec_id
+        GROUP BY a.c, q.m, q.j) s
+      ON s.c = p.c AND s.m = p.m AND s.j = p.j)"""
+
+
+def _ivft_ctes(iters: int = IVF_TRAIN_ITERS) -> str:
+    parts = [f"pqq AS ({_PQT_SQL_Q})", f"ivfcb0 AS ({_IVFT_SQL_CB0})"]
+    parts += [_ivft_round_sql(r).strip() for r in range(iters)]
+    return ",\n    ".join(parts)
+
+
+@probe(
+    "ann_ivf_trained_topk",
+    f"""
+    WITH {_ivft_ctes()},
+    asg AS (
+      SELECT vec_id, c FROM (
+        SELECT d.vec_id, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.d2, d.c) AS rn
+        FROM (SELECT q.vec_id, cb.c,
+                     SUM((q.x - cb.v) * (q.x - cb.v)) AS d2
+              FROM pqq q JOIN ivfcb{IVF_TRAIN_ITERS} cb
+                ON cb.m = q.m AND cb.j = q.j
+              GROUP BY q.vec_id, cb.c) d) t WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, c FROM (
+        SELECT d.vec_id, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.d2, d.c) AS rn
+        FROM (SELECT q.vec_id, cb.c,
+                     SUM((q.x - cb.v) * (q.x - cb.v)) AS d2
+              FROM pqq q JOIN ivfcb{IVF_TRAIN_ITERS} cb
+                ON cb.m = q.m AND cb.j = q.j
+              WHERE q.vec_id < {N_QUERIES}
+              GROUP BY q.vec_id, cb.c) d) t WHERE rn <= {N_PROBE}),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN asg a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             SUM((qq.x - qn.x) * (qq.x - qn.x)) AS d2
+      FROM cand c
+      JOIN pqq qq ON qq.vec_id = c.query_id
+      JOIN pqq qn ON qn.vec_id = c.neighbor_id
+                 AND qn.m = qq.m AND qn.j = qq.j
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(d2 AS DOUBLE) AS l2_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rnk
+      FROM scored) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5,iterative-ext",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probe top-k under a TRAINED coarse quantizer: K_CELLS
+    full-dimension k-means centroids (Lloyd rounds on the exact integer
+    grid, seeded by the very vectors the sample-centroid ann_ivf_topk
+    uses as-is), map-side cell assignment against broadcast literal
+    centroids, N_PROBE-cell routing per query, and exact grid-L2
+    scoring of only the probed cells' members. Every number is exact
+    BIGINT arithmetic, so the DuckDB oracle — which RETRAINS the
+    quantizer in unrolled SQL — hash-pins training, routing, and
+    scoring end-to-end. With trained PQ (ann_ivfpq_topk) this makes
+    BOTH halves of the IVF-PQ architecture trained."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = train_ivf_grid_centroids(emb)
+    q = _quantized(emb)
+    asg = q.selectExpr("vec_id AS neighbor_id", "qa AS qn",
+                       _ivf_cell_expr(cents).replace(" AS cell", " AS c"))
+    routing = (
+        _quantized(emb.where(F.col("vec_id") < N_QUERIES))
+        .selectExpr("vec_id AS query_id", "qa", _ivf_dist_expr(cents))
+        .select("query_id", "qa", "e.c", "e.d2"))
+    wq = Window.partitionBy("query_id").orderBy("d2", "c")
+    probes_df = (routing.withColumn("rn", F.row_number().over(wq))
+                 .where(F.col("rn") <= N_PROBE)
+                 .select("query_id", F.col("qa").alias("qq"), "c"))
+    scored = (
+        asg.join(F.broadcast(probes_df), "c")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .selectExpr("query_id", "neighbor_id",
+                    "aggregate(zip_with(qq, qn, (a, b) ->"
+                    " (a - b) * (a - b)), CAST(0 AS BIGINT),"
+                    " (acc, x) -> acc + x) AS d2"))
+    wk = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.col("d2").cast("double").alias("l2_dist"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
