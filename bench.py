@@ -60,6 +60,7 @@ HEADLINE = [
     "ann_ivf_trained_topk",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    "ann_ivfpq_residual_topk",
     "s_embedding_near_dups",
     "t_quality_scores",
     "t_token_stats",

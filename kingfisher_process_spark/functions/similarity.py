@@ -787,9 +787,16 @@ def train_pq_codebooks(emb: DataFrame, k: int = PQ_TRAIN_K,
     the same IEEE division in Spark SQL, DuckDB, and Python — so the
     DuckDB oracle's unrolled replay reproduces these codebooks bit for
     bit. Empty clusters keep their previous centroid."""
-    seed_rows = (_quantized(emb.where((F.col("vec_id") >= PQ_SEED_LO)
-                                      & (F.col("vec_id") < PQ_SEED_LO + k)),
-                            vec_col)
+    return _train_pq_on(_quantized(emb, vec_col), k, iters)
+
+
+def _train_pq_on(q: DataFrame, k: int = PQ_TRAIN_K,
+                 iters: int = PQ_TRAIN_ITERS) -> list[list[list[int]]]:
+    """The Lloyd loop over ANY (vec_id, qa) integer table — raw grid
+    vectors (train_pq_codebooks) or cell residuals (residual IVF-PQ);
+    seeds are always rows vec_id ∈ [PQ_SEED_LO, PQ_SEED_LO+k)."""
+    seed_rows = (q.where((F.col("vec_id") >= PQ_SEED_LO)
+                         & (F.col("vec_id") < PQ_SEED_LO + k))
                  .orderBy("vec_id").collect())
     if len(seed_rows) != k:
         raise ValueError(
@@ -797,7 +804,6 @@ def train_pq_codebooks(emb: DataFrame, k: int = PQ_TRAIN_K,
             f"[{PQ_SEED_LO}, {PQ_SEED_LO + k}), found {len(seed_rows)}")
     cbs = [[[seed_rows[c]["qa"][m * PQ_DSUB + j] for j in range(PQ_DSUB)]
             for c in range(k)] for m in range(PQ_M)]
-    q = _quantized(emb, vec_col)
     for _ in range(iters):
         coded = q.selectExpr("qa", *_code_exprs(cbs))
         structs = ", ".join(
@@ -869,29 +875,36 @@ _PQT_SQL_CB0 = f"""
 """
 
 
-def _pqt_round_sql(r: int) -> str:
-    """One unrolled Lloyd round: exact-int assignment (smallest-c
-    tiebreak) then floor(sum/count) centroid update, empty clusters
-    COALESCE-ing to their previous value."""
+def _pq_round_sql_named(r: int, src: str, asg: str, cb: str) -> str:
+    """One unrolled Lloyd round over integer table ``src`` (vec_id, m,
+    j, x) with CTE name prefixes ``asg``/``cb``: exact-int assignment
+    (smallest-c tiebreak) then floor(sum/count) centroid update, empty
+    clusters COALESCE-ing to their previous value. Named twice: once
+    for raw grid vectors (pqq/pqasg/pqcb), once for cell residuals
+    (rq/rasg/rcb) in the residual IVF-PQ oracle."""
     return f"""
-    pqasg{r} AS (
+    {asg}{r} AS (
       SELECT vec_id, m, c FROM (
         SELECT d.vec_id, d.m, d.c,
                ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
                                   ORDER BY d.d2, d.c) AS rn
         FROM (SELECT q.vec_id, q.m, cb.c,
                      SUM((q.x - cb.v) * (q.x - cb.v)) AS d2
-              FROM pqq q JOIN pqcb{r} cb ON cb.m = q.m AND cb.j = q.j
+              FROM {src} q JOIN {cb}{r} cb ON cb.m = q.m AND cb.j = q.j
               GROUP BY q.vec_id, q.m, cb.c) d) t WHERE rn = 1),
-    pqcb{r + 1} AS (
+    {cb}{r + 1} AS (
       SELECT p.m, p.c, p.j,
              COALESCE(CAST(FLOOR(CAST(s.sx AS DOUBLE) / s.n) AS BIGINT),
                       p.v) AS v
-      FROM pqcb{r} p LEFT JOIN (
+      FROM {cb}{r} p LEFT JOIN (
         SELECT a.m, a.c, q.j, SUM(q.x) AS sx, COUNT(*) AS n
-        FROM pqasg{r} a JOIN pqq q ON q.vec_id = a.vec_id AND q.m = a.m
+        FROM {asg}{r} a JOIN {src} q ON q.vec_id = a.vec_id AND q.m = a.m
         GROUP BY a.m, a.c, q.j) s
       ON s.m = p.m AND s.c = p.c AND s.j = p.j)"""
+
+
+def _pqt_round_sql(r: int) -> str:
+    return _pq_round_sql_named(r, "pqq", "pqasg", "pqcb")
 
 
 def _pqt_train_ctes(iters: int = PQ_TRAIN_ITERS) -> str:
@@ -1423,11 +1436,7 @@ def _ivft_ctes(iters: int = IVF_TRAIN_ITERS) -> str:
     return ",\n    ".join(parts)
 
 
-@probe(
-    "ann_ivf_trained_topk",
-    f"""
-    WITH {_ivft_ctes()},
-    asg AS (
+_IVFT_SQL_ASG = f"""
       SELECT vec_id, c FROM (
         SELECT d.vec_id, d.c,
                ROW_NUMBER() OVER (PARTITION BY d.vec_id
@@ -1436,8 +1445,10 @@ def _ivft_ctes(iters: int = IVF_TRAIN_ITERS) -> str:
                      SUM((q.x - cb.v) * (q.x - cb.v)) AS d2
               FROM pqq q JOIN ivfcb{IVF_TRAIN_ITERS} cb
                 ON cb.m = q.m AND cb.j = q.j
-              GROUP BY q.vec_id, cb.c) d) t WHERE rn = 1),
-    probes AS (
+              GROUP BY q.vec_id, cb.c) d) t WHERE rn = 1
+"""
+
+_IVFT_SQL_PROBES = f"""
       SELECT vec_id AS query_id, c FROM (
         SELECT d.vec_id, d.c,
                ROW_NUMBER() OVER (PARTITION BY d.vec_id
@@ -1447,7 +1458,16 @@ def _ivft_ctes(iters: int = IVF_TRAIN_ITERS) -> str:
               FROM pqq q JOIN ivfcb{IVF_TRAIN_ITERS} cb
                 ON cb.m = q.m AND cb.j = q.j
               WHERE q.vec_id < {N_QUERIES}
-              GROUP BY q.vec_id, cb.c) d) t WHERE rn <= {N_PROBE}),
+              GROUP BY q.vec_id, cb.c) d) t WHERE rn <= {N_PROBE}
+"""
+
+
+@probe(
+    "ann_ivf_trained_topk",
+    f"""
+    WITH {_ivft_ctes()},
+    asg AS ({_IVFT_SQL_ASG}),
+    probes AS ({_IVFT_SQL_PROBES}),
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
       FROM probes p JOIN asg a ON a.c = p.c
@@ -1505,5 +1525,195 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id",
                 F.col("d2").cast("double").alias("l2_dist"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual IVF-PQ — the composition production systems actually ship
+# (Faiss IVFPQ): PQ codebooks are trained on and encode the RESIDUAL
+# x − centroid(cell(x)), not the raw vector, because residuals
+# concentrate near zero so the same 8 bytes carry far more precision.
+# Everything stays on the exact integer grid (residual subtraction is
+# exact), so the composed oracle retrains BOTH quantizers — coarse IVF
+# then PQ-on-residuals — in unrolled SQL and hash-pins the whole
+# serving path.
+# ---------------------------------------------------------------------------
+
+_IVF_CENT_CACHE: dict[str, list[list[int]]] = {}
+_RES_CB_CACHE: dict[str, list[list[list[int]]]] = {}
+
+
+def ivf_grid_centroids_for(spark: SparkSession, sf_dir: str) -> list[list[int]]:
+    """Memoized trained coarse quantizer per corpus (offline step —
+    same rationale as trained_codebooks_for)."""
+    cents = _IVF_CENT_CACHE.get(sf_dir)
+    if cents is None:
+        cents = train_ivf_grid_centroids(
+            load_tables(spark, sf_dir)["embeddings"])
+        _IVF_CENT_CACHE[sf_dir] = cents
+    return cents
+
+
+def _cent_arrays_literal(cents: list[list[int]]) -> str:
+    """array-of-arrays literal indexed by cell+1 (element_at is
+    1-based) — the broadcast lookup the residual subtraction uses."""
+    return "array({})".format(", ".join(
+        "array({})".format(", ".join(f"CAST({x} AS BIGINT)" for x in cv))
+        for cv in cents))
+
+
+def _residuals(q: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, cell, qa): each vector's cell under the trained coarse
+    quantizer and its exact grid residual vs that cell's centroid —
+    one map-side projection chain."""
+    lit = _cent_arrays_literal(cents)
+    return (q.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+            .selectExpr(
+                "vec_id", "cell",
+                f"zip_with(qa, element_at({lit}, CAST(cell + 1 AS INT)),"
+                " (a, b) -> a - b) AS qa"))
+
+
+def residual_pq_codebooks_for(spark: SparkSession,
+                              sf_dir: str) -> list[list[list[int]]]:
+    """Memoized PQ codebooks trained on cell residuals."""
+    cbs = _RES_CB_CACHE.get(sf_dir)
+    if cbs is None:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        cents = ivf_grid_centroids_for(spark, sf_dir)
+        cbs = _train_pq_on(
+            _residuals(_quantized(emb), cents).select("vec_id", "qa"))
+        _RES_CB_CACHE[sf_dir] = cbs
+    return cbs
+
+
+_RES_SQL_RQ = f"""
+      SELECT q.vec_id, q.m, q.j, q.x - cb.v AS x
+      FROM pqq q
+      JOIN asg a ON a.vec_id = q.vec_id
+      JOIN ivfcb{IVF_TRAIN_ITERS} cb
+        ON cb.c = a.c AND cb.m = q.m AND cb.j = q.j
+"""
+
+_RES_SQL_RCB0 = f"""
+      SELECT m, vec_id - {PQ_SEED_LO} AS c, j, x AS v
+      FROM rq
+      WHERE vec_id >= {PQ_SEED_LO} AND vec_id < {PQ_SEED_LO + PQ_TRAIN_K}
+"""
+
+_RES_SQL_RCODES = f"""
+      SELECT vec_id, m, c AS code FROM (
+        SELECT d.vec_id, d.m, d.c,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                                  ORDER BY d.d2, d.c) AS rn
+        FROM (SELECT q.vec_id, q.m, cb.c,
+                     SUM((q.x - cb.v) * (q.x - cb.v)) AS d2
+              FROM rq q JOIN rcb{PQ_TRAIN_ITERS} cb
+                ON cb.m = q.m AND cb.j = q.j
+              GROUP BY q.vec_id, q.m, cb.c) d) t WHERE rn = 1
+"""
+
+
+def _res_train_ctes(iters: int = PQ_TRAIN_ITERS) -> str:
+    parts = [f"rq AS ({_RES_SQL_RQ})", f"rcb0 AS ({_RES_SQL_RCB0})"]
+    parts += [_pq_round_sql_named(r, "rq", "rasg", "rcb").strip()
+              for r in range(iters)]
+    return ",\n    ".join(parts)
+
+
+@probe(
+    "ann_ivfpq_residual_topk",
+    f"""
+    WITH {_ivft_ctes()},
+    asg AS ({_IVFT_SQL_ASG}),
+    probes AS ({_IVFT_SQL_PROBES}),
+    {_res_train_ctes()},
+    rcodes AS ({_RES_SQL_RCODES}),
+    rqq AS (
+      SELECT q.vec_id AS query_id, p.c AS cell, q.m, q.j, q.x - cb.v AS x
+      FROM pqq q
+      JOIN probes p ON p.query_id = q.vec_id
+      JOIN ivfcb{IVF_TRAIN_ITERS} cb
+        ON cb.c = p.c AND cb.m = q.m AND cb.j = q.j),
+    rd2 AS (
+      SELECT r.query_id, r.cell, r.m, cb.c,
+             SUM((r.x - cb.v) * (r.x - cb.v)) AS dist2
+      FROM rqq r JOIN rcb{PQ_TRAIN_ITERS} cb
+        ON cb.m = r.m AND cb.j = r.j
+      GROUP BY 1, 2, 3, 4),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.c AS cell
+      FROM probes p JOIN asg a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id),
+    adc AS (
+      SELECT cd.query_id, cd.neighbor_id, SUM(t.dist2) AS adc
+      FROM cand cd
+      JOIN rcodes n ON n.vec_id = cd.neighbor_id
+      JOIN rd2 t ON t.query_id = cd.query_id AND t.cell = cd.cell
+                AND t.m = n.m AND t.c = n.code
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc, neighbor_id) AS rnk
+      FROM adc) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5,iterative-ext",
+)
+def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ end-to-end — the composition production ANN
+    systems ship: the trained coarse quantizer routes (N_PROBE cells
+    per query), PQ codebooks TRAINED ON RESIDUALS encode each vector's
+    offset from its cell centroid (8 bytes/vector), and queries score
+    candidates by ADC against a per-(query, probed-cell) residual
+    distance table — 128 entries per (query, cell), broadcast. Raw
+    vectors never appear in the scan: cells + codes are the index.
+    Exact grid arithmetic end-to-end, so the DuckDB oracle — which
+    retrains BOTH quantizers in unrolled SQL — hash-pins routing,
+    residual training, encoding, and ranking."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = ivf_grid_centroids_for(spark, sf_dir)
+    rcbs = residual_pq_codebooks_for(spark, sf_dir)
+    q = _quantized(emb)
+    res = _residuals(q, cents)
+    rcodes = res.selectExpr("vec_id", "cell", *_code_exprs(rcbs))
+    narrow = rcodes.select(
+        F.col("vec_id").alias("neighbor_id"), "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).cast("bigint").alias("m"),
+                     F.col(f"code_{m}").alias("c"))
+            for m in range(PQ_M)
+        ])).alias("e"),
+    ).select("neighbor_id", "cell", "e.m", "e.c")
+
+    lit = _cent_arrays_literal(cents)
+    routing = (
+        _quantized(emb.where(F.col("vec_id") < N_QUERIES))
+        .selectExpr("vec_id AS query_id", "qa", _ivf_dist_expr(cents))
+        .select("query_id", "qa", "e.c", "e.d2"))
+    wq = Window.partitionBy("query_id").orderBy("d2", "c")
+    probes_df = (routing.withColumn("rn", F.row_number().over(wq))
+                 .where(F.col("rn") <= N_PROBE)
+                 .selectExpr(
+                     "query_id", "c AS cell",
+                     f"zip_with(qa, element_at({lit}, CAST(c + 1 AS INT)),"
+                     " (a, b) -> a - b) AS qa"))
+    rd2 = (probes_df
+           .selectExpr("query_id", "cell", _adc_explode_expr(rcbs))
+           .select("query_id", "cell", "e.m", "e.c", "e.d2"))
+    adc = (
+        narrow.join(F.broadcast(probes_df.select("query_id", "cell")), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(rd2), ["query_id", "cell", "m", "c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.col("adc").cast("double").alias("adc_dist"), "rnk")
         .orderBy("query_id", "rnk")
     )
