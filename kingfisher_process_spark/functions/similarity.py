@@ -1500,7 +1500,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring end-to-end. With trained PQ (ann_ivfpq_topk) this makes
     BOTH halves of the IVF-PQ architecture trained."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    cents = train_ivf_grid_centroids(emb)
+    cents = ivf_grid_centroids_for(spark, sf_dir)
     q = _quantized(emb)
     asg = q.selectExpr("vec_id AS neighbor_id", "qa AS qn",
                        _ivf_cell_expr(cents).replace(" AS cell", " AS c"))
@@ -1716,4 +1716,132 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id",
                 F.col("adc").cast("double").alias("adc_dist"), "rnk")
         .orderBy("query_id", "rnk")
+    )
+
+
+@probe(
+    "ann_ivfpq_loss_audit",
+    f"""
+    WITH {_ivft_ctes()},
+    asg AS ({_IVFT_SQL_ASG}),
+    probes AS ({_IVFT_SQL_PROBES}),
+    {_res_train_ctes()},
+    rcodes AS ({_RES_SQL_RCODES}),
+    rqq AS (
+      SELECT q.vec_id AS query_id, p.c AS cell, q.m, q.j, q.x - cb.v AS x
+      FROM pqq q
+      JOIN probes p ON p.query_id = q.vec_id
+      JOIN ivfcb{IVF_TRAIN_ITERS} cb
+        ON cb.c = p.c AND cb.m = q.m AND cb.j = q.j),
+    rd2 AS (
+      SELECT r.query_id, r.cell, r.m, cb.c,
+             SUM((r.x - cb.v) * (r.x - cb.v)) AS dist2
+      FROM rqq r JOIN rcb{PQ_TRAIN_ITERS} cb
+        ON cb.m = r.m AND cb.j = r.j
+      GROUP BY 1, 2, 3, 4),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.c AS cell
+      FROM probes p JOIN asg a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id),
+    rt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.d2, s.neighbor_id) AS rnk
+        FROM (SELECT cd.query_id, cd.neighbor_id,
+                     SUM((qq.x - qn.x) * (qq.x - qn.x)) AS d2
+              FROM cand cd
+              JOIN pqq qq ON qq.vec_id = cd.query_id
+              JOIN pqq qn ON qn.vec_id = cd.neighbor_id
+                         AND qn.m = qq.m AND qn.j = qq.j
+              GROUP BY 1, 2) s) x WHERE rnk <= {TOP_K}),
+    rp AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT a2.query_id, a2.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a2.query_id
+                                  ORDER BY a2.adc, a2.neighbor_id) AS rnk
+        FROM (SELECT cd.query_id, cd.neighbor_id, SUM(t.dist2) AS adc
+              FROM cand cd
+              JOIN rcodes n ON n.vec_id = cd.neighbor_id
+              JOIN rd2 t ON t.query_id = cd.query_id AND t.cell = cd.cell
+                        AND t.m = n.m AND t.c = n.code
+              GROUP BY 1, 2) a2) x WHERE rnk <= {TOP_K}),
+    gt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT g.query_id, g.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY g.query_id
+                                  ORDER BY g.d2, g.neighbor_id) AS rn
+        FROM (SELECT qq.vec_id AS query_id, qn.vec_id AS neighbor_id,
+                     SUM((qq.x - qn.x) * (qq.x - qn.x)) AS d2
+              FROM pqq qq JOIN pqq qn ON qn.m = qq.m AND qn.j = qq.j
+              WHERE qq.vec_id < {N_QUERIES} AND qn.vec_id <> qq.vec_id
+              GROUP BY 1, 2) g) t
+      WHERE rn <= {TOP_K})
+    SELECT gt.query_id,
+           CAST(COUNT(rt.neighbor_id) AS BIGINT) AS n_hit_routing,
+           CAST(COUNT(rp.neighbor_id) AS BIGINT) AS n_hit_pq,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(rt.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_routing,
+           CAST(COUNT(rp.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_pq
+    FROM gt
+    LEFT JOIN rt ON rt.query_id = gt.query_id
+                AND rt.neighbor_id = gt.neighbor_id
+    LEFT JOIN rp ON rp.query_id = gt.query_id
+                AND rp.neighbor_id = gt.neighbor_id
+    GROUP BY gt.query_id
+    ORDER BY gt.query_id
+    """,
+    survey_ids="similarity-ext,J2,A1,iterative-ext",
+)
+def ann_ivfpq_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss DECOMPOSITION for the residual IVF-PQ serving path, per
+    query against exact global grid-L2 ground truth: recall_routing is
+    what N_PROBE-cell routing alone costs (exact scoring of probed
+    candidates — the best any scorer of that candidate set can do), and
+    recall_pq adds the 8-byte residual-ADC quantization loss on the
+    SAME candidates. Because exact top-k over a candidate set always
+    contains every ground-truth member the set holds,
+    n_hit_routing ≥ n_hit_pq per query — an invariant tests/test_pq.py
+    pins. Everything is exact integer arithmetic, so the decomposition
+    itself is hash-checked against an oracle that retrains both
+    quantizers."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rt = (ann_ivf_trained_topk(spark, sf_dir)
+          .select(F.col("query_id").alias("tq"),
+                  F.col("neighbor_id").alias("tn")))
+    rp = (ann_ivfpq_residual_topk(spark, sf_dir)
+          .select(F.col("query_id").alias("pq"),
+                  F.col("neighbor_id").alias("pn")))
+    qq = (_quantized(emb.where(F.col("vec_id") < N_QUERIES))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qa").alias("qs")))
+    corpus = _quantized(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qa").alias("qn"))
+    d2 = (corpus.crossJoin(F.broadcast(qq))
+          .where(F.col("neighbor_id") != F.col("query_id"))
+          .selectExpr("query_id", "neighbor_id",
+                      "aggregate(zip_with(qs, qn, (a, b) ->"
+                      " (a - b) * (a - b)), CAST(0 AS BIGINT),"
+                      " (acc, x) -> acc + x) AS d2"))
+    wg = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    gt = (d2.withColumn("rn", F.row_number().over(wg))
+          .where(F.col("rn") <= TOP_K)
+          .select("query_id", "neighbor_id"))
+    joined = (
+        gt.join(rt, (F.col("tq") == F.col("query_id"))
+                & (F.col("tn") == F.col("neighbor_id")), "left")
+        .join(rp, (F.col("pq") == F.col("query_id"))
+              & (F.col("pn") == F.col("neighbor_id")), "left")
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("tn").alias("n_hit_routing"),
+             F.count("pn").alias("n_hit_pq"),
+             F.count(F.lit(1)).alias("k"))
+        .select("query_id", "n_hit_routing", "n_hit_pq", "k",
+                (F.col("n_hit_routing").cast("double") / F.col("k"))
+                .alias("recall_routing"),
+                (F.col("n_hit_pq").cast("double") / F.col("k"))
+                .alias("recall_pq"))
+        .orderBy("query_id")
     )

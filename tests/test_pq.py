@@ -72,3 +72,16 @@ def test_trained_recall_beats_fixed(spark):
     trained = sum(r["n_hit_trained"] for r in rows)
     fixed = sum(r["n_hit_fixed"] for r in rows)
     assert trained > fixed, (trained, fixed)
+
+
+def test_loss_decomposition_routing_bounds_pq(spark):
+    """Exact top-k over a candidate set contains every ground-truth
+    member the set holds, so routing recall upper-bounds residual-PQ
+    recall per query — the invariant that makes the loss decomposition
+    a decomposition."""
+    from kingfisher_process_spark.functions.similarity import ann_ivfpq_loss_audit
+
+    rows = ann_ivfpq_loss_audit(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["n_hit_routing"] >= r["n_hit_pq"], r
