@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     checks.add_argument("collection_id", type=int)
     checks.add_argument("--kind", choices=["release", "record"],
                         default="release")
+    checks.add_argument("--prior", type=int, default=None,
+                        help="reuse this prior collection's check results "
+                             "for payload-identical items")
 
     snap = sub.add_parser("snapshot", help="pin/list a table's versions")
     snap.add_argument("table")
@@ -208,8 +211,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "addchecks":
-        from kingfisher_process_spark.operators.check import check_collection
+        from kingfisher_process_spark.operators.check import (
+            check_collection, incremental_check_collection)
 
+        if args.prior is not None:
+            counts = incremental_check_collection(
+                store, args.collection_id, args.prior, kind=args.kind)
+            print(json.dumps(counts))
+            return 0
         n = check_collection(store, args.collection_id, kind=args.kind)
         print(json.dumps({"checked": n}))
         return 0

@@ -440,3 +440,84 @@ def check_collection(store: Store, collection_id: int, kind: str = "release",
     store.advance_next_id(check_table, base + n)
     pinned.unpersist()
     return n
+
+
+def incremental_check_collection(store: Store, collection_id: int,
+                                 prior_collection_id: int,
+                                 kind: str = "release",
+                                 extension_schemas: dict[str, dict] | None = None,
+                                 ) -> dict:
+    """Check ``collection_id`` reusing a PRIOR collection's results for
+    every item whose (data_id, package_data_id) pair was already
+    checked — the check-stage sibling of incremental_recompile.
+
+    Why this is sound: check output is a pure function of the payload,
+    its package metadata, and ``extension_schemas`` (which the caller
+    must hold fixed between the two runs — same contract as rerunning
+    the reference checker with the same library version), and payloads
+    are content-deduplicated store-wide, so equal ids ⇒ equal bytes ⇒
+    equal cove_output. On a re-crawl where most releases are unchanged,
+    the expensive JSON-schema validation runs only over the NEW
+    payloads; reuse is one hash join against the prior collection's
+    (keys → cove_output) map. Returns {"checked": fresh, "reused": n}.
+    """
+    from kingfisher_process_spark.operators import lifecycle
+
+    if lifecycle.collection_cancelled(store, collection_id):
+        return {"checked": 0, "reused": 0}
+    table, check_table, fk = {
+        "release": ("release", "release_check", "release_id"),
+        "record": ("record", "record_check", "record_id"),
+    }[kind]
+    items = store.read(table).where(F.col("collection_id") == collection_id)
+    existing = store.read(check_table).select(F.col(fk).alias("id"))
+    todo = (items.join(existing, "id", "left_anti")
+            .select(F.col("id").alias("item_id"), "data_id",
+                    "package_data_id"))
+
+    prior_items = (store.read(table)
+                   .where(F.col("collection_id") == prior_collection_id)
+                   .select(F.col("id").alias(fk), F.col("data_id").alias("p_did"),
+                           F.col("package_data_id").alias("p_pid")))
+    prior_map = (
+        store.read(check_table).join(prior_items, fk)
+        .groupBy("p_did", "p_pid")
+        # results for equal keys are identical by purity; min_by pins a
+        # deterministic representative anyway
+        .agg(F.min_by("cove_output", F.col(fk)).alias("prior_output"))
+    )
+    key = ((F.col("data_id") == F.col("p_did"))
+           & F.col("package_data_id").eqNullSafe(F.col("p_pid")))
+    reused = (todo.join(prior_map, key)
+              .select("item_id", F.col("prior_output").alias("cove_output")))
+    fresh_keys = todo.join(prior_map, key, "left_anti")
+    pkg = store.read("package_data").select(
+        F.col("id").alias("package_data_id"), F.col("data").alias("pkg"))
+    fresh_in = (
+        fresh_keys
+        .join(store.read("data").select(F.col("id").alias("data_id"), "data"),
+              "data_id")
+        .join(F.broadcast(pkg), "package_data_id", "left")
+        .select("item_id", "data", "pkg")
+    )
+    record_pkg = kind == "record"
+
+    def gen(batches):
+        for pdf in batches:
+            out = [check_item(d, record_pkg,
+                              package_json=p if isinstance(p, str) else None,
+                              extension_schemas=extension_schemas)
+                   for d, p in zip(pdf["data"], pdf["pkg"])]
+            yield pd.DataFrame({"item_id": pdf["item_id"], "cove_output": out})
+
+    fresh = fresh_in.mapInPandas(gen, CHECK_SCHEMA)
+    n_reused = reused.count()
+    checked = reused.unionByName(fresh)
+    base = store.next_id(check_table)
+    rows, n, pinned = with_sequential_ids(checked, base, order_by=["item_id"])
+    if n:
+        store.append(check_table, rows.select(
+            "id", F.col("item_id").alias(fk), "cove_output"))
+    store.advance_next_id(check_table, base + n)
+    pinned.unpersist()
+    return {"checked": n - n_reused, "reused": n_reused}

@@ -171,3 +171,73 @@ def test_package_metadata_change_classifies_dirty(spark):
     new = spark.createDataFrame(rows_new, REL_SCHEMA)
     got = {r["ocid"]: r["change_type"] for r in dirty_ocids(old, new).collect()}
     assert got == {"ocds-1": "changed"}
+
+
+def test_incremental_check_reuses_shared_payload_results(spark, tmp_path):
+    """Check-stage sibling of incremental recompile: a re-crawl's
+    unchanged payloads copy the prior collection's cove_output via a
+    (data_id, package_data_id) join instead of re-validating; only new
+    payloads hit the JSON-schema checker. Results must equal a full
+    check bit for bit."""
+    import json as _json
+
+    from kingfisher_process_spark.operators.check import (
+        check_collection, incremental_check_collection)
+    from kingfisher_process_spark.pipeline import process_collection
+    from kingfisher_process_spark.store import Store
+
+    def pkg_file(name, releases):
+        p = tmp_path / name
+        # IDENTICAL package metadata across crawls: reuse keys on
+        # (data_id, package_data_id) because cove_output validates the
+        # whole repackaged item (package-level errors, extension set) —
+        # different package bytes must and do block reuse
+        p.write_text(_json.dumps({
+            "uri": "http://example.com/pkg", "version": "1.1",
+            "publishedDate": "2020-01-01T00:00:00Z",
+            "publisher": {"name": "t"}, "releases": releases,
+        }))
+        return str(p)
+
+    def release(ocid, rid, extra=None):
+        rel = {"ocid": ocid, "id": rid, "date": "2020-01-01T00:00:00Z",
+               "tag": ["tender"]}
+        if extra:
+            rel.update(extra)
+        return rel
+
+    shared = [release("ocds-A", "A-1"),
+              release("ocds-B", "B-1", {"initiationType": 7})]  # type error
+    crawl1 = pkg_file("c1.json", shared)
+    crawl2 = pkg_file("c2.json", shared + [release("ocds-C", "C-1")])
+
+    store = Store(spark, str(tmp_path / "store"))
+    r1 = process_collection(spark, store, "c1", "2020-01-01 00:00:00",
+                            [crawl1])
+    r2 = process_collection(spark, store, "c2", "2020-02-01 00:00:00",
+                            [crawl2])
+    r3 = process_collection(spark, store, "c3", "2020-02-01 00:00:00",
+                            [crawl2])
+
+    c1, c2, c3 = (r["collections"]["root"] for r in (r1, r2, r3))
+    assert check_collection(store, c1) == 2
+    counts = incremental_check_collection(store, c2, c1)
+    # the two shared payloads reuse; only ocds-C's payload is validated
+    assert counts == {"checked": 1, "reused": 2}
+    assert check_collection(store, c3) == 3  # full-check baseline
+
+    rel = store.read("release").select(
+        F.col("id").alias("release_id"), "collection_id", "data_id")
+    checks = store.read("release_check").join(rel, "release_id")
+
+    def by_data_id(cid):
+        return {r["data_id"]: r["cove_output"] for r in
+                checks.where(F.col("collection_id") == cid).collect()}
+
+    inc, full = by_data_id(c2), by_data_id(c3)
+    assert set(inc) == set(full) and len(inc) == 3
+    for did in full:
+        assert inc[did] == full[did]
+    # the type error survived the reuse path verbatim
+    bad = [v for v in inc.values() if "initiationType" in v]
+    assert bad and _json.loads(bad[0])["validation_errors_count"] > 0
