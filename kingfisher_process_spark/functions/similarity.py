@@ -817,6 +817,16 @@ def _train_pq_on(q: DataFrame, k: int = PQ_TRAIN_K,
                        for j in range(PQ_DSUB)])
                 .collect())
         got = {(r["m"], r["c"]): r for r in rows}
+        # cross-engine guard: the oracle divides CAST(sum AS DOUBLE)/n
+        # while Python divides the exact ints — identical ONLY while the
+        # sum is exactly representable in a double. Fail loudly at the
+        # boundary instead of silently diverging from the oracle (the
+        # fix at that scale is sharded partial sums, not wider floats).
+        for r in rows:
+            for j in range(PQ_DSUB):
+                assert abs(r[f"s{j}"]) < 2 ** 53, (
+                    "per-centroid coordinate sum exceeds 2^53 — Python and"
+                    " SQL floor(sum/count) may now round differently")
         cbs = [[
             [math.floor(got[(m, c)][f"s{j}"] / got[(m, c)]["n"])
              for j in range(PQ_DSUB)] if (m, c) in got else cbs[m][c]
@@ -1237,15 +1247,10 @@ def _pqt_adc_topk_sql() -> str:
 """
 
 
-@probe(
-    "ann_pq_recall_audit",
-    f"""
-    WITH {_pqt_train_ctes()},
-    pqtcodes AS ({_PQT_SQL_CODES}),
-    pqtd2 AS ({_PQT_SQL_D2}),
-    tr AS ({_pqt_adc_topk_sql()}),
-    fx AS ({_PQ_SQL_ADC_FIXED}),
-    gt AS (
+# gt against the exact integer grid — shared (as text and as DataFrame
+# code) by every recall/loss audit so ground-truth semantics cannot
+# drift between them. Reads the `pqq` CTE.
+_GRID_GT_SQL = f"""
       SELECT query_id, neighbor_id FROM (
         SELECT g.query_id, g.neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY g.query_id
@@ -1255,13 +1260,19 @@ def _pqt_adc_topk_sql() -> str:
               FROM pqq qq JOIN pqq qn ON qn.m = qq.m AND qn.j = qq.j
               WHERE qq.vec_id < {N_QUERIES} AND qn.vec_id <> qq.vec_id
               GROUP BY 1, 2) g) t
-      WHERE rn <= {TOP_K})
+      WHERE rn <= {TOP_K}
+"""
+
+
+def _two_way_recall_sql(xn: str, yn: str) -> str:
+    """Final SELECT of a two-way recall audit over CTEs gt/tr/fx."""
+    return f"""
     SELECT gt.query_id,
-           CAST(COUNT(tr.neighbor_id) AS BIGINT) AS n_hit_trained,
-           CAST(COUNT(fx.neighbor_id) AS BIGINT) AS n_hit_fixed,
+           CAST(COUNT(tr.neighbor_id) AS BIGINT) AS n_hit_{xn},
+           CAST(COUNT(fx.neighbor_id) AS BIGINT) AS n_hit_{yn},
            CAST(COUNT(*) AS BIGINT) AS k,
-           CAST(COUNT(tr.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_trained,
-           CAST(COUNT(fx.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_fixed
+           CAST(COUNT(tr.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_{xn},
+           CAST(COUNT(fx.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_{yn}
     FROM gt
     LEFT JOIN tr ON tr.query_id = gt.query_id
                 AND tr.neighbor_id = gt.neighbor_id
@@ -1269,6 +1280,68 @@ def _pqt_adc_topk_sql() -> str:
                 AND fx.neighbor_id = gt.neighbor_id
     GROUP BY gt.query_id
     ORDER BY gt.query_id
+"""
+
+
+def _grid_gt(emb: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id): exact global grid-L2 top-k per query —
+    the Spark twin of _GRID_GT_SQL."""
+    qq = (_quantized(emb.where(F.col("vec_id") < N_QUERIES))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qa").alias("qs")))
+    corpus = _quantized(emb).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qa").alias("qn"))
+    d2 = (corpus.crossJoin(F.broadcast(qq))
+          .where(F.col("neighbor_id") != F.col("query_id"))
+          .selectExpr("query_id", "neighbor_id",
+                      "aggregate(zip_with(qs, qn, (a, b) ->"
+                      " (a - b) * (a - b)), CAST(0 AS BIGINT),"
+                      " (acc, x) -> acc + x) AS d2"))
+    wg = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (d2.withColumn("rn", F.row_number().over(wg))
+            .where(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id"))
+
+
+def _two_way_recall(gt: DataFrame, x: DataFrame, y: DataFrame,
+                    xn: str, yn: str) -> DataFrame:
+    """Per-query hit counts + recalls of two (query_id, neighbor_id)
+    top-k sets against the shared ground truth — the Spark twin of
+    _two_way_recall_sql."""
+    xs = x.select(F.col("query_id").alias("tq"),
+                  F.col("neighbor_id").alias("tn"))
+    ys = y.select(F.col("query_id").alias("fq"),
+                  F.col("neighbor_id").alias("fn"))
+    joined = (
+        gt.join(xs, (F.col("tq") == F.col("query_id"))
+                & (F.col("tn") == F.col("neighbor_id")), "left")
+        .join(ys, (F.col("fq") == F.col("query_id"))
+              & (F.col("fn") == F.col("neighbor_id")), "left")
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(F.count("tn").alias(f"n_hit_{xn}"),
+             F.count("fn").alias(f"n_hit_{yn}"),
+             F.count(F.lit(1)).alias("k"))
+        .select("query_id", f"n_hit_{xn}", f"n_hit_{yn}", "k",
+                (F.col(f"n_hit_{xn}").cast("double") / F.col("k"))
+                .alias(f"recall_{xn}"),
+                (F.col(f"n_hit_{yn}").cast("double") / F.col("k"))
+                .alias(f"recall_{yn}"))
+        .orderBy("query_id")
+    )
+
+
+@probe(
+    "ann_pq_recall_audit",
+    f"""
+    WITH {_pqt_train_ctes()},
+    pqtcodes AS ({_PQT_SQL_CODES}),
+    pqtd2 AS ({_PQT_SQL_D2}),
+    tr AS ({_pqt_adc_topk_sql()}),
+    fx AS ({_PQ_SQL_ADC_FIXED}),
+    gt AS ({_GRID_GT_SQL})
+    {_two_way_recall_sql("trained", "fixed")}
     """,
     survey_ids="similarity-ext,J2,A1,iterative-ext",
 )
@@ -1285,45 +1358,9 @@ def ann_pq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     query."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     cbs = trained_codebooks_for(spark, sf_dir)
-    tr = (_pq_adc_topk_trained(emb, cbs)
-          .select(F.col("query_id").alias("tq"),
-                  F.col("neighbor_id").alias("tn")))
-    fx = (_pq_adc_topk_fixed_df(emb)
-          .select(F.col("query_id").alias("fq"),
-                  F.col("neighbor_id").alias("fn")))
-    qq = (_quantized(emb.where(F.col("vec_id") < N_QUERIES))
-          .select(F.col("vec_id").alias("query_id"),
-                  F.col("qa").alias("qs")))
-    corpus = _quantized(emb).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qa").alias("qn"))
-    d2 = (corpus.crossJoin(F.broadcast(qq))
-          .where(F.col("neighbor_id") != F.col("query_id"))
-          .selectExpr("query_id", "neighbor_id",
-                      "aggregate(zip_with(qs, qn, (a, b) ->"
-                      " (a - b) * (a - b)), CAST(0 AS BIGINT),"
-                      " (acc, x) -> acc + x) AS d2"))
-    wg = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    gt = (d2.withColumn("rn", F.row_number().over(wg))
-          .where(F.col("rn") <= TOP_K)
-          .select("query_id", "neighbor_id"))
-    joined = (
-        gt.join(tr, (F.col("tq") == F.col("query_id"))
-                & (F.col("tn") == F.col("neighbor_id")), "left")
-        .join(fx, (F.col("fq") == F.col("query_id"))
-              & (F.col("fn") == F.col("neighbor_id")), "left")
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(F.count("tn").alias("n_hit_trained"),
-             F.count("fn").alias("n_hit_fixed"),
-             F.count(F.lit(1)).alias("k"))
-        .select("query_id", "n_hit_trained", "n_hit_fixed", "k",
-                (F.col("n_hit_trained").cast("double") / F.col("k"))
-                .alias("recall_trained"),
-                (F.col("n_hit_fixed").cast("double") / F.col("k"))
-                .alias("recall_fixed"))
-        .orderBy("query_id")
-    )
+    return _two_way_recall(
+        _grid_gt(emb), _pq_adc_topk_trained(emb, cbs),
+        _pq_adc_topk_fixed_df(emb), "trained", "fixed")
 
 
 # ---------------------------------------------------------------------------
@@ -1394,6 +1431,11 @@ def train_ivf_grid_centroids(emb: DataFrame, k: int = K_CELLS,
                        for i in range(_DIMS)])
                 .collect())
         got = {r["cell"]: r for r in rows}
+        for r in rows:  # same 2^53 cross-engine guard as _train_pq_on
+            for i in range(_DIMS):
+                assert abs(r[f"s{i}"]) < 2 ** 53, (
+                    "per-cell coordinate sum exceeds 2^53 — Python and"
+                    " SQL floor(sum/count) may now round differently")
         cents = [
             [math.floor(got[c][f"s{i}"] / got[c]["n"]) for i in range(_DIMS)]
             if c in got else cents[c]
@@ -1743,7 +1785,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.query_id, a.vec_id AS neighbor_id, a.c AS cell
       FROM probes p JOIN asg a ON a.c = p.c
       WHERE a.vec_id <> p.query_id),
-    rt AS (
+    tr AS (
       SELECT query_id, neighbor_id FROM (
         SELECT s.query_id, s.neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY s.query_id
@@ -1755,7 +1797,7 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN pqq qn ON qn.vec_id = cd.neighbor_id
                          AND qn.m = qq.m AND qn.j = qq.j
               GROUP BY 1, 2) s) x WHERE rnk <= {TOP_K}),
-    rp AS (
+    fx AS (
       SELECT query_id, neighbor_id FROM (
         SELECT a2.query_id, a2.neighbor_id,
                ROW_NUMBER() OVER (PARTITION BY a2.query_id
@@ -1766,30 +1808,8 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               JOIN rd2 t ON t.query_id = cd.query_id AND t.cell = cd.cell
                         AND t.m = n.m AND t.c = n.code
               GROUP BY 1, 2) a2) x WHERE rnk <= {TOP_K}),
-    gt AS (
-      SELECT query_id, neighbor_id FROM (
-        SELECT g.query_id, g.neighbor_id,
-               ROW_NUMBER() OVER (PARTITION BY g.query_id
-                                  ORDER BY g.d2, g.neighbor_id) AS rn
-        FROM (SELECT qq.vec_id AS query_id, qn.vec_id AS neighbor_id,
-                     SUM((qq.x - qn.x) * (qq.x - qn.x)) AS d2
-              FROM pqq qq JOIN pqq qn ON qn.m = qq.m AND qn.j = qq.j
-              WHERE qq.vec_id < {N_QUERIES} AND qn.vec_id <> qq.vec_id
-              GROUP BY 1, 2) g) t
-      WHERE rn <= {TOP_K})
-    SELECT gt.query_id,
-           CAST(COUNT(rt.neighbor_id) AS BIGINT) AS n_hit_routing,
-           CAST(COUNT(rp.neighbor_id) AS BIGINT) AS n_hit_pq,
-           CAST(COUNT(*) AS BIGINT) AS k,
-           CAST(COUNT(rt.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_routing,
-           CAST(COUNT(rp.neighbor_id) AS DOUBLE) / COUNT(*) AS recall_pq
-    FROM gt
-    LEFT JOIN rt ON rt.query_id = gt.query_id
-                AND rt.neighbor_id = gt.neighbor_id
-    LEFT JOIN rp ON rp.query_id = gt.query_id
-                AND rp.neighbor_id = gt.neighbor_id
-    GROUP BY gt.query_id
-    ORDER BY gt.query_id
+    gt AS ({_GRID_GT_SQL})
+    {_two_way_recall_sql("routing", "pq")}
     """,
     survey_ids="similarity-ext,J2,A1,iterative-ext",
 )
@@ -1806,42 +1826,6 @@ def ann_ivfpq_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is hash-checked against an oracle that retrains both
     quantizers."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    rt = (ann_ivf_trained_topk(spark, sf_dir)
-          .select(F.col("query_id").alias("tq"),
-                  F.col("neighbor_id").alias("tn")))
-    rp = (ann_ivfpq_residual_topk(spark, sf_dir)
-          .select(F.col("query_id").alias("pq"),
-                  F.col("neighbor_id").alias("pn")))
-    qq = (_quantized(emb.where(F.col("vec_id") < N_QUERIES))
-          .select(F.col("vec_id").alias("query_id"),
-                  F.col("qa").alias("qs")))
-    corpus = _quantized(emb).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("qa").alias("qn"))
-    d2 = (corpus.crossJoin(F.broadcast(qq))
-          .where(F.col("neighbor_id") != F.col("query_id"))
-          .selectExpr("query_id", "neighbor_id",
-                      "aggregate(zip_with(qs, qn, (a, b) ->"
-                      " (a - b) * (a - b)), CAST(0 AS BIGINT),"
-                      " (acc, x) -> acc + x) AS d2"))
-    wg = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
-    gt = (d2.withColumn("rn", F.row_number().over(wg))
-          .where(F.col("rn") <= TOP_K)
-          .select("query_id", "neighbor_id"))
-    joined = (
-        gt.join(rt, (F.col("tq") == F.col("query_id"))
-                & (F.col("tn") == F.col("neighbor_id")), "left")
-        .join(rp, (F.col("pq") == F.col("query_id"))
-              & (F.col("pn") == F.col("neighbor_id")), "left")
-    )
-    return (
-        joined.groupBy("query_id")
-        .agg(F.count("tn").alias("n_hit_routing"),
-             F.count("pn").alias("n_hit_pq"),
-             F.count(F.lit(1)).alias("k"))
-        .select("query_id", "n_hit_routing", "n_hit_pq", "k",
-                (F.col("n_hit_routing").cast("double") / F.col("k"))
-                .alias("recall_routing"),
-                (F.col("n_hit_pq").cast("double") / F.col("k"))
-                .alias("recall_pq"))
-        .orderBy("query_id")
-    )
+    return _two_way_recall(
+        _grid_gt(emb), ann_ivf_trained_topk(spark, sf_dir),
+        ann_ivfpq_residual_topk(spark, sf_dir), "routing", "pq")

@@ -489,7 +489,8 @@ def incremental_check_collection(store: Store, collection_id: int,
     key = ((F.col("data_id") == F.col("p_did"))
            & F.col("package_data_id").eqNullSafe(F.col("p_pid")))
     reused = (todo.join(prior_map, key)
-              .select("item_id", F.col("prior_output").alias("cove_output")))
+              .select("item_id", F.col("prior_output").alias("cove_output"),
+                      F.lit(True).alias("was_reused")))
     fresh_keys = todo.join(prior_map, key, "left_anti")
     pkg = store.read("package_data").select(
         F.col("id").alias("package_data_id"), F.col("data").alias("pkg"))
@@ -510,11 +511,15 @@ def incremental_check_collection(store: Store, collection_id: int,
                    for d, p in zip(pdf["data"], pdf["pkg"])]
             yield pd.DataFrame({"item_id": pdf["item_id"], "cove_output": out})
 
-    fresh = fresh_in.mapInPandas(gen, CHECK_SCHEMA)
-    n_reused = reused.count()
+    fresh = (fresh_in.mapInPandas(gen, CHECK_SCHEMA)
+             .withColumn("was_reused", F.lit(False)))
+    # the reuse flag rides through the id-assignment job so the reused
+    # count comes off the CACHED ranked rows — no second scan of the
+    # join (with_sequential_ids already materializes `pinned`)
     checked = reused.unionByName(fresh)
     base = store.next_id(check_table)
     rows, n, pinned = with_sequential_ids(checked, base, order_by=["item_id"])
+    n_reused = rows.where(F.col("was_reused")).count() if n else 0
     if n:
         store.append(check_table, rows.select(
             "id", F.col("item_id").alias(fk), "cove_output"))
