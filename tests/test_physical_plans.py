@@ -287,3 +287,24 @@ def test_trained_pq_encode_is_shuffle_free(spark):
         df._jdf.queryExecution(), "formatted")
     assert "Exchange" not in plan, plan  # map-side projections only
     assert "BatchEvalPython" not in plan
+
+
+def test_residual_ivfpq_broadcasts_and_no_cartesian(spark):
+    plan = plan_of(spark, "ann_ivfpq_residual_topk")
+    # probed-cell membership and the per-(query, cell) residual ADC
+    # table must broadcast; nothing may fall back to a cartesian or a
+    # row-at-a-time Python stage
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_incremental_compile_broadcasts_dirty_set(spark):
+    # the dirty-OCID set drives one anti join (keep) and one semi join
+    # (redo) — both must be broadcast (the set is proportional to the
+    # CHANGE, never the corpus), and the fingerprint aggregates must
+    # partially combine map-side
+    plan = plan_of(spark, "ocds_incremental_compile")
+    assert "BroadcastHashJoin LeftAnti" in plan.replace("  ", " "), plan
+    assert "BroadcastHashJoin LeftSemi" in plan.replace("  ", " "), plan
+    assert "partial_sum" in plan, plan
