@@ -992,3 +992,66 @@ def ocds_incremental_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("ocid").alias("max_ocid"))
         .orderBy("change_type")
     )
+
+
+@probe("st_incremental_compile", SKEWED_SQL, survey_ids="C1,C3,skew-ext,streaming-ext")
+def st_incremental_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED compile: the compiled-release table is
+    maintained per micro-batch instead of compiled once at close
+    (st_ingest_pipeline's mode). Release rows arrive as a file stream
+    (maxFilesPerTrigger=1 → one micro-batch per slice); each batch's
+    OCIDs ARE the dirty set, so foreachBatch recompiles exactly those
+    OCIDs from the accumulated release history (left-semi, broadcast
+    dirty set — partition-prunable at scale) through the skew-routed
+    merge and swaps them into the compiled table, keeping every clean
+    OCID's bytes. The skewed fixture spreads the hot OCID across all
+    slices, so it re-merges EVERY batch — the realistic hot-key behavior —
+    while the cold tail compiles once. Convergence is the check: the
+    final table must equal a full batch merge of all releases, which
+    the shared SKEWED_SQL oracle predicts exactly (and batch ORDER
+    cannot matter, because each recompile reads the full history for
+    its dirty OCIDs)."""
+    import os
+    import tempfile
+
+    from kingfisher_process_spark.operators.compile_release import (
+        COMPILED_SCHEMA, skew_routed_compiled)
+
+    rel = _skewed_releases(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="kps_stinc_")
+    watch = os.path.join(tmp, "watch")
+    hist = os.path.join(tmp, "history")
+    compiled_dir = os.path.join(tmp, "compiled")
+    os.makedirs(watch)
+    # 4 deterministic slices; every slice touches the hot OCID
+    for i in range(4):
+        (rel.where(F.abs(F.hash("release_date")) % 4 == i).coalesce(1)
+         .write.mode("append").parquet(os.path.join(watch, f"slice={i}")))
+
+    def upsert(batch_df, _batch_id):
+        s = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(hist)
+        dirty = batch_df.select("ocid").distinct()
+        redo = (s.read.parquet(hist)
+                .join(F.broadcast(dirty), "ocid", "left_semi"))
+        redone = skew_routed_compiled(redo, batch=100)
+        if os.path.exists(os.path.join(compiled_dir, "_SUCCESS")):
+            kept = (s.read.schema(COMPILED_SCHEMA).parquet(compiled_dir)
+                    .join(F.broadcast(dirty), "ocid", "left_anti"))
+            out = kept.unionByName(redone)
+        else:
+            out = redone
+        # overwrite-swap: materialize off the old files before replacing
+        staged = out.localCheckpoint()
+        staged.write.mode("overwrite").parquet(compiled_dir)
+
+    q = (spark.readStream.schema(rel.schema)
+         .option("maxFilesPerTrigger", 1)
+         .parquet(os.path.join(watch, "slice=*"))
+         .writeStream.foreachBatch(upsert)
+         .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    compiled = spark.read.schema(COMPILED_SCHEMA).parquet(compiled_dir)
+    return _compiled_summary(rel, compiled)
