@@ -1025,7 +1025,7 @@ def st_incremental_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(watch)
     # 4 deterministic slices; every slice touches the hot OCID
     for i in range(4):
-        (rel.where(F.abs(F.hash("release_date")) % 4 == i).coalesce(1)
+        (rel.where(F.pmod(F.hash("release_date"), F.lit(4)) == i).coalesce(1)
          .write.mode("append").parquet(os.path.join(watch, f"slice={i}")))
 
     def upsert(batch_df, _batch_id):
