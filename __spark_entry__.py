@@ -62,9 +62,10 @@ def _registry():
     #     in-cap by a3/a7/o3/u1/u3).
     #   After r5 every probe registered through the cap freeze has ≥1
     #     driver-green row; ann_ivf_trained_topk,
-    #     ann_ivfpq_residual_topk, ann_ivfpq_loss_audit, and
-    #     st_incremental_compile (added after the r5 freeze, CI-green)
-    #     head the r6 window with the three r2-era holdovers.
+    #     ann_ivfpq_residual_topk, ann_ivfpq_loss_audit,
+    #     st_incremental_compile, and ann_sq8_topk (added after the r5
+    #     freeze, CI-green) head the r6 window with the three r2-era
+    #     holdovers.
     # NOTE: ann_pq_codes / ann_pq_adc_topk / ann_ivfpq_topk carry NEW
     # trained-codebook oracles this round (r5 change) — their r5 rows
     # are their first driver checks, now against the stronger oracle.

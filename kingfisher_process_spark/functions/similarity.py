@@ -1829,3 +1829,111 @@ def ann_ivfpq_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _two_way_recall(
         _grid_gt(emb), ann_ivf_trained_topk(spark, sf_dir),
         ann_ivfpq_residual_topk(spark, sf_dir), "routing", "pq")
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization — the third classic vector-compression tier
+# (flat → SQ8 → PQ): each dimension maps to one byte via per-dimension
+# min/max scaling, 4x smaller than float32 with far better fidelity
+# than PQ's 8 bytes/vector. Exactness: on the integer grid both the
+# encode floor((x−min)·255/span) and the decode min+floor(code·span/255)
+# are one exact-int product + one IEEE division + floor — identical in
+# Spark, DuckDB, and anywhere else, so the whole compressed-search path
+# is hash-pinned without any trained state.
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 255
+
+
+def sq8_dim_stats(q: DataFrame) -> tuple[list[int], list[int]]:
+    """(mins, maxs) per dimension over the quantized corpus — ONE
+    fully partial-aggregated pass, 128 ints collected."""
+    row = q.agg(*[f(F.col("qa")[i]).alias(f"{n}{i}")
+                  for i in range(_DIMS) for n, f in
+                  (("mn", F.min), ("mx", F.max))]).first()
+    return ([row[f"mn{i}"] for i in range(_DIMS)],
+            [row[f"mx{i}"] for i in range(_DIMS)])
+
+
+def _bigint_arr(vals: list[int]) -> str:
+    return "array({})".format(
+        ", ".join(f"CAST({v} AS BIGINT)" for v in vals))
+
+
+def _sq8_recon_expr(mins: list[int], maxs: list[int]) -> str:
+    """ra = the SQ8 round-trip (encode then decode) of qa — what the
+    compressed index actually stores, reconstructed; map-side HOF over
+    broadcast literal stats."""
+    mn = _bigint_arr(mins)
+    sp = _bigint_arr([b - a for a, b in zip(mins, maxs)])
+    return (
+        f"transform(qa, (x, i) -> CASE"
+        f" WHEN element_at({sp}, i + 1) = 0 THEN element_at({mn}, i + 1)"
+        f" ELSE element_at({mn}, i + 1) + CAST(FLOOR(CAST("
+        f"CAST(FLOOR(CAST((x - element_at({mn}, i + 1)) * {SQ_LEVELS}"
+        f" AS DOUBLE) / element_at({sp}, i + 1)) AS BIGINT)"
+        f" * element_at({sp}, i + 1) AS DOUBLE) / {SQ_LEVELS}) AS BIGINT)"
+        f" END) AS ra")
+
+
+@probe(
+    "ann_sq8_topk",
+    f"""
+    WITH pqq AS ({_PQT_SQL_Q}),
+    sqstats AS (
+      SELECT m, j, MIN(x) AS mn, MAX(x) AS mx FROM pqq GROUP BY m, j),
+    sqrec AS (
+      SELECT q.vec_id, q.m, q.j,
+             CASE WHEN s.mx = s.mn THEN s.mn
+                  ELSE s.mn + CAST(FLOOR(CAST(
+                       CAST(FLOOR(CAST((q.x - s.mn) * {SQ_LEVELS} AS DOUBLE)
+                                  / (s.mx - s.mn)) AS BIGINT)
+                       * (s.mx - s.mn) AS DOUBLE) / {SQ_LEVELS}) AS BIGINT)
+             END AS r
+      FROM pqq q JOIN sqstats s ON s.m = q.m AND s.j = q.j),
+    scored AS (
+      SELECT qq.vec_id AS query_id, rn.vec_id AS neighbor_id,
+             SUM((qq.x - rn.r) * (qq.x - rn.r)) AS d2
+      FROM pqq qq JOIN sqrec rn ON rn.m = qq.m AND rn.j = qq.j
+      WHERE qq.vec_id < {N_QUERIES} AND rn.vec_id <> qq.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(d2 AS DOUBLE) AS sq_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rnk
+      FROM scored) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,A4,O5",
+)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 top-k: the corpus is stored as one byte per
+    dimension (per-dimension min/max scaling — stats are one
+    partial-aggregated pass, broadcast as literals), queries keep full
+    precision and score against the RECONSTRUCTED corpus values — the
+    same asymmetric-distance idea as ADC, at 64 B/vector instead of
+    PQ's 8 B but with no training at all. Encode/decode round-trips are
+    exact-int products + single IEEE divisions, so ranks hash-match the
+    DuckDB oracle exactly."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    q = _quantized(emb)
+    mins, maxs = sq8_dim_stats(q)
+    recon = (q.selectExpr("vec_id", _sq8_recon_expr(mins, maxs))
+             .select(F.col("vec_id").alias("neighbor_id"),
+                     F.col("ra").alias("rn")))
+    qq = (_quantized(emb.where(F.col("vec_id") < N_QUERIES))
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("qa").alias("qs")))
+    scored = (recon.crossJoin(F.broadcast(qq))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .selectExpr("query_id", "neighbor_id",
+                          "aggregate(zip_with(qs, rn, (a, b) ->"
+                          " (a - b) * (a - b)), CAST(0 AS BIGINT),"
+                          " (acc, x) -> acc + x) AS d2"))
+    wk = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id",
+                F.col("d2").cast("double").alias("sq_dist"), "rnk")
+        .orderBy("query_id", "rnk")
+    )

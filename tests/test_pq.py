@@ -85,3 +85,22 @@ def test_loss_decomposition_routing_bounds_pq(spark):
     assert rows
     for r in rows:
         assert r["n_hit_routing"] >= r["n_hit_pq"], r
+
+
+def test_sq8_fidelity_beats_pq_bytes(spark):
+    """64 B/vector SQ8 must recall at least as much ground truth as
+    8 B/vector trained PQ — the compression-tier tradeoff the two
+    probes exist to demonstrate."""
+    from kingfisher_process_spark.functions import similarity as S
+    from kingfisher_process_spark.plans.base import load_tables
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    gt = S._grid_gt(emb)
+    audit = S._two_way_recall(
+        gt, S.ann_sq8_topk(spark, SF_SMOKE),
+        S._pq_adc_topk_trained(emb, S.trained_codebooks_for(spark, SF_SMOKE)),
+        "sq8", "pq").collect()
+    assert audit
+    sq8 = sum(r["n_hit_sq8"] for r in audit)
+    pq = sum(r["n_hit_pq"] for r in audit)
+    assert sq8 >= pq, (sq8, pq)
