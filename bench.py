@@ -61,6 +61,7 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
+    "ann_sq8_topk",
     "s_embedding_near_dups",
     "t_quality_scores",
     "t_token_stats",
