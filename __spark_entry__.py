@@ -61,39 +61,50 @@ def _registry():
     #     u2_union_all_counts — rotate in r6, their shapes are covered
     #     in-cap by a3/a7/o3/u1/u3).
     #   After r5 every probe registered through the cap freeze has ≥1
-    #     driver-green row; ann_ivf_trained_topk,
-    #     ann_ivfpq_residual_topk, ann_ivfpq_loss_audit,
-    #     st_incremental_compile, and ann_sq8_topk (added after the r5
-    #     freeze, CI-green) head the r6 window with the three r2-era
-    #     holdovers.
-    # NOTE: ann_pq_codes / ann_pq_adc_topk / ann_ivfpq_topk carry NEW
-    # trained-codebook oracles this round (r5 change) — their r5 rows
-    # are their first driver checks, now against the stronger oracle.
+    #     driver-green row.
+    #   r6 window (this one, judge r5 "Next round" #2): the five
+    #     post-r5-freeze operators that have never had a driver row
+    #     (ann_ivf_trained_topk, ann_ivfpq_residual_topk,
+    #     ann_ivfpq_loss_audit, st_incremental_compile, ann_sq8_topk)
+    #     + the three r2-era holdovers (a4_minmax_prefix,
+    #     o6_newest_first, u2_union_all_counts) + new r6 probes
+    #     (ocds_incremental_checks and any added before the r6 freeze)
+    #     + six family sentinels + the longest-unchecked r3-era probes
+    #     to fill the 50-entry cap. After r6 EVERY registered probe has
+    #     at least one driver-green row.
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",
         "st_ingest_pipeline", "d_dup_clusters_lss",
         "t_sequence_packing", "m_resize_images",
-        # never-driver-checked: r4/r5 additions
-        "ann_pq_codes", "ann_pq_adc_topk", "ann_ivfpq_topk",
-        "ann_pq_recall_audit", "t_bpe_train", "t_bpe_encode",
-        "ocds_compile_skewed", "ocds_compile_skewed_single",
-        "ocds_crawl_diff", "ocds_incremental_compile",
-        "e_profile_orders", "e_referential_audit",
-        "e_session_window_builtin", "st_dedup_watermarked",
-        "st_stream_static_enrich", "w6_quartile_spend_by_segment",
-        # longest-unchecked (last driver row: r2)
-        "a3_distinct_counts", "a7_group_counter", "a8_exists_guard",
-        "j2_customers_without_orders", "j3_customers_with_open_orders",
-        "o3_latest_order_per_customer", "u1_union_distinct_buyers",
-        "u3_except_inactive_customers", "p6_json_predicate",
-        "f_scalar_functions", "j4_explode_token_counts",
-        "j5_recursive_tree", "d_exact_dup_groups", "d_minhash_lsh_pairs",
-        "d_simhash_near_pairs", "d_dup_clusters", "t_token_stats",
-        "t_langid_heuristic", "t_pii_redact", "ann_brute_force_topk",
-        "s_embedding_near_dups", "ann_ivf_topk", "m_media_features",
-        "m_frame_sample", "st_sessionize", "st_dedup_ingest",
-        "ocds_upgrade_parties", "ocds_orphan_wipe",
+        # never-driver-checked: post-r5-freeze + r6 additions
+        "ann_ivf_trained_topk", "ann_ivfpq_residual_topk",
+        "ann_ivfpq_loss_audit", "st_incremental_compile",
+        "ann_sq8_topk", "ocds_incremental_checks",
+        # r2-era holdovers (last driver row: r2)
+        "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
+        # longest-unchecked (last driver row: r3) — 35 of the 44;
+        # the 9 deferred to r7 (d_shared_window_dups,
+        # e_dedup_consecutive, e_multires_rollup,
+        # t_global_shuffle_shards, t_mixture_sample,
+        # t_stratified_split, st_hourly_rollup,
+        # w3_median_spend_by_segment, a12_grouping_sets) each have a
+        # same-family probe inside this window.
+        "p3_inlist_filter", "p5_json_extract_agg", "p5_variant_json",
+        "a6_top_buyers", "ocds_record_ladder", "ocds_check_errors",
+        "ocds_compile_two_phase", "ocds_versioned_release",
+        "d_decontaminate", "d_lsh_bucket_stats", "d_simhash_banded_pairs",
+        "t_table_fingerprint", "t_table_diff", "t_bm25_search",
+        "t_chunk_documents", "t_quality_scores",
+        "st_stream_stream_join", "st_cdc_collapse",
+        "st_incremental_rollup", "e_asof_last_view_before_click",
+        "e_range_join_intervals", "e_scd2_intervals", "e_sessionize",
+        "e_hourly_event_rollup", "e_key_skew_audit",
+        "sk_count_min_event_types", "sk_bloom_prejoin_audit",
+        "w1_running_customer_spend", "w4_moving_avg",
+        "q5_region_revenue", "q9_product_profit", "m_embed_ann",
+        "j7_salted_skew_join", "f_array_functions",
+        "u4_intersect_buyers_suppliers_nations",
     ]
     missing = set(priority) - REGISTRY.keys()
     # a misspelled priority name would silently pull a different probe

@@ -205,9 +205,18 @@ def decode_png(content: bytes) -> DecodedImage:
         raise ValueError("PNG missing IDAT")
     nch = _PNG_CHANNELS[color]
     stride = width * nch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) < (stride + 1) * height:
+    # bounded inflate: a crafted IDAT (decompression bomb) must not
+    # allocate past the (stride+1)*height bytes the header implies —
+    # executors see untrusted media blobs, so cap with max_length and
+    # reject any stream that still has output beyond the raster
+    expected = (stride + 1) * height
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected)
+    if len(raw) < expected:
         raise ValueError("truncated PNG raster")
+    surplus = dec.decompress(dec.unconsumed_tail, 1) or dec.flush(1)
+    if surplus:
+        raise ValueError("PNG IDAT inflates past the declared raster size")
     # unfilter scanline-by-scanline: each row is 1 filter byte + stride
     # sample bytes; Sub/Up/Average/Paeth reference the row above and the
     # pixel nch bytes to the left
@@ -293,7 +302,14 @@ def decode_image(content: bytes) -> DecodedImage:
     if content[:2] == b"BM":
         return decode_bmp(content)
     if content[:8] == PNG_MAGIC:
-        return decode_png(content)
+        try:
+            return decode_png(content)
+        except ValueError:
+            # variants the stdlib codec declines (Adam7 interlace,
+            # 16-bit samples, malformed streams) route to the Pillow
+            # tier when present; with no tier left, surface the error
+            if not codec_available():
+                raise
     if codec_available():
         import io
 

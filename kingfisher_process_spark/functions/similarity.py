@@ -824,9 +824,10 @@ def _train_pq_on(q: DataFrame, k: int = PQ_TRAIN_K,
         # fix at that scale is sharded partial sums, not wider floats).
         for r in rows:
             for j in range(PQ_DSUB):
-                assert abs(r[f"s{j}"]) < 2 ** 53, (
-                    "per-centroid coordinate sum exceeds 2^53 — Python and"
-                    " SQL floor(sum/count) may now round differently")
+                if abs(r[f"s{j}"]) >= 2 ** 53:  # real raise: survives -O
+                    raise OverflowError(
+                        "per-centroid coordinate sum exceeds 2^53 — Python"
+                        " and SQL floor(sum/count) may now round differently")
         cbs = [[
             [math.floor(got[(m, c)][f"s{j}"] / got[(m, c)]["n"])
              for j in range(PQ_DSUB)] if (m, c) in got else cbs[m][c]
@@ -1433,9 +1434,10 @@ def train_ivf_grid_centroids(emb: DataFrame, k: int = K_CELLS,
         got = {r["cell"]: r for r in rows}
         for r in rows:  # same 2^53 cross-engine guard as _train_pq_on
             for i in range(_DIMS):
-                assert abs(r[f"s{i}"]) < 2 ** 53, (
-                    "per-cell coordinate sum exceeds 2^53 — Python and"
-                    " SQL floor(sum/count) may now round differently")
+                if abs(r[f"s{i}"]) >= 2 ** 53:  # real raise: survives -O
+                    raise OverflowError(
+                        "per-cell coordinate sum exceeds 2^53 — Python and"
+                        " SQL floor(sum/count) may now round differently")
         cents = [
             [math.floor(got[c][f"s{i}"] / got[c]["n"]) for i in range(_DIMS)]
             if c in got else cents[c]
