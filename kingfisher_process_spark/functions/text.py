@@ -1009,12 +1009,18 @@ def bpe_train_batched(docs: DataFrame, n_merges: int,
     identical — property-tested in tests/test_bpe.py, with bpe_train's
     4-round DuckDB oracle as the sequential-semantics pin. Returns
     (merges, rounds_used)."""
+    # localCheckpoint (not cache): each round's fold rewrites `l`
+    # through a create_map expression, and a cached plan still CARRIES
+    # the full expression lineage — by ~15 rounds at batch=256 the
+    # accumulated plan string OOMs the driver during AQE's explain.
+    # Checkpointing truncates the logical plan to the materialized
+    # vocabulary each round, so round cost is flat in round number.
     vocab = (
         docs.select(F.explode(
             F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split("word", "").alias("l"), "freq")
-    ).cache()
+    ).localCheckpoint()
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     while len(merges) < n_merges:
@@ -1037,13 +1043,12 @@ def bpe_train_batched(docs: DataFrame, n_merges: int,
         merges.extend(sel)
         if len(merges) >= n_merges:
             break  # the final batch is never applied — skip the fold job
-        nxt = vocab.select(
+        # eager checkpoint materializes off the old vocabulary before
+        # the loop drops its reference (same swap discipline as the
+        # cache version; the old RDD is released by the context cleaner)
+        vocab = vocab.select(
             _bpe_apply_multi(F.col("l"), [(a, b) for a, b, _ in sel])
-            .alias("l"), "freq").cache()
-        nxt.count()  # materialize OFF the old cache before evicting it
-        vocab.unpersist()
-        vocab = nxt
-    vocab.unpersist()
+            .alias("l"), "freq").localCheckpoint()
     return merges, rounds
 
 
