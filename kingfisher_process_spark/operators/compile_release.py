@@ -196,6 +196,10 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
 # dirties more keys than this implies merge work that dwarfs the extra
 # scan the distributed fallback costs.
 KEYSET_COLLECT_MAX = 100_000
+# single-column string key sets up to this size collect into a SQL
+# VALUES literal (plan-stable; see _resolve_keyset); larger small-sets
+# fall back to createDataFrame
+VALUES_LITERAL_MAX = 10_000
 
 
 def _resolve_keyset(keys: DataFrame, max_collect: int | None = None,
@@ -223,8 +227,27 @@ def _resolve_keyset(keys: DataFrame, max_collect: int | None = None,
         if n == 0:
             return None, True
         if n <= max_collect:
-            local = keys.sparkSession.createDataFrame(
-                cached.collect(), keys.schema)
+            rows = cached.collect()
+            spark = keys.sparkSession
+            field = keys.schema[0]
+            if len(keys.columns) == 1 and n <= VALUES_LITERAL_MAX                     and field.dataType.simpleString() == "string":
+                # VALUES literal, not createDataFrame: a Python-built
+                # RDD compares by IDENTITY (never sameResult), which
+                # would make every downstream plan unique and defeat
+                # cache reuse across identical compiles (the warm-rep
+                # regression); a VALUES LocalRelation compares by
+                # schema+data, so byte-identical key sets yield
+                # byte-identical plans.
+                def lit(v):
+                    if v is None:
+                        return "(NULL)"
+                    return "('{}')".format(
+                        v.replace("\\", "\\\\").replace("'", "\\'"))
+
+                local = spark.sql("SELECT col1 AS `{}` FROM VALUES {}".format(
+                    field.name, ", ".join(lit(r[0]) for r in rows)))
+            else:
+                local = spark.createDataFrame(rows, keys.schema)
             return local, True
         return keys, False
     finally:
@@ -384,6 +407,9 @@ def _finalize_group_impl(pdf: pd.DataFrame,
     return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
 
 
+_UNOWNED_PHASE_A: list[DataFrame] = []  # ≤1 cached partials, ownerless calls
+
+
 def two_phase_compiled(inputs: DataFrame, batch: int | None = None,
                        extension_schemas: dict[str, dict] | None = None,
                        temp_caches: list | None = None) -> DataFrame:
@@ -425,14 +451,30 @@ def two_phase_compiled(inputs: DataFrame, batch: int | None = None,
         build, PARTIAL_SCHEMA)
     if temp_caches is not None:
         # the caller owns a materialization point and unpersists after
-        # it (compile_collection's try/finally): phase A then runs ONCE
-        # — the incomposable probe below fills the cache, finalize
-        # reads it. Without a caller-managed list the cache would leak
-        # past the lazy return (the exact r4 bug), so the uncoordinated
-        # path instead recomputes phase A at materialize time — a
-        # deterministic rerun (recompute-stable batches), never a leak.
+        # it (compile_collection's try/finally): phase A runs ONCE —
+        # the incomposable probe below fills the cache, finalize reads
+        # it — and nothing persists past the caller's return.
         partials = partials.cache()
         temp_caches.append(partials)
+    else:
+        # ownerless call (probes, ad-hoc skew_routed_compiled): phase A
+        # must run once per DISTINCT input, not once per consumer or
+        # per repeat (an uncached rerun tripled the skewed-compile
+        # bench), but nobody unpersists after the lazy return — so the
+        # module keeps AT MOST ONE such cache alive: a re-invocation
+        # over the same analyzed plan reuses it (warm repeats pay zero
+        # phase A — the behavior r4/r5 got from an UNBOUNDED leak), a
+        # different input evicts it. Long-lived drivers go through
+        # compile_collection (owned path) and never touch this slot.
+        prev = _UNOWNED_PHASE_A[0] if _UNOWNED_PHASE_A else None
+        if prev is not None and prev._jdf.queryExecution().analyzed(
+                ).sameResult(partials._jdf.queryExecution().analyzed()):
+            partials = prev
+        else:
+            if prev is not None:
+                prev.unpersist()
+            partials = partials.cache()
+            _UNOWNED_PHASE_A[:] = [partials]
     # ANY incomposable partial disqualifies the whole OCID: route every
     # partial of such OCIDs away from finalize (a subset-finalize would
     # silently merge without the incomposable batch's releases) and

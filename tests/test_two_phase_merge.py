@@ -338,10 +338,15 @@ def test_compile_collection_leaves_no_persisted_relations(spark, tmp_path):
                            [str(path)])
     comp = lifecycle.create_collections(
         store, "leakc", "2020-01-01 00:00:00")["root"]
+    # drain the (by-design, <=1) ownerless probe-path cache first so
+    # the assertion isolates compile_collection's own hygiene
+    from kingfisher_process_spark.operators import compile_release as cr
+    while cr._UNOWNED_PHASE_A:
+        cr._UNOWNED_PHASE_A.pop().unpersist()
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     out = compile_collection(store, r["collections"]["root"], comp,
                              two_phase="auto", batch=8)
     assert out["compiled"] == 2
     assert jsc.getPersistentRDDs().size() == before
-    assert not spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert not cr._UNOWNED_PHASE_A  # owned path never uses the slot
