@@ -858,22 +858,29 @@ def materialized_compile_upsert(batch_df: DataFrame, batch_id: int,
 
     s = batch_df.sparkSession
     cols = batch_df.columns
-    (batch_df.write.mode("overwrite")
+    bucket = F.pmod(F.hash("ocid"), F.lit(n_buckets))
+    # history is bucket-partitioned WITHIN each batch_id partition, so
+    # the recompile's history read prunes to dirty buckets — without
+    # this the semi join below scans the ENTIRE release history every
+    # micro-batch, which at 100 TB is O(history) per trigger
+    (batch_df.withColumn("bucket", bucket)
+     .write.mode("overwrite").partitionBy("bucket")
      .parquet(os.path.join(history_dir, f"batch_id={batch_id}")))
     dirty = batch_df.select("ocid").distinct()
-    history = s.read.parquet(history_dir).select(*cols)  # drops batch_id
+    dirty_buckets = [r["b"] for r in
+                     dirty.select(bucket.alias("b")).distinct().collect()]
+    history = (s.read.parquet(history_dir)
+               .where(F.col("bucket").isin(dirty_buckets))  # pruned
+               .select(*cols))
     redo = history.join(F.broadcast(dirty), "ocid", "left_semi")
-    bucket = F.pmod(F.hash("ocid"), F.lit(n_buckets))
     redone = (skew_routed_compiled(redo, batch, extension_schemas)
               .withColumn("bucket", bucket))
     # existence = any bucket partition on disk (the dynamic-overwrite
     # commit protocol writes no _SUCCESS marker; production would track
     # the table in a catalog instead of probing the filesystem)
     if glob.glob(os.path.join(compiled_dir, "bucket=*")):
-        dirty_buckets = [r["b"] for r in
-                         dirty.select(bucket.alias("b")).distinct().collect()]
         kept = (s.read.parquet(compiled_dir)
-                .where(F.col("bucket").isin(dirty_buckets))
+                .where(F.col("bucket").isin(dirty_buckets))  # pruned
                 .join(F.broadcast(dirty), "ocid", "left_anti"))
         out = kept.unionByName(redone.select(*kept.columns))
     else:

@@ -599,3 +599,11 @@ def test_materialized_compile_swaps_only_dirty_buckets(spark, tmp_path):
     # bucket column on disk matches the hash layout
     for r in spark.read.parquet(compiled).select("ocid", "bucket").collect():
         assert r["bucket"] in (ba, bb)
+    # history is bucket-partitioned inside each batch_id, and a
+    # dirty-bucket read is PARTITION-PRUNED (the scan must carry the
+    # bucket filter as a partition filter, not a post-scan predicate)
+    import re
+    pruned = spark.read.parquet(hist).where(F.col("bucket").isin([ba]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*bucket", plan), plan
+    assert {r["bucket"] for r in pruned.select("bucket").collect()} == {ba}
