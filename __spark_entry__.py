@@ -53,7 +53,7 @@ def _registry():
     #     w2/w5/p7, f_datetime, funnel/estimator audits, text
     #     fingerprint family, LSH/ANN variants, m_resize_images,
     #     partitioned MV, two OCDS pipelines) + 6 sentinels — all green.
-    #   r5 window (this one): the 14 r4-ADDED probes that have never had
+    #   r5 window: the 14 r4-ADDED probes that have never had
     #     a driver row + 2 r5 additions (ocds_incremental_compile,
     #     ann_pq_recall_audit) + 6 family sentinels + the 28
     #     longest-unchecked probes (last driver-checked in r2; the other
@@ -81,10 +81,14 @@ def _registry():
         "ann_ivf_trained_topk", "ann_ivfpq_residual_topk",
         "ann_ivfpq_loss_audit", "st_incremental_compile",
         "ann_sq8_topk", "ocds_incremental_checks",
+        "ann_pq_rerank_topk",
         # r2-era holdovers (last driver row: r2)
         "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 35 of the 44;
-        # the 9 deferred to r7 (d_shared_window_dups,
+        # longest-unchecked (last driver row: r3) — 34 of the 44;
+        # the 10 deferred to r7 (e_hourly_event_rollup — displaced by
+        # the r6-added ann_pq_rerank_topk; its family is covered
+        # in-window by st_incremental_rollup/e_sessionize —
+        # d_shared_window_dups,
         # e_dedup_consecutive, e_multires_rollup,
         # t_global_shuffle_shards, t_mixture_sample,
         # t_stratified_split, st_hourly_rollup,
@@ -99,7 +103,7 @@ def _registry():
         "st_stream_stream_join", "st_cdc_collapse",
         "st_incremental_rollup", "e_asof_last_view_before_click",
         "e_range_join_intervals", "e_scd2_intervals", "e_sessionize",
-        "e_hourly_event_rollup", "e_key_skew_audit",
+        "e_key_skew_audit",
         "sk_count_min_event_types", "sk_bloom_prejoin_audit",
         "w1_running_customer_spend", "w4_moving_avg",
         "q5_region_revenue", "q9_product_profit", "m_embed_ann",

@@ -62,6 +62,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "ann_ivfpq_residual_topk",
     "ann_sq8_topk",
+    "ann_pq_rerank_topk",
     "s_embedding_near_dups",
     "t_quality_scores",
     "t_token_stats",

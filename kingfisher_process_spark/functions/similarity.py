@@ -1087,10 +1087,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pq_adc_topk_trained(emb, trained_codebooks_for(spark, sf_dir))
 
 
-def _pq_adc_topk_trained(emb: DataFrame,
-                         cbs: list[list[list[int]]]) -> DataFrame:
+def _pq_adc_topk_trained(emb: DataFrame, cbs: list[list[list[int]]],
+                         top_k: int = TOP_K) -> DataFrame:
     """ADC top-k under a trained codebook (the body of
-    ann_pq_adc_topk, reusable by the recall audit)."""
+    ann_pq_adc_topk, reusable by the recall audit and — with a wider
+    ``top_k`` — as the shortlist stage of the re-rank tier)."""
     narrow = _pq_narrow_codes(pq_encode_trained(emb, cbs))
     table = _pq_adc_table_trained(emb, cbs)
     adc = (
@@ -1102,7 +1103,7 @@ def _pq_adc_topk_trained(emb: DataFrame,
     w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (
         adc.withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= TOP_K)
+        .where(F.col("rnk") <= top_k)
         .select("query_id", "neighbor_id",
                 F.col("adc").cast("double").alias("adc_dist"), "rnk")
         .orderBy("query_id", "rnk")
@@ -1232,8 +1233,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pqt_adc_topk_sql() -> str:
-    """Trained ADC top-k as a CTE body (matches ann_pq_adc_topk)."""
+def _pqt_adc_topk_sql(limit: int = TOP_K) -> str:
+    """Trained ADC top-k as a CTE body (matches ann_pq_adc_topk); a
+    wider ``limit`` yields the re-rank tier's shortlist."""
     return f"""
       SELECT query_id, neighbor_id, rnk FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1244,7 +1246,7 @@ def _pqt_adc_topk_sql() -> str:
           FROM pqtcodes n JOIN pqtd2 t ON t.m = n.m AND t.c = n.code
           WHERE n.vec_id <> t.vec_id
           GROUP BY 1, 2) a) x
-      WHERE rnk <= {TOP_K}
+      WHERE rnk <= {limit}
 """
 
 
@@ -1952,3 +1954,87 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("d2").cast("double").alias("sq_dist"), "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-ranking tier (the Faiss "refine" step): the compressed index
+# produces a WIDER-than-k ADC shortlist, then the true vectors of only
+# those candidates are fetched and exactly re-scored. Production ANN
+# serving is this two-stage shape almost universally — the 8 B/vector
+# scan bounds the corpus pass, the exact pass touches k×factor vectors
+# per query. Given a candidate set, exact re-ranking is RECALL-MAXIMAL:
+# any ground-truth member in the shortlist that misses the reranked
+# top-k must be displaced by k exactly-closer vectors, which are then
+# ground-truth members themselves — so rerank recall ≥ any other
+# selection from the same shortlist (tests/test_pq.py pins this
+# dominance over the pure-ADC top-k).
+# ---------------------------------------------------------------------------
+
+RERANK_FACTOR = 4  # shortlist width = factor × top_k
+
+
+def pq_rerank_topk(emb: DataFrame, cbs: list[list[list[int]]],
+                   top_k: int = TOP_K,
+                   factor: int = RERANK_FACTOR) -> DataFrame:
+    """ADC shortlist (factor×top_k) → exact grid-L2 re-rank → top_k.
+
+    Scale shape: the shortlist is queries × (factor·k) rows —
+    broadcast-sized — so the exact pass is a BROADCAST semi-shaped join
+    that fetches full vectors for shortlist members only; the corpus
+    pass stays the 8-byte-code ADC scan. All exact BIGINT grid
+    arithmetic, so the DuckDB oracle (which retrains the codebook)
+    hash-pins shortlist AND re-rank end-to-end."""
+    short = (_pq_adc_topk_trained(emb, cbs, top_k=factor * top_k)
+             .select("query_id", "neighbor_id"))
+    q = _quantized(emb)
+    queries = (q.where(F.col("vec_id") < N_QUERIES)
+               .selectExpr("vec_id AS query_id", "qa AS qs"))
+    fetched = (q.selectExpr("vec_id AS neighbor_id", "qa AS qn")
+               .join(F.broadcast(short), "neighbor_id"))
+    exact = (fetched.join(F.broadcast(queries), "query_id")
+             .selectExpr("query_id", "neighbor_id",
+                         "aggregate(zip_with(qs, qn, (a, b) ->"
+                         " (a - b) * (a - b)), CAST(0 AS BIGINT),"
+                         " (acc, x) -> acc + x) AS d2"))
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        exact.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= top_k)
+        .select("query_id", "neighbor_id",
+                F.col("d2").cast("double").alias("l2_dist"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+@probe(
+    "ann_pq_rerank_topk",
+    f"""
+    WITH {_pqt_train_ctes()},
+    pqtcodes AS ({_PQT_SQL_CODES}),
+    pqtd2 AS ({_PQT_SQL_D2}),
+    short AS ({_pqt_adc_topk_sql(RERANK_FACTOR * TOP_K)}),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             SUM((qq.x - qn.x) * (qq.x - qn.x)) AS d2
+      FROM short s
+      JOIN pqq qq ON qq.vec_id = s.query_id
+      JOIN pqq qn ON qn.vec_id = s.neighbor_id
+                 AND qn.m = qq.m AND qn.j = qq.j
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(d2 AS DOUBLE) AS l2_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rnk
+      FROM exact) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids="similarity-ext,J1,O5,iterative-ext",
+)
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine tier over the trained-PQ index: ADC shortlist of
+    4×k codes-only candidates per query, exact integer-grid L2 on just
+    those candidates, final top-k by true distance. See pq_rerank_topk
+    for the scale shape; the oracle retrains the codebook and replays
+    both stages, so a one-bit divergence anywhere in
+    train → encode → ADC → fetch → exact-rescore breaks the hash."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return pq_rerank_topk(emb, trained_codebooks_for(spark, sf_dir))

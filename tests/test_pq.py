@@ -151,3 +151,23 @@ def test_trained_ivf_serving_path_is_parameterized(spark):
     # probing every cell is exhaustive search → perfect recall bound
     assert w >= s
     assert w == sum(r["k"] for r in audit), (w, s)
+
+
+def test_rerank_dominates_pure_adc(spark):
+    """Exact re-ranking of a candidate set is recall-maximal over that
+    set: any ground-truth member the ADC top-k finds is in the 4k
+    shortlist, and the exact pass keeps every shortlist GT member up
+    to k — so rerank recall >= ADC recall per query, provably."""
+    from kingfisher_process_spark.functions import similarity as S
+    from kingfisher_process_spark.plans.base import load_tables
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    cbs = S.trained_codebooks_for(spark, SF_SMOKE)
+    gt = S._grid_gt(emb)
+    audit = S._two_way_recall(
+        gt, S.pq_rerank_topk(emb, cbs),
+        S._pq_adc_topk_trained(emb, cbs), "rerank", "adc").collect()
+    assert audit
+    for r in audit:
+        assert r["n_hit_rerank"] >= r["n_hit_adc"], r
+    assert sum(r["n_hit_rerank"] for r in audit) > 0

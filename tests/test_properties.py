@@ -274,3 +274,28 @@ def test_bpe_train_matches_python_reference(words, rounds):
     spark = get_spark("kps-tests", cpus=8)
     docs = spark.createDataFrame([(" ".join(words),)], "text string")
     assert bpe_train(docs, rounds=rounds) == ref_bpe(words, rounds)
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.text(
+        # printable-ish unicode incl. quotes/backslashes/newlines; the
+        # parser rejects raw NUL and surrogates, which never reach SQL
+        # text from JSON-derived ocids either
+        st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+        max_size=20),
+    min_size=1, max_size=12, unique=True))
+def test_resolve_keyset_values_literal_roundtrip(spark, keys):
+    """Any JSON-representable key set must survive the VALUES-literal
+    encoding byte-for-byte — the escaping is load-bearing for
+    correctness (a mis-escaped quote would silently drop or corrupt a
+    dirty OCID)."""
+    from kingfisher_process_spark.operators.compile_release import (
+        _resolve_keyset)
+
+    df = spark.createDataFrame([(k,) for k in keys], "ocid string")
+    local, small = _resolve_keyset(df)
+    assert small
+    got = sorted(r[0] for r in local.collect())
+    assert got == sorted(keys)
