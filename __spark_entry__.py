@@ -81,13 +81,15 @@ def _registry():
         "ann_ivf_trained_topk", "ann_ivfpq_residual_topk",
         "ann_ivfpq_loss_audit", "st_incremental_compile",
         "ann_sq8_topk", "ocds_incremental_checks",
-        "ann_pq_rerank_topk",
+        "ann_pq_rerank_topk", "t_pretrain_corpus_pipeline",
         # r2-era holdovers (last driver row: r2)
         "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 34 of the 44;
-        # the 10 deferred to r7 (e_hourly_event_rollup — displaced by
-        # the r6-added ann_pq_rerank_topk; its family is covered
-        # in-window by st_incremental_rollup/e_sessionize —
+        # longest-unchecked (last driver row: r3) — 33 of the 44;
+        # the 11 deferred to r7 (e_hourly_event_rollup and
+        # t_chunk_documents — displaced by the r6-added
+        # ann_pq_rerank_topk / t_pretrain_corpus_pipeline; their
+        # families are covered in-window by st_incremental_rollup /
+        # e_sessionize / t_bm25_search / t_quality_scores —
         # d_shared_window_dups,
         # e_dedup_consecutive, e_multires_rollup,
         # t_global_shuffle_shards, t_mixture_sample,
@@ -99,7 +101,7 @@ def _registry():
         "ocds_compile_two_phase", "ocds_versioned_release",
         "d_decontaminate", "d_lsh_bucket_stats", "d_simhash_banded_pairs",
         "t_table_fingerprint", "t_table_diff", "t_bm25_search",
-        "t_chunk_documents", "t_quality_scores",
+        "t_quality_scores",
         "st_stream_stream_join", "st_cdc_collapse",
         "st_incremental_rollup", "e_asof_last_view_before_click",
         "e_range_join_intervals", "e_scd2_intervals", "e_sessionize",

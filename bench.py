@@ -72,6 +72,7 @@ HEADLINE = [
     "t_global_shuffle_shards",
     "t_bm25_search",
     "t_table_fingerprint",
+    "t_pretrain_corpus_pipeline",
     "j7_salted_skew_join",
     "e_asof_last_view_before_click",
     "e_scd2_intervals",

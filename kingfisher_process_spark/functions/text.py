@@ -509,17 +509,31 @@ def t_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. The DuckDB oracle runs the naive global window (fine at oracle
     scale); equality proves the distributed prefix sum correct.
     """
+    t = load_tables(spark, sf_dir)
+    d = t["documents"].select(
+        "doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("nt"))
+    c = packed_starts(spark, d)
+    return (
+        c.groupBy(F.floor(F.col("start_off") / SEQ_LEN).cast("bigint").alias("seq_bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nt").alias("n_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+        .orderBy("seq_bin")
+    )
+
+
+def packed_starts(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """(doc_id, nt, …) → + ``start_off``: each document's starting
+    offset in the doc_id-ordered concatenated token stream — the
+    distributed global prefix sum t_sequence_packing's docstring
+    describes (range-partition, per-partition cumsum, |partitions|-row
+    offset broadcast). Reused by the corpus-preparation funnel."""
     from pyspark.sql import Window
 
-    sc = spark.sparkContext
-    t = load_tables(spark, sf_dir)
-    n_parts = max(2, sc.defaultParallelism)
-    d = (
-        t["documents"]
-        .select("doc_id", F.size(_tokens(F.col("text"))).cast("long").alias("nt"))
-        .repartitionByRange(n_parts, "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    d = (d.repartitionByRange(n_parts, "doc_id")
+         .withColumn("pid", F.spark_partition_id()))
     d = d.localCheckpoint()  # pin partitioning: offsets + cumsum must see identical pids
     per_part = {r["pid"]: r["s"] for r in
                 d.groupBy("pid").agg(F.sum("nt").alias("s")).collect()}
@@ -530,18 +544,10 @@ def t_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc += per_part[pid]
     off_df = spark.createDataFrame(offsets, "pid int, part_off long")
     w = Window.partitionBy("pid").orderBy("doc_id")
-    c = (
+    return (
         d.join(F.broadcast(off_df), "pid")
         .withColumn("start_off",
                     F.col("part_off") + F.sum("nt").over(w) - F.col("nt"))
-    )
-    return (
-        c.groupBy(F.floor(F.col("start_off") / SEQ_LEN).cast("bigint").alias("seq_bin"))
-        .agg(F.count(F.lit(1)).alias("n_docs"),
-             F.sum("nt").alias("n_tokens"),
-             F.min("doc_id").alias("first_doc"),
-             F.max("doc_id").alias("last_doc"))
-        .orderBy("seq_bin")
     )
 
 
@@ -1163,3 +1169,130 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = vocab.agg(
         F.sum(F.col("freq") * F.size("l")).alias("n_tokens_after"))
     return before.crossJoin(after)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-preparation funnel — the end-to-end composition a pretraining
+# data pipeline actually runs, as ONE oracle-checked probe: language
+# filter → quality filter → exact dedup → sequence packing. Each stage
+# exists as its own probe (t_langid_heuristic, t_quality_scores,
+# d_exact_dup_groups, t_sequence_packing); this pins their COMPOSITION
+# — the funnel counts after every stage plus an order-sensitive packing
+# checksum — so a regression in how stages hand off (a dropped column,
+# a filter applied to the wrong intermediate, packing over the unfiltered
+# set) breaks the hash even when every stage passes alone.
+# ---------------------------------------------------------------------------
+
+PIPELINE_SQL = f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS nt,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_EN))})) AS s_en,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_DATA))})) AS s_data,
+             len(list_filter(string_split(text, ' '),
+                             t -> t IN {str(tuple(STOP_COMPUTE))})) AS s_compute,
+             md5(text) AS content_hash
+      FROM documents),
+    s1 AS (SELECT * FROM base
+           WHERE CASE WHEN s_en >= s_data AND s_en >= s_compute THEN 'en'
+                      WHEN s_data >= s_compute THEN 'data'
+                      ELSE 'compute' END IN ('en', 'data')),
+    s2 AS (SELECT * FROM s1 WHERE nt BETWEEN 25 AND 5000),
+    keep AS (SELECT content_hash, MIN(doc_id) AS keeper
+             FROM s2 GROUP BY content_hash),
+    s3 AS (SELECT s2.* FROM s2 JOIN keep
+           ON s2.content_hash = keep.content_hash
+          AND s2.doc_id = keep.keeper),
+    c AS (SELECT doc_id, nt,
+                 SUM(nt) OVER (ORDER BY doc_id) - nt AS start_off
+          FROM s3),
+    bins AS (SELECT CAST(floor(start_off / {SEQ_LEN}.0) AS BIGINT) AS seq_bin,
+                    COUNT(*) AS nd, CAST(SUM(nt) AS BIGINT) AS ntok
+             FROM c GROUP BY 1)
+    SELECT 'a_ingest' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           CAST(0 AS BIGINT) AS n_bins, CAST(0 AS BIGINT) AS bin_checksum
+    FROM base
+    UNION ALL
+    SELECT 'b_langid', COUNT(*), CAST(SUM(nt) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 'c_quality', COUNT(*), CAST(SUM(nt) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'd_dedup', COUNT(*), CAST(SUM(nt) AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 'e_packed', CAST(SUM(nd) AS BIGINT), CAST(SUM(ntok) AS BIGINT),
+           COUNT(*), CAST(SUM(seq_bin * nd) AS BIGINT) FROM bins
+    ORDER BY stage
+"""
+
+
+@probe("t_pretrain_corpus_pipeline", PIPELINE_SQL,
+       survey_ids="text-ext,dedup-ext,sampling-ext,A1,A5,J3")
+def t_pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel summary: (stage, n_docs, n_tokens, n_bins, bin_checksum)
+    for ingest → language-ID keep (argmax profile ∈ whitelist
+    {{en, data}}, fixed tie order) → quality keep (25–5000 tokens) → exact-dedup keeper rows →
+    packed {SEQ_LEN}-token windows. The packing runs the DISTRIBUTED
+    prefix sum (packed_starts) over only the surviving docs, and
+    bin_checksum = Σ(seq_bin · docs-starting-in-bin) pins the exact
+    window assignment, which shifts if even one upstream survivor
+    changes. Scale: every filter is a map-side column predicate over
+    ONE scan lineage, dedup is one groupBy, packing is one range
+    shuffle + |partitions|-row collect — the funnel adds no shuffle
+    beyond its stages' own."""
+    t = load_tables(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+
+    def hits(words):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    base = t["documents"].select(
+        "doc_id",
+        F.size(toks).cast("long").alias("nt"),
+        hits(STOP_EN).alias("s_en"), hits(STOP_DATA).alias("s_data"),
+        hits(STOP_COMPUTE).alias("s_compute"),
+        F.md5("text").alias("content_hash"),
+    )
+    predicted = (
+        F.when((F.col("s_en") >= F.col("s_data"))
+               & (F.col("s_en") >= F.col("s_compute")), "en")
+        .when(F.col("s_data") >= F.col("s_compute"), "data")
+        .otherwise("compute"))
+    s1 = base.where(predicted.isin("en", "data"))
+    s2 = s1.where(F.col("nt").between(25, 5000))
+    keep = (s2.groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id")))
+    s3 = s2.join(keep, ["content_hash", "doc_id"], "left_semi")
+    c = packed_starts(spark, s3.select("doc_id", "nt"))
+    bins = (c.groupBy(F.floor(F.col("start_off") / SEQ_LEN)
+                      .cast("bigint").alias("seq_bin"))
+            .agg(F.count(F.lit(1)).alias("nd"), F.sum("nt").alias("ntok")))
+
+    def stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_bins"),
+            F.lit(0).cast("long").alias("bin_checksum"))
+
+    packed = bins.agg(
+        F.lit("e_packed").alias("stage"),
+        F.sum("nd").alias("n_docs"),
+        F.sum("ntok").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(F.col("seq_bin") * F.col("nd")).alias("bin_checksum"))
+    return (
+        stage(base, "a_ingest")
+        .unionByName(stage(s1, "b_langid"))
+        .unionByName(stage(s2, "c_quality"))
+        .unionByName(stage(s3, "d_dedup"))
+        .unionByName(packed)
+        .orderBy("stage")
+    )
