@@ -82,14 +82,16 @@ def _registry():
         "ann_ivfpq_loss_audit", "st_incremental_compile",
         "ann_sq8_topk", "ocds_incremental_checks",
         "ann_pq_rerank_topk", "t_pretrain_corpus_pipeline",
+        "d_semantic_dedup",
         # r2-era holdovers (last driver row: r2)
         "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 33 of the 44;
-        # the 11 deferred to r7 (e_hourly_event_rollup and
-        # t_chunk_documents — displaced by the r6-added
-        # ann_pq_rerank_topk / t_pretrain_corpus_pipeline; their
-        # families are covered in-window by st_incremental_rollup /
-        # e_sessionize / t_bm25_search / t_quality_scores —
+        # longest-unchecked (last driver row: r3) — 32 of the 44;
+        # the 12 deferred to r7 (e_hourly_event_rollup,
+        # t_chunk_documents and d_lsh_bucket_stats — displaced by the
+        # r6-added ann_pq_rerank_topk / t_pretrain_corpus_pipeline /
+        # d_semantic_dedup; their families are covered in-window by
+        # st_incremental_rollup / e_sessionize / t_bm25_search /
+        # t_quality_scores / d_decontaminate / d_simhash_banded_pairs —
         # d_shared_window_dups,
         # e_dedup_consecutive, e_multires_rollup,
         # t_global_shuffle_shards, t_mixture_sample,
@@ -99,7 +101,7 @@ def _registry():
         "p3_inlist_filter", "p5_json_extract_agg", "p5_variant_json",
         "a6_top_buyers", "ocds_record_ladder", "ocds_check_errors",
         "ocds_compile_two_phase", "ocds_versioned_release",
-        "d_decontaminate", "d_lsh_bucket_stats", "d_simhash_banded_pairs",
+        "d_decontaminate", "d_simhash_banded_pairs",
         "t_table_fingerprint", "t_table_diff", "t_bm25_search",
         "t_quality_scores",
         "st_stream_stream_join", "st_cdc_collapse",

@@ -73,6 +73,7 @@ HEADLINE = [
     "t_bm25_search",
     "t_table_fingerprint",
     "t_pretrain_corpus_pipeline",
+    "d_semantic_dedup",
     "j7_salted_skew_join",
     "e_asof_last_view_before_click",
     "e_scd2_intervals",

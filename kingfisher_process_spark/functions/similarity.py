@@ -2038,3 +2038,97 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     train → encode → ADC → fetch → exact-rescore breaks the hash."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return pq_rerank_topk(emb, trained_codebooks_for(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+# cluster the corpus with the TRAINED coarse quantizer, then drop any
+# vector that has a smaller-id neighbor within an exact grid-L2 ball
+# inside its own cluster. The clustering bounds the quadratic term per
+# cell — at 100 TB the cell count grows with the corpus so cell
+# population stays ~n/k and the within-cell pair scan never approaches
+# all-pairs; cross-cell near-dups are by construction far apart under
+# the quantizer that routed them. The min-id keeper rule is the same
+# deterministic convention as exact dedup (d_exact_dup_groups), making
+# the whole device an EXISTS semi-join, not a clustering heuristic.
+# ---------------------------------------------------------------------------
+
+SEM_TAU = 1_500_000_000_000  # grid-L2 ball: ~1% quantile of within-cell
+# pair distance on the synthetic corpus — removes some-but-not-all at
+# every test sf (27% at sf0.01, 57% at sf0.1)
+
+
+def semantic_dedup_summary(q: DataFrame, cents: list[list[int]],
+                           tau: int = SEM_TAU) -> DataFrame:
+    """(cell, n_members, n_removed, n_kept, removed_id_sum) per trained
+    cell. One map-side cell assignment against broadcast literal
+    centroids, ONE shuffle on the cell key for the self-join, distance
+    as a codegen'd BIGINT higher-order fold — no Python, no all-pairs.
+    removed_id_sum pins exactly WHICH vectors were dropped, not just
+    how many."""
+    asg = q.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+    a = asg.selectExpr("cell", "vec_id AS va", "qa AS aa")
+    b = asg.selectExpr("cell AS cell_b", "vec_id AS vb", "qa AS ab")
+    d2 = ("aggregate(zip_with(aa, ab, (x, y) -> (x - y) * (x - y)),"
+          " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    removed = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                      & (F.col("va") < F.col("vb")))
+               .where(F.expr(d2) < F.lit(tau))
+               .select("cell", "vb").distinct())
+    mem = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    rem = removed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.sum("vb").alias("removed_id_sum"))
+    zero = F.lit(0).cast("long")
+    return (mem.join(rem, "cell", "left")
+            .select(F.col("cell").cast("long").alias("cell"),
+                    F.col("n_members").cast("long").alias("n_members"),
+                    F.coalesce("n_removed", zero).alias("n_removed"),
+                    (F.col("n_members")
+                     - F.coalesce("n_removed", zero)).alias("n_kept"),
+                    F.coalesce("removed_id_sum", zero)
+                    .alias("removed_id_sum"))
+            .orderBy("cell"))
+
+
+@probe(
+    "d_semantic_dedup",
+    f"""
+    WITH {_ivft_ctes()},
+    asg AS ({_IVFT_SQL_ASG}),
+    pairs AS (
+      SELECT a.c, b.vec_id AS vb
+      FROM asg a JOIN asg b ON b.c = a.c AND a.vec_id < b.vec_id
+      JOIN pqq qa ON qa.vec_id = a.vec_id
+      JOIN pqq qb ON qb.vec_id = b.vec_id AND qb.m = qa.m AND qb.j = qa.j
+      GROUP BY a.c, a.vec_id, b.vec_id
+      HAVING SUM((qa.x - qb.x) * (qa.x - qb.x)) < {SEM_TAU}),
+    removed AS (SELECT c, vb FROM pairs GROUP BY c, vb),
+    mem AS (SELECT c, COUNT(*) AS n_members FROM asg GROUP BY c),
+    rem AS (SELECT c, COUNT(*) AS n_removed,
+                   CAST(SUM(vb) AS BIGINT) AS id_sum
+            FROM removed GROUP BY c)
+    SELECT CAST(m.c AS BIGINT) AS cell,
+           m.n_members AS n_members,
+           COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_removed,
+           m.n_members - COALESCE(r.n_removed, CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(r.id_sum, CAST(0 AS BIGINT)) AS removed_id_sum
+    FROM mem m LEFT JOIN rem r ON r.c = m.c
+    ORDER BY cell
+    """,
+    survey_ids="dedup-ext,similarity-ext,J1,A1,iterative-ext",
+)
+def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: route every vector through
+    the trained IVF coarse quantizer (the SAME memoized centroids the
+    serving tiers use), then within each cell drop vectors with a
+    smaller-id neighbor inside the SEM_TAU grid-L2 ball. The oracle
+    RETRAINS the quantizer in unrolled SQL (ivfcb0..N CTEs) and replays
+    assignment, within-cell pair search, and the keeper rule — so
+    training drift, routing drift, or a wrong pair both change
+    removed_id_sum and break the hash. Reference analogy: the md5
+    dedup-on-write (kingfisher reference util.py get_hash) lifted from
+    byte-identity to semantic identity."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = ivf_grid_centroids_for(spark, sf_dir)
+    return semantic_dedup_summary(_quantized(emb), cents)

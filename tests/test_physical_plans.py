@@ -308,3 +308,15 @@ def test_incremental_compile_broadcasts_dirty_set(spark):
     assert "BroadcastHashJoin LeftAnti" in plan.replace("  ", " "), plan
     assert "BroadcastHashJoin LeftSemi" in plan.replace("  ", " "), plan
     assert "partial_sum" in plan, plan
+
+
+def test_semantic_dedup_equijoins_on_cell_no_python(spark):
+    plan = plan_of(spark, "d_semantic_dedup")
+    # the within-cell pair search must be an equi-join on the cell key —
+    # never a cartesian/nested-loop over the corpus — and the grid-L2
+    # ball test stays a codegen'd BIGINT fold, not a Python stage
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert re.search(r"Left keys \[1\]: \[cell#\d+L?\]", plan), plan
+    assert re.search(r"Right keys \[1\]: \[cell_b#\d+L?\]", plan), plan
