@@ -82,16 +82,18 @@ def _registry():
         "ann_ivfpq_loss_audit", "st_incremental_compile",
         "ann_sq8_topk", "ocds_incremental_checks",
         "ann_pq_rerank_topk", "t_pretrain_corpus_pipeline",
-        "d_semantic_dedup",
+        "d_semantic_dedup", "st_semantic_dedup",
         # r2-era holdovers (last driver row: r2)
         "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 32 of the 44;
-        # the 12 deferred to r7 (e_hourly_event_rollup,
-        # t_chunk_documents and d_lsh_bucket_stats — displaced by the
-        # r6-added ann_pq_rerank_topk / t_pretrain_corpus_pipeline /
-        # d_semantic_dedup; their families are covered in-window by
+        # longest-unchecked (last driver row: r3) — 31 of the 44;
+        # the 13 deferred to r7 (e_hourly_event_rollup,
+        # t_chunk_documents, d_lsh_bucket_stats and w4_moving_avg —
+        # displaced by the r6-added ann_pq_rerank_topk /
+        # t_pretrain_corpus_pipeline / d_semantic_dedup /
+        # st_semantic_dedup; their families are covered in-window by
         # st_incremental_rollup / e_sessionize / t_bm25_search /
-        # t_quality_scores / d_decontaminate / d_simhash_banded_pairs —
+        # t_quality_scores / d_decontaminate / d_simhash_banded_pairs /
+        # w1_running_customer_spend —
         # d_shared_window_dups,
         # e_dedup_consecutive, e_multires_rollup,
         # t_global_shuffle_shards, t_mixture_sample,
@@ -109,7 +111,7 @@ def _registry():
         "e_range_join_intervals", "e_scd2_intervals", "e_sessionize",
         "e_key_skew_audit",
         "sk_count_min_event_types", "sk_bloom_prejoin_audit",
-        "w1_running_customer_spend", "w4_moving_avg",
+        "w1_running_customer_spend",
         "q5_region_revenue", "q9_product_profit", "m_embed_ann",
         "j7_salted_skew_join", "f_array_functions",
         "u4_intersect_buyers_suppliers_nations",

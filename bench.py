@@ -89,6 +89,7 @@ HEADLINE = [
     "st_dedup_ingest",
     "st_dedup_watermarked",
     "st_cdc_collapse",
+    "st_semantic_dedup",
 ]
 
 

@@ -2057,24 +2057,17 @@ SEM_TAU = 1_500_000_000_000  # grid-L2 ball: ~1% quantile of within-cell
 # pair distance on the synthetic corpus — removes some-but-not-all at
 # every test sf (27% at sf0.01, 57% at sf0.1)
 
-
-def semantic_dedup_summary(q: DataFrame, cents: list[list[int]],
-                           tau: int = SEM_TAU) -> DataFrame:
-    """(cell, n_members, n_removed, n_kept, removed_id_sum) per trained
-    cell. One map-side cell assignment against broadcast literal
-    centroids, ONE shuffle on the cell key for the self-join, distance
-    as a codegen'd BIGINT higher-order fold — no Python, no all-pairs.
-    removed_id_sum pins exactly WHICH vectors were dropped, not just
-    how many."""
-    asg = q.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
-    a = asg.selectExpr("cell", "vec_id AS va", "qa AS aa")
-    b = asg.selectExpr("cell AS cell_b", "vec_id AS vb", "qa AS ab")
-    d2 = ("aggregate(zip_with(aa, ab, (x, y) -> (x - y) * (x - y)),"
+# exact grid-L2 between the two sides of a cell-keyed pair join — a
+# codegen'd BIGINT higher-order fold, shared by the batch self-join and
+# the streaming batch-vs-history join
+SEM_D2 = ("aggregate(zip_with(aa, ab, (x, y) -> (x - y) * (x - y)),"
           " CAST(0 AS BIGINT), (acc, v) -> acc + v)")
-    removed = (a.join(b, (F.col("cell") == F.col("cell_b"))
-                      & (F.col("va") < F.col("vb")))
-               .where(F.expr(d2) < F.lit(tau))
-               .select("cell", "vb").distinct())
+
+
+def _sem_summary_from(asg: DataFrame, removed: DataFrame) -> DataFrame:
+    """Final (cell, n_members, n_removed, n_kept, removed_id_sum)
+    projection from an assignment (vec_id, cell) and a distinct
+    removed set (cell, vb) — shared by the batch and streaming forms."""
     mem = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
     rem = removed.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_removed"),
@@ -2091,9 +2084,25 @@ def semantic_dedup_summary(q: DataFrame, cents: list[list[int]],
             .orderBy("cell"))
 
 
-@probe(
-    "d_semantic_dedup",
-    f"""
+def semantic_dedup_summary(q: DataFrame, cents: list[list[int]],
+                           tau: int = SEM_TAU) -> DataFrame:
+    """(cell, n_members, n_removed, n_kept, removed_id_sum) per trained
+    cell. One map-side cell assignment against broadcast literal
+    centroids, ONE shuffle on the cell key for the self-join, distance
+    as a codegen'd BIGINT higher-order fold — no Python, no all-pairs.
+    removed_id_sum pins exactly WHICH vectors were dropped, not just
+    how many."""
+    asg = q.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+    a = asg.selectExpr("cell", "vec_id AS va", "qa AS aa")
+    b = asg.selectExpr("cell AS cell_b", "vec_id AS vb", "qa AS ab")
+    removed = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                      & (F.col("va") < F.col("vb")))
+               .where(F.expr(SEM_D2) < F.lit(tau))
+               .select("cell", "vb").distinct())
+    return _sem_summary_from(asg, removed)
+
+
+SEM_SQL = f"""
     WITH {_ivft_ctes()},
     asg AS ({_IVFT_SQL_ASG}),
     pairs AS (
@@ -2115,7 +2124,12 @@ def semantic_dedup_summary(q: DataFrame, cents: list[list[int]],
            COALESCE(r.id_sum, CAST(0 AS BIGINT)) AS removed_id_sum
     FROM mem m LEFT JOIN rem r ON r.c = m.c
     ORDER BY cell
-    """,
+    """
+
+
+@probe(
+    "d_semantic_dedup",
+    SEM_SQL,
     survey_ids="dedup-ext,similarity-ext,J1,A1,iterative-ext",
 )
 def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2132,3 +2146,110 @@ def d_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     cents = ivf_grid_centroids_for(spark, sf_dir)
     return semantic_dedup_summary(_quantized(emb), cents)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SemDeDup — the maintenance form: vectors arrive in
+# micro-batches; per batch the ONLY work is the batch against the
+# accumulated history of its own dirty cells (partition-pruned read —
+# clean cells' files are never opened), and the removed set grows
+# append-only. Order-independence is structural: the unordered pair
+# (u, v) is examined exactly when the LATER of the two arrives (or in
+# their shared batch), and the keeper rule max(u, v) does not care who
+# came first — so the final state converges to the batch SemDeDup
+# regardless of the batch split, and the probe shares d_semantic_dedup's
+# retraining oracle verbatim. Both stores are idempotent under
+# foreachBatch's at-least-once retries (each batch overwrites its own
+# batch_id=N partition). This is the same dirty-set maintenance shape
+# as st_incremental_compile, applied to the ANN family.
+# ---------------------------------------------------------------------------
+
+SEM_HIST_SCHEMA = "vec_id BIGINT, qa ARRAY<BIGINT>, cell BIGINT, batch_id INT"
+SEM_REMOVED_SCHEMA = "cell BIGINT, vb BIGINT, batch_id INT"
+
+
+def semantic_dedup_upsert(batch_df: DataFrame, batch_id: int,
+                          hist_dir: str, removed_dir: str,
+                          cents: list[list[int]],
+                          tau: int = SEM_TAU) -> None:
+    """One micro-batch step: assign cells, append the batch to the
+    cell-partitioned history (overwriting its OWN batch_id partition —
+    idempotent), then join the batch against the history of its dirty
+    cells only and record every new removal (cell, max-id of the pair).
+    The dirty cells are collected as literals BECAUSE partition pruning
+    needs literal filters — the list is bounded by the trained cell
+    count (k), never the corpus."""
+    spark = batch_df.sparkSession
+    asg = batch_df.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+    (asg.write.mode("overwrite").partitionBy("cell")
+        .parquet(f"{hist_dir}/batch_id={batch_id}"))
+    dirty = [r["cell"] for r in asg.select("cell").distinct().collect()]
+    hist = (spark.read.option("basePath", hist_dir)
+            .schema(SEM_HIST_SCHEMA)
+            .parquet(f"{hist_dir}/batch_id=*")
+            .where(F.col("cell").isin(dirty)))
+    a = hist.selectExpr("cell", "vec_id AS va", "qa AS aa")
+    b = asg.selectExpr("cell AS cell_b", "vec_id AS vb", "qa AS ab")
+    removed_new = (a.join(b, (F.col("cell") == F.col("cell_b"))
+                          & (F.col("va") != F.col("vb")))
+                   .where(F.expr(SEM_D2) < F.lit(tau))
+                   .select("cell", F.greatest("va", "vb").alias("vb"))
+                   .distinct())
+    (removed_new.write.mode("overwrite")
+     .parquet(f"{removed_dir}/batch_id={batch_id}"))
+
+
+def semantic_dedup_state_summary(spark: SparkSession, hist_dir: str,
+                                 removed_dir: str) -> DataFrame:
+    """Summary over the maintained stores: members from the history,
+    removals deduplicated across batches (two batches may each remove
+    the same vector — the set union is the semantics)."""
+    asg = (spark.read.option("basePath", hist_dir)
+           .schema(SEM_HIST_SCHEMA).parquet(f"{hist_dir}/batch_id=*"))
+    removed = (spark.read.option("basePath", removed_dir)
+               .schema(SEM_REMOVED_SCHEMA)
+               .parquet(f"{removed_dir}/batch_id=*")
+               .select("cell", "vb").distinct())
+    return _sem_summary_from(asg, removed)
+
+
+@probe("st_semantic_dedup", SEM_SQL,
+       survey_ids="dedup-ext,similarity-ext,streaming-ext,A1")
+def st_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SemDeDup over the embeddings table: the corpus arrives
+    as a 4-slice file stream sliced by pmod(hash(vec_id), 4) —
+    deliberately NOT id-ordered, so later batches carry smaller ids
+    than earlier keepers and the retroactive-removal path is exercised.
+    foreachBatch maintains the cell-partitioned history and the
+    append-only removed set via semantic_dedup_upsert; the final
+    summary must hash-match the BATCH SemDeDup oracle (shared SEM_SQL,
+    which retrains the quantizer in unrolled SQL), proving the
+    maintenance loop converges to the one-shot computation for any
+    batch order. Reference analogy: continuous collection maintenance
+    (reference compiler command loop) applied to semantic identity."""
+    import os
+    import tempfile
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = ivf_grid_centroids_for(spark, sf_dir)
+    q = _quantized(emb)
+    tmp = tempfile.mkdtemp(prefix="kps_stsem_")
+    watch = os.path.join(tmp, "watch")
+    hist = os.path.join(tmp, "history")
+    removed = os.path.join(tmp, "removed")
+    os.makedirs(watch)
+    for i in range(4):
+        (q.where(F.pmod(F.hash("vec_id"), F.lit(4)) == i).coalesce(1)
+         .write.mode("append").parquet(os.path.join(watch, f"slice={i}")))
+
+    def upsert(batch_df, batch_id):
+        semantic_dedup_upsert(batch_df, batch_id, hist, removed, cents)
+
+    stream = (spark.readStream.schema(q.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(watch, "slice=*"))
+              .writeStream.foreachBatch(upsert)
+              .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+              .trigger(availableNow=True).start())
+    stream.awaitTermination()
+    return semantic_dedup_state_summary(spark, hist, removed)

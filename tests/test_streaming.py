@@ -607,3 +607,44 @@ def test_materialized_compile_swaps_only_dirty_buckets(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^]]*bucket", plan), plan
     assert {r["bucket"] for r in pruned.select("bucket").collect()} == {ba}
+
+
+def test_semantic_dedup_upsert_converges_and_prunes(spark, tmp_path):
+    """Streaming SemDeDup maintenance: out-of-id-order batches converge
+    to the batch SemDeDup summary, a replayed batch_id is idempotent
+    (at-least-once retry), and the history read partition-prunes to the
+    batch's dirty cells — clean cells' files are never opened."""
+    from kingfisher_process_spark.functions.similarity import (
+        SEM_HIST_SCHEMA, _quantized, ivf_grid_centroids_for,
+        semantic_dedup_state_summary, semantic_dedup_summary,
+        semantic_dedup_upsert)
+    from kingfisher_process_spark.plans.base import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_tables(spark, sf)["embeddings"]
+    cents = ivf_grid_centroids_for(spark, sf)
+    q = _quantized(emb)
+    hist, removed = str(tmp_path / "hist"), str(tmp_path / "removed")
+    # 3 batches by vec_id mod 3: ids interleave, so every batch carries
+    # smaller ids than earlier keepers (the retroactive-removal path)
+    batches = [q.where(F.pmod(F.col("vec_id"), F.lit(3)) == i)
+               for i in range(3)]
+    for i, b in enumerate(batches):
+        semantic_dedup_upsert(b, i, hist, removed, cents)
+    semantic_dedup_upsert(batches[1], 1, hist, removed, cents)  # replay
+
+    got = semantic_dedup_state_summary(spark, hist, removed).collect()
+    want = semantic_dedup_summary(q, cents).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert sum(r["n_removed"] for r in got) > 0  # non-degenerate
+
+    # the upsert's history read shape: a cell-literal filter must land
+    # in PartitionFilters (pruned directory listing), not a post-scan
+    # predicate over every cell's files
+    rd = (spark.read.option("basePath", hist).schema(SEM_HIST_SCHEMA)
+          .parquet(hist + "/batch_id=*")
+          .where(F.col("cell").isin([0, 1])))
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        rd._jdf.queryExecution(), "formatted")
+    m = plan.split("PartitionFilters: [")
+    assert len(m) > 1 and "cell" in m[1].split("]")[0], plan
