@@ -83,28 +83,32 @@ def _registry():
         "ann_sq8_topk", "ocds_incremental_checks",
         "ann_pq_rerank_topk", "t_pretrain_corpus_pipeline",
         "d_semantic_dedup", "st_semantic_dedup",
+        "t_quality_classifier", "t_ngram_lm_score", "s_hybrid_rrf_fusion",
         # r2-era holdovers (last driver row: r2)
         "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 31 of the 44;
-        # the 13 deferred to r7 (e_hourly_event_rollup,
-        # t_chunk_documents, d_lsh_bucket_stats and w4_moving_avg —
-        # displaced by the r6-added ann_pq_rerank_topk /
-        # t_pretrain_corpus_pipeline / d_semantic_dedup /
-        # st_semantic_dedup; their families are covered in-window by
-        # st_incremental_rollup / e_sessionize / t_bm25_search /
-        # t_quality_scores / d_decontaminate / d_simhash_banded_pairs /
-        # w1_running_customer_spend —
+        # longest-unchecked (last driver row: r3) — 28 of the 44;
+        # the 16 deferred to r7 (e_hourly_event_rollup,
+        # t_chunk_documents, d_lsh_bucket_stats, w4_moving_avg,
+        # p5_variant_json, t_table_fingerprint and
+        # ocds_versioned_release — displaced by the r6-added
+        # ann_pq_rerank_topk / t_pretrain_corpus_pipeline /
+        # d_semantic_dedup / st_semantic_dedup / t_quality_classifier /
+        # t_ngram_lm_score / s_hybrid_rrf_fusion; their families are
+        # covered in-window by st_incremental_rollup / e_sessionize /
+        # t_bm25_search / t_quality_scores / d_decontaminate /
+        # d_simhash_banded_pairs / w1_running_customer_spend /
+        # p5_json_extract_agg / t_table_diff / ocds_record_ladder —
         # d_shared_window_dups,
         # e_dedup_consecutive, e_multires_rollup,
         # t_global_shuffle_shards, t_mixture_sample,
         # t_stratified_split, st_hourly_rollup,
         # w3_median_spend_by_segment, a12_grouping_sets) each have a
         # same-family probe inside this window.
-        "p3_inlist_filter", "p5_json_extract_agg", "p5_variant_json",
+        "p3_inlist_filter", "p5_json_extract_agg",
         "a6_top_buyers", "ocds_record_ladder", "ocds_check_errors",
-        "ocds_compile_two_phase", "ocds_versioned_release",
+        "ocds_compile_two_phase",
         "d_decontaminate", "d_simhash_banded_pairs",
-        "t_table_fingerprint", "t_table_diff", "t_bm25_search",
+        "t_table_diff", "t_bm25_search",
         "t_quality_scores",
         "st_stream_stream_join", "st_cdc_collapse",
         "st_incremental_rollup", "e_asof_last_view_before_click",

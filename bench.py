@@ -64,6 +64,7 @@ HEADLINE = [
     "ann_sq8_topk",
     "ann_pq_rerank_topk",
     "s_embedding_near_dups",
+    "s_hybrid_rrf_fusion",
     "t_quality_scores",
     "t_token_stats",
     "t_pii_redact",
@@ -73,6 +74,8 @@ HEADLINE = [
     "t_bm25_search",
     "t_table_fingerprint",
     "t_pretrain_corpus_pipeline",
+    "t_quality_classifier",
+    "t_ngram_lm_score",
     "d_semantic_dedup",
     "j7_salted_skew_join",
     "e_asof_last_view_before_click",

@@ -80,17 +80,22 @@ def shingles_df(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame
     matters for set arithmetic (Jaccard counts); MIN-style consumers pass
     False and let map-side partial aggregation absorb duplicates instead
     of paying a full (doc_id, string) dedup shuffle."""
-    toks = F.split("text", " ")
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(n)]
-            ),
-        ),
-    ).otherwise(F.array())
-    out = fanout(docs).select("doc_id", F.explode(sh).alias("shingle"))
+    # zip_with over n offset slices, NOT transform(sequence, i ->
+    # element_at(toks, i+k)): the explode below makes
+    # InferFiltersFromGenerate clone the shingle expression into a
+    # pre-exchange filter with the split(text) inlined per element_at —
+    # quadratic per document; the slice/zip_with form stays linear no
+    # matter how many times the optimizer inlines it
+    m = f"(size(ts) - {n - 1})"
+    acc = f"slice(ts, 1, {m})"
+    for k in range(1, n):
+        acc = (f"zip_with({acc}, slice(ts, {k + 1}, {m}),"
+               f" (a, b) -> concat_ws(' ', a, b))")
+    sh = (f"CASE WHEN size(ts) >= {n} THEN {acc}"
+          f" ELSE CAST(array() AS array<string>) END")
+    out = (fanout(docs)
+           .select("doc_id", F.split("text", " ").alias("ts"))
+           .select("doc_id", F.explode(F.expr(sh)).alias("shingle")))
     return out.distinct() if distinct else out
 
 

@@ -2253,3 +2253,95 @@ def st_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
               .trigger(availableNow=True).start())
     stream.awaitTermination()
     return semantic_dedup_state_summary(spark, hist, removed)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25) and
+# dense (embedding cosine) top-k lists, the composition a RAG-style
+# training-data or retrieval stack runs over every query. Both upstream
+# retrievals are existing oracle-checked probes; the fusion itself is
+# rank arithmetic over two K-row results, so its oracle simply composes
+# their oracle SQL and replays the fusion. RRF contributions are
+# floor(1e9/(RRF_K+rank)) as BIGINT — one IEEE division per list entry,
+# bit-identical across engines, and each doc sums at most two terms so
+# addition order cannot matter.
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+# composes the two upstream probes' oracles verbatim — t_bm25_search is
+# registered by functions/text.py, imported here for its registration
+# side effect (no circular import: text does not import similarity)
+from kingfisher_process_spark.functions import text as _text  # noqa: E402,F401
+
+
+@probe(
+    "s_hybrid_rrf_fusion",
+    f"""
+    WITH bm_raw AS ({oracle_of("t_bm25_search")}),
+    bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm_rank
+      FROM bm_raw
+    ),
+    ann_raw AS ({oracle_of("ann_brute_force_topk")}),
+    ann AS (
+      SELECT neighbor_id AS doc_id, rnk AS ann_rank
+      FROM ann_raw WHERE query_id = 0
+    ),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             COALESCE(bm.bm_rank, CAST(0 AS BIGINT)) AS bm_rank,
+             COALESCE(ann.ann_rank, CAST(0 AS BIGINT)) AS ann_rank,
+             COALESCE(CAST(floor(1000000000.0 / ({RRF_K} + bm.bm_rank))
+                        AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000000.0 / ({RRF_K} + ann.ann_rank))
+                          AS BIGINT), 0) AS rrf_scaled
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT doc_id, bm_rank, ann_rank, rrf_scaled
+    FROM fused
+    ORDER BY rrf_scaled DESC, doc_id
+    """,
+    survey_ids="similarity-ext,text-ext,J1,O5,U1",
+)
+def s_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 top-10 (t_bm25_search) and the
+    dense cosine top-10 for query vector 0 (ann_brute_force_topk):
+    rrf_scaled = Σ floor(1e9 / (60 + rank)) over the lists containing the
+    doc; docs absent from a list contribute 0 from it and report rank 0.
+
+    Scale shape: fusion runs AFTER both retrievals have already reduced
+    to K rows each — the join, window, and sort here touch 2K rows no
+    matter the corpus size, so the cost profile is entirely the upstream
+    probes' (one corpus scan each, TakeOrderedAndProject top-k). The
+    doc_id↔vec_id identity join is the synthetic corpus's 1:1 alignment
+    of documents and embeddings.
+
+    Reference analogue: none (the reference has no retrieval surface);
+    completes the hybrid-retrieval story the BM25 and ANN families set
+    up.
+    """
+    from kingfisher_process_spark.functions.text import t_bm25_search
+
+    bm_rows = t_bm25_search(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    bm = bm_rows.select("doc_id", "score").withColumn(
+        "bm_rank", F.row_number().over(w).cast("long")).drop("score")
+    ann = (ann_brute_force_topk(spark, sf_dir)
+           .where(F.col("query_id") == 0)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rnk").cast("long").alias("ann_rank")))
+    fused = (
+        bm.join(ann, "doc_id", "full_outer")
+        .selectExpr(
+            "doc_id",
+            "COALESCE(bm_rank, CAST(0 AS BIGINT)) AS bm_rank",
+            "COALESCE(ann_rank, CAST(0 AS BIGINT)) AS ann_rank",
+            f"COALESCE(CAST(floor(1000000000.0 / ({RRF_K} + bm_rank))"
+            f" AS BIGINT), 0)"
+            f" + COALESCE(CAST(floor(1000000000.0 / ({RRF_K} + ann_rank))"
+            f" AS BIGINT), 0) AS rrf_scaled",
+        )
+    )
+    return fused.orderBy(F.desc("rrf_scaled"), "doc_id")

@@ -368,13 +368,16 @@ def t_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = docs.select(
         "doc_id", F.size("ts").alias("n_tokens"),
         F.size(F.array_distinct("ts")).alias("n_distinct"),
+        # zip_with over two slices, not transform(sequence, element_at):
+        # the explode below makes InferFiltersFromGenerate clone this
+        # expression into a pre-exchange filter with ts inlined as
+        # filter(split(text)) — element_at indexing would re-run the
+        # split per element (quadratic per doc); slices stay linear
         F.when(
             F.size("ts") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("ts") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("ts", i), F.element_at("ts", i + 1)),
-            ),
+            F.expr("zip_with(slice(ts, 1, size(ts) - 1),"
+                   " slice(ts, 2, size(ts) - 1),"
+                   " (a, b) -> concat_ws(' ', a, b))"),
         ).otherwise(F.array()).alias("bigrams"),
     )
     top = (
@@ -1295,4 +1298,219 @@ def t_pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(s3, "d_dedup"))
         .unionByName(packed)
         .orderBy("stage")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering — the fastText-classifier stage of a
+# pretraining curation stack (CCNet / GPT-3 Ryan-corpus style): a frozen
+# LINEAR model over hashed bag-of-token features, run as pure map-side
+# inference. The "model" here is a deterministic weight function of the
+# feature bucket (bucket % 21 - 10) so the oracle can replay it exactly;
+# a real deployment swaps that expression for element_at(weights, bucket)
+# against a broadcast float array — same plan shape, one literal/array
+# lookup per token either way.
+# ---------------------------------------------------------------------------
+
+CLS_HASH_DIM = 1024  # hashed feature space (production: 2^20+)
+
+# token -> feature bucket -> signed weight, identically in both engines:
+# md5 is the cross-engine hash (15 hex chars = 60 bits, fits BIGINT);
+# cast to BIGINT before the -10 so DuckDB's UBIGINT never underflows
+_CLS_W = (
+    f"CAST(CAST(('0x' || substr(md5(t), 1, 15)) AS UBIGINT)"
+    f" % {CLS_HASH_DIM} % 21 AS BIGINT) - 10"
+)
+_CLS_W_SPARK = (
+    f"CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)"
+    f" % {CLS_HASH_DIM} % 21 - 10"
+)
+
+
+@probe(
+    "t_quality_classifier",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(
+                 list_filter(string_split(text, ' '), t -> t <> ''),
+                 t -> {_CLS_W})), 0) AS BIGINT) AS score
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, score,
+           CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(score * 1000.0 / n_tokens) AS BIGINT)
+           END AS margin_per_kt,
+           CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+    FROM scored
+    ORDER BY doc_id
+    """,
+    survey_ids="text-ext,P1,A5",
+)
+def t_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference over hashed token features —
+    per document: token count, raw margin (sum of per-token signed
+    weights), length-normalized margin (floor of margin*1000/n_tokens,
+    one IEEE multiply+divide so both engines agree bit-exactly), and the
+    keep/drop label.
+
+    Scale shape: the entire inference is ONE map-side array fold on the
+    scan — the token array never leaves its row, there is no explode, no
+    shuffle, no Python; 100 TB of documents score in a single pass at
+    scan speed. The weight lookup is an expression of the hashed bucket
+    here (oracle-replayable); with a real trained model it becomes
+    element_at over a broadcast weight array — identical plan.
+
+    Reference analogue: none (reference has no model-inference surface);
+    extends the SURVEY §7.8 quality family with the classifier stage that
+    sits between heuristic filters and dedup in production pipelines.
+    """
+    from kingfisher_process_spark.functions.dedup import fanout
+
+    t = load_tables(spark, sf_dir)
+    return (
+        fanout(t["documents"])
+        .selectExpr(
+            "doc_id", "lang",
+            "CAST(size(filter(split(text, ' '), t -> t <> ''))"
+            " AS BIGINT) AS n_tokens",
+            f"aggregate(transform(filter(split(text, ' '), t -> t <> ''),"
+            f" t -> {_CLS_W_SPARK}),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x) AS score",
+        )
+        .selectExpr(
+            "doc_id", "lang", "n_tokens", "score",
+            "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(floor(score * 1000.0 / n_tokens) AS BIGINT)"
+            " END AS margin_per_kt",
+            "CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram LM scoring — the CCNet perplexity-bucket stage, integer-exact:
+# "train" a bigram language model on the corpus itself (one wordcount-
+# shaped aggregation), prune it by minimum support, then score every
+# document by the average corpus frequency of its bigrams. High score =
+# common, fluent text; low score = rare/garbled. All arithmetic is BIGINT
+# counts plus one final IEEE multiply+divide, so the oracle retrains the
+# LM and matches bit-exactly (a real log-prob LM would hit libm 1-ulp
+# divergence; the rank ordering this produces is the same signal).
+# ---------------------------------------------------------------------------
+
+LM_MIN_SUPPORT = 2        # prune hapax bigrams from the trained LM
+LM_BROADCAST_MAX = 200_000  # pruned-LM rows small enough to broadcast
+
+
+@probe(
+    "t_ngram_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS ts
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             CASE WHEN len(ts) >= 2 THEN
+               list_transform(generate_series(1, len(ts) - 1),
+                              i -> ts[i] || ' ' || ts[i+1])
+             ELSE [] END AS bigrams
+      FROM toks
+    ),
+    ex AS (SELECT doc_id, unnest(bigrams) AS bigram FROM feat),
+    lm AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM ex GROUP BY bigram HAVING COUNT(*) >= {LM_MIN_SUPPORT}
+    ),
+    hit AS (
+      SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+             CAST(SUM(cnt) AS BIGINT) AS lm_sum
+      FROM ex e JOIN lm USING (bigram) GROUP BY e.doc_id
+    )
+    SELECT f.doc_id,
+           CAST(len(f.bigrams) AS BIGINT) AS n_bigrams,
+           COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+           CASE WHEN len(f.bigrams) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(1000.0 * COALESCE(h.lm_sum, 0)
+                                / len(f.bigrams)) AS BIGINT)
+           END AS lm_score_kt
+    FROM feat f LEFT JOIN hit h ON f.doc_id = h.doc_id
+    ORDER BY f.doc_id
+    """,
+    survey_ids="text-ext,A1,J1,A5",
+)
+def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency bigram LM scoring (the CCNet stage): train bigram
+    counts over the corpus, prune by min support, score each document by
+    the average corpus frequency of its bigram occurrences (scaled x1000,
+    floored — exact).
+
+    Scale shape: training is the wordcount shape — explode to (bigram)
+    rows, ONE groupBy where partial aggregation collapses each
+    partition's repeats before the shuffle, then min-support pruning
+    bounds the served LM (production prunes to top-M the same way).
+    Scoring joins doc bigram occurrences to the pruned LM: broadcast when
+    the pruned LM is small (counted, gated at {LM_BROADCAST_MAX} rows —
+    the audit-family gate pattern), shuffle hash join above it; then one
+    groupBy(doc_id) to re-aggregate. No Python anywhere.
+
+    Reference analogue: none; pairs with t_quality_classifier as the two
+    model-ish filters of the SURVEY §7.8 curation surface.
+    """
+    from kingfisher_process_spark.functions.dedup import fanout
+
+    t = load_tables(spark, sf_dir)
+    # materialize the token array as a COLUMN before indexing into it —
+    # element_at over the raw filter(split(text)) expression re-evaluates
+    # the split per element inside the higher-order lambda (no CSE across
+    # lambda bodies), turning bigram construction O(n_tokens²) per doc
+    base = fanout(t["documents"]).select(
+        "doc_id", _tokens(F.col("text")).alias("ts"))
+    # zip_with over two slices, NOT transform(sequence, i ->
+    # element_at(ts, i)): InferFiltersFromGenerate clones this whole
+    # expression into a pre-exchange filter with `ts` inlined as
+    # filter(split(text)) — under element_at indexing that re-runs the
+    # split per element (O(n_tokens²) per doc); the slice/zip_with form
+    # stays linear no matter how many times the optimizer inlines it
+    feat = base.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(ts) >= 2 THEN"
+            " zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),"
+            " (a, b) -> concat_ws(' ', a, b))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("bigrams"),
+    )
+    ex = feat.select("doc_id", F.explode("bigrams").alias("bigram"))
+    # the pruned LM is reused by the gate count AND the scoring join —
+    # localCheckpoint materializes it once (it is the bounded artifact;
+    # the corpus-scale lineage below it would otherwise re-run twice)
+    lm = (ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+          .where(F.col("cnt") >= LM_MIN_SUPPORT)
+          .localCheckpoint())
+    if lm.count() <= LM_BROADCAST_MAX:
+        lm = F.broadcast(lm)
+    hit = (ex.join(lm, "bigram")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_hit"),
+                F.sum("cnt").alias("lm_sum")))
+    return (
+        base.select(
+            "doc_id",
+            F.greatest(F.size("ts") - 1, F.lit(0))
+            .cast("long").alias("n_bigrams"))
+        .join(hit, "doc_id", "left")
+        .selectExpr(
+            "doc_id", "n_bigrams",
+            "COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit",
+            "CASE WHEN n_bigrams = 0 THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(floor(1000.0 * COALESCE(lm_sum, 0) / n_bigrams)"
+            " AS BIGINT) END AS lm_score_kt",
+        )
+        .orderBy("doc_id")
     )
