@@ -84,20 +84,24 @@ def _registry():
         "ann_pq_rerank_topk", "t_pretrain_corpus_pipeline",
         "d_semantic_dedup", "st_semantic_dedup",
         "t_quality_classifier", "t_ngram_lm_score", "s_hybrid_rrf_fusion",
+        "m_audio_features",
         # r2-era holdovers (last driver row: r2)
         "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 28 of the 44;
-        # the 16 deferred to r7 (e_hourly_event_rollup,
+        # longest-unchecked (last driver row: r3) — 27 of the 44;
+        # the 17 deferred to r7 (e_hourly_event_rollup,
         # t_chunk_documents, d_lsh_bucket_stats, w4_moving_avg,
-        # p5_variant_json, t_table_fingerprint and
-        # ocds_versioned_release — displaced by the r6-added
+        # p5_variant_json, t_table_fingerprint,
+        # ocds_versioned_release and sk_count_min_event_types —
+        # displaced by the r6-added
         # ann_pq_rerank_topk / t_pretrain_corpus_pipeline /
         # d_semantic_dedup / st_semantic_dedup / t_quality_classifier /
-        # t_ngram_lm_score / s_hybrid_rrf_fusion; their families are
+        # t_ngram_lm_score / s_hybrid_rrf_fusion / m_audio_features;
+        # their families are
         # covered in-window by st_incremental_rollup / e_sessionize /
         # t_bm25_search / t_quality_scores / d_decontaminate /
         # d_simhash_banded_pairs / w1_running_customer_spend /
-        # p5_json_extract_agg / t_table_diff / ocds_record_ladder —
+        # p5_json_extract_agg / t_table_diff / ocds_record_ladder /
+        # sk_bloom_prejoin_audit —
         # d_shared_window_dups,
         # e_dedup_consecutive, e_multires_rollup,
         # t_global_shuffle_shards, t_mixture_sample,
@@ -114,7 +118,7 @@ def _registry():
         "st_incremental_rollup", "e_asof_last_view_before_click",
         "e_range_join_intervals", "e_scd2_intervals", "e_sessionize",
         "e_key_skew_audit",
-        "sk_count_min_event_types", "sk_bloom_prejoin_audit",
+        "sk_bloom_prejoin_audit",
         "w1_running_customer_spend",
         "q5_region_revenue", "q9_product_profit", "m_embed_ann",
         "j7_salted_skew_join", "f_array_functions",

@@ -82,6 +82,7 @@ HEADLINE = [
     "e_scd2_intervals",
     "sk_bloom_prejoin_audit",
     "m_media_features",
+    "m_audio_features",
     "m_embed_ann",
     # OCDS pipeline + streaming
     "ocds_compile_pipeline",

@@ -722,3 +722,183 @@ def m_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("f0").cast("bigint").alias("f0_checksum"))
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio tier — pure-stdlib RIFF/WAV PCM16 codec (the PNG story applied
+# to audio): the container ships no audio libraries, so the REAL decode
+# path is implemented against the public WAV spec — RIFF chunk walk
+# (arbitrary chunk order, unknown chunks skipped), fmt validation
+# (PCM, 16-bit), interleaved little-endian samples. The probe below
+# synthesizes genuine WAV blobs whose samples are an integer function of
+# the media id, decodes them for real in an Arrow-batched stage, and the
+# DuckDB oracle replays the sample arithmetic — a wrong header walk,
+# wrong endianness, or wrong interleave breaks the hash match.
+# ---------------------------------------------------------------------------
+
+
+class DecodedAudio:
+    """Uniform decode result: interleaved int16 samples."""
+
+    __slots__ = ("sample_rate", "n_channels", "samples")
+
+    def __init__(self, sample_rate: int, n_channels: int, samples):
+        self.sample_rate = sample_rate
+        self.n_channels = n_channels
+        self.samples = samples  # numpy int16 array, interleaved
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.samples) // self.n_channels
+
+
+def encode_wav_pcm16(samples, sample_rate: int, n_channels: int) -> bytes:
+    """Minimal canonical WAV: RIFF + fmt (PCM16) + data."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes) -> DecodedAudio:
+    """RIFF chunk walk: chunks may appear in any order, unknown chunks
+    (LIST, fact, ...) are skipped, odd-sized chunks carry a pad byte.
+    Only uncompressed PCM 16-bit is supported — anything else raises
+    ValueError (callers route to a library tier when one exists)."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, min(len(content), 8 + struct.unpack("<I", content[4:8])[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        ctype = content[pos:pos + 4]
+        (clen,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated chunk")
+        if ctype == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")
+    if n_channels < 1:
+        raise ValueError("invalid channel count")
+    usable = len(data) - (len(data) % (2 * n_channels))
+    samples = np.frombuffer(data[:usable], dtype="<i2")
+    return DecodedAudio(sample_rate, n_channels, samples)
+
+
+@probe(
+    "m_audio_features",
+    """
+    WITH p AS (
+      SELECT doc_id AS media_id,
+             CAST(8000 + CAST(doc_id % 3 AS INT) * 4000 AS INTEGER)
+               AS sample_rate,
+             CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels,
+             50 + doc_id % 100 AS n_frames
+      FROM documents
+    ),
+    s AS (
+      SELECT media_id,
+             ((media_id * 31 + unnest(range(0, n_frames * n_channels)) * 17)
+              % 2001) - 1000 AS v
+      FROM p
+    ),
+    agg AS (
+      SELECT media_id,
+             CAST(MAX(abs(v)) AS BIGINT) AS peak_abs,
+             CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(SUM(v * v) AS BIGINT) AS energy
+      FROM s GROUP BY media_id
+    )
+    SELECT p.media_id AS media_id, p.sample_rate, p.n_channels,
+           CAST(p.n_frames AS BIGINT) AS n_frames,
+           CAST(floor(p.n_frames * 1000.0 / p.sample_rate) AS BIGINT)
+             AS duration_ms,
+           a.peak_abs, a.sum_abs, a.energy
+    FROM p JOIN agg a ON a.media_id = p.media_id
+    ORDER BY p.media_id
+    """,
+    survey_ids="multimodal-ext,M2,A5",
+)
+def m_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-audio-decode features: every document becomes a genuine
+    RIFF/WAV PCM16 blob (mono/stereo by id, 8/12/16 kHz, samples
+    ((id*31 + k*17) % 2001) - 1000), which a SECOND Arrow-batched stage
+    decodes with the stdlib codec — header fields, frame count, and the
+    sample aggregates (peak/sum-abs/energy, exact BIGINT) all come from
+    the DECODED bytes, never passed through, so the oracle's replay of
+    the sample arithmetic verifies the whole encode→chunk-walk→unpack
+    round trip.
+
+    Scale shape: both stages are mapInPandas over Arrow batches —
+    blob-local work with no shuffle (the groupBy lives inside each
+    row's numpy aggregation); output is one narrow row per blob. 100 TB
+    of audio partitions by files; nothing here ever sees more than a
+    batch."""
+    import pandas as pd  # noqa: F401 (Arrow batch type)
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    params = docs.selectExpr(
+        "doc_id AS media_id",
+        "CAST(8000 + CAST(doc_id % 3 AS INT) * 4000 AS INT) AS sample_rate",
+        "CAST(doc_id % 2 + 1 AS INT) AS n_channels",
+        "CAST(50 + doc_id % 100 AS BIGINT) AS n_frames",
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        for b in batches:
+            out = []
+            for mid, rate, ch, nf in zip(
+                    b["media_id"], b["sample_rate"],
+                    b["n_channels"], b["n_frames"]):
+                k = np.arange(int(nf) * int(ch), dtype=np.int64)
+                v = (int(mid) * 31 + k * 17) % 2001 - 1000
+                out.append(encode_wav_pcm16(v, int(rate), int(ch)))
+            yield pd.DataFrame({"media_id": b["media_id"], "content": out})
+
+    blobs = params.mapInPandas(encode, "media_id bigint, content binary")
+
+    def features(batches):
+        import numpy as np
+
+        for b in batches:
+            rows = []
+            for mid, blob in zip(b["media_id"], b["content"]):
+                a = decode_wav(bytes(blob))
+                v = a.samples.astype(np.int64)
+                rows.append((
+                    int(mid), a.sample_rate, a.n_channels, a.n_frames,
+                    int(a.n_frames * 1000.0 // a.sample_rate),
+                    int(np.abs(v).max()) if len(v) else 0,
+                    int(np.abs(v).sum()), int((v * v).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "n_channels", "n_frames",
+                "duration_ms", "peak_abs", "sum_abs", "energy"])
+
+    out_schema = ("media_id bigint, sample_rate int, n_channels int,"
+                  " n_frames bigint, duration_ms bigint, peak_abs bigint,"
+                  " sum_abs bigint, energy bigint")
+    return blobs.mapInPandas(features, out_schema).orderBy("media_id")

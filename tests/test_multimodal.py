@@ -393,3 +393,66 @@ def test_resize_resamples_real_png_pixels_through_spark(spark):
             src = (2 * y * 8 + 2 * x) * 3
             assert out.pixels[(y * 4 + x) * 3:(y * 4 + x) * 3 + 3] == \
                 img.pixels[src:src + 3]
+
+
+def test_wav_round_trip_mono_and_stereo():
+    import numpy as np
+
+    import kingfisher_process_spark.functions.multimodal as mm
+
+    for ch in (1, 2):
+        samples = np.array([0, 1, -1, 32767, -32768, 100, -200, 3]
+                           [:8 - (8 % ch)], dtype=np.int16)
+        blob = mm.encode_wav_pcm16(samples, 16000, ch)
+        a = mm.decode_wav(blob)
+        assert (a.sample_rate, a.n_channels) == (16000, ch)
+        assert a.n_frames == len(samples) // ch
+        assert np.array_equal(a.samples, samples)
+
+
+def test_wav_chunk_walk_skips_unknown_and_handles_order_and_padding():
+    import struct
+
+    import numpy as np
+
+    import kingfisher_process_spark.functions.multimodal as mm
+
+    samples = np.array([5, -7, 9], dtype=np.int16)
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    # data BEFORE fmt, an odd-length LIST chunk (forces the pad byte),
+    # and a trailing junk chunk — the walk must survive all of it
+    body = (b"WAVE"
+            + b"data" + struct.pack("<I", len(pcm)) + pcm
+            + b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"junk" + struct.pack("<I", 4) + b"zzzz")
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    a = mm.decode_wav(blob)
+    assert (a.sample_rate, a.n_channels, a.n_frames) == (8000, 1, 3)
+    assert np.array_equal(a.samples, samples)
+
+
+def test_wav_rejects_non_pcm_and_truncated():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    import kingfisher_process_spark.functions.multimodal as mm
+
+    good = mm.encode_wav_pcm16(np.array([1, 2], dtype=np.int16), 8000, 1)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFX" + good[4:])          # wrong magic
+    with pytest.raises(ValueError):
+        mm.decode_wav(good[:20])                   # truncated mid-chunk
+    # IEEE-float format id (3) must be refused, not misread
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # stereo stream with a dangling half-frame: trailing bytes dropped,
+    # full frames kept
+    odd = mm.encode_wav_pcm16(np.array([1, 2, 3], dtype=np.int16), 8000, 2)
+    assert mm.decode_wav(odd).n_frames == 1

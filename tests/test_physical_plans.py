@@ -320,3 +320,17 @@ def test_semantic_dedup_equijoins_on_cell_no_python(spark):
     assert "BatchEvalPython" not in plan, plan
     assert re.search(r"Left keys \[1\]: \[cell#\d+L?\]", plan), plan
     assert re.search(r"Right keys \[1\]: \[cell_b#\d+L?\]", plan), plan
+
+
+def test_shingle_and_bigram_generators_stay_linear(spark):
+    """InferFiltersFromGenerate clones the explode's generator expression
+    into a pre-exchange filter with column refs inlined. The
+    transform(sequence, i -> element_at(toks, i)) idiom is quadratic
+    under that inlining (each element re-runs split(text)); the
+    zip_with-over-slices form is linear. Pin that no element_at-indexed
+    generator survives anywhere in these probes' plans."""
+    for name in ("d_minhash_lsh_pairs", "t_ngram_lm_score",
+                 "t_repetition_metrics", "d_ngram_jaccard_pairs"):
+        plan = plan_of(spark, name)
+        assert "element_at" not in plan, (name, plan[:2000])
+        assert "zip_with" in plan, (name, plan[:2000])
