@@ -2092,8 +2092,14 @@ def semantic_dedup_summary(q: DataFrame, cents: list[list[int]],
     as a codegen'd BIGINT higher-order fold — no Python, no all-pairs.
     removed_id_sum pins exactly WHICH vectors were dropped, not just
     how many."""
+    from kingfisher_process_spark.functions.dedup import fanout
+
     asg = q.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
-    a = asg.selectExpr("cell", "vec_id AS va", "qa AS aa")
+    # fanout the PROBE side: the other side broadcasts (it is the same
+    # small table), so the join — and the 64-dim fold over every
+    # candidate pair — inherits the stream side's partitioning; a
+    # single-file scan would otherwise fold all pairs in one task
+    a = fanout(asg).selectExpr("cell", "vec_id AS va", "qa AS aa")
     b = asg.selectExpr("cell AS cell_b", "vec_id AS vb", "qa AS ab")
     removed = (a.join(b, (F.col("cell") == F.col("cell_b"))
                       & (F.col("va") < F.col("vb")))
@@ -2188,7 +2194,12 @@ def semantic_dedup_upsert(batch_df: DataFrame, batch_id: int,
             .schema(SEM_HIST_SCHEMA)
             .parquet(f"{hist_dir}/batch_id=*")
             .where(F.col("cell").isin(dirty)))
-    a = hist.selectExpr("cell", "vec_id AS va", "qa AS aa")
+    from kingfisher_process_spark.functions.dedup import fanout
+
+    # fanout the pruned-history side so the pair fold parallelizes even
+    # when the history read is a handful of small files (the batch side
+    # broadcasts and inherits this partitioning)
+    a = fanout(hist).selectExpr("cell", "vec_id AS va", "qa AS aa")
     b = asg.selectExpr("cell AS cell_b", "vec_id AS vb", "qa AS ab")
     removed_new = (a.join(b, (F.col("cell") == F.col("cell_b"))
                           & (F.col("va") != F.col("vb")))
