@@ -74,6 +74,24 @@ SHOWCASE = [
      "(partial-combined md5-slice sums), dirty set BROADCAST into the "
      "keep anti-join and redo semi-join, merge engine touches only "
      "dirty OCIDs; the equality audit is one full-outer hash join."),
+    ("d_semantic_dedup",
+     "SemDeDup: cell assignment is a map-side argmin over literal "
+     "trained centroids; the pair join is cell-keyed (broadcast build "
+     "side, fanned-out probe side so the 64-dim BIGINT fold "
+     "parallelizes); never all-pairs."),
+    ("t_ngram_lm_score",
+     "Bigram LM: zip_with-over-slices n-grams (linear even when "
+     "InferFiltersFromGenerate clones them below the exchange); "
+     "wordcount-shaped training with map-side partial agg; pruned LM "
+     "BROADCAST into the scoring join under the count gate."),
+    ("t_quality_classifier",
+     "Model filter as scan-side compute: the hashed-feature linear "
+     "margin is ONE array fold per row inside whole-stage codegen — "
+     "no explode, no shuffle before the presentation sort."),
+    ("m_audio_features",
+     "Two Arrow-batched mapInPandas stages (WAV encode, real decode + "
+     "featurize), blob-local, no shuffle; one narrow row leaves per "
+     "blob."),
 ]
 
 
