@@ -648,3 +648,109 @@ def test_semantic_dedup_upsert_converges_and_prunes(spark, tmp_path):
         rd._jdf.queryExecution(), "formatted")
     m = plan.split("PartitionFilters: [")
     assert len(m) > 1 and "cell" in m[1].split("]")[0], plan
+
+
+def test_compaction_folds_semantic_store_transparently(spark, tmp_path):
+    """compact_batches on the SemDeDup maintenance stores: summary
+    hash-identical before/after, parquet file count drops, inner cell=
+    partitioning (and its pruned reads) survive, and the loop continues
+    correctly with post-compaction batches."""
+    import glob as g
+
+    from kingfisher_process_spark.functions.similarity import (
+        _quantized, ivf_grid_centroids_for, semantic_dedup_state_summary,
+        semantic_dedup_summary, semantic_dedup_upsert)
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming.maintenance import (
+        batch_ids, compact_batches)
+
+    sf = "/root/testdata/sf0.001"
+    q = _quantized(load_tables(spark, sf)["embeddings"])
+    cents = ivf_grid_centroids_for(spark, sf)
+    hist, removed = str(tmp_path / "hist"), str(tmp_path / "removed")
+    batches = [q.where(F.pmod(F.col("vec_id"), F.lit(4)) == i)
+               for i in range(4)]
+    for i in range(3):
+        semantic_dedup_upsert(batches[i], i, hist, removed, cents)
+    before = [tuple(r) for r in
+              semantic_dedup_state_summary(spark, hist, removed).collect()]
+    files_before = len(g.glob(hist + "/batch_id=*/cell=*/*.parquet"))
+
+    assert compact_batches(spark, hist, upto=2) == 3
+    assert compact_batches(spark, removed, upto=2) == 3
+    assert batch_ids(hist) == [2] and batch_ids(removed) == [2]
+    files_after = len(g.glob(hist + "/batch_id=*/cell=*/*.parquet"))
+    assert files_after < files_before
+    assert g.glob(hist + "/batch_id=2/cell=*")  # inner layout preserved
+    mid = [tuple(r) for r in
+           semantic_dedup_state_summary(spark, hist, removed).collect()]
+    assert mid == before  # read-transparent
+
+    # the maintenance loop continues over the compacted store and still
+    # converges to the one-shot batch SemDeDup
+    semantic_dedup_upsert(batches[3], 3, hist, removed, cents)
+    got = [tuple(r) for r in
+           semantic_dedup_state_summary(spark, hist, removed).collect()]
+    want = [tuple(r) for r in semantic_dedup_summary(q, cents).collect()]
+    assert got == want
+    # idempotent retry of a post-compaction batch still holds
+    semantic_dedup_upsert(batches[3], 3, hist, removed, cents)
+    got2 = [tuple(r) for r in
+            semantic_dedup_state_summary(spark, hist, removed).collect()]
+    assert got2 == want
+    # compacting everything again (nothing above the new watermark to
+    # fold with) is a no-op below 2 partitions... here 2 remain → folds
+    assert compact_batches(spark, hist, upto=3) == 2
+    assert compact_batches(spark, hist, upto=3) == 0  # idempotent no-op
+
+
+def test_compaction_folds_compile_history_transparently(spark, tmp_path):
+    """compact_batches on the bucketed compile history: later dirty-set
+    recompiles read the folded history and produce the same compiled
+    table as the uncompacted run; bucket partition pruning survives."""
+    import os as _os
+    import re as _re
+
+    from kingfisher_process_spark.operators.compile_release import (
+        materialized_compile_upsert)
+    from kingfisher_process_spark.streaming.maintenance import compact_batches
+
+    def rel_df(rows):
+        return spark.createDataFrame(
+            [(o, d, f'{{"ocid":"{o}","id":"{rid}","date":"{d}"}}', None)
+             for o, rid, d in rows],
+            "ocid string, release_date string, data string,"
+            " package_data string")
+
+    n_buckets = 8
+    ocids = [f"ocds-x-{i}" for i in range(6)]
+    hist_a, comp_a = str(tmp_path / "ha"), str(tmp_path / "ca")
+    hist_b, comp_b = str(tmp_path / "hb"), str(tmp_path / "cb")
+    feed = [
+        rel_df([(ocids[0], "a1", "2020-01-01"), (ocids[1], "b1", "2020-01-02"),
+                (ocids[2], "c1", "2020-01-03")]),
+        rel_df([(ocids[0], "a2", "2020-02-01"), (ocids[3], "d1", "2020-02-02")]),
+        rel_df([(ocids[1], "b2", "2020-03-01"), (ocids[4], "e1", "2020-03-02"),
+                (ocids[5], "f1", "2020-03-03")]),
+    ]
+    for i, b in enumerate(feed[:2]):
+        materialized_compile_upsert(b, i, hist_a, comp_a, n_buckets=n_buckets)
+        materialized_compile_upsert(b, i, hist_b, comp_b, n_buckets=n_buckets)
+    assert compact_batches(spark, hist_a, upto=1) == 2
+    # post-compaction: bucket filter still partition-prunes
+    pruned = spark.read.parquet(hist_a).where(F.col("bucket") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^]]*bucket", plan), plan
+
+    materialized_compile_upsert(feed[2], 2, hist_a, comp_a, n_buckets=n_buckets)
+    materialized_compile_upsert(feed[2], 2, hist_b, comp_b, n_buckets=n_buckets)
+
+    def table(d):
+        return sorted((r["ocid"], r["merged"], r["hash_md5"]) for r in
+                      spark.read.parquet(d)
+                      .where(F.col("row_kind") == "item")
+                      .select("ocid", "merged", "hash_md5").collect())
+
+    assert table(comp_a) == table(comp_b)
+    assert _os.path.isdir(hist_a + "/batch_id=1")
+    assert not _os.path.isdir(hist_a + "/batch_id=0")
