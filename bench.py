@@ -79,6 +79,8 @@ HEADLINE = [
     "d_semantic_dedup",
     "j7_salted_skew_join",
     "e_asof_last_view_before_click",
+    "e_funnel_conversion",
+    "e_gapfill_forward",
     "e_scd2_intervals",
     "sk_bloom_prejoin_audit",
     "m_media_features",

@@ -2771,3 +2771,78 @@ def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pv)
     )
     return counts
+
+
+@probe(
+    "e_gapfill_forward",
+    """
+    WITH hv AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS hv
+      FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    b AS (SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hv GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM b
+    ),
+    j AS (
+      SELECT g.user_id, g.h, hv.hv
+      FROM grid g LEFT JOIN hv ON hv.user_id = g.user_id AND hv.h = g.h
+    ),
+    f AS (
+      SELECT user_id, h, hv,
+             LAST_VALUE(hv IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM j
+    )
+    SELECT user_id, COUNT(*) AS n_hours,
+           COUNT(hv) AS n_observed,
+           COUNT(*) - COUNT(hv) AS n_filled,
+           CAST(SUM(CAST(filled AS DECIMAL(38,6))) AS DOUBLE) AS filled_sum
+    FROM f GROUP BY user_id ORDER BY user_id
+    """,
+    survey_ids="window-ext,J4,A5",
+)
+def e_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill with forward-fill (the metrics-store
+    densification operator): per user, an hourly grid spans first to
+    last active hour; hours with no events take the LAST observed hourly
+    value. Per-user audit row: grid size, observed vs filled hour
+    counts, and the exact decimal checksum of the densified series.
+
+    Scale shape: hourly pre-aggregation first (so the grid joins against
+    |user × active-hour| rows, not raw events), the grid is
+    sequence+explode (rows generated where they are consumed — no
+    driver-side calendar), the fill is one last-value-ignore-nulls
+    window sharing the same hash partitioning as the final groupBy —
+    grid, join, fill, and audit all ride ONE exchange on user_id.
+
+    Reference analogue: none (extends the temporal family, SURVEY §2.13).
+    """
+    t = load_tables(spark, sf_dir)
+    hv = (t["events"]
+          .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+          .agg(_dsum(F.col("value")).alias("hv")))
+    grid = (hv.groupBy("user_id")
+            .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+            # the bounds agg collapses to few partitions (AQE); spread
+            # BEFORE the explode so grid generation parallelizes and the
+            # join/window reuse the user_id hash partitioning
+            .repartition("user_id")
+            .select("user_id", F.explode(
+                F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h")))
+    j = grid.join(hv, ["user_id", "h"], "left")
+    w = (Window.partitionBy("user_id").orderBy("h")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    f = j.select("user_id", "hv",
+                 F.last("hv", ignorenulls=True).over(w).alias("filled"))
+    return (
+        f.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hours"),
+             F.count("hv").alias("n_observed"),
+             (F.count(F.lit(1)) - F.count("hv")).alias("n_filled"),
+             _dsum(F.col("filled")).alias("filled_sum"))
+        .orderBy("user_id")
+    )
