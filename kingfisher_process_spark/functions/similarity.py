@@ -2236,7 +2236,10 @@ def st_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary must hash-match the BATCH SemDeDup oracle (shared SEM_SQL,
     which retrains the quantizer in unrolled SQL), proving the
     maintenance loop converges to the one-shot computation for any
-    batch order. Reference analogy: continuous collection maintenance
+    batch order. Mid-stream the committed batch partitions are folded by
+    compact_batches (the small-files OPTIMIZE step), so the hash match
+    also proves compaction is read-transparent INSIDE the loop.
+    Reference analogy: continuous collection maintenance
     (reference compiler command loop) applied to semantic identity."""
     import os
     import tempfile
@@ -2255,6 +2258,16 @@ def st_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def upsert(batch_df, batch_id):
         semantic_dedup_upsert(batch_df, batch_id, hist, removed, cents)
+        if batch_id == 2:
+            # in-loop small-file compaction under the correctness gate:
+            # fold the committed batches (< current — their retries are
+            # behind the checkpoint; this batch's own partition is never
+            # folded, so an at-least-once replay of batch 2 stays safe)
+            from kingfisher_process_spark.streaming.maintenance import (
+                compact_batches)
+
+            compact_batches(batch_df.sparkSession, hist, upto=batch_id - 1)
+            compact_batches(batch_df.sparkSession, removed, upto=batch_id - 1)
 
     stream = (spark.readStream.schema(q.schema)
               .option("maxFilesPerTrigger", 1)
