@@ -74,6 +74,7 @@ HEADLINE = [
     "t_bm25_search",
     "t_table_fingerprint",
     "t_pretrain_corpus_pipeline",
+    "t_bpe_pack_pipeline",
     "t_quality_classifier",
     "t_ngram_lm_score",
     "d_semantic_dedup",

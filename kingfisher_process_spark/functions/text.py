@@ -1514,3 +1514,83 @@ def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@probe(
+    "t_bpe_pack_pipeline",
+    f"""
+    WITH w0 AS (
+      SELECT token AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                      t -> t <> '')) AS token
+            FROM documents) toks
+      GROUP BY token),
+    v0 AS (SELECT word, freq, string_split(word, '') AS l FROM w0),
+    {",".join(_bpe_round_sql(r) for r in range(BPE_ROUNDS))},
+    wl AS (SELECT word, CAST(len(l) AS BIGINT) AS wl FROM v{BPE_ROUNDS}),
+    ex AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        t -> t <> '')) AS word
+      FROM documents),
+    per_doc AS (
+      SELECT e.doc_id, CAST(SUM(wl.wl) AS BIGINT) AS nt
+      FROM ex e JOIN wl ON wl.word = e.word GROUP BY e.doc_id),
+    d AS (
+      SELECT doc.doc_id, COALESCE(p.nt, CAST(0 AS BIGINT)) AS nt
+      FROM documents doc LEFT JOIN per_doc p ON p.doc_id = doc.doc_id),
+    c AS (
+      SELECT doc_id, nt,
+             SUM(nt) OVER (ORDER BY doc_id) - nt AS start_off
+      FROM d
+    )
+    SELECT CAST(floor(start_off / {SEQ_LEN}.0) AS BIGINT) AS seq_bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM c
+    GROUP BY 1 ORDER BY seq_bin
+    """,
+    survey_ids="text-ext,sampling-ext,iterative-ext,A5,J1",
+)
+def t_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-then-pack — the handoff a pretraining data job actually
+    ships: train BPE merges on the corpus, re-measure every document in
+    TRAINED-tokenizer tokens (not whitespace tokens), and run the
+    distributed sequence packing over those lengths. The packing
+    manifest shifts if a single merge rule changes, so the oracle —
+    which retrains the merges in unrolled SQL and replays the prefix
+    sum — pins the full train → apply → pack composition.
+
+    Scale shape: merge application happens once per VOCABULARY word
+    (map-side fold chain over |vocab| rows), never per token; the
+    word→length map broadcasts (vocab-bounded) into one join against the
+    exploded corpus; per-doc lengths are one groupBy; packing is the
+    distributed prefix sum (range shuffle + |partitions|-row collect).
+
+    Reference analogue: none (completes the SURVEY §2.13 text family's
+    train→serve loop alongside t_pretrain_corpus_pipeline).
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    merges = bpe_train(docs)
+    words = (docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    vocab = words.select("word", F.split("word", "").alias("l"))
+    for a, b, _ in merges:
+        vocab = vocab.select("word", _bpe_apply(F.col("l"), a, b).alias("l"))
+    wl = vocab.select("word", F.size("l").cast("long").alias("wl"))
+    ex = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
+    per_doc = (ex.join(F.broadcast(wl), "word")
+               .groupBy("doc_id").agg(F.sum("wl").alias("nt")))
+    d = (docs.select("doc_id").join(per_doc, "doc_id", "left")
+         .select("doc_id", F.coalesce("nt", F.lit(0).cast("long")).alias("nt")))
+    c = packed_starts(spark, d)
+    return (
+        c.groupBy(F.floor(F.col("start_off") / SEQ_LEN)
+                  .cast("bigint").alias("seq_bin"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("nt").alias("n_tokens"),
+             F.min("doc_id").alias("first_doc"),
+             F.max("doc_id").alias("last_doc"))
+        .orderBy("seq_bin")
+    )
