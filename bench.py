@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_pq_rerank_topk",
     "s_embedding_near_dups",
     "s_hybrid_rrf_fusion",
+    "s_semantic_decontaminate",
     "t_quality_scores",
     "t_token_stats",
     "t_pii_redact",

@@ -2369,3 +2369,96 @@ def s_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.desc("rrf_scaled"), "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination — the embedding-space form of benchmark
+# decontamination (d_decontaminate is the shingle form): corpus vectors
+# whose trained-quantizer cell contains a benchmark vector within the
+# exact grid-L2 ball are flagged for removal before training. Unlike
+# SemDeDup's self-join, the benchmark side is SMALL by construction, so
+# the scale shape is a BROADCAST of the benchmark against the fanned-out
+# corpus scan with a cell-equality prefilter — no shuffle of the corpus
+# at all, the plan a 100 TB decontamination pass actually wants.
+# ---------------------------------------------------------------------------
+
+SEM_BENCH_N = 50  # vec_id < N plays the benchmark/eval set
+
+
+@probe(
+    "s_semantic_decontaminate",
+    f"""
+    WITH {_ivft_ctes()},
+    asg AS ({_IVFT_SQL_ASG}),
+    hits AS (
+      SELECT c.c AS cell, c.vec_id AS cv
+      FROM asg c JOIN asg b ON b.c = c.c
+       AND b.vec_id < {SEM_BENCH_N} AND c.vec_id >= {SEM_BENCH_N}
+      JOIN pqq qa ON qa.vec_id = c.vec_id
+      JOIN pqq qb ON qb.vec_id = b.vec_id AND qb.m = qa.m AND qb.j = qa.j
+      GROUP BY c.c, c.vec_id, b.vec_id
+      HAVING SUM((qa.x - qb.x) * (qa.x - qb.x)) < {SEM_TAU}),
+    flagged AS (SELECT cell, cv FROM hits GROUP BY cell, cv),
+    mem AS (
+      SELECT c AS cell,
+             COUNT(CASE WHEN vec_id >= {SEM_BENCH_N} THEN 1 END) AS n_corpus,
+             COUNT(CASE WHEN vec_id < {SEM_BENCH_N} THEN 1 END) AS n_benchmark
+      FROM asg GROUP BY c),
+    fl AS (SELECT cell, COUNT(*) AS n_flagged,
+                  CAST(SUM(cv) AS BIGINT) AS flagged_id_sum
+           FROM flagged GROUP BY cell)
+    SELECT CAST(m.cell AS BIGINT) AS cell,
+           m.n_corpus AS n_corpus, m.n_benchmark AS n_benchmark,
+           COALESCE(f.n_flagged, CAST(0 AS BIGINT)) AS n_flagged,
+           m.n_corpus - COALESCE(f.n_flagged, CAST(0 AS BIGINT)) AS n_clean,
+           COALESCE(f.flagged_id_sum, CAST(0 AS BIGINT)) AS flagged_id_sum
+    FROM mem m LEFT JOIN fl f ON f.cell = m.cell
+    ORDER BY cell
+    """,
+    survey_ids="dedup-ext,similarity-ext,J1,A1",
+)
+def s_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector (vec_id >= {N}) with a benchmark vector (vec_id < {N}) inside
+    the exact grid-L2 ball within its trained-quantizer cell. Per cell:
+    corpus/benchmark membership, flagged and clean corpus counts, and
+    the flagged-id checksum pinning exactly WHICH vectors drop. The
+    oracle retrains the quantizer in unrolled SQL and replays routing,
+    the cross join, and the ball test.
+
+    Scale shape: the benchmark side is small by definition — it
+    BROADCASTS (with its cell assignment) against the fanned-out corpus
+    scan; the cell-equality prefilter skips 1-1/k of the fold work
+    map-side; the corpus never shuffles. Contrast d_semantic_dedup
+    (corpus self-join, one cell-key shuffle) and d_decontaminate (the
+    shingle form of the same guarantee).
+
+    Reference analogue: none (extends the dedup family, SURVEY §2.13).
+    """
+    from kingfisher_process_spark.functions.dedup import fanout
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    cents = ivf_grid_centroids_for(spark, sf_dir)
+    asg = _quantized(emb).selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+    bench = (asg.where(F.col("vec_id") < SEM_BENCH_N)
+             .selectExpr("cell AS cell_b", "vec_id AS vb", "qa AS ab"))
+    corp = (fanout(asg).where(F.col("vec_id") >= SEM_BENCH_N)
+            .selectExpr("cell", "vec_id AS va", "qa AS aa"))
+    flagged = (corp.join(F.broadcast(bench), F.col("cell") == F.col("cell_b"))
+               .where(F.expr(SEM_D2) < F.lit(SEM_TAU))
+               .select("cell", "va").distinct())
+    mem = asg.groupBy("cell").agg(
+        F.count(F.when(F.col("vec_id") >= SEM_BENCH_N, 1)).alias("n_corpus"),
+        F.count(F.when(F.col("vec_id") < SEM_BENCH_N, 1)).alias("n_benchmark"))
+    fl = flagged.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_flagged"),
+        F.sum("va").alias("flagged_id_sum"))
+    return (
+        mem.join(fl, "cell", "left")
+        .selectExpr(
+            "CAST(cell AS BIGINT) AS cell", "n_corpus", "n_benchmark",
+            "COALESCE(n_flagged, CAST(0 AS BIGINT)) AS n_flagged",
+            "n_corpus - COALESCE(n_flagged, CAST(0 AS BIGINT)) AS n_clean",
+            "COALESCE(flagged_id_sum, CAST(0 AS BIGINT)) AS flagged_id_sum")
+        .orderBy("cell")
+    )
