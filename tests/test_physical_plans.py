@@ -334,3 +334,19 @@ def test_shingle_and_bigram_generators_stay_linear(spark):
         plan = plan_of(spark, name)
         assert "element_at" not in plan, (name, plan[:2000])
         assert "zip_with" in plan, (name, plan[:2000])
+
+
+def test_semantic_decontaminate_broadcasts_benchmark_no_shuffle(spark):
+    """The corpus side must not shuffle: benchmark broadcasts, the ball
+    test runs on the scan side of a BroadcastHashJoin."""
+    plan = plan_of(spark, "s_semantic_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
+
+
+def test_bpe_pack_broadcasts_wordlen_map(spark):
+    """The word->trained-length map joins the exploded corpus as a
+    broadcast; no row-at-a-time Python anywhere."""
+    plan = plan_of(spark, "t_bpe_pack_pipeline")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
