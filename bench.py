@@ -124,18 +124,25 @@ def main() -> None:
     # #7: r5 showed +20-35% drift on byte-identical plans; one extra
     # rep narrows the min's variance at ~+40% bench wall time)
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Adaptive tail (r6): three same-code runs in one session measured
+    # per-query drift of +30-80% on byte-identical plans — a load spike
+    # can span all `reps` samples. When the samples DISAGREE (spread >
+    # 1.3x), take up to 2 extra reps; later samples escape the spike and
+    # restore the true min. Quiet entries still cost exactly `reps`.
+    max_reps = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", str(reps + 2)))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         probe = reg.get(name)
         if probe is None:
             continue
-        best = None
-        for _ in range(reps):
+        samples: list[float] = []
+        while len(samples) < reps or (
+                len(samples) < max_reps
+                and max(samples) > 1.3 * min(samples)):
             t0 = time.perf_counter()
             probe.fn(spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 4)
 
     # Batched BPE trainer at a ≥256-merge request — not a registry probe
     # (a batched schedule has no tractable SQL oracle; t_bpe_train's
