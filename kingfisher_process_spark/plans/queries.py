@@ -2703,6 +2703,25 @@ def p7_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_frontiers(ev: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Chained per-user MIN frontiers for the view→click→purchase
+    funnel over an events DataFrame (user_id, event_type, ts) — each
+    stage one type-filtered aggregate joined to the previous stage's
+    |users|-row frontier. Shared by the batch probe and the streaming
+    maintenance twin (which calls it over dirty users' history only)."""
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.where(F.col("event_type") == "click").alias("e")
+         .join(v, "user_id")
+         .where(F.col("e.ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("e.ts").alias("t_click")))
+    p = (ev.where(F.col("event_type") == "purchase").alias("e")
+         .join(c, "user_id")
+         .where(F.col("e.ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("e.ts").alias("t_purchase")))
+    return v, c, p
+
+
 @probe(
     "e_funnel_conversion",
     """
@@ -2750,16 +2769,7 @@ def e_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir)
     ev = t["events"]
-    v = (ev.where(F.col("event_type") == "view")
-         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
-    c = (ev.where(F.col("event_type") == "click").alias("e")
-         .join(v, "user_id")
-         .where(F.col("e.ts") > F.col("t_view"))
-         .groupBy("user_id").agg(F.min("e.ts").alias("t_click")))
-    p = (ev.where(F.col("event_type") == "purchase").alias("e")
-         .join(c, "user_id")
-         .where(F.col("e.ts") > F.col("t_click"))
-         .groupBy("user_id").agg(F.min("e.ts").alias("t_purchase")))
+    v, c, p = funnel_frontiers(ev)
     pv = p.join(v, "user_id").agg(
         F.sum(F.unix_millis("t_purchase") - F.unix_millis("t_view"))
         .cast("bigint").alias("total_funnel_ms"))

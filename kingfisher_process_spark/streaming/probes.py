@@ -576,3 +576,128 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("tv").cast("double").alias("total_value"))
         .orderBy("nation", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel maintenance — the dirty-set pattern
+# (st_incremental_compile, st_semantic_dedup) applied to the funnel:
+# events arrive in micro-batches in ANY order; per batch only the
+# batch's users recompute their chained-MIN frontiers from the
+# user-bucketed history (partition-pruned read), and the per-user
+# funnel table swaps only dirty buckets (dynamic partition overwrite).
+# A late-arriving earlier view RETROACTIVELY rewrites that user's whole
+# chain — exactly what frontier-state-only maintenance cannot do and
+# the recompute-from-history form does for free.
+# ---------------------------------------------------------------------------
+
+FUNNEL_UBUCKETS = 16
+_FUNNEL_TYPES = ("view", "click", "purchase")
+
+
+def funnel_maintenance_upsert(batch_df: DataFrame, batch_id: int,
+                              hist_dir: str, funnel_dir: str,
+                              n_buckets: int = FUNNEL_UBUCKETS) -> None:
+    """One micro-batch of funnel maintenance: append the batch's
+    funnel-relevant events to its own idempotent ``batch_id=N``
+    partition (user-bucketed inside), recompute frontiers for the
+    batch's users from the pruned history, swap only dirty buckets."""
+    import glob
+    import os
+
+    from kingfisher_process_spark.plans.queries import funnel_frontiers
+
+    spark = batch_df.sparkSession
+    ub = F.pmod(F.hash("user_id"), F.lit(n_buckets))
+    ev = (batch_df.where(F.col("event_type").isin(*_FUNNEL_TYPES))
+          .select("user_id", "event_type", "ts"))
+    (ev.withColumn("ubucket", ub)
+     .write.mode("overwrite").partitionBy("ubucket")
+     .parquet(os.path.join(hist_dir, f"batch_id={batch_id}")))
+    dirty = ev.select("user_id").distinct()
+    dirty_buckets = [r["b"] for r in
+                     dirty.select(ub.alias("b")).distinct().collect()]
+    hist = (spark.read.parquet(hist_dir)
+            .where(F.col("ubucket").isin(dirty_buckets))
+            .select("user_id", "event_type", "ts"))
+    redo_ev = hist.join(F.broadcast(dirty), "user_id", "left_semi")
+    v, c, p = funnel_frontiers(redo_ev)
+    redone = (v.join(c, "user_id", "left").join(p, "user_id", "left")
+              .withColumn("ubucket", ub))
+    if glob.glob(os.path.join(funnel_dir, "ubucket=*")):
+        kept = (spark.read.parquet(funnel_dir)
+                .where(F.col("ubucket").isin(dirty_buckets))
+                .join(F.broadcast(dirty), "user_id", "left_anti"))
+        out = kept.unionByName(redone.select(*kept.columns))
+    else:
+        out = redone
+    staged = out.localCheckpoint()
+    (staged.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("ubucket").parquet(funnel_dir))
+
+
+@probe(
+    "st_funnel_maintenance",
+    None,  # oracle assigned below — shares e_funnel_conversion's verbatim
+    survey_ids="streaming-ext,window-ext,A4,J3",
+)
+def st_funnel_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained funnel: the events table arrives as a
+    4-slice file stream sliced by pmod(hash(event_id), 4) — deliberately
+    NOT time-ordered, so later batches carry EARLIER views/clicks and
+    exercise the retroactive chain rewrite. foreachBatch maintains the
+    user-bucketed history and the per-user funnel table via
+    funnel_maintenance_upsert (with one in-loop history compaction);
+    the final counts must hash-match the BATCH funnel oracle
+    (e_funnel_conversion's SQL verbatim), proving the maintenance
+    converges to the one-shot computation for any batch split."""
+    import os
+    import tempfile
+
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming.maintenance import compact_batches
+
+    _pin_stream_confs(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    tmp = tempfile.mkdtemp(prefix="kps_stfunnel_")
+    watch = os.path.join(tmp, "watch")
+    hist = os.path.join(tmp, "hist")
+    funnel = os.path.join(tmp, "funnel")
+    os.makedirs(watch)
+    for i in range(4):
+        (ev.where(F.pmod(F.hash("event_id"), F.lit(4)) == i).coalesce(1)
+         .write.mode("append").parquet(os.path.join(watch, f"slice={i}")))
+
+    def upsert(batch_df, batch_id):
+        funnel_maintenance_upsert(batch_df, batch_id, hist, funnel)
+        if batch_id == 2:
+            compact_batches(batch_df.sparkSession, hist, upto=batch_id - 1)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(watch, "slice=*"))
+              .writeStream.foreachBatch(upsert)
+              .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+              .trigger(availableNow=True).start())
+    stream.awaitTermination()
+    f = spark.read.parquet(funnel)
+    return f.agg(
+        F.count("t_view").cast("bigint").alias("n_viewed"),
+        F.count("t_click").cast("bigint").alias("n_clicked_after"),
+        F.count("t_purchase").cast("bigint").alias("n_purchased_after"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(),
+                     F.unix_millis("t_purchase") - F.unix_millis("t_view")))
+        .cast("bigint").alias("total_funnel_ms"))
+
+
+# share the batch funnel's oracle verbatim (registered by plans.queries,
+# which is imported before this module)
+def _assign_funnel_oracle() -> None:
+    import kingfisher_process_spark.plans.queries  # noqa: F401 — registers it
+
+    from kingfisher_process_spark.plans.base import REGISTRY, oracle_of
+
+    REGISTRY["st_funnel_maintenance"].oracle = oracle_of("e_funnel_conversion")
+
+
+_assign_funnel_oracle()

@@ -754,3 +754,51 @@ def test_compaction_folds_compile_history_transparently(spark, tmp_path):
     assert table(comp_a) == table(comp_b)
     assert _os.path.isdir(hist_a + "/batch_id=1")
     assert not _os.path.isdir(hist_a + "/batch_id=0")
+
+
+def test_funnel_maintenance_retroactive_and_idempotent(spark, tmp_path):
+    """A later batch carrying an EARLIER view must retroactively rewrite
+    that user's whole chain (frontier-only state cannot); replaying a
+    batch_id is a no-op; the history read partition-prunes to dirty
+    user buckets."""
+    import datetime as dt
+
+    from kingfisher_process_spark.plans.queries import funnel_frontiers
+    from kingfisher_process_spark.streaming.probes import (
+        funnel_maintenance_upsert)
+
+    def ev_df(rows):
+        return spark.createDataFrame(
+            [(i, u, t, dt.datetime(2024, 1, d, h)) for
+             i, (u, t, d, h) in enumerate(rows)],
+            "event_id long, user_id long, event_type string, ts timestamp")
+
+    # batch 0: user 1 views day3, clicks day4, purchases day5
+    b0 = ev_df([(1, "view", 3, 0), (1, "click", 4, 0), (1, "purchase", 5, 0)])
+    # batch 1: user 1's EARLIER view day1 arrives late -> t_view moves to
+    # day1; click day4 is still > view and t_purchase unchanged, but
+    # total funnel time changes; user 2 appears with view only
+    b1 = ev_df([(1, "view", 1, 0), (2, "view", 2, 0)])
+    hist, funnel = str(tmp_path / "h"), str(tmp_path / "f")
+    funnel_maintenance_upsert(b0, 0, hist, funnel)
+    funnel_maintenance_upsert(b1, 1, hist, funnel)
+    funnel_maintenance_upsert(b1, 1, hist, funnel)  # at-least-once replay
+
+    got = {r["user_id"]: r for r in spark.read.parquet(funnel).collect()}
+    assert got[1]["t_view"] == dt.datetime(2024, 1, 1)   # retroactive
+    assert got[1]["t_purchase"] == dt.datetime(2024, 1, 5)
+    assert got[2]["t_view"] == dt.datetime(2024, 1, 2)
+    assert got[2]["t_click"] is None
+
+    # equals the batch computation over the union
+    v, c, p = funnel_frontiers(b0.unionByName(b1))
+    want = {r["user_id"]: r for r in
+            v.join(c, "user_id", "left").join(p, "user_id", "left").collect()}
+    for u in want:
+        assert tuple(got[u])[:4] == tuple(want[u])[:4]
+
+    # dirty-bucket read is partition-pruned
+    import re
+    pruned = spark.read.parquet(hist).where(F.col("ubucket") == 0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*ubucket", plan), plan
