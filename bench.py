@@ -85,6 +85,7 @@ HEADLINE = [
     "e_gapfill_forward",
     "e_scd2_intervals",
     "sk_bloom_prejoin_audit",
+    "sk_histogram_quantiles",
     "m_media_features",
     "m_audio_features",
     "m_embed_ann",

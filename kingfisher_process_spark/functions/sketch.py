@@ -213,3 +213,85 @@ def sk_bloom_prejoin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.when((F.col("all_hit") == 0) & (F.col("is_member") == 1), 1)
                    .otherwise(0)).cast("bigint").alias("n_false_negatives"))
     )
+
+
+HIST_BUCKETS = 64  # equi-width histogram resolution (production: 1-4k)
+HIST_QS_PM = (500, 900, 990)  # quantiles requested, per-mille
+
+
+@probe(
+    "sk_histogram_quantiles",
+    f"""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders),
+    h AS (
+      SELECT LEAST(CAST(floor((o_totalprice - b.mn)
+                               / ((b.mx - b.mn) / {HIST_BUCKETS}.0))
+                     AS BIGINT), {HIST_BUCKETS - 1}) AS bk,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders, b GROUP BY 1),
+    cum AS (
+      SELECT bk, c,
+             SUM(c) OVER (ORDER BY bk
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM h),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in HIST_QS_PM)}]) AS qpm),
+    tgt AS (SELECT qpm, CAST(ceil(qpm * n / 1000.0) AS BIGINT) AS r,
+                   mn, mx FROM qs, b),
+    pick AS (
+      SELECT t.qpm, t.r, MIN(cm.bk) AS bk
+      FROM tgt t JOIN cum cm ON cm.cum >= t.r GROUP BY t.qpm, t.r)
+    SELECT p.qpm AS qpm, CAST(p.bk AS BIGINT) AS bucket,
+           t.mn + ((t.mx - t.mn) / {HIST_BUCKETS}.0)
+                  * (p.bk + (p.r - (cm.cum - cm.c)) * 1.0 / cm.c)
+             AS est_value
+    FROM pick p JOIN cum cm ON cm.bk = p.bk JOIN tgt t ON t.qpm = p.qpm
+    ORDER BY qpm
+    """,
+    survey_ids="sketch-ext,A4,A5,O5",
+)
+def sk_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width-histogram quantile sketch — the fourth classic sketch
+    (after CMS, Bloom, HLL): two passes (bounds, bucket counts) replace
+    the full sort an exact percentile needs, and the histogram is
+    streaming-mergeable (bucket counts ADD, exactly like CMS cells).
+    Estimates p50/p90/p99 of o_totalprice by linear interpolation within
+    the covering bucket; deterministic — every operation is IEEE
+    +,-,*,/ on identical operands in both engines, so unlike Spark's
+    percentile_approx (randomized KLL) this is exact-oracle-checkable.
+    CI separately pins |est - exact percentile| <= one bucket width.
+
+    Scale shape: pass 1 is a 1-row global agg (broadcast); pass 2 a
+    {HIST_BUCKETS}-group groupBy with map-side partial aggregation; the
+    quantile extraction runs on {HIST_BUCKETS} rows. No sort anywhere.
+    """
+    o = load_tables(spark, sf_dir)["orders"]
+    b = o.agg(F.min("o_totalprice").alias("mn"),
+              F.max("o_totalprice").alias("mx"),
+              F.count(F.lit(1)).cast("bigint").alias("n"))
+    h = (o.crossJoin(F.broadcast(b))
+         .selectExpr(
+             f"LEAST(CAST(floor((o_totalprice - mn)"
+             f" / ((mx - mn) / {HIST_BUCKETS}.0)) AS BIGINT),"
+             f" {HIST_BUCKETS - 1}) AS bk")
+         .groupBy("bk").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    cum = h.selectExpr(
+        "bk", "c",
+        "SUM(c) OVER (ORDER BY bk"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+    qs = spark.range(1).selectExpr(
+        f"explode(array({', '.join(str(q) for q in HIST_QS_PM)})) AS qpm")
+    tgt = qs.crossJoin(F.broadcast(b)).selectExpr(
+        "qpm", "CAST(ceil(qpm * n / 1000.0) AS BIGINT) AS r", "mn", "mx")
+    pick = (tgt.join(F.broadcast(cum), F.col("cum") >= F.col("r"))
+            .groupBy("qpm", "r").agg(F.min("bk").alias("bk")))
+    est = (pick.join(F.broadcast(cum), "bk")
+           .join(F.broadcast(tgt.select("qpm", "mn", "mx")), "qpm")
+           .selectExpr(
+               "qpm", "CAST(bk AS BIGINT) AS bucket",
+               f"mn + ((mx - mn) / {HIST_BUCKETS}.0)"
+               f" * (bk + (r - (cum - c)) * 1.0 / c) AS est_value"))
+    return est.orderBy("qpm")

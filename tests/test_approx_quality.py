@@ -55,3 +55,26 @@ def test_profile_approx_distincts_track_exact(spark):
             assert ar[f] == er[f], (name, f)
         rel_err = abs(ar["n_distinct"] - er["n_distinct"]) / max(er["n_distinct"], 1)
         assert rel_err <= 0.15, (name, ar["n_distinct"], er["n_distinct"])
+
+
+def test_histogram_quantile_error_bounded_by_bucket_width(spark):
+    """The equi-width histogram guarantee: each estimated quantile lies
+    within one bucket width of the exact interpolated percentile."""
+    from pyspark.sql import functions as F
+
+    from kingfisher_process_spark.functions.sketch import (
+        HIST_BUCKETS, HIST_QS_PM, sk_histogram_quantiles)
+    from kingfisher_process_spark.plans.base import load_tables
+    from tests.conftest import SF_SMOKE
+
+    o = load_tables(spark, SF_SMOKE)["orders"]
+    qs = [q / 1000.0 for q in HIST_QS_PM]
+    exact = o.selectExpr(
+        f"percentile(o_totalprice, array({', '.join(map(str, qs))})) AS p"
+    ).first()["p"]
+    mn, mx = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    w = (mx - mn) / HIST_BUCKETS
+    ests = {r["qpm"]: r["est_value"]
+            for r in sk_histogram_quantiles(spark, SF_SMOKE).collect()}
+    for qpm, ex in zip(HIST_QS_PM, exact):
+        assert abs(ests[qpm] - ex) <= w, (qpm, ests[qpm], ex, w)
