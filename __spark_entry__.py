@@ -27,6 +27,7 @@ def _registry():
         import kingfisher_process_spark.functions.similarity  # noqa: F401
         import kingfisher_process_spark.functions.multimodal  # noqa: F401
         import kingfisher_process_spark.functions.sketch  # noqa: F401
+        import kingfisher_process_spark.functions.zorder  # noqa: F401
         import kingfisher_process_spark.streaming.probes  # noqa: F401
     except ImportError:
         pass
@@ -87,16 +88,17 @@ def _registry():
         "m_audio_features", "e_funnel_conversion", "e_gapfill_forward",
         "t_bpe_pack_pipeline", "s_semantic_decontaminate",
         "st_funnel_maintenance", "sk_histogram_quantiles",
+        "z_order_codes",
         # r2-era holdovers (last driver row: r2)
         "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 21 of the 44;
-        # the 23 deferred to r7 (e_hourly_event_rollup,
+        # longest-unchecked (last driver row: r3) — 20 of the 44;
+        # the 24 deferred to r7 (e_hourly_event_rollup,
         # t_chunk_documents, d_lsh_bucket_stats, w4_moving_avg,
         # p5_variant_json, t_table_fingerprint,
         # ocds_versioned_release, sk_count_min_event_types,
         # e_range_join_intervals, e_scd2_intervals,
         # st_cdc_collapse, st_stream_stream_join,
-        # a6_top_buyers and
+        # a6_top_buyers, p3_inlist_filter and
         # u4_intersect_buyers_suppliers_nations — displaced by the
         # r6-added
         # ann_pq_rerank_topk / t_pretrain_corpus_pipeline /
@@ -104,7 +106,8 @@ def _registry():
         # t_ngram_lm_score / s_hybrid_rrf_fusion / m_audio_features /
         # e_funnel_conversion / e_gapfill_forward /
         # t_bpe_pack_pipeline / s_semantic_decontaminate /
-        # st_funnel_maintenance / sk_histogram_quantiles;
+        # st_funnel_maintenance / sk_histogram_quantiles /
+        # z_order_codes;
         # their families are
         # covered in-window by st_incremental_rollup / e_sessionize /
         # t_bm25_search / t_quality_scores / d_decontaminate /
@@ -118,7 +121,7 @@ def _registry():
         # t_stratified_split, st_hourly_rollup,
         # w3_median_spend_by_segment, a12_grouping_sets) each have a
         # same-family probe inside this window.
-        "p3_inlist_filter", "p5_json_extract_agg",
+        "p5_json_extract_agg",
         "ocds_record_ladder", "ocds_check_errors",
         "ocds_compile_two_phase",
         "d_decontaminate", "d_simhash_banded_pairs",
