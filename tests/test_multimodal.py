@@ -456,3 +456,55 @@ def test_wav_rejects_non_pcm_and_truncated():
     # full frames kept
     odd = mm.encode_wav_pcm16(np.array([1, 2, 3], dtype=np.int16), 8000, 2)
     assert mm.decode_wav(odd).n_frames == 1
+
+
+def test_codec_fuzz_never_raises_foreign_exceptions():
+    """Decoder contract under untrusted bytes: decode_wav/decode_png
+    either succeed or raise ValueError — never IndexError/struct.error/
+    zlib.error — because executors feed them arbitrary blobs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import kingfisher_process_spark.functions.multimodal as mm
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=200))
+    def fuzz(blob):
+        for decode in (mm.decode_wav, mm.decode_png):
+            try:
+                decode(blob)
+            except ValueError:
+                pass
+        # headers that pass the magic check but lie about sizes
+        for decode, magic in ((mm.decode_wav, b"RIFF\x10\x00\x00\x00WAVE"),
+                              (mm.decode_png, mm.PNG_MAGIC)):
+            try:
+                decode(magic + blob)
+            except ValueError:
+                pass
+
+    fuzz()
+
+
+def test_wav_round_trip_property():
+    """encode->decode identity over arbitrary int16 sample vectors,
+    rates, and channel counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    import kingfisher_process_spark.functions.multimodal as mm
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+           st.sampled_from([8000, 16000, 44100]),
+           st.integers(1, 3))
+    def rt(samples, rate, ch):
+        arr = np.array(samples, dtype=np.int16)
+        a = mm.decode_wav(mm.encode_wav_pcm16(arr, rate, ch))
+        assert (a.sample_rate, a.n_channels) == (rate, ch)
+        usable = len(arr) - (len(arr) % ch)
+        assert np.array_equal(a.samples, arr[:usable])
+
+    rt()
