@@ -69,6 +69,7 @@ HEADLINE = [
     "t_quality_scores",
     "t_token_stats",
     "t_pii_redact",
+    "t_k_anonymity_audit",
     "t_sequence_packing",
     "t_chunk_documents",
     "t_global_shuffle_shards",

@@ -1594,3 +1594,65 @@ def t_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("doc_id").alias("last_doc"))
         .orderBy("seq_bin")
     )
+
+
+K_ANON = 5  # k-anonymity threshold for the release audit
+
+
+@probe(
+    "t_k_anonymity_audit",
+    f"""
+    WITH g AS (
+      SELECT lang, source,
+             CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT CAST(floor(doc_id / 100.0) AS BIGINT))
+               AS BIGINT) AS l_diversity
+      FROM documents
+      GROUP BY lang, source, len_bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN group_size < {K_ANON} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_groups_below_k,
+           CAST(SUM(CASE WHEN group_size < {K_ANON} THEN group_size
+                         ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+           CAST(MIN(l_diversity) AS BIGINT) AS min_l_diversity
+    FROM g
+    """,
+    survey_ids="privacy-ext,A1,A3",
+)
+def t_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release audit — before a corpus (or its
+    metadata) ships, group by the quasi-identifier tuple (lang, source,
+    length bucket) and report: groups below k={K_ANON} (re-identifiable
+    cohorts), rows at risk, the minimum group size (the dataset's actual
+    k), and the minimum l-diversity of a stand-in sensitive attribute
+    (doc_id cohort) — the generalize/suppress loop's decision inputs.
+
+    Scale shape: ONE groupBy with map-side partial aggregation (the
+    distinct-count is per-group, bounded); the audit row is a second
+    5-column aggregate over |groups| rows. The PII scan/redaction
+    (t_pii_redact) removes direct identifiers; this audits the
+    quasi-identifiers redaction cannot touch.
+
+    Reference analogue: none (extends SURVEY §2.13 with the privacy
+    family).
+    """
+    t = load_tables(spark, sf_dir)
+    g = (t["documents"]
+         .groupBy("lang", "source",
+                  F.expr("CAST(floor(n_chars / 100.0) AS BIGINT)")
+                  .alias("len_bucket"))
+         .agg(F.count(F.lit(1)).alias("group_size"),
+              F.countDistinct(
+                  F.expr("CAST(floor(doc_id / 100.0) AS BIGINT)"))
+              .alias("l_diversity")))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("group_size") < K_ANON, 1).otherwise(0))
+        .cast("bigint").alias("n_groups_below_k"),
+        F.sum(F.when(F.col("group_size") < K_ANON, F.col("group_size"))
+              .otherwise(0)).cast("bigint").alias("n_rows_at_risk"),
+        F.min("group_size").alias("min_group_size"),
+        F.min("l_diversity").alias("min_l_diversity"))
