@@ -70,13 +70,23 @@ def compact_batches(spark: SparkSession, store_dir: str, upto: int) -> int:
     number of batch partitions folded (0 = nothing to do). The caller
     guarantees ``upto`` is at or below the stream's committed watermark
     and that no trigger is concurrently writing."""
-    olds = [b for b in batch_ids(store_dir) if b <= upto]
-    if len(olds) <= 1:
-        return 0
     staging = os.path.join(store_dir, ".compact_staging")
     staged_part = os.path.join(staging, f"batch_id={upto}")
     marker = os.path.join(staging, "_COMPLETE")
-    if not os.path.isfile(marker):
+    # trash from any PRIOR run is always redundant: it is only created
+    # after staging completed (marker), and the staged partition — or
+    # the already-swapped store — holds the same rows. Clear it first.
+    for t in glob.glob(os.path.join(store_dir, ".compact_trash-*")):
+        shutil.rmtree(t, ignore_errors=True)
+    olds = [b for b in batch_ids(store_dir) if b <= upto]
+    # a completed staging with few/no source dirs left means a prior run
+    # crashed between the trash move and the final rename — FINISH the
+    # swap (returning 0 here would strand the staged data and lose the
+    # folded batches)
+    resuming = os.path.isfile(marker) and os.path.isdir(staged_part)
+    if len(olds) <= 1 and not resuming:
+        return 0
+    if not resuming:
         shutil.rmtree(staging, ignore_errors=True)
         # read ONLY the folded range; basePath surfaces inner partition
         # columns (bucket/cell) so partitionBy can re-lay them out

@@ -802,3 +802,50 @@ def test_funnel_maintenance_retroactive_and_idempotent(spark, tmp_path):
     pruned = spark.read.parquet(hist).where(F.col("ubucket") == 0)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^]]*ubucket", plan), plan
+
+
+def test_compaction_resumes_after_crash_between_trash_and_rename(
+        spark, tmp_path, monkeypatch):
+    """A crash after the old batch dirs moved to trash but before the
+    staged partition renamed in must NOT strand the store: rerunning
+    compact_batches completes the swap and the summary is unchanged."""
+    import os as _os
+
+    from kingfisher_process_spark.functions.similarity import (
+        _quantized, ivf_grid_centroids_for, semantic_dedup_state_summary,
+        semantic_dedup_upsert)
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming import maintenance as mnt
+
+    sf = "/root/testdata/sf0.001"
+    q = _quantized(load_tables(spark, sf)["embeddings"])
+    cents = ivf_grid_centroids_for(spark, sf)
+    hist, removed = str(tmp_path / "h"), str(tmp_path / "r")
+    for i in range(3):
+        semantic_dedup_upsert(
+            q.where(F.pmod(F.col("vec_id"), F.lit(3)) == i),
+            i, hist, removed, cents)
+    before = [tuple(r) for r in
+              semantic_dedup_state_summary(spark, hist, removed).collect()]
+
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        if dst.rstrip("/").endswith("batch_id=2") and ".compact" not in dst:
+            raise OSError("simulated crash before final rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(mnt.os, "rename", crashing_rename)
+    try:
+        mnt.compact_batches(spark, hist, upto=2)
+        raise AssertionError("expected the simulated crash")
+    except OSError:
+        pass
+    monkeypatch.setattr(mnt.os, "rename", real_rename)
+    # store is now mid-swap: olds in trash, staged not yet in place —
+    # the rerun must detect the completed staging and finish
+    mnt.compact_batches(spark, hist, upto=2)
+    assert mnt.batch_ids(hist) == [2]
+    after = [tuple(r) for r in
+             semantic_dedup_state_summary(spark, hist, removed).collect()]
+    assert after == before
