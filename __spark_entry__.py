@@ -28,6 +28,7 @@ def _registry():
         import kingfisher_process_spark.functions.multimodal  # noqa: F401
         import kingfisher_process_spark.functions.sketch  # noqa: F401
         import kingfisher_process_spark.functions.zorder  # noqa: F401
+        import kingfisher_process_spark.functions.graph  # noqa: F401
         import kingfisher_process_spark.streaming.probes  # noqa: F401
     except ImportError:
         pass
@@ -88,17 +89,18 @@ def _registry():
         "m_audio_features", "e_funnel_conversion", "e_gapfill_forward",
         "t_bpe_pack_pipeline", "s_semantic_decontaminate",
         "st_funnel_maintenance", "sk_histogram_quantiles",
-        "z_order_codes", "t_k_anonymity_audit",
+        "z_order_codes", "t_k_anonymity_audit", "g_item_pagerank",
         # r2-era holdovers (last driver row: r2)
         "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 19 of the 44;
-        # the 25 deferred to r7 (e_hourly_event_rollup,
+        # longest-unchecked (last driver row: r3) — 18 of the 44;
+        # the 26 deferred to r7 (e_hourly_event_rollup,
         # t_chunk_documents, d_lsh_bucket_stats, w4_moving_avg,
         # p5_variant_json, t_table_fingerprint,
         # ocds_versioned_release, sk_count_min_event_types,
         # e_range_join_intervals, e_scd2_intervals,
         # st_cdc_collapse, st_stream_stream_join,
-        # a6_top_buyers, p3_inlist_filter, m_embed_ann and
+        # a6_top_buyers, p3_inlist_filter, m_embed_ann,
+        # q5_region_revenue and
         # u4_intersect_buyers_suppliers_nations — displaced by the
         # r6-added
         # ann_pq_rerank_topk / t_pretrain_corpus_pipeline /
@@ -107,7 +109,7 @@ def _registry():
         # e_funnel_conversion / e_gapfill_forward /
         # t_bpe_pack_pipeline / s_semantic_decontaminate /
         # st_funnel_maintenance / sk_histogram_quantiles /
-        # z_order_codes / t_k_anonymity_audit;
+        # z_order_codes / t_k_anonymity_audit / g_item_pagerank;
         # their families are
         # covered in-window by st_incremental_rollup / e_sessionize /
         # t_bm25_search / t_quality_scores / d_decontaminate /
@@ -132,7 +134,7 @@ def _registry():
         "e_key_skew_audit",
         "sk_bloom_prejoin_audit",
         "w1_running_customer_spend",
-        "q5_region_revenue", "q9_product_profit",
+        "q9_product_profit",
         "j7_salted_skew_join", "f_array_functions",
     ]
     missing = set(priority) - REGISTRY.keys()

@@ -55,6 +55,7 @@ HEADLINE = [
     "d_simhash_banded_pairs",
     "d_dup_clusters",
     "d_decontaminate",
+    "g_item_pagerank",
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
