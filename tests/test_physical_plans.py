@@ -350,3 +350,26 @@ def test_bpe_pack_broadcasts_wordlen_map(spark):
     plan = plan_of(spark, "t_bpe_pack_pipeline")
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "BatchEvalPython" not in plan
+
+
+def test_funnel_frontiers_broadcast_into_each_stage(spark):
+    """Each funnel stage joins the previous |users|-row frontier as a
+    broadcast — no full event-stream shuffle per stage."""
+    plan = plan_of(spark, "e_funnel_conversion")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    assert "BatchEvalPython" not in plan
+
+
+def test_gapfill_fill_window_is_partitioned_by_user(spark):
+    """The forward-fill window must be partitioned on user_id — a bare
+    unpartitioned running window is the single-task funnel smell."""
+    plan = plan_of(spark, "e_gapfill_forward")
+    m = re.search(r"Arguments: \[last\(hv[^\]]*\], \[user_id", plan)
+    assert m, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_iterations_stay_jvm_side(spark):
+    plan = plan_of(spark, "g_item_pagerank")
+    assert "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
