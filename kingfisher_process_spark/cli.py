@@ -117,6 +117,18 @@ def build_parser() -> argparse.ArgumentParser:
     recomp.add_argument("--batch", type=int, default=None,
                         help="hot-OCID routing threshold (releases/OCID)")
 
+    cur = sub.add_parser(
+        "curate",
+        help="pretraining curation funnel: langid -> quality -> dedup -> pack")
+    cur.add_argument("--input", required=True,
+                     help="documents parquet (doc_id, text, lang, source)")
+    cur.add_argument("--output", required=True, help="artifact directory")
+    cur.add_argument("--seq-len", type=int, default=None)
+    cur.add_argument("--min-tokens", type=int, default=25)
+    cur.add_argument("--max-tokens", type=int, default=5000)
+    cur.add_argument("--langs", default="en,data",
+                     help="comma-separated language whitelist")
+
     serve = sub.add_parser("serve", help="run the REST API (wsgiref)")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
@@ -134,6 +146,19 @@ def main(argv: list[str] | None = None) -> int:
 
     from kingfisher_process_spark import api
     from kingfisher_process_spark.operators import lifecycle
+
+    if args.command == "curate":
+        from kingfisher_process_spark.functions.text import (
+            SEQ_LEN, curate_corpus)
+
+        docs = spark.read.parquet(args.input)
+        audit = curate_corpus(
+            spark, docs, args.output,
+            seq_len=args.seq_len or SEQ_LEN,
+            langs=tuple(s_ for s_ in args.langs.split(",") if s_),
+            min_tokens=args.min_tokens, max_tokens=args.max_tokens)
+        print(json.dumps(audit, default=str))
+        return 0
 
     if args.command == "load":
         from kingfisher_process_spark.pipeline import process_collection

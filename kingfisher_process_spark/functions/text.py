@@ -1656,3 +1656,69 @@ def t_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(0)).cast("bigint").alias("n_rows_at_risk"),
         F.min("group_size").alias("min_group_size"),
         F.min("l_diversity").alias("min_l_diversity"))
+
+
+def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
+                  seq_len: int = SEQ_LEN,
+                  langs: tuple[str, ...] = ("en", "data"),
+                  min_tokens: int = 25, max_tokens: int = 5000) -> dict:
+    """Run the pretraining curation funnel end-to-end and WRITE the
+    artifacts — the user-facing form of t_pretrain_corpus_pipeline:
+
+    1. language-ID keep (stopword-profile argmax ∈ ``langs``),
+    2. quality keep (``min_tokens``–``max_tokens``),
+    3. exact dedup (min-doc_id keeper per content hash),
+    4. distributed sequence packing into ``seq_len``-token windows.
+
+    Writes ``{out_dir}/corpus`` (kept documents + token counts) and
+    ``{out_dir}/manifest`` (doc_id → packed offset / sequence bin — what
+    a data loader shards on) and returns the per-stage audit dict.
+
+    Scale shape is the probe's: map-side predicates over one scan
+    lineage, one dedup groupBy, one range shuffle + |partitions|-row
+    collect for the prefix sum.
+    """
+    toks = _tokens(F.col("text"))
+
+    def hits(words):
+        return F.size(F.filter(toks, lambda x: x.isin(*words)))
+
+    base = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.size(toks).cast("long").alias("nt"),
+        hits(STOP_EN).alias("s_en"), hits(STOP_DATA).alias("s_data"),
+        hits(STOP_COMPUTE).alias("s_compute"),
+        F.md5("text").alias("content_hash"),
+    )
+    predicted = (
+        F.when((F.col("s_en") >= F.col("s_data"))
+               & (F.col("s_en") >= F.col("s_compute")), "en")
+        .when(F.col("s_data") >= F.col("s_compute"), "data")
+        .otherwise("compute"))
+    s1 = base.where(predicted.isin(*langs))
+    s2 = s1.where(F.col("nt").between(min_tokens, max_tokens))
+    keep = s2.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    s3 = (s2.join(keep, ["content_hash", "doc_id"], "left_semi")
+          .localCheckpoint())  # two consumers: corpus write + packing
+    c = packed_starts(spark, s3.select("doc_id", "nt"))
+    manifest = c.select(
+        "doc_id", "nt", "start_off",
+        F.floor(F.col("start_off") / seq_len).cast("bigint").alias("seq_bin"))
+    (s3.select("doc_id", "text", "lang", "source", "nt")
+     .write.mode("overwrite").parquet(f"{out_dir}/corpus"))
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    m = spark.read.parquet(f"{out_dir}/manifest")
+    n_kept, n_tokens, n_bins = (m.agg(
+        F.count(F.lit(1)), F.sum("nt"),
+        F.countDistinct("seq_bin")).first())
+    return {
+        "n_input": docs.count(),
+        "n_after_langid": s1.count(),
+        "n_after_quality": s2.count(),
+        "n_kept": n_kept,
+        "n_tokens": int(n_tokens or 0),
+        "n_sequence_bins": n_bins,
+        "seq_len": seq_len,
+        "corpus": f"{out_dir}/corpus",
+        "manifest": f"{out_dir}/manifest",
+    }

@@ -221,3 +221,33 @@ def test_recompile_incremental_via_cli(tmp_path, capsys):
                 .join(data, "data_id").collect()}
 
     assert payloads(target) == payloads(outf["collections"]["compiled"])
+
+
+def test_curate_writes_corpus_and_manifest(spark, tmp_path, capsys):
+    """CLI curation funnel: audit counts are monotone down the funnel,
+    the written corpus/manifest agree with the audit and with the
+    oracle-checked funnel probe's stage arithmetic, and the packing
+    bins are contiguous."""
+    from pyspark.sql import functions as F
+
+    store_dir = str(tmp_path / "store")
+    out = str(tmp_path / "curated")
+    rc, audit = run(capsys, "--store", store_dir, "curate",
+                    "--input", "/root/testdata/sf0.001/documents.parquet",
+                    "--output", out)
+    assert rc == 0
+    assert (audit["n_input"] >= audit["n_after_langid"]
+            >= audit["n_after_quality"] >= audit["n_kept"] > 0)
+    corpus = spark.read.parquet(out + "/corpus")
+    manifest = spark.read.parquet(out + "/manifest")
+    assert corpus.count() == manifest.count() == audit["n_kept"]
+    assert manifest.agg(F.sum("nt")).first()[0] == audit["n_tokens"]
+    # offsets are the exact prefix sum of token counts in doc_id order
+    rows = manifest.orderBy("doc_id").collect()
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off
+        assert r["seq_bin"] == off // audit["seq_len"]
+        off += r["nt"]
+    # kept docs are unique by content
+    assert corpus.count() == corpus.select("doc_id").distinct().count()
