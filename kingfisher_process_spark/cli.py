@@ -129,6 +129,22 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--langs", default="en,data",
                      help="comma-separated language whitelist")
 
+    ab = sub.add_parser(
+        "annbuild",
+        help="train + encode a residual IVF-PQ index from an embeddings parquet")
+    ab.add_argument("--input", required=True)
+    ab.add_argument("--output", required=True)
+    ab.add_argument("--cells", type=int, default=None)
+    ab.add_argument("--pq-k", type=int, default=None)
+
+    aq = sub.add_parser("annquery",
+                        help="serve top-k from a persisted ANN index")
+    aq.add_argument("--index", required=True)
+    aq.add_argument("--queries", required=True,
+                    help="embeddings parquet holding the query vectors")
+    aq.add_argument("--top-k", type=int, default=None)
+    aq.add_argument("--n-probe", type=int, default=None)
+
     serve = sub.add_parser("serve", help="run the REST API (wsgiref)")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
@@ -158,6 +174,30 @@ def main(argv: list[str] | None = None) -> int:
             langs=tuple(s_ for s_ in args.langs.split(",") if s_),
             min_tokens=args.min_tokens, max_tokens=args.max_tokens)
         print(json.dumps(audit, default=str))
+        return 0
+
+    if args.command == "annbuild":
+        from kingfisher_process_spark.functions.ann_index import build_index
+        from kingfisher_process_spark.functions.similarity import (
+            K_CELLS, PQ_TRAIN_K)
+
+        emb = spark.read.parquet(args.input)
+        audit = build_index(spark, emb, args.output,
+                            cells=args.cells or K_CELLS,
+                            pq_k=args.pq_k or PQ_TRAIN_K)
+        print(json.dumps(audit))
+        return 0
+
+    if args.command == "annquery":
+        from kingfisher_process_spark.functions.ann_index import query_index
+        from kingfisher_process_spark.functions.similarity import (
+            N_PROBE, TOP_K)
+
+        queries = spark.read.parquet(args.queries)
+        res = query_index(spark, args.index, queries,
+                          top_k=args.top_k or TOP_K,
+                          n_probe=args.n_probe or N_PROBE)
+        print(json.dumps([r.asDict() for r in res.collect()]))
         return 0
 
     if args.command == "load":

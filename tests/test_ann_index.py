@@ -1,0 +1,39 @@
+"""Persistent ANN index: build-once/serve-many must reproduce the
+oracle-checked in-plan probe bit for bit, and serving must read only
+the probed cells' partitions."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.functions.ann_index import (
+    build_index, load_model, query_index)
+from kingfisher_process_spark.functions.similarity import (
+    N_QUERIES, ann_ivfpq_residual_topk)
+from kingfisher_process_spark.plans.base import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def test_index_serving_matches_in_plan_probe_and_prunes(spark, tmp_path):
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "ann_idx")
+    audit = build_index(spark, emb, idx)
+    assert audit["n_vectors"] == emb.count()
+    assert os.path.isfile(idx + "/model.json")
+    model = load_model(idx)
+    assert len(model["centroids"]) == audit["cells"]
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    got = [tuple(r) for r in query_index(spark, idx, queries).collect()]
+    want = [tuple(r) for r in
+            ann_ivfpq_residual_topk(spark, SF_SMOKE).collect()]
+    assert got == want  # bit-identical to the oracle-checked probe
+
+    # the codes read must partition-prune to the probed cells
+    probed = spark.read.parquet(idx + "/codes").where(
+        F.col("cell").isin([0, 1]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan

@@ -251,3 +251,28 @@ def test_curate_writes_corpus_and_manifest(spark, tmp_path, capsys):
         off += r["nt"]
     # kept docs are unique by content
     assert corpus.count() == corpus.select("doc_id").distinct().count()
+
+
+def test_ann_index_cli_build_and_query(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    store_dir = str(tmp_path / "store")
+    idx = str(tmp_path / "idx")
+    q_path = str(tmp_path / "queries")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.where(F.col("vec_id") < 5).write.parquet(q_path)
+
+    rc, audit = run(capsys, "--store", store_dir, "annbuild",
+                    "--input", "/root/testdata/sf0.001/embeddings.parquet",
+                    "--output", idx)
+    assert rc == 0 and audit["n_vectors"] == emb.count()
+    rc, hits = run(capsys, "--store", store_dir, "annquery",
+                   "--index", idx, "--queries", q_path, "--top-k", "3")
+    assert rc == 0
+    assert len(hits) == 5 * 3
+    by_q = {}
+    for h in hits:
+        by_q.setdefault(h["query_id"], []).append(h)
+    for qid, rows in by_q.items():
+        assert [r["rnk"] for r in rows] == [1, 2, 3]
+        assert all(r["neighbor_id"] != qid for r in rows)
