@@ -145,6 +145,11 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--top-k", type=int, default=None)
     aq.add_argument("--n-probe", type=int, default=None)
 
+    au = sub.add_parser("annupsert",
+                        help="append new vectors to an index (frozen model)")
+    au.add_argument("--index", required=True)
+    au.add_argument("--input", required=True)
+
     serve = sub.add_parser("serve", help="run the REST API (wsgiref)")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
@@ -186,6 +191,13 @@ def main(argv: list[str] | None = None) -> int:
                             cells=args.cells or K_CELLS,
                             pq_k=args.pq_k or PQ_TRAIN_K)
         print(json.dumps(audit))
+        return 0
+
+    if args.command == "annupsert":
+        from kingfisher_process_spark.functions.ann_index import upsert_index
+
+        emb = spark.read.parquet(args.input)
+        print(json.dumps(upsert_index(spark, emb, args.index)))
         return 0
 
     if args.command == "annquery":

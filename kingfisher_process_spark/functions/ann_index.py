@@ -116,3 +116,23 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
                 F.col("adc").cast("double").alias("adc_dist"), "rnk")
         .orderBy("query_id", "rnk")
     )
+
+
+def upsert_index(spark: SparkSession, emb: DataFrame,
+                 index_dir: str) -> dict:
+    """Incremental index maintenance: encode NEW vectors with the
+    FROZEN model (no retraining — the production contract for online
+    adds; retrain by rebuilding when drift warrants) and append them to
+    the cell partitions. Appended files are small; fold them with the
+    same compaction discipline as the streaming stores when the count
+    grows. Returns the upsert audit."""
+    model = load_model(index_dir)
+    cents = [list(map(int, c)) for c in model["centroids"]]
+    rcbs = [[[int(v) for v in c] for c in m] for m in model["codebooks"]]
+    codes = (_residuals(_quantized(emb), cents)
+             .selectExpr("vec_id", "cell", *_code_exprs(rcbs)))
+    n_new = codes.count()
+    (codes.repartition("cell").write.mode("append")
+     .partitionBy("cell").parquet(os.path.join(index_dir, "codes")))
+    total = spark.read.parquet(os.path.join(index_dir, "codes")).count()
+    return {"n_added": n_new, "n_vectors": total, "index": index_dir}

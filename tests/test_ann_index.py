@@ -37,3 +37,36 @@ def test_index_serving_matches_in_plan_probe_and_prunes(spark, tmp_path):
         F.col("cell").isin([0, 1]))
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
+
+
+def test_upsert_encodes_with_frozen_model(spark, tmp_path):
+    """Build on a prefix of the corpus, upsert the rest: the upserted
+    vectors' codes must equal what a full encode under the SAME model
+    produces, and queries see neighbors from both generations."""
+    from kingfisher_process_spark.functions.ann_index import upsert_index
+    from kingfisher_process_spark.functions.similarity import (
+        _code_exprs, _quantized, _residuals)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    old = emb.where(F.col("vec_id") < 400)
+    new = emb.where(F.col("vec_id") >= 400)
+    build_index(spark, old, idx)
+    audit = upsert_index(spark, new, idx)
+    assert audit["n_added"] == new.count()
+    assert audit["n_vectors"] == emb.count()
+
+    model = load_model(idx)
+    cents = [list(map(int, c)) for c in model["centroids"]]
+    rcbs = [[[int(v) for v in c] for c in m] for m in model["codebooks"]]
+    want = (_residuals(_quantized(new), cents)
+            .selectExpr("vec_id", "cell", *_code_exprs(rcbs)))
+    got = (spark.read.parquet(idx + "/codes")
+           .where(F.col("vec_id") >= 400)
+           .select(*want.columns))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    hits = query_index(spark, idx, emb.where(F.col("vec_id") < N_QUERIES))
+    ids = {r["neighbor_id"] for r in hits.collect()}
+    assert any(i >= 400 for i in ids) and any(i < 400 for i in ids)
