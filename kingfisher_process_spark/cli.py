@@ -175,7 +175,7 @@ def main(argv: list[str] | None = None) -> int:
         docs = spark.read.parquet(args.input)
         audit = curate_corpus(
             spark, docs, args.output,
-            seq_len=args.seq_len or SEQ_LEN,
+            seq_len=SEQ_LEN if args.seq_len is None else args.seq_len,
             langs=tuple(s_ for s_ in args.langs.split(",") if s_),
             min_tokens=args.min_tokens, max_tokens=args.max_tokens)
         print(json.dumps(audit, default=str))
@@ -187,9 +187,10 @@ def main(argv: list[str] | None = None) -> int:
             K_CELLS, PQ_TRAIN_K)
 
         emb = spark.read.parquet(args.input)
-        audit = build_index(spark, emb, args.output,
-                            cells=args.cells or K_CELLS,
-                            pq_k=args.pq_k or PQ_TRAIN_K)
+        audit = build_index(
+            spark, emb, args.output,
+            cells=K_CELLS if args.cells is None else args.cells,
+            pq_k=PQ_TRAIN_K if args.pq_k is None else args.pq_k)
         print(json.dumps(audit))
         return 0
 
@@ -206,9 +207,10 @@ def main(argv: list[str] | None = None) -> int:
             N_PROBE, TOP_K)
 
         queries = spark.read.parquet(args.queries)
-        res = query_index(spark, args.index, queries,
-                          top_k=args.top_k or TOP_K,
-                          n_probe=args.n_probe or N_PROBE)
+        res = query_index(
+            spark, args.index, queries,
+            top_k=TOP_K if args.top_k is None else args.top_k,
+            n_probe=N_PROBE if args.n_probe is None else args.n_probe)
         print(json.dumps([r.asDict() for r in res.collect()]))
         return 0
 

@@ -26,12 +26,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kingfisher_process_spark.functions.similarity import (
-    _cent_arrays_literal, _code_exprs, _adc_explode_expr, _ivf_dist_expr,
-    _quantized, _residuals, _train_pq_on, train_ivf_grid_centroids,
+    _code_exprs, _quantized, _residuals, _train_pq_on, adc_topk,
+    explode_codes_narrow, route_probes, train_ivf_grid_centroids,
     K_CELLS, N_PROBE, PQ_M, PQ_TRAIN_K, TOP_K)
 
 
@@ -72,50 +72,14 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]
     rcbs = [[[int(v) for v in c] for c in m] for m in model["codebooks"]]
-    lit = _cent_arrays_literal(cents)
-
-    routing = (_quantized(queries)
-               .selectExpr("vec_id AS query_id", "qa", _ivf_dist_expr(cents))
-               .select("query_id", "qa", "e.c", "e.d2"))
-    wq = Window.partitionBy("query_id").orderBy("d2", "c")
-    probes_df = (routing.withColumn("rn", F.row_number().over(wq))
-                 .where(F.col("rn") <= n_probe)
-                 .selectExpr(
-                     "query_id", "c AS cell",
-                     f"zip_with(qa, element_at({lit}, CAST(c + 1 AS INT)),"
-                     " (a, b) -> a - b) AS qa"))
-    rd2 = (probes_df
-           .selectExpr("query_id", "cell", _adc_explode_expr(rcbs))
-           .select("query_id", "cell", "e.m", "e.c", "e.d2"))
-
+    probes_df = route_probes(_quantized(queries), cents, n_probe=n_probe)
     # probed cells as LITERALS so the codes read partition-prunes
     probed = sorted({r["cell"] for r in
                      probes_df.select("cell").distinct().collect()})
     codes = (spark.read.parquet(os.path.join(index_dir, "codes"))
              .where(F.col("cell").isin(probed)))
-    narrow = codes.select(
-        F.col("vec_id").alias("neighbor_id"), "cell",
-        F.explode(F.array(*[
-            F.struct(F.lit(m).cast("bigint").alias("m"),
-                     F.col(f"code_{m}").alias("c"))
-            for m in range(PQ_M)
-        ])).alias("e"),
-    ).select("neighbor_id", "cell", "e.m", "e.c")
-    adc = (
-        narrow.join(F.broadcast(probes_df.select("query_id", "cell")), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(rd2), ["query_id", "cell", "m", "c"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("adc"))
-    )
-    wk = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return (
-        adc.withColumn("rnk", F.row_number().over(wk))
-        .where(F.col("rnk") <= top_k)
-        .select("query_id", "neighbor_id",
-                F.col("adc").cast("double").alias("adc_dist"), "rnk")
-        .orderBy("query_id", "rnk")
-    )
+    narrow = explode_codes_narrow(codes)
+    return adc_topk(probes_df, narrow, rcbs, top_k=top_k)
 
 
 def upsert_index(spark: SparkSession, emb: DataFrame,
@@ -131,8 +95,16 @@ def upsert_index(spark: SparkSession, emb: DataFrame,
     rcbs = [[[int(v) for v in c] for c in m] for m in model["codebooks"]]
     codes = (_residuals(_quantized(emb), cents)
              .selectExpr("vec_id", "cell", *_code_exprs(rcbs)))
+    # idempotent under retries: a duplicated vec_id would double its ADC
+    # contributions in query_index (each subspace code row matches
+    # twice), silently corrupting rankings — anti-join the existing ids
+    # (column-pruned read of just vec_id) before appending
+    existing = (spark.read.parquet(os.path.join(index_dir, "codes"))
+                .select("vec_id"))
+    codes = codes.join(existing, "vec_id", "left_anti").localCheckpoint()
     n_new = codes.count()
-    (codes.repartition("cell").write.mode("append")
-     .partitionBy("cell").parquet(os.path.join(index_dir, "codes")))
+    if n_new:
+        (codes.repartition("cell").write.mode("append")
+         .partitionBy("cell").parquet(os.path.join(index_dir, "codes")))
     total = spark.read.parquet(os.path.join(index_dir, "codes")).count()
     return {"n_added": n_new, "n_vectors": total, "index": index_dir}

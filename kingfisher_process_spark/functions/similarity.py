@@ -1681,6 +1681,63 @@ def _res_train_ctes(iters: int = PQ_TRAIN_ITERS) -> str:
     return ",\n    ".join(parts)
 
 
+def explode_codes_narrow(rcodes: DataFrame) -> DataFrame:
+    """(vec_id, cell, code_0..code_{M-1}) → the narrow (neighbor_id,
+    cell, m, c) form the ADC join scores — shared by the in-plan probe
+    and the persisted index (functions/ann_index.py)."""
+    return rcodes.select(
+        F.col("vec_id").alias("neighbor_id"), "cell",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).cast("bigint").alias("m"),
+                     F.col(f"code_{m}").alias("c"))
+            for m in range(PQ_M)
+        ])).alias("e"),
+    ).select("neighbor_id", "cell", "e.m", "e.c")
+
+
+def route_probes(queries_q: DataFrame, cents: list[list[int]],
+                 n_probe: int = N_PROBE) -> DataFrame:
+    """Route quantized queries (vec_id, qa) to their n_probe nearest
+    trained cells; returns (query_id, cell, qa=residual vs that cell's
+    centroid) — the serving front half shared by probe and index."""
+    lit = _cent_arrays_literal(cents)
+    routing = (queries_q
+               .selectExpr("vec_id AS query_id", "qa", _ivf_dist_expr(cents))
+               .select("query_id", "qa", "e.c", "e.d2"))
+    wq = Window.partitionBy("query_id").orderBy("d2", "c")
+    return (routing.withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= n_probe)
+            .selectExpr(
+                "query_id", "c AS cell",
+                f"zip_with(qa, element_at({lit}, CAST(c + 1 AS INT)),"
+                " (a, b) -> a - b) AS qa"))
+
+
+def adc_topk(probes_df: DataFrame, narrow: DataFrame,
+             rcbs: list[list[list[int]]], top_k: int = TOP_K) -> DataFrame:
+    """Score candidates by ADC against broadcast per-(query, cell)
+    residual distance tables and rank top-k — the serving back half
+    shared by probe and index (bit-identical by construction)."""
+    rd2 = (probes_df
+           .selectExpr("query_id", "cell", _adc_explode_expr(rcbs))
+           .select("query_id", "cell", "e.m", "e.c", "e.d2"))
+    adc = (
+        narrow.join(F.broadcast(probes_df.select("query_id", "cell")), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(rd2), ["query_id", "cell", "m", "c"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d2").alias("adc"))
+    )
+    wk = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(wk))
+        .where(F.col("rnk") <= top_k)
+        .select("query_id", "neighbor_id",
+                F.col("adc").cast("double").alias("adc_dist"), "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
 @probe(
     "ann_ivfpq_residual_topk",
     f"""
@@ -1734,48 +1791,12 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     cents = ivf_grid_centroids_for(spark, sf_dir)
     rcbs = residual_pq_codebooks_for(spark, sf_dir)
-    q = _quantized(emb)
-    res = _residuals(q, cents)
-    rcodes = res.selectExpr("vec_id", "cell", *_code_exprs(rcbs))
-    narrow = rcodes.select(
-        F.col("vec_id").alias("neighbor_id"), "cell",
-        F.explode(F.array(*[
-            F.struct(F.lit(m).cast("bigint").alias("m"),
-                     F.col(f"code_{m}").alias("c"))
-            for m in range(PQ_M)
-        ])).alias("e"),
-    ).select("neighbor_id", "cell", "e.m", "e.c")
-
-    lit = _cent_arrays_literal(cents)
-    routing = (
-        _quantized(emb.where(F.col("vec_id") < N_QUERIES))
-        .selectExpr("vec_id AS query_id", "qa", _ivf_dist_expr(cents))
-        .select("query_id", "qa", "e.c", "e.d2"))
-    wq = Window.partitionBy("query_id").orderBy("d2", "c")
-    probes_df = (routing.withColumn("rn", F.row_number().over(wq))
-                 .where(F.col("rn") <= N_PROBE)
-                 .selectExpr(
-                     "query_id", "c AS cell",
-                     f"zip_with(qa, element_at({lit}, CAST(c + 1 AS INT)),"
-                     " (a, b) -> a - b) AS qa"))
-    rd2 = (probes_df
-           .selectExpr("query_id", "cell", _adc_explode_expr(rcbs))
-           .select("query_id", "cell", "e.m", "e.c", "e.d2"))
-    adc = (
-        narrow.join(F.broadcast(probes_df.select("query_id", "cell")), "cell")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(rd2), ["query_id", "cell", "m", "c"])
-        .groupBy("query_id", "neighbor_id")
-        .agg(F.sum("d2").alias("adc"))
-    )
-    wk = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    return (
-        adc.withColumn("rnk", F.row_number().over(wk))
-        .where(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id",
-                F.col("adc").cast("double").alias("adc_dist"), "rnk")
-        .orderBy("query_id", "rnk")
-    )
+    res = _residuals(_quantized(emb), cents)
+    narrow = explode_codes_narrow(
+        res.selectExpr("vec_id", "cell", *_code_exprs(rcbs)))
+    probes_df = route_probes(
+        _quantized(emb.where(F.col("vec_id") < N_QUERIES)), cents)
+    return adc_topk(probes_df, narrow, rcbs)
 
 
 @probe(
@@ -2186,7 +2207,11 @@ def semantic_dedup_upsert(batch_df: DataFrame, batch_id: int,
     needs literal filters — the list is bounded by the trained cell
     count (k), never the corpus."""
     spark = batch_df.sparkSession
-    asg = batch_df.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+    # ONE assignment computation per batch: asg has three consumers
+    # (history write, dirty-cell collect, pair-join side) that would
+    # otherwise each re-run the scan + k-centroid argmin lineage
+    asg = (batch_df.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+           .localCheckpoint())
     (asg.write.mode("overwrite").partitionBy("cell")
         .parquet(f"{hist_dir}/batch_id={batch_id}"))
     dirty = [r["cell"] for r in asg.select("cell").distinct().collect()]

@@ -1,24 +1,23 @@
 """Z-order (Morton) clustering — multi-column data skipping.
 
-`store.py` sorts each table by ONE key (ocid) so parquet min/max stats
-prune scans filtered on that key. A table filtered on TWO columns needs
-a space-filling curve: interleaving the bits of both keys gives a sort
-order in which files stay rectangular in (a, b) space, so min/max stats
-on BOTH columns skip files — what Delta's OPTIMIZE ZORDER does. The
-z-value is a pure map-side expression (a 16-step bit fold inside
-whole-stage codegen); the clustering write is one range-partitioned
-sort, exactly as cheap as the single-key sort it replaces.
+The CLUSTERING utility lives in `store.py` (`zorder_value` — Column
+form — and `write_zordered`, the range-sorted writer); this module
+carries the cross-engine EXPRESSION forms the correctness gate needs:
+`z_expr` (Spark SQL string) and `z_expr_duckdb` must produce identical
+codes (equivalence with store.zorder_value is test-pinned), and the
+`z_order_codes` probe hash-checks the interleave against DuckDB.
 
-`tests/test_zorder.py` measures the effect on real parquet footers: for
-a conjunctive two-column predicate, the z-ordered layout's row-group
-stats prune a strictly larger fraction of files than a single-key sort.
+`tests/test_zorder.py` measures the layout effect on real parquet
+footers: per-file min/max spans narrow in BOTH dimensions, and a
+conjunctive two-column predicate skips most z-ordered files where a
+single-key sort skips none.
 Reference analogue: none (storage-layout extension, SCALE.md).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
 
 from kingfisher_process_spark.plans.base import load_tables, probe
 
@@ -44,19 +43,6 @@ def z_expr_duckdb(a_sql: str, b_sql: str, bits: int = Z_BITS) -> str:
         f" i -> (((CAST({a_sql} AS BIGINT) >> i) & 1) << (2 * i))"
         f" + (((CAST({b_sql} AS BIGINT) >> i) & 1) << (2 * i + 1))))"
     )
-
-
-def write_zordered(df: DataFrame, a_sql: str, b_sql: str, path: str,
-                   n_files: int = 32) -> None:
-    """Cluster ``df`` on the z-curve of two columns: compute the z-value
-    map-side, range-repartition on it (so each output file owns one
-    contiguous z-range → a rectangle in (a, b) space), sort within
-    partitions, and drop the helper column on write."""
-    z = df.selectExpr("*", f"{z_expr(a_sql, b_sql)} AS __z")
-    (z.repartitionByRange(n_files, "__z")
-     .sortWithinPartitions("__z")
-     .drop("__z")
-     .write.mode("overwrite").parquet(path))
 
 
 # z inputs must fit 2^Z_BITS MONOTONICALLY — a modulo WRAPS the domain

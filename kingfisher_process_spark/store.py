@@ -697,8 +697,12 @@ def write_zordered(df: DataFrame, path: str, col_a: str, col_b: str,
     """Write ``df`` as ``n_files`` parquet files range-partitioned and
     sorted by the Z-order key of (col_a, col_b) — each output file then
     covers a small rectangle of the (a, b) plane instead of a full
-    stripe, which is what makes 2-D predicate pruning work at 100 TB."""
-    z = zorder_value(F.col(col_a), F.col(col_b), bits)
+    stripe, which is what makes 2-D predicate pruning work at 100 TB.
+    ``col_a``/``col_b`` may be column names or SQL expressions (the
+    usual caller quantizes a wide domain into the low ``bits`` bits —
+    MONOTONICALLY, e.g. floor-division; a modulo wraps and destroys
+    locality)."""
+    z = zorder_value(F.expr(col_a), F.expr(col_b), bits)
     (df.withColumn("_z", z)
        .repartitionByRange(n_files, "_z")
        .sortWithinPartitions("_z")

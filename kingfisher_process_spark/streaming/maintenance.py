@@ -28,9 +28,10 @@ Contracts (documented, test-pinned):
   every log-structured store applies before folding segments.
 - **Quiescence**: run between triggers (foreachBatch is serial per
   query, so calling it from inside the batch function — after the
-  upsert — is safe). A crash between steps 2 and 3 leaves the staged
-  data in the hidden directory; rerunning the compaction completes the
-  swap (step 1 detects and reuses complete staging).
+  upsert — is safe). A crash anywhere leaves the store recoverable: the
+  next compact_batches call FIRST completes any prior run's finished
+  staging (at the upto recorded in its marker — even if the new call
+  asks for a different upto), then proceeds with its own fold.
 - ``batch_id`` VALUES are not load-bearing in either store (the compile
   merge orders by release date, the SemDeDup summary ignores it); only
   the partition's replay-overwrite semantics matter, and those are
@@ -52,6 +53,7 @@ import uuid
 from pyspark.sql import SparkSession
 
 _BATCH_RE = re.compile(r"^batch_id=(\d+)$")
+_MARKER_RE = re.compile(r"^upto=(\d+) ")
 
 
 def batch_ids(store_dir: str) -> list[int]:
@@ -67,32 +69,42 @@ def batch_ids(store_dir: str) -> list[int]:
 def compact_batches(spark: SparkSession, store_dir: str, upto: int) -> int:
     """Fold every ``batch_id<=upto`` partition into one ``batch_id=upto``
     partition, preserving inner partition directories. Returns the
-    number of batch partitions folded (0 = nothing to do). The caller
-    guarantees ``upto`` is at or below the stream's committed watermark
-    and that no trigger is concurrently writing."""
+    number of batch partitions folded this call (0 = nothing to do).
+    The caller guarantees ``upto`` is at or below the stream's committed
+    watermark and that no trigger is concurrently writing."""
     staging = os.path.join(store_dir, ".compact_staging")
-    staged_part = os.path.join(staging, f"batch_id={upto}")
     marker = os.path.join(staging, "_COMPLETE")
-    # trash from any PRIOR run is always redundant: it is only created
-    # after staging completed (marker), and the staged partition — or
-    # the already-swapped store — holds the same rows. Clear it first.
+    # A prior run may have crashed after completing its staging (marker
+    # present). That staging holds the ONLY copy of its folded batches
+    # once their dirs moved to trash — complete THAT swap first, at the
+    # upto recorded in its marker, never at this call's upto (resuming
+    # under a different upto used to rmtree the staged data: data loss).
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            m = _MARKER_RE.match(f.read())
+        if m:
+            _finish_swap(store_dir, staging, int(m.group(1)))
+    # trash from any PRIOR run is redundant once its staging completed
+    # (the staged partition — or the already-swapped store — holds the
+    # same rows); _finish_swap above has consumed any live staging.
     for t in glob.glob(os.path.join(store_dir, ".compact_trash-*")):
         shutil.rmtree(t, ignore_errors=True)
     olds = [b for b in batch_ids(store_dir) if b <= upto]
-    # a completed staging with few/no source dirs left means a prior run
-    # crashed between the trash move and the final rename — FINISH the
-    # swap (returning 0 here would strand the staged data and lose the
-    # folded batches)
-    resuming = os.path.isfile(marker) and os.path.isdir(staged_part)
-    if len(olds) <= 1 and not resuming:
+    if len(olds) <= 1:
         return 0
-    if not resuming:
-        shutil.rmtree(staging, ignore_errors=True)
-        # read ONLY the folded range; basePath surfaces inner partition
-        # columns (bucket/cell) so partitionBy can re-lay them out
-        src = (spark.read.option("basePath", store_dir)
-               .parquet(*[os.path.join(store_dir, f"batch_id={b}")
-                          for b in olds]))
+    shutil.rmtree(staging, ignore_errors=True)
+    staged_part = os.path.join(staging, f"batch_id={upto}")
+    # read ONLY the folded range; basePath surfaces inner partition
+    # columns (bucket/cell) so partitionBy can re-lay them out. A batch
+    # that produced zero rows wrote only _SUCCESS — no part files — and
+    # schema inference would fail on it; fold only file-backed dirs
+    # (the file-less ones still fold away via the rename step).
+    src_dirs = [os.path.join(store_dir, f"batch_id={b}") for b in olds]
+    with_files = [d for d in src_dirs
+                  if glob.glob(os.path.join(d, "**", "*.parquet"),
+                               recursive=True)]
+    if with_files:
+        src = spark.read.option("basePath", store_dir).parquet(*with_files)
         inner = [c for c in src.columns
                  if c != "batch_id" and _is_partition_dir(store_dir, c)]
         body = src.drop("batch_id")
@@ -104,17 +116,32 @@ def compact_batches(spark: SparkSession, store_dir: str, upto: int) -> int:
         if inner:
             writer = writer.partitionBy(*inner)
         writer.parquet(staged_part)
-        with open(marker, "w") as f:
-            f.write(f"upto={upto} folded={len(olds)}")
+    else:
+        os.makedirs(staged_part)  # all-empty fold → one empty partition
+    with open(marker, "w") as f:
+        f.write(f"upto={upto} folded={len(olds)}")
+    _finish_swap(store_dir, staging, upto)
+    return len(olds)
+
+
+def _finish_swap(store_dir: str, staging: str, upto: int) -> None:
+    """Steps 2-4: move source dirs to trash, rename the staged partition
+    in, clean up. Idempotent — safe to call on a resumed crash at any
+    point after the staging's marker was written."""
+    staged_part = os.path.join(staging, f"batch_id={upto}")
+    if not os.path.isdir(staged_part):
+        # the staged partition was already renamed in by a prior run;
+        # only the staging shell (marker) is left
+        shutil.rmtree(staging, ignore_errors=True)
+        return
     trash = os.path.join(store_dir, f".compact_trash-{uuid.uuid4().hex[:8]}")
     os.makedirs(trash)
-    for b in olds:
+    for b in [b for b in batch_ids(store_dir) if b <= upto]:
         os.rename(os.path.join(store_dir, f"batch_id={b}"),
                   os.path.join(trash, f"batch_id={b}"))
     os.rename(staged_part, os.path.join(store_dir, f"batch_id={upto}"))
     shutil.rmtree(staging, ignore_errors=True)
     shutil.rmtree(trash, ignore_errors=True)
-    return len(olds)
 
 
 def _is_partition_dir(store_dir: str, col: str) -> bool:

@@ -70,3 +70,22 @@ def test_upsert_encodes_with_frozen_model(spark, tmp_path):
     hits = query_index(spark, idx, emb.where(F.col("vec_id") < N_QUERIES))
     ids = {r["neighbor_id"] for r in hits.collect()}
     assert any(i >= 400 for i in ids) and any(i < 400 for i in ids)
+
+
+def test_upsert_retry_is_idempotent(spark, tmp_path):
+    """Re-running the same upsert (operator retry) must not duplicate
+    codes — a duplicated vector's subspace rows would double its ADC
+    distance and corrupt rankings."""
+    from kingfisher_process_spark.functions.ann_index import upsert_index
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb.where(F.col("vec_id") < 400), idx)
+    new = emb.where(F.col("vec_id") >= 400)
+    first = upsert_index(spark, new, idx)
+    again = upsert_index(spark, new, idx)
+    assert first["n_added"] == new.count()
+    assert again["n_added"] == 0
+    assert again["n_vectors"] == emb.count()
+    codes = spark.read.parquet(idx + "/codes")
+    assert codes.count() == codes.select("vec_id").distinct().count()

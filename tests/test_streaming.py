@@ -849,3 +849,88 @@ def test_compaction_resumes_after_crash_between_trash_and_rename(
     after = [tuple(r) for r in
              semantic_dedup_state_summary(spark, hist, removed).collect()]
     assert after == before
+
+
+def test_compaction_resume_under_different_upto_keeps_data(
+        spark, tmp_path, monkeypatch):
+    """A crash mid-swap followed by a rerun at a LATER upto must first
+    complete the stranded staging at ITS recorded upto — not delete it
+    (the data-loss path: trash cleared, then staging rmtree'd)."""
+    import os as _os
+
+    from kingfisher_process_spark.functions.similarity import (
+        _quantized, ivf_grid_centroids_for, semantic_dedup_state_summary,
+        semantic_dedup_upsert)
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming import maintenance as mnt
+
+    sf = "/root/testdata/sf0.001"
+    q = _quantized(load_tables(spark, sf)["embeddings"])
+    cents = ivf_grid_centroids_for(spark, sf)
+    hist, removed = str(tmp_path / "h"), str(tmp_path / "r")
+    for i in range(3):
+        semantic_dedup_upsert(
+            q.where(F.pmod(F.col("vec_id"), F.lit(4)) == i),
+            i, hist, removed, cents)
+    before_members = spark.read.parquet(hist + "/batch_id=0") \
+        .unionByName(spark.read.parquet(hist + "/batch_id=1")) \
+        .unionByName(spark.read.parquet(hist + "/batch_id=2")).count()
+
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        if dst.rstrip("/").endswith("batch_id=1") and ".compact" not in dst:
+            raise OSError("simulated crash before final rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(mnt.os, "rename", crashing_rename)
+    try:
+        mnt.compact_batches(spark, hist, upto=1)  # folds 0,1; crashes
+        raise AssertionError("expected the simulated crash")
+    except OSError:
+        pass
+    monkeypatch.setattr(mnt.os, "rename", real_rename)
+
+    # fourth batch arrives, then compaction runs at a LATER upto
+    semantic_dedup_upsert(
+        q.where(F.pmod(F.col("vec_id"), F.lit(4)) == 3),
+        3, hist, removed, cents)
+    mnt.compact_batches(spark, hist, upto=3)
+    assert mnt.batch_ids(hist) == [3]
+    # no rows lost: the folded store holds every batch's members
+    total = spark.read.parquet(hist).count()
+    batch3 = q.where(F.pmod(F.col("vec_id"), F.lit(4)) == 3).count()
+    assert total == before_members + batch3
+    # and the summary still computes over the full history
+    summ = semantic_dedup_state_summary(spark, hist, removed)
+    assert summ.agg(F.sum("n_members")).first()[0] == total
+
+
+def test_compaction_handles_fileless_zero_row_batches(spark, tmp_path):
+    """Batches that produced zero rows write only _SUCCESS (no parquet
+    files); folding a range where some or ALL batches are file-less
+    must not crash on schema inference."""
+    from kingfisher_process_spark.streaming.maintenance import (
+        batch_ids, compact_batches)
+
+    store = str(tmp_path / "s")
+    empty = spark.createDataFrame([], "cell BIGINT, vb BIGINT")
+    full = spark.createDataFrame([(0, 1), (1, 2)], "cell BIGINT, vb BIGINT")
+    empty.write.parquet(store + "/batch_id=0")
+    full.write.parquet(store + "/batch_id=1")
+    empty.write.parquet(store + "/batch_id=2")
+    assert compact_batches(spark, store, upto=2) == 3
+    assert batch_ids(store) == [2]
+    got = (spark.read.schema("cell BIGINT, vb BIGINT")
+           .parquet(store + "/batch_id=*"))
+    assert sorted(tuple(r)[:2] for r in got.collect()) == [(0, 1), (1, 2)]
+
+    # the all-empty fold: only file-less batches in range
+    store2 = str(tmp_path / "s2")
+    empty.write.parquet(store2 + "/batch_id=0")
+    empty.write.parquet(store2 + "/batch_id=1")
+    assert compact_batches(spark, store2, upto=1) == 2
+    assert batch_ids(store2) == [1]
+    got2 = (spark.read.schema("cell BIGINT, vb BIGINT")
+            .parquet(store2 + "/batch_id=*"))
+    assert got2.count() == 0
