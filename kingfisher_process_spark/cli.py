@@ -150,6 +150,41 @@ def build_parser() -> argparse.ArgumentParser:
     au.add_argument("--index", required=True)
     au.add_argument("--input", required=True)
 
+    ac = sub.add_parser(
+        "anncompact",
+        help="fold upsert-appended small files, one file per cell")
+    ac.add_argument("--index", required=True)
+    ac.add_argument("--min-files", type=int, default=2,
+                    help="only rewrite cells holding at least this many files")
+
+    tb = sub.add_parser(
+        "tokbuild",
+        help="train BPE merges on a documents parquet, persist the model")
+    tb.add_argument("--input", required=True)
+    tb.add_argument("--output", required=True, help="model JSON path")
+    tb.add_argument("--merges", type=int, required=True)
+    tb.add_argument("--batch", type=int, default=1,
+                    help="merges per Spark round (1 = exact sequential "
+                         "greedy order; >1 = batched rounds-collapse)")
+
+    te = sub.add_parser(
+        "tokencode",
+        help="encode a corpus with a FROZEN tokenizer model (no retraining)")
+    te.add_argument("--model", required=True)
+    te.add_argument("--input", required=True)
+    te.add_argument("--output", default=None,
+                    help="write (doc_id, tokens, n_tokens) parquet here; "
+                         "omit to print the corpus compression summary only")
+
+    pr = sub.add_parser(
+        "pagerank",
+        help="integer-exact PageRank over the item co-purchase graph "
+             "with a per-iteration L1 convergence report")
+    pr.add_argument("--input", required=True,
+                    help="lineitem parquet (l_orderkey, l_partkey)")
+    pr.add_argument("--iters", type=int, default=20)
+    pr.add_argument("--top", type=int, default=None)
+
     serve = sub.add_parser("serve", help="run the REST API (wsgiref)")
     serve.add_argument("--host", default="127.0.0.1")
     serve.add_argument("--port", type=int, default=8000)
@@ -199,6 +234,55 @@ def main(argv: list[str] | None = None) -> int:
 
         emb = spark.read.parquet(args.input)
         print(json.dumps(upsert_index(spark, emb, args.index)))
+        return 0
+
+    if args.command == "anncompact":
+        from kingfisher_process_spark.functions.ann_index import compact_index
+
+        print(json.dumps(compact_index(
+            spark, args.index, min_files=args.min_files)))
+        return 0
+
+    if args.command == "tokbuild":
+        from kingfisher_process_spark.functions.tokenizer import build_tokenizer
+
+        docs = spark.read.parquet(args.input)
+        audit = build_tokenizer(docs, args.output, n_merges=args.merges,
+                                batch=args.batch)
+        print(json.dumps(audit))
+        return 0
+
+    if args.command == "tokencode":
+        from kingfisher_process_spark.functions.tokenizer import (
+            encode_docs, encode_summary, load_tokenizer)
+
+        model = load_tokenizer(args.model)
+        docs = spark.read.parquet(args.input)
+        if args.output:
+            encode_docs(docs, model).write.mode("overwrite").parquet(
+                args.output)
+        summary = encode_summary(docs, model).collect()[0].asDict()
+        summary.update({"model": args.model, "output": args.output})
+        print(json.dumps(summary))
+        return 0
+
+    if args.command == "pagerank":
+        from kingfisher_process_spark.functions.graph import (
+            PR_TOP, copurchase_edges, pagerank_ranks)
+
+        li = spark.read.parquet(args.input).select("l_orderkey", "l_partkey")
+        deltas: list[int] = []
+        ranks = pagerank_ranks(copurchase_edges(li), iters=args.iters,
+                               deltas=deltas)
+        top = args.top if args.top is not None else PR_TOP
+        rows = (ranks.selectExpr("node AS partkey", "rank")
+                .orderBy("rank", ascending=False).limit(top).collect())
+        print(json.dumps({
+            "iters": args.iters,
+            "l1_deltas": deltas,
+            "converged": bool(deltas and deltas[-1] == 0),
+            "top": [r.asDict() for r in rows],
+        }))
         return 0
 
     if args.command == "annquery":

@@ -49,6 +49,63 @@ def _pr_iter_sql(k: int) -> str:
       FROM nodes n LEFT JOIN contrib{k} c ON c.node = n.node)"""
 
 
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """Weighted co-purchase edges from (l_orderkey, l_partkey) lines:
+    parts sharing an order, weight = co-occurrence count. Partial
+    aggregation collapses duplicate pairs before the shuffle."""
+    a = li.selectExpr("l_orderkey AS k", "l_partkey AS src")
+    b = li.selectExpr("l_orderkey AS k2", "l_partkey AS dst")
+    return (a.join(b, (F.col("k") == F.col("k2"))
+                   & (F.col("src") != F.col("dst")))
+            .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+            .localCheckpoint())
+
+
+def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
+                   deltas: list[int] | None = None) -> DataFrame:
+    """Integer-exact Jacobi PageRank over (src, dst, w) edges: ``iters``
+    rounds of ONE join + ONE groupBy, BIGINT fixed-point throughout.
+    Pass ``deltas`` to collect the per-iteration L1 rank delta
+    (Σ|rank_new − rank_old| in PR_SCALE units — the convergence report;
+    costs one extra |nodes|-join per iteration, only when requested).
+
+    Caveat (conventional-PageRank divergence, deliberate): nodes are
+    those WITH out-edges, and dangling mass is NOT redistributed — a
+    node with no outgoing edges simply contributes nothing, so ranks
+    sum to less than |nodes|·SCALE. This keeps every operation an exact
+    BIGINT the unrolled SQL oracle can replay bit-for-bit; a
+    dangling-mass redistribution term would add a global scalar
+    per iteration (one extra agg), not a new shuffle shape. The
+    co-purchase graph is symmetric, so no mass dangles there anyway."""
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").alias("outw"))
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(iters):
+        contrib = (edges
+                   .join(ranks.withColumnRenamed("node", "src"), "src")
+                   .join(deg.withColumnRenamed("node", "src"), "src")
+                   .selectExpr(
+                       "dst AS node",
+                       "CAST(floor(rank * w * 1.0 / outw) AS BIGINT) AS c")
+                   .groupBy("node").agg(F.sum("c").alias("s")))
+        nxt = (nodes.join(contrib, "node", "left")
+               .selectExpr(
+                   "node",
+                   f"CAST({int(0.15 * PR_SCALE)}"
+                   f" + floor(85 * COALESCE(s, 0) / 100.0) AS BIGINT)"
+                   f" AS rank")
+               .localCheckpoint())
+        if deltas is not None:
+            deltas.append(int(
+                ranks.withColumnRenamed("rank", "old")
+                .join(nxt, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                .collect()[0][0] or 0))
+        ranks = nxt
+    return ranks
+
+
 @probe(
     "g_item_pagerank",
     f"""
@@ -80,30 +137,6 @@ def g_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolled replay matches bit-exactly."""
     li = load_tables(spark, sf_dir)["lineitem"].select(
         "l_orderkey", "l_partkey")
-    a = li.selectExpr("l_orderkey AS k", "l_partkey AS src")
-    b = li.selectExpr("l_orderkey AS k2", "l_partkey AS dst")
-    edges = (a.join(b, (F.col("k") == F.col("k2"))
-                    & (F.col("src") != F.col("dst")))
-             .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
-             .localCheckpoint())
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.sum("w").alias("outw"))
-    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("rank"))
-    for _ in range(PR_ITERS):
-        contrib = (edges
-                   .join(ranks.withColumnRenamed("node", "src"), "src")
-                   .join(deg.withColumnRenamed("node", "src"), "src")
-                   .selectExpr(
-                       "dst AS node",
-                       "CAST(floor(rank * w * 1.0 / outw) AS BIGINT) AS c")
-                   .groupBy("node").agg(F.sum("c").alias("s")))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .selectExpr(
-                     "node",
-                     f"CAST({int(0.15 * PR_SCALE)}"
-                     f" + floor(85 * COALESCE(s, 0) / 100.0) AS BIGINT)"
-                     f" AS rank")
-                 .localCheckpoint())
+    ranks = pagerank_ranks(copurchase_edges(li), iters=PR_ITERS)
     return (ranks.selectExpr("node AS partkey", "rank")
             .orderBy(F.desc("rank"), "partkey").limit(PR_TOP))

@@ -2206,6 +2206,13 @@ def semantic_dedup_upsert(batch_df: DataFrame, batch_id: int,
     The dirty cells are collected as literals BECAUSE partition pruning
     needs literal filters — the list is bounded by the trained cell
     count (k), never the corpus."""
+    from kingfisher_process_spark.streaming.maintenance import recover_store
+
+    # a crash mid-compaction-swap leaves folded batches visible only in
+    # hidden staging/trash; reading the store before healing it would
+    # persist removals computed against incomplete history (r6 advice)
+    recover_store(hist_dir)
+    recover_store(removed_dir)
     spark = batch_df.sparkSession
     # ONE assignment computation per batch: asg has three consumers
     # (history write, dirty-cell collect, pair-join side) that would
@@ -2240,6 +2247,10 @@ def semantic_dedup_state_summary(spark: SparkSession, hist_dir: str,
     """Summary over the maintained stores: members from the history,
     removals deduplicated across batches (two batches may each remove
     the same vector — the set union is the semantics)."""
+    from kingfisher_process_spark.streaming.maintenance import recover_store
+
+    recover_store(hist_dir)
+    recover_store(removed_dir)
     asg = (spark.read.option("basePath", hist_dir)
            .schema(SEM_HIST_SCHEMA).parquet(f"{hist_dir}/batch_id=*"))
     removed = (spark.read.option("basePath", removed_dir)

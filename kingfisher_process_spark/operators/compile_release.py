@@ -13,6 +13,7 @@ ORDER BY semantics, compiler.py:57).
 from __future__ import annotations
 
 import json
+import threading
 from decimal import Decimal
 
 import pandas as pd
@@ -408,6 +409,20 @@ def _finalize_group_impl(pdf: pd.DataFrame,
 
 
 _UNOWNED_PHASE_A: list[DataFrame] = []  # ≤1 cached partials, ownerless calls
+_UNOWNED_PHASE_A_LOCK = threading.Lock()  # r6 advice: concurrent driver
+# threads racing the sameResult check could unpersist a cache another
+# thread is actively consuming; all slot reads/writes go through this
+
+
+def drain_unowned_phase_a() -> None:
+    """Release the ownerless phase-A cache. Long-lived drivers that use
+    the ownerless two-phase path (ad-hoc skew_routed_compiled calls) can
+    call this to drop the one persisted relation the slot keeps alive
+    for reuse; the next ownerless call simply repopulates it."""
+    with _UNOWNED_PHASE_A_LOCK:
+        for df in _UNOWNED_PHASE_A:
+            df.unpersist()
+        _UNOWNED_PHASE_A.clear()
 
 
 def two_phase_compiled(inputs: DataFrame, batch: int | None = None,
@@ -466,15 +481,16 @@ def two_phase_compiled(inputs: DataFrame, batch: int | None = None,
         # phase A — the behavior r4/r5 got from an UNBOUNDED leak), a
         # different input evicts it. Long-lived drivers go through
         # compile_collection (owned path) and never touch this slot.
-        prev = _UNOWNED_PHASE_A[0] if _UNOWNED_PHASE_A else None
-        if prev is not None and prev._jdf.queryExecution().analyzed(
-                ).sameResult(partials._jdf.queryExecution().analyzed()):
-            partials = prev
-        else:
-            if prev is not None:
-                prev.unpersist()
-            partials = partials.cache()
-            _UNOWNED_PHASE_A[:] = [partials]
+        with _UNOWNED_PHASE_A_LOCK:
+            prev = _UNOWNED_PHASE_A[0] if _UNOWNED_PHASE_A else None
+            if prev is not None and prev._jdf.queryExecution().analyzed(
+                    ).sameResult(partials._jdf.queryExecution().analyzed()):
+                partials = prev
+            else:
+                if prev is not None:
+                    prev.unpersist()
+                partials = partials.cache()
+                _UNOWNED_PHASE_A[:] = [partials]
     # ANY incomposable partial disqualifies the whole OCID: route every
     # partial of such OCIDs away from finalize (a subset-finalize would
     # silently merge without the incomposable batch's releases) and
@@ -856,6 +872,14 @@ def materialized_compile_upsert(batch_df: DataFrame, batch_id: int,
     import glob
     import os
 
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from kingfisher_process_spark.streaming.maintenance import recover_store
+
+    # heal any crash-stranded compaction swap BEFORE reading the history
+    # (r6 advice: a mid-swap crash hides folded batches in staging/trash
+    # and a recompile against the partial view would persist wrong rows)
+    recover_store(history_dir)
     s = batch_df.sparkSession
     cols = batch_df.columns
     bucket = F.pmod(F.hash("ocid"), F.lit(n_buckets))
@@ -869,7 +893,17 @@ def materialized_compile_upsert(batch_df: DataFrame, batch_id: int,
     dirty = batch_df.select("ocid").distinct()
     dirty_buckets = [r["b"] for r in
                      dirty.select(bucket.alias("b")).distinct().collect()]
-    history = (s.read.parquet(history_dir)
+    # explicit schema (batch columns + the two partition levels): a
+    # zero-row batch writes only _SUCCESS under its batch_id dir, and
+    # schema INFERENCE over such a file-less partition raises — wedging
+    # every at-least-once replay of the stream (r6 advice; the semantic
+    # dedup upsert already read this way)
+    hist_schema = StructType(
+        list(batch_df.schema.fields)
+        + [StructField("bucket", IntegerType()),
+           StructField("batch_id", IntegerType())])
+    history = (s.read.option("basePath", history_dir).schema(hist_schema)
+               .parquet(history_dir)
                .where(F.col("bucket").isin(dirty_buckets))  # pruned
                .select(*cols))
     redo = history.join(F.broadcast(dirty), "ocid", "left_semi")

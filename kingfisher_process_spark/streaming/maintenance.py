@@ -66,6 +66,40 @@ def batch_ids(store_dir: str) -> list[int]:
     return sorted(out)
 
 
+def recover_store(store_dir: str) -> bool:
+    """Complete any stranded compaction swap so the store is fully
+    visible to readers. MUST run before every read/upsert of a store
+    that compact_batches may have touched: a crash mid-``_finish_swap``
+    leaves folded batches visible only in hidden staging/trash dirs, and
+    an upsert that reads the store first would recompute against
+    incomplete history and persist removals derived from it (r6 advice —
+    silent divergence from the batch oracle, not just staleness).
+
+    Idempotent and cheap when there is nothing to do (one stat + one
+    glob). Returns True if a stranded swap was completed.
+
+    - Staging with a ``_COMPLETE`` marker holds the ONLY copy of its
+      folded batches once their dirs moved to trash — finish THAT swap
+      at the upto recorded in the marker (never a caller-supplied one;
+      resuming under a different upto used to rmtree staged data).
+    - Trash dirs are redundant once any live staging has been consumed
+      (the staged partition — or the already-swapped store — holds the
+      same rows), so they are safe to drop.
+    """
+    staging = os.path.join(store_dir, ".compact_staging")
+    marker = os.path.join(staging, "_COMPLETE")
+    finished = False
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            m = _MARKER_RE.match(f.read())
+        if m:
+            _finish_swap(store_dir, staging, int(m.group(1)))
+            finished = True
+    for t in glob.glob(os.path.join(store_dir, ".compact_trash-*")):
+        shutil.rmtree(t, ignore_errors=True)
+    return finished
+
+
 def compact_batches(spark: SparkSession, store_dir: str, upto: int) -> int:
     """Fold every ``batch_id<=upto`` partition into one ``batch_id=upto``
     partition, preserving inner partition directories. Returns the
@@ -74,21 +108,7 @@ def compact_batches(spark: SparkSession, store_dir: str, upto: int) -> int:
     watermark and that no trigger is concurrently writing."""
     staging = os.path.join(store_dir, ".compact_staging")
     marker = os.path.join(staging, "_COMPLETE")
-    # A prior run may have crashed after completing its staging (marker
-    # present). That staging holds the ONLY copy of its folded batches
-    # once their dirs moved to trash — complete THAT swap first, at the
-    # upto recorded in its marker, never at this call's upto (resuming
-    # under a different upto used to rmtree the staged data: data loss).
-    if os.path.isfile(marker):
-        with open(marker) as f:
-            m = _MARKER_RE.match(f.read())
-        if m:
-            _finish_swap(store_dir, staging, int(m.group(1)))
-    # trash from any PRIOR run is redundant once its staging completed
-    # (the staged partition — or the already-swapped store — holds the
-    # same rows); _finish_swap above has consumed any live staging.
-    for t in glob.glob(os.path.join(store_dir, ".compact_trash-*")):
-        shutil.rmtree(t, ignore_errors=True)
+    recover_store(store_dir)
     olds = [b for b in batch_ids(store_dir) if b <= upto]
     if len(olds) <= 1:
         return 0

@@ -592,6 +592,8 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FUNNEL_UBUCKETS = 16
 _FUNNEL_TYPES = ("view", "click", "purchase")
+FUNNEL_HIST_SCHEMA = ("user_id BIGINT, event_type STRING, ts TIMESTAMP,"
+                      " ubucket INT, batch_id INT")
 
 
 def funnel_maintenance_upsert(batch_df: DataFrame, batch_id: int,
@@ -605,7 +607,10 @@ def funnel_maintenance_upsert(batch_df: DataFrame, batch_id: int,
     import os
 
     from kingfisher_process_spark.plans.queries import funnel_frontiers
+    from kingfisher_process_spark.streaming.maintenance import recover_store
 
+    # heal any crash-stranded compaction swap before reading (r6 advice)
+    recover_store(hist_dir)
     spark = batch_df.sparkSession
     ub = F.pmod(F.hash("user_id"), F.lit(n_buckets))
     ev = (batch_df.where(F.col("event_type").isin(*_FUNNEL_TYPES))
@@ -616,7 +621,12 @@ def funnel_maintenance_upsert(batch_df: DataFrame, batch_id: int,
     dirty = ev.select("user_id").distinct()
     dirty_buckets = [r["b"] for r in
                      dirty.select(ub.alias("b")).distinct().collect()]
-    hist = (spark.read.parquet(hist_dir)
+    # explicit schema: a batch with zero funnel-relevant rows writes only
+    # _SUCCESS under its batch_id dir, and schema inference over the
+    # file-less partition raises, wedging every replay (r6 advice)
+    hist = (spark.read.option("basePath", hist_dir)
+            .schema(FUNNEL_HIST_SCHEMA)
+            .parquet(hist_dir)
             .where(F.col("ubucket").isin(dirty_buckets))
             .select("user_id", "event_type", "ts"))
     redo_ev = hist.join(F.broadcast(dirty), "user_id", "left_semi")

@@ -89,3 +89,130 @@ def test_upsert_retry_is_idempotent(spark, tmp_path):
     assert again["n_vectors"] == emb.count()
     codes = spark.read.parquet(idx + "/codes")
     assert codes.count() == codes.select("vec_id").distinct().count()
+
+
+def test_upsert_existence_read_prunes_to_touched_cells(spark, tmp_path):
+    """The idempotence anti-join's existence read must partition-prune
+    to the NEW codes' cells (r6 advice: the full-tree vec_id read was
+    O(index) per upsert; the frozen model routes a retried vec_id to the
+    same cell, so O(touched cells) suffices)."""
+    import re
+
+    from kingfisher_process_spark.functions.ann_index import _existing_ids
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx)
+    plan = (_existing_ids(spark, idx + "/codes", [0, 1])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
+
+
+def test_upsert_rejected_while_writer_lock_held(spark, tmp_path):
+    import pytest
+
+    from kingfisher_process_spark.functions.ann_index import upsert_index
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb.where(F.col("vec_id") < 400), idx)
+    with open(os.path.join(idx, ".writer_lock"), "w") as f:
+        f.write("12345")
+    with pytest.raises(RuntimeError, match="writer lock held"):
+        upsert_index(spark, emb.where(F.col("vec_id") >= 400), idx)
+    # lock of the failed attempt must NOT be removed (it isn't ours)
+    assert os.path.isfile(os.path.join(idx, ".writer_lock"))
+
+
+def test_compact_index_folds_files_with_serving_parity(spark, tmp_path):
+    """Upsert appends small files; compact_index folds each fragmented
+    cell to one file and serving is bit-identical before/after."""
+    import glob
+
+    from kingfisher_process_spark.functions.ann_index import (
+        compact_index, upsert_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb.where(F.col("vec_id") < 300), idx)
+    upsert_index(spark, emb.where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 500)), idx)
+    upsert_index(spark, emb.where(F.col("vec_id") >= 500), idx)
+
+    def files_per_cell():
+        return {os.path.basename(d): len(glob.glob(os.path.join(d, "*.parquet")))
+                for d in glob.glob(os.path.join(idx, "codes", "cell=*"))}
+
+    before = files_per_cell()
+    assert any(n > 1 for n in before.values()), before
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    want = [tuple(r) for r in query_index(spark, idx, queries).collect()]
+
+    audit = compact_index(spark, idx)
+    assert audit["n_cells_compacted"] == sum(
+        1 for n in before.values() if n >= 2)
+    after = files_per_cell()
+    assert all(n == 1 for n in after.values()), after
+    got = [tuple(r) for r in query_index(spark, idx, queries).collect()]
+    assert got == want
+    # row-level identity too, not just top-k
+    codes = spark.read.parquet(idx + "/codes")
+    assert codes.count() == emb.count()
+    assert codes.select("vec_id").distinct().count() == emb.count()
+    # idempotent: nothing left to fold
+    assert compact_index(spark, idx)["n_cells_compacted"] == 0
+    # the writer lock is released
+    assert not os.path.isfile(os.path.join(idx, ".writer_lock"))
+
+
+def test_query_and_upsert_heal_crashed_compaction_swap(spark, tmp_path):
+    """Simulate a crash mid-swap (staging complete + marker written +
+    one cell moved to trash, staged dir not yet renamed in): the next
+    query_index / upsert_index must first complete the swap — otherwise
+    the folded cell's vectors are invisible and an upsert would
+    re-append them (r6 advice)."""
+    import glob
+    import shutil
+
+    from kingfisher_process_spark.functions.ann_index import upsert_index
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb.where(F.col("vec_id") < 300), idx)
+    upsert_index(spark, emb.where(F.col("vec_id") >= 300), idx)
+    codes_dir = os.path.join(idx, "codes")
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    want = [tuple(r) for r in query_index(spark, idx, queries).collect()]
+
+    # hand-build the mid-swap state for one fragmented cell
+    cells = sorted(glob.glob(os.path.join(codes_dir, "cell=*")))
+    victim = next(d for d in cells
+                  if len(glob.glob(os.path.join(d, "*.parquet"))) > 1)
+    cname = os.path.basename(victim).split("=", 1)[1]
+    staging = os.path.join(codes_dir, ".compact_staging")
+    staged = os.path.join(staging, f"cell={cname}")
+    os.makedirs(staging)
+    # the staged (folded) copy of the victim cell
+    (spark.read.option("basePath", codes_dir).parquet(victim)
+     .repartition("cell").write.partitionBy("cell").parquet(staging + "_w"))
+    os.rename(os.path.join(staging + "_w", f"cell={cname}"), staged)
+    shutil.rmtree(staging + "_w")
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write(cname)
+    trash = os.path.join(codes_dir, ".compact_trash-deadbeef")
+    os.makedirs(trash)
+    os.rename(victim, os.path.join(trash, f"cell={cname}"))  # the crash point
+
+    # victim cell is now invisible to a naive read
+    visible = spark.read.parquet(codes_dir)
+    assert visible.where(F.col("cell") == int(cname)).count() == 0
+
+    got = [tuple(r) for r in query_index(spark, idx, queries).collect()]
+    assert got == want  # healed before serving
+    assert not os.path.isdir(staging) and not os.path.isdir(trash)
+    # and the upsert path sees the healed store: replaying the same adds
+    # finds every vec_id present
+    again = upsert_index(spark, emb.where(F.col("vec_id") >= 300), idx)
+    assert again["n_added"] == 0
+    codes = spark.read.parquet(codes_dir)
+    assert codes.count() == emb.count()

