@@ -64,7 +64,7 @@ def _registry():
     #     in-cap by a3/a7/o3/u1/u3).
     #   After r5 every probe registered through the cap freeze has ≥1
     #     driver-green row.
-    #   r6 window (this one, judge r5 "Next round" #2): the five
+    #   r6 window (judge r5 "Next round" #2): the five
     #     post-r5-freeze operators that have never had a driver row
     #     (ann_ivf_trained_topk, ann_ivfpq_residual_topk,
     #     ann_ivfpq_loss_audit, st_incremental_compile, ann_sq8_topk)
@@ -74,68 +74,43 @@ def _registry():
     #     + six family sentinels + the longest-unchecked r3-era probes
     #     to fill the 50-entry cap. After r6 EVERY registered probe has
     #     at least one driver-green row.
+    #   r7 window (this one, judge r6 "Next round" #2): ALL 26 r3-era
+    #     probes deferred at the r6 freeze (last driver row: r3 — the
+    #     only probes whose last driver check is older than two rounds)
+    #     + the r7 addition (t_k_anonymity_enforce) + six family
+    #     sentinels + the 17 longest-unchecked r4-era probes to fill 50
+    #     (family spread across the TPC-H tail, windows, cube/pivot,
+    #     datetime, dedup signatures, LSH ANN, and the partitioned MV;
+    #     a10_approx_distinct stays out — rows-only by design, a slot
+    #     spent on it buys no triple-green). The remaining 26 r4-era
+    #     probes rotate in r8; all are CI-parity-green every run.
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",
         "st_ingest_pipeline", "d_dup_clusters_lss",
         "t_sequence_packing", "m_resize_images",
-        # never-driver-checked: post-r5-freeze + r6 additions
-        "ann_ivf_trained_topk", "ann_ivfpq_residual_topk",
-        "ann_ivfpq_loss_audit", "st_incremental_compile",
-        "ann_sq8_topk", "ocds_incremental_checks",
-        "ann_pq_rerank_topk", "t_pretrain_corpus_pipeline",
-        "d_semantic_dedup", "st_semantic_dedup",
-        "t_quality_classifier", "t_ngram_lm_score", "s_hybrid_rrf_fusion",
-        "m_audio_features", "e_funnel_conversion", "e_gapfill_forward",
-        "t_bpe_pack_pipeline", "s_semantic_decontaminate",
-        "st_funnel_maintenance", "sk_histogram_quantiles",
-        "z_order_codes", "t_k_anonymity_audit", "g_item_pagerank",
-        # r2-era holdovers (last driver row: r2)
-        "a4_minmax_prefix", "o6_newest_first", "u2_union_all_counts",
-        # longest-unchecked (last driver row: r3) — 18 of the 44;
-        # the 26 deferred to r7 (e_hourly_event_rollup,
-        # t_chunk_documents, d_lsh_bucket_stats, w4_moving_avg,
-        # p5_variant_json, t_table_fingerprint,
-        # ocds_versioned_release, sk_count_min_event_types,
-        # e_range_join_intervals, e_scd2_intervals,
-        # st_cdc_collapse, st_stream_stream_join,
-        # a6_top_buyers, p3_inlist_filter, m_embed_ann,
-        # q5_region_revenue and
-        # u4_intersect_buyers_suppliers_nations — displaced by the
-        # r6-added
-        # ann_pq_rerank_topk / t_pretrain_corpus_pipeline /
-        # d_semantic_dedup / st_semantic_dedup / t_quality_classifier /
-        # t_ngram_lm_score / s_hybrid_rrf_fusion / m_audio_features /
-        # e_funnel_conversion / e_gapfill_forward /
-        # t_bpe_pack_pipeline / s_semantic_decontaminate /
-        # st_funnel_maintenance / sk_histogram_quantiles /
-        # z_order_codes / t_k_anonymity_audit / g_item_pagerank;
-        # their families are
-        # covered in-window by st_incremental_rollup / e_sessionize /
-        # t_bm25_search / t_quality_scores / d_decontaminate /
-        # d_simhash_banded_pairs / w1_running_customer_spend /
-        # p5_json_extract_agg / t_table_diff / ocds_record_ladder /
-        # sk_bloom_prejoin_audit / e_asof_last_view_before_click /
-        # u2_union_all_counts —
-        # d_shared_window_dups,
-        # e_dedup_consecutive, e_multires_rollup,
-        # t_global_shuffle_shards, t_mixture_sample,
-        # t_stratified_split, st_hourly_rollup,
-        # w3_median_spend_by_segment, a12_grouping_sets) each have a
-        # same-family probe inside this window.
-        "p5_json_extract_agg",
-        "ocds_record_ladder", "ocds_check_errors",
-        "ocds_compile_two_phase",
-        "d_decontaminate", "d_simhash_banded_pairs",
-        "t_table_diff", "t_bm25_search",
-        "t_quality_scores",
-        "st_incremental_rollup", "e_asof_last_view_before_click",
-        "e_sessionize",
-        "e_key_skew_audit",
-        "sk_bloom_prejoin_audit",
-        "w1_running_customer_spend",
-        "q9_product_profit",
-        "j7_salted_skew_join", "f_array_functions",
+        # never-driver-checked: r7 addition
+        "t_k_anonymity_enforce",
+        # the 26 r3-era probes deferred at the r6 freeze (judge r6 #2)
+        "a6_top_buyers", "p3_inlist_filter", "q5_region_revenue",
+        "e_hourly_event_rollup", "w3_median_spend_by_segment",
+        "p5_variant_json", "e_range_join_intervals", "e_multires_rollup",
+        "e_dedup_consecutive", "w4_moving_avg", "a12_grouping_sets",
+        "e_scd2_intervals", "u4_intersect_buyers_suppliers_nations",
+        "t_stratified_split", "t_mixture_sample", "t_global_shuffle_shards",
+        "t_chunk_documents", "d_lsh_bucket_stats", "d_shared_window_dups",
+        "t_table_fingerprint", "m_embed_ann", "sk_count_min_event_types",
+        "st_hourly_rollup", "st_stream_stream_join", "st_cdc_collapse",
+        "ocds_versioned_release",
+        # longest-unchecked r4-era fill (last driver row: r4)
+        "q2_min_cost_supplier", "q3_unshipped_orders", "q4_order_priority",
+        "q7_volume_shipping", "q8_market_share",
+        "q13_order_count_distribution", "q17_below_avg_quantity",
+        "w2_rank_by_balance", "w5_cumulative_distinct_buyers",
+        "f_datetime_functions", "a11_cube_volume",
+        "a14_pivot_status_counts", "p7_null_semantics",
+        "d_ngram_jaccard_pairs", "t_winnow_fingerprints",
+        "ann_lsh_topk", "st_incremental_rollup_partitioned",
     ]
     missing = set(priority) - REGISTRY.keys()
     # a misspelled priority name would silently pull a different probe

@@ -1658,6 +1658,146 @@ def t_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_diversity").alias("min_l_diversity"))
 
 
+# Generalization ladder for k-anonymity ENFORCEMENT: each level coarsens
+# the quasi-identifier tuple (lang, source, length bucket) one step.
+# Level 0 is the audit's QI; 1 widens the length bucket 10x; 2 drops
+# length; 3 drops source. Rows settle at the FIRST level where their
+# generalized group reaches k (local recoding — rows in already-big
+# groups keep full precision); whatever survives level 3 under k is
+# suppressed.
+_KANON_QI = (
+    "concat(lang, '|', source, '|',"
+    " CAST(CAST(floor(n_chars / 100.0) AS BIGINT) AS STRING))",
+    "concat(lang, '|', source, '|',"
+    " CAST(CAST(floor(n_chars / 1000.0) AS BIGINT) AS STRING))",
+    "concat(lang, '|', source)",
+    "lang",
+)
+
+
+def k_anonymity_enforce(docs: DataFrame, k: int = K_ANON) -> DataFrame:
+    """Generalization/suppression transform: return one row per input
+    document with (doc_id, level, qi) where ``level`` is the ladder rung
+    the row settled at (its generalized group has ≥ k members among
+    same-level rows) and ``level = {n}`` (past the ladder) means
+    SUPPRESSED — the row may not ship at any generalization.
+
+    Scale shape: one groupBy per ladder level over a SHRINKING remainder
+    (level l only regroups rows whose level-(l-1) group was under k) —
+    ≤ len(ladder) vocabulary-style aggregations, each with map-side
+    partial counts; the per-level size table joins back on the QI key
+    (group count ≤ rows, co-partitioned by the groupBy's own shuffle).
+    localCheckpoint per level truncates the remainder's lineage exactly
+    like the other iterative operators.
+
+    Reference analogue: none (privacy family, SURVEY §2.13) — the
+    enforcement loop whose decision inputs t_k_anonymity_audit reports.
+    """
+    rem = docs.selectExpr(
+        "doc_id",
+        *[f"{e} AS qi{i}" for i, e in enumerate(_KANON_QI)])
+    settled = []
+    for lvl in range(len(_KANON_QI)):
+        qi = f"qi{lvl}"
+        sizes = rem.groupBy(qi).agg(F.count(F.lit(1)).alias("_n"))
+        tagged = rem.join(sizes, qi)
+        settled.append(
+            tagged.where(F.col("_n") >= k)
+            .select("doc_id", F.lit(lvl).cast("bigint").alias("level"),
+                    F.col(qi).alias("qi")))
+        rem = (tagged.where(F.col("_n") < k).drop("_n")
+               .localCheckpoint())
+    suppressed = rem.select(
+        "doc_id", F.lit(len(_KANON_QI)).cast("bigint").alias("level"),
+        F.lit(None).cast("string").alias("qi"))
+    out = settled[0]
+    for s in settled[1:]:
+        out = out.unionByName(s)
+    return out.unionByName(suppressed)
+
+
+def _kanon_enforce_sql(k: int = K_ANON) -> str:
+    """Unrolled-CTE oracle replaying the ladder: per level, group sizes
+    over the remainder, settle ≥ k, carry < k down a rung."""
+    n = len(_KANON_QI)
+    ctes = [f"""q AS (SELECT doc_id,
+      lang || '|' || source || '|' ||
+        CAST(CAST(floor(n_chars / 100.0) AS BIGINT) AS VARCHAR) AS qi0,
+      lang || '|' || source || '|' ||
+        CAST(CAST(floor(n_chars / 1000.0) AS BIGINT) AS VARCHAR) AS qi1,
+      lang || '|' || source AS qi2,
+      lang AS qi3
+      FROM documents)"""]
+    prev = "q"
+    for lvl in range(n):
+        ctes.append(
+            f"s{lvl} AS (SELECT qi{lvl}, COUNT(*) AS n"
+            f" FROM {prev} GROUP BY qi{lvl})")
+        ctes.append(
+            f"r{lvl} AS (SELECT {prev}.* FROM {prev}"
+            f" JOIN s{lvl} USING (qi{lvl}) WHERE n < {k})")
+        prev = f"r{lvl}"
+    per_level = "\nUNION ALL\n".join(
+        f"""SELECT CAST({lvl} AS BIGINT) AS level,
+          CAST(COALESCE(SUM(CASE WHEN n >= {k} THEN n END), 0) AS BIGINT)
+            AS n_rows,
+          CAST(COUNT(CASE WHEN n >= {k} THEN 1 END) AS BIGINT) AS n_groups,
+          CAST(COALESCE(MIN(CASE WHEN n >= {k} THEN n END), 0) AS BIGINT)
+            AS min_group_size
+        FROM s{lvl}"""
+        for lvl in range(n))
+    cte_body = ",\n".join(ctes)
+    return f"""
+    WITH {cte_body}
+    SELECT * FROM (
+      {per_level}
+      UNION ALL
+      SELECT CAST({n} AS BIGINT) AS level,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_rows,
+             CAST(0 AS BIGINT) AS n_groups,
+             CAST(0 AS BIGINT) AS min_group_size
+      FROM s{n - 1} WHERE n < {k}
+    ) z ORDER BY level
+    """
+
+
+@probe("t_k_anonymity_enforce", _kanon_enforce_sql(),
+       survey_ids="privacy-ext,A1,J3,iterative-ext")
+def t_k_anonymity_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity enforcement summary (judge r6 #8): rows per ladder
+    level (how much precision the corpus kept), groups and the minimum
+    settled group size per level — every settled level's min must be
+    ≥ k={K_ANON}, which the audit-after-transform test re-verifies with
+    t_k_anonymity_audit's grouping — plus the suppressed row count as
+    the final level. The oracle replays the whole ladder in unrolled
+    CTEs, so a wrong settle/carry decision at ANY level breaks the
+    hash."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    assigned = k_anonymity_enforce(docs)
+    n = len(_KANON_QI)
+    per_group = (assigned.where(F.col("level") < n)
+                 .groupBy("level", "qi")
+                 .agg(F.count(F.lit(1)).alias("gsz")))
+    lvl_stats = (per_group.groupBy("level")
+                 .agg(F.sum("gsz").cast("bigint").alias("n_rows"),
+                      F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+                      F.min("gsz").cast("bigint").alias("min_group_size")))
+    all_levels = spark.range(n).select(
+        F.col("id").cast("bigint").alias("level"))
+    filled = (all_levels.join(lvl_stats, "level", "left")
+              .select("level",
+                      F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+                      F.coalesce("n_groups", F.lit(0)).alias("n_groups"),
+                      F.coalesce("min_group_size", F.lit(0))
+                      .alias("min_group_size")))
+    supp = (assigned.where(F.col("level") == n)
+            .agg(F.lit(n).cast("bigint").alias("level"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.lit(0).cast("bigint").alias("n_groups"),
+                 F.lit(0).cast("bigint").alias("min_group_size")))
+    return filled.unionByName(supp).orderBy("level")
+
+
 def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                   seq_len: int = SEQ_LEN,
                   langs: tuple[str, ...] = ("en", "data"),
