@@ -20,6 +20,13 @@ Commands map to the reference's management commands:
 - ``serve``            → the REST layer (http_api) under wsgiref
 - ``snapshot`` / ``snapshotdiff`` → no reference analogue: time-travel
   surface over the store (StoreSnapshots)
+
+Extension-family commands (no reference analogue — SURVEY §2.13):
+``curate`` (pretraining funnel), ``annbuild``/``annquery``/``annupsert``/
+``anndelete``/``anncompact``/``annstat`` (persistent ANN index lifecycle),
+``tokbuild``/``tokencode`` (persisted tokenizer artifact, frozen encode),
+``pagerank`` (operational run with L1 convergence report), ``recompile``
+(incremental recompile), ``addchecks --prior`` (incremental checks).
 """
 
 from __future__ import annotations
@@ -152,10 +159,24 @@ def build_parser() -> argparse.ArgumentParser:
 
     ac = sub.add_parser(
         "anncompact",
-        help="fold upsert-appended small files, one file per cell")
+        help="fold upsert-appended small files (one file per cell) and "
+             "apply pending deletes physically")
     ac.add_argument("--index", required=True)
     ac.add_argument("--min-files", type=int, default=2,
                     help="only rewrite cells holding at least this many files")
+
+    ast = sub.add_parser(
+        "annstat", help="index snapshot: vectors, fragmentation, "
+                        "pending tombstones")
+    ast.add_argument("--index", required=True)
+
+    ad = sub.add_parser(
+        "anndelete",
+        help="tombstone vectors: hidden from serving immediately, "
+             "removed physically at the next anncompact")
+    ad.add_argument("--index", required=True)
+    ad.add_argument("--ids", required=True,
+                    help="comma-separated vec_ids to delete")
 
     tb = sub.add_parser(
         "tokbuild",
@@ -241,6 +262,19 @@ def main(argv: list[str] | None = None) -> int:
 
         print(json.dumps(compact_index(
             spark, args.index, min_files=args.min_files)))
+        return 0
+
+    if args.command == "anndelete":
+        from kingfisher_process_spark.functions.ann_index import delete_index
+
+        ids = [int(v) for v in args.ids.split(",") if v]
+        print(json.dumps(delete_index(spark, args.index, ids)))
+        return 0
+
+    if args.command == "annstat":
+        from kingfisher_process_spark.functions.ann_index import index_stats
+
+        print(json.dumps(index_stats(spark, args.index)))
         return 0
 
     if args.command == "tokbuild":

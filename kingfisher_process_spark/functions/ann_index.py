@@ -10,7 +10,14 @@ ON DISK. The index directory is:
 - ``codes/`` — one row per corpus vector (vec_id, code_0..code_{M-1}),
   parquet **partitioned by cell**, so a query's probed cells map to a
   partition-pruned read: serving I/O is ``n_probe/k`` of the index, and
-  the raw vectors never ship at all (8 bytes/vector of codes).
+  the raw vectors never ship at all (8 bytes/vector of codes),
+- ``tombstones/`` — pending logical deletes (vec_id set): serving
+  anti-joins them immediately, ``compact_index`` applies them
+  physically and clears the set (the LSM delete discipline).
+
+Writers (upsert/delete/compact) serialize on a ``.writer_lock``
+(O_EXCL); every read/write path first heals any crash-stranded
+compaction swap (``_recover_codes``).
 
 ``query_index`` replays exactly the probes' serving arithmetic (exact
 grid integers, broadcast per-(query, cell) ADC tables), so its output
@@ -127,35 +134,129 @@ def _finish_cell_swap(codes_dir: str, staging: str, cells: list[str]) -> None:
     shutil.rmtree(trash, ignore_errors=True)
 
 
+def _tombstones_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "tombstones")
+
+
+def _read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The pending-delete vec_id set, or None when there are none.
+    Tombstones are small between compactions (deletes since the last
+    fold), so the serving anti-join broadcasts them."""
+    t = _tombstones_path(index_dir)
+    if not _glob.glob(os.path.join(t, "*.parquet")):
+        return None
+    return spark.read.schema("vec_id BIGINT").parquet(t).distinct()
+
+
+def index_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Operational snapshot: vector/cell/file counts, fragmentation, and
+    pending tombstones — the inputs to a compact-now decision. Reads
+    only metadata-scale state (one count over the codes tree + directory
+    listings)."""
+    codes_dir = os.path.join(index_dir, "codes")
+    _recover_codes(codes_dir)
+    model = load_model(index_dir)
+    files_per_cell = {
+        os.path.basename(d).split("=", 1)[1]:
+            len(_glob.glob(os.path.join(d, "*.parquet")))
+        for d in _glob.glob(os.path.join(codes_dir, "cell=*"))}
+    tomb = _read_tombstones(spark, index_dir)
+    return {
+        "index": index_dir,
+        "n_vectors": spark.read.parquet(codes_dir).count(),
+        "cells": model["params"]["cells"],
+        "n_cell_dirs": len(files_per_cell),
+        "n_files": sum(files_per_cell.values()),
+        "n_fragmented_cells": sum(
+            1 for n in files_per_cell.values() if n >= 2),
+        "max_files_per_cell": max(files_per_cell.values(), default=0),
+        "n_pending_tombstones": 0 if tomb is None else tomb.count(),
+        "writer_lock_held": os.path.isfile(
+            os.path.join(index_dir, ".writer_lock")),
+    }
+
+
+def delete_index(spark: SparkSession, index_dir: str,
+                 vec_ids: list[int]) -> dict:
+    """Logical delete: append the ids to the tombstone set. Serving
+    filters tombstoned ids immediately (broadcast anti-join over the
+    probed candidates); ``compact_index`` later removes the code rows
+    physically and clears the tombstones — the LSM delete discipline.
+    Idempotent (ids already tombstoned are not re-appended). A
+    tombstoned id cannot be re-upserted until a compaction has
+    physically dropped its old codes (upsert_index refuses it):
+    re-adding earlier would leave two generations of codes under one
+    vec_id and the serving filter cannot tell them apart."""
+    with _writer_lock(index_dir):
+        _recover_codes(os.path.join(index_dir, "codes"))
+        ids = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id BIGINT").distinct()
+        existing = _read_tombstones(spark, index_dir)
+        if existing is not None:
+            ids = ids.join(existing, "vec_id", "left_anti")
+        n_new = ids.count()
+        if n_new:
+            (ids.coalesce(1).write.mode("append")
+             .parquet(_tombstones_path(index_dir)))
+    return {"n_tombstoned": n_new, "index": index_dir}
+
+
 def compact_index(spark: SparkSession, index_dir: str,
                   min_files: int = 2) -> dict:
     """OPTIMIZE for the codes tree: fold every cell partition holding
     ``min_files``+ parquet files (the residue of upsert appends) back to
     one file per cell, via the staged-swap discipline of
-    streaming/maintenance.py applied at cell granularity. Serving parity
-    before/after is pinned by tests/test_ann_index.py. Only cells above
-    the threshold are rewritten — compaction I/O is O(fragmented cells),
-    not O(index)."""
+    streaming/maintenance.py applied at cell granularity; tombstoned
+    rows are dropped physically during the fold and the tombstone set is
+    cleared. Serving parity before/after is pinned by
+    tests/test_ann_index.py. Only fragmented or tombstone-bearing cells
+    are rewritten — compaction I/O is O(touched cells), not O(index)
+    (locating tombstoned ids costs one column-pruned vec_id scan, paid
+    only when tombstones exist)."""
     codes_dir = os.path.join(index_dir, "codes")
     with _writer_lock(index_dir):
         _recover_codes(codes_dir)
-        frag = []
+        frag = set()
         for d in _glob.glob(os.path.join(codes_dir, "cell=*")):
             if len(_glob.glob(os.path.join(d, "*.parquet"))) >= min_files:
-                frag.append(os.path.basename(d).split("=", 1)[1])
+                frag.add(os.path.basename(d).split("=", 1)[1])
+        tomb = _read_tombstones(spark, index_dir)
+        if tomb is not None:
+            hit = (spark.read.parquet(codes_dir)
+                   .join(F.broadcast(tomb), "vec_id", "left_semi")
+                   .select("cell").distinct())
+            frag.update(str(r["cell"]) for r in hit.collect())
+        frag = sorted(frag)
         if not frag:
-            return {"n_cells_compacted": 0, "index": index_dir}
+            return {"n_cells_compacted": 0, "n_deleted": 0,
+                    "index": index_dir}
         staging = os.path.join(codes_dir, ".compact_staging")
         shutil.rmtree(staging, ignore_errors=True)
         src = [os.path.join(codes_dir, f"cell={c}") for c in frag]
+        body = spark.read.option("basePath", codes_dir).parquet(*src)
+        n_before = body.count()
+        if tomb is not None:
+            body = body.join(F.broadcast(tomb), "vec_id", "left_anti")
         # one task per cell → one output file per cell directory
-        (spark.read.option("basePath", codes_dir).parquet(*src)
-         .repartition("cell")
+        (body.repartition("cell")
          .write.mode("overwrite").partitionBy("cell").parquet(staging))
+        n_after = (spark.read.option("basePath", staging)
+                   .schema(body.schema).parquet(staging).count()
+                   if _glob.glob(os.path.join(staging, "cell=*")) else 0)
+        # a cell whose rows ALL tombstoned away wrote no staged dir —
+        # stage an EMPTY dir so the swap replaces (empties) it; with
+        # every listed cell staged, a missing staged dir during resume
+        # unambiguously means "already swapped"
+        for c in frag:
+            os.makedirs(os.path.join(staging, f"cell={c}"), exist_ok=True)
         with open(os.path.join(staging, "_COMPLETE"), "w") as f:
             f.write(",".join(frag))
         _finish_cell_swap(codes_dir, staging, frag)
-        return {"n_cells_compacted": len(frag), "index": index_dir}
+        # tombstones are now physically applied; clearing AFTER the swap
+        # is crash-safe (a leftover tombstone set anti-joins to nothing)
+        shutil.rmtree(_tombstones_path(index_dir), ignore_errors=True)
+        return {"n_cells_compacted": len(frag),
+                "n_deleted": n_before - n_after, "index": index_dir}
 
 
 def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
@@ -175,6 +276,11 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
                      probes_df.select("cell").distinct().collect()})
     codes = (spark.read.parquet(os.path.join(index_dir, "codes"))
              .where(F.col("cell").isin(probed)))
+    # logical deletes take effect immediately: tombstoned ids (small
+    # between compactions) broadcast-anti-join out of the candidates
+    tomb = _read_tombstones(spark, index_dir)
+    if tomb is not None:
+        codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     narrow = explode_codes_narrow(codes)
     return adc_topk(probes_df, narrow, rcbs, top_k=top_k)
 
@@ -207,6 +313,18 @@ def upsert_index(spark: SparkSession, emb: DataFrame,
         codes = (_residuals(_quantized(emb), cents)
                  .selectExpr("vec_id", "cell", *_code_exprs(rcbs))
                  .localCheckpoint())
+        # a tombstoned id's OLD codes are still on disk until the next
+        # compaction; appending a new generation under the same vec_id
+        # would be indistinguishable from it — refuse, compact first
+        tomb = _read_tombstones(spark, index_dir)
+        if tomb is not None:
+            n_dead = codes.join(
+                F.broadcast(tomb), "vec_id", "left_semi").count()
+            if n_dead:
+                raise ValueError(
+                    f"{n_dead} of the vectors to upsert are tombstoned; "
+                    "run compact_index (anncompact) to apply pending "
+                    "deletes before re-adding these ids")
         # idempotent under retries: a duplicated vec_id would double its
         # ADC contributions in query_index (each subspace code row
         # matches twice), silently corrupting rankings — anti-join the

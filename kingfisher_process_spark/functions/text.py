@@ -1675,12 +1675,22 @@ _KANON_QI = (
 )
 
 
-def k_anonymity_enforce(docs: DataFrame, k: int = K_ANON) -> DataFrame:
+def k_anonymity_enforce(docs: DataFrame, k: int = K_ANON,
+                        l_div: int = 1) -> DataFrame:
     """Generalization/suppression transform: return one row per input
     document with (doc_id, level, qi) where ``level`` is the ladder rung
     the row settled at (its generalized group has ≥ k members among
     same-level rows) and ``level = {n}`` (past the ladder) means
     SUPPRESSED — the row may not ship at any generalization.
+
+    ``l_div > 1`` additionally requires ≥ l distinct sensitive-attribute
+    values (the audit's doc_id cohort) in a group before it settles —
+    l-diversity enforcement on the same ladder; at l_div=1 (default) the
+    condition is vacuous and the transform is pure k-anonymity. On the
+    synthetic corpus l≥2 never binds (every k-sized group spans ≥2
+    cohorts — verified against the unrolled oracle), so the driver probe
+    pins k-only and the l-binding path is pinned by a unit test with
+    adversarial data (tests/test_kanon.py).
 
     Scale shape: one groupBy per ladder level over a SHRINKING remainder
     (level l only regroups rows whose level-(l-1) group was under k) —
@@ -1695,17 +1705,21 @@ def k_anonymity_enforce(docs: DataFrame, k: int = K_ANON) -> DataFrame:
     """
     rem = docs.selectExpr(
         "doc_id",
+        "CAST(floor(doc_id / 100.0) AS BIGINT) AS _coh",
         *[f"{e} AS qi{i}" for i, e in enumerate(_KANON_QI)])
     settled = []
     for lvl in range(len(_KANON_QI)):
         qi = f"qi{lvl}"
-        sizes = rem.groupBy(qi).agg(F.count(F.lit(1)).alias("_n"))
+        sizes = rem.groupBy(qi).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.countDistinct("_coh").alias("_l"))
         tagged = rem.join(sizes, qi)
+        ok = (F.col("_n") >= k) & (F.col("_l") >= l_div)
         settled.append(
-            tagged.where(F.col("_n") >= k)
+            tagged.where(ok)
             .select("doc_id", F.lit(lvl).cast("bigint").alias("level"),
                     F.col(qi).alias("qi")))
-        rem = (tagged.where(F.col("_n") < k).drop("_n")
+        rem = (tagged.where(~ok).drop("_n", "_l")
                .localCheckpoint())
     suppressed = rem.select(
         "doc_id", F.lit(len(_KANON_QI)).cast("bigint").alias("level"),

@@ -216,3 +216,71 @@ def test_query_and_upsert_heal_crashed_compaction_swap(spark, tmp_path):
     assert again["n_added"] == 0
     codes = spark.read.parquet(codes_dir)
     assert codes.count() == emb.count()
+
+
+def test_delete_hides_immediately_and_compaction_applies(spark, tmp_path):
+    """LSM delete discipline: tombstoned ids vanish from serving at
+    once; compaction removes their code rows physically, clears the
+    tombstones, and non-deleted serving is unchanged."""
+    import glob
+
+    from kingfisher_process_spark.functions.ann_index import (
+        compact_index, delete_index, upsert_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    base = query_index(spark, idx, queries).collect()
+    victims = sorted({r["neighbor_id"] for r in base})[:3]
+
+    audit = delete_index(spark, idx, victims)
+    assert audit["n_tombstoned"] == 3
+    # idempotent
+    assert delete_index(spark, idx, victims)["n_tombstoned"] == 0
+
+    after = query_index(spark, idx, queries).collect()
+    assert not {r["neighbor_id"] for r in after} & set(victims)
+    want = [tuple(r) for r in after]
+
+    # re-upserting a tombstoned id must be refused until compaction
+    import pytest
+    with pytest.raises(ValueError, match="tombstoned"):
+        upsert_index(spark, emb.where(F.col("vec_id") == victims[0]), idx)
+
+    c = compact_index(spark, idx)
+    assert c["n_deleted"] == 3
+    assert not glob.glob(str(tmp_path / "idx" / "tombstones" / "*.parquet"))
+    codes = spark.read.parquet(idx + "/codes")
+    assert codes.count() == emb.count() - 3
+    assert codes.join(
+        spark.createDataFrame([(v,) for v in victims], "vec_id bigint"),
+        "vec_id", "left_semi").count() == 0
+    got = [tuple(r) for r in query_index(spark, idx, queries).collect()]
+    assert got == want  # physical apply is serving-invisible
+
+    # and the id can come back now
+    re = upsert_index(spark, emb.where(F.col("vec_id") == victims[0]), idx)
+    assert re["n_added"] == 1
+
+
+def test_compaction_empties_cell_when_all_rows_deleted(spark, tmp_path):
+    """A cell whose every row is tombstoned must end up physically empty
+    after compaction (the empty-staged-dir swap path), not keep its old
+    rows."""
+    from kingfisher_process_spark.functions.ann_index import (
+        compact_index, delete_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx)
+    codes = spark.read.parquet(idx + "/codes")
+    cell0 = codes.select("cell").orderBy("cell").first()["cell"]
+    cell_ids = [r["vec_id"] for r in
+                codes.where(F.col("cell") == cell0).collect()]
+    delete_index(spark, idx, cell_ids)
+    c = compact_index(spark, idx)
+    assert c["n_deleted"] == len(cell_ids)
+    left = spark.read.parquet(idx + "/codes")
+    assert left.where(F.col("cell") == cell0).count() == 0
+    assert left.count() == emb.count() - len(cell_ids)

@@ -351,3 +351,37 @@ def test_pagerank_cli_converges(tmp_path, capsys):
     assert len(out["top"]) == 5
     ranks = [r["rank"] for r in out["top"]]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_anndelete_annstat_cli(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    store_dir = str(tmp_path / "store")
+    idx = str(tmp_path / "idx")
+    old_path = str(tmp_path / "old")
+    new_path = str(tmp_path / "new")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.where(F.col("vec_id") < 300).write.parquet(old_path)
+    emb.where(F.col("vec_id") >= 300).write.parquet(new_path)
+    run(capsys, "--store", store_dir, "annbuild",
+        "--input", old_path, "--output", idx)
+    run(capsys, "--store", store_dir, "annupsert",
+        "--index", idx, "--input", new_path)
+
+    rc, audit = run(capsys, "--store", store_dir, "anndelete",
+                    "--index", idx, "--ids", "7,8,9")
+    assert rc == 0 and audit["n_tombstoned"] == 3
+
+    rc, stat = run(capsys, "--store", store_dir, "annstat", "--index", idx)
+    assert rc == 0
+    assert stat["n_vectors"] == emb.count()
+    assert stat["n_pending_tombstones"] == 3
+    assert stat["n_fragmented_cells"] > 0
+    assert not stat["writer_lock_held"]
+
+    rc, c = run(capsys, "--store", store_dir, "anncompact", "--index", idx)
+    assert rc == 0 and c["n_deleted"] == 3
+    rc, stat = run(capsys, "--store", store_dir, "annstat", "--index", idx)
+    assert stat["n_vectors"] == emb.count() - 3
+    assert stat["n_pending_tombstones"] == 0
+    assert stat["n_fragmented_cells"] == 0

@@ -60,3 +60,23 @@ def test_enforce_suppresses_only_when_no_level_reaches_k(spark):
            for r in k_anonymity_enforce(docs).collect()}
     assert all(got[i] == n - 1 for i in range(K_ANON))
     assert all(got[100 + i] == n for i in range(3))
+
+
+def test_enforce_l_diversity_binds_on_homogeneous_groups(spark):
+    """With l_div=2 a group that reaches k but holds ONE sensitive
+    cohort must keep generalizing until cohorts mix (the homogeneity
+    attack k-anonymity alone cannot stop); with l_div=1 the same rows
+    settle at full precision."""
+    n = len(_KANON_QI)
+    rows = ([(i, "en", "web", 150) for i in range(K_ANON)]         # cohort 0
+            + [(100 + i, "en", "api", 150) for i in range(K_ANON)])  # cohort 1
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, n_chars bigint")
+    plain = {r["doc_id"]: r["level"]
+             for r in k_anonymity_enforce(docs).collect()}
+    assert set(plain.values()) == {0}  # k alone: both groups settle at L0
+    ldiv = {r["doc_id"]: r["level"]
+            for r in k_anonymity_enforce(docs, l_div=2).collect()}
+    # each group is k-sized but cohort-homogeneous at levels 0-2; the
+    # groups merge (and mix cohorts) only at the lang rung
+    assert set(ldiv.values()) == {n - 1}
