@@ -73,6 +73,7 @@ HEADLINE = [
     "t_token_stats",
     "t_pii_redact",
     "t_k_anonymity_audit",
+    "t_k_anonymity_enforce",
     "t_sequence_packing",
     "t_chunk_documents",
     "t_global_shuffle_shards",

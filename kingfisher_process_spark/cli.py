@@ -135,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--max-tokens", type=int, default=5000)
     cur.add_argument("--langs", default="en,data",
                      help="comma-separated language whitelist")
+    cur.add_argument("--tokenizer", default=None,
+                     help="tokbuild model JSON: gate and pack by frozen-"
+                          "BPE token counts instead of whitespace words")
 
     ab = sub.add_parser(
         "annbuild",
@@ -205,6 +208,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="lineitem parquet (l_orderkey, l_partkey)")
     pr.add_argument("--iters", type=int, default=20)
     pr.add_argument("--top", type=int, default=None)
+    pr.add_argument("--dangling", action="store_true",
+                    help="include sink nodes and redistribute dangling "
+                         "mass each iteration (conventional PageRank)")
 
     serve = sub.add_parser("serve", help="run the REST API (wsgiref)")
     serve.add_argument("--host", default="127.0.0.1")
@@ -233,7 +239,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, docs, args.output,
             seq_len=SEQ_LEN if args.seq_len is None else args.seq_len,
             langs=tuple(s_ for s_ in args.langs.split(",") if s_),
-            min_tokens=args.min_tokens, max_tokens=args.max_tokens)
+            min_tokens=args.min_tokens, max_tokens=args.max_tokens,
+            tokenizer_model=args.tokenizer)
         print(json.dumps(audit, default=str))
         return 0
 
@@ -307,7 +314,7 @@ def main(argv: list[str] | None = None) -> int:
         li = spark.read.parquet(args.input).select("l_orderkey", "l_partkey")
         deltas: list[int] = []
         ranks = pagerank_ranks(copurchase_edges(li), iters=args.iters,
-                               deltas=deltas)
+                               deltas=deltas, dangling=args.dangling)
         top = args.top if args.top is not None else PR_TOP
         rows = (ranks.selectExpr("node AS partkey", "rank")
                 .orderBy("rank", ascending=False).limit(top).collect())

@@ -62,22 +62,34 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
 
 
 def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
-                   deltas: list[int] | None = None) -> DataFrame:
+                   deltas: list[int] | None = None,
+                   dangling: bool = False) -> DataFrame:
     """Integer-exact Jacobi PageRank over (src, dst, w) edges: ``iters``
     rounds of ONE join + ONE groupBy, BIGINT fixed-point throughout.
     Pass ``deltas`` to collect the per-iteration L1 rank delta
     (Σ|rank_new − rank_old| in PR_SCALE units — the convergence report;
     costs one extra |nodes|-join per iteration, only when requested).
 
-    Caveat (conventional-PageRank divergence, deliberate): nodes are
-    those WITH out-edges, and dangling mass is NOT redistributed — a
-    node with no outgoing edges simply contributes nothing, so ranks
-    sum to less than |nodes|·SCALE. This keeps every operation an exact
-    BIGINT the unrolled SQL oracle can replay bit-for-bit; a
-    dangling-mass redistribution term would add a global scalar
-    per iteration (one extra agg), not a new shuffle shape. The
-    co-purchase graph is symmetric, so no mass dangles there anyway."""
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ``dangling=False`` (the probe's form): nodes are those WITH
+    out-edges and dangling mass is NOT redistributed — a node with no
+    outgoing edges contributes nothing, so ranks sum to less than
+    |nodes|·SCALE. The co-purchase graph is symmetric, so no mass
+    dangles there and the forms coincide.
+
+    ``dangling=True`` (conventional PageRank): nodes are src ∪ dst, and
+    each iteration redistributes floor(Σ dangling rank / |nodes|) to
+    every node before damping — still exact BIGINT (the floor division
+    loses < |nodes| units of mass per iteration to rounding, the price
+    of cross-engine determinism). Costs one 1-row aggregate per
+    iteration (the dangling-mass scalar); the shuffle shape is
+    unchanged."""
+    if dangling:
+        nodes = (edges.select(F.col("src").alias("node"))
+                 .unionByName(edges.select(F.col("dst").alias("node")))
+                 .distinct().localCheckpoint())
+        n_nodes = nodes.count()
+    else:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("outw"))
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("rank"))
@@ -89,12 +101,17 @@ def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
                        "dst AS node",
                        "CAST(floor(rank * w * 1.0 / outw) AS BIGINT) AS c")
                    .groupBy("node").agg(F.sum("c").alias("s")))
+        share = 0
+        if dangling:
+            dm = (ranks.join(deg, "node", "left_anti")
+                  .agg(F.sum("rank")).collect()[0][0] or 0)
+            share = int(dm) // n_nodes
         nxt = (nodes.join(contrib, "node", "left")
                .selectExpr(
                    "node",
                    f"CAST({int(0.15 * PR_SCALE)}"
-                   f" + floor(85 * COALESCE(s, 0) / 100.0) AS BIGINT)"
-                   f" AS rank")
+                   f" + floor(85 * (COALESCE(s, 0) + {share}) / 100.0)"
+                   f" AS BIGINT) AS rank")
                .localCheckpoint())
         if deltas is not None:
             deltas.append(int(

@@ -1815,7 +1815,8 @@ def t_k_anonymity_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                   seq_len: int = SEQ_LEN,
                   langs: tuple[str, ...] = ("en", "data"),
-                  min_tokens: int = 25, max_tokens: int = 5000) -> dict:
+                  min_tokens: int = 25, max_tokens: int = 5000,
+                  tokenizer_model: str | None = None) -> dict:
     """Run the pretraining curation funnel end-to-end and WRITE the
     artifacts — the user-facing form of t_pretrain_corpus_pipeline:
 
@@ -1827,6 +1828,12 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
     Writes ``{out_dir}/corpus`` (kept documents + token counts) and
     ``{out_dir}/manifest`` (doc_id → packed offset / sequence bin — what
     a data loader shards on) and returns the per-stage audit dict.
+
+    ``tokenizer_model`` (a tokbuild artifact path) switches the token
+    count ``nt`` — the quality gate AND the packing unit — from
+    whitespace words to FROZEN-BPE tokens, which is what a real
+    pretraining loader packs by. Costs one distinct-word encode + one
+    word-keyed join; the funnel shape is otherwise unchanged.
 
     Scale shape is the probe's: map-side predicates over one scan
     lineage, one dedup groupBy, one range shuffle + |partitions|-row
@@ -1844,6 +1851,13 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         hits(STOP_COMPUTE).alias("s_compute"),
         F.md5("text").alias("content_hash"),
     )
+    if tokenizer_model is not None:
+        from kingfisher_process_spark.functions.tokenizer import (
+            load_tokenizer, token_counts)
+
+        counts = token_counts(docs, load_tokenizer(tokenizer_model))
+        base = (base.drop("nt")
+                .join(counts.withColumnRenamed("n_tokens", "nt"), "doc_id"))
     predicted = (
         F.when((F.col("s_en") >= F.col("s_data"))
                & (F.col("s_en") >= F.col("s_compute")), "en")

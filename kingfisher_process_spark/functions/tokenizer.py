@@ -149,6 +149,26 @@ def encode_summary(docs: DataFrame, model: dict) -> DataFrame:
     return before.crossJoin(after)
 
 
+def token_counts(docs: DataFrame, model: dict) -> DataFrame:
+    """(doc_id, n_tokens) under the FROZEN model — the cheap form of
+    encode_docs when only lengths are needed (sequence packing, quality
+    gates): encode DISTINCT words once, then sum per-word token counts
+    back per document. Docs with zero words get n_tokens = 0."""
+    merges = [(a, b) for a, b in model["merges"]]
+    words = docs.select(
+        "doc_id",
+        F.explode_outer(F.filter(F.split("text", " "), lambda x: x != ""))
+        .alias("word"))
+    vocab = (words.select("word").where(F.col("word").isNotNull())
+             .distinct().select("word", F.split("word", "").alias("l")))
+    enc = apply_frozen_merges(vocab, merges).select(
+        "word", F.size("l").alias("_wt"))
+    return (words.join(enc, "word", "left")
+            .groupBy("doc_id")
+            .agg(F.coalesce(F.sum("_wt"), F.lit(0)).cast("long")
+                 .alias("n_tokens")))
+
+
 def encode_docs(docs: DataFrame, model: dict) -> DataFrame:
     """Per-document frozen encoding: (doc_id, tokens, n_tokens).
 

@@ -94,3 +94,46 @@ def test_encode_docs_reconstructs_documents(spark, tmp_path):
     n_chars = joined.agg(F.sum(F.length("want"))).first()[0]
     n_tokens = joined.agg(F.sum("n_tokens")).first()[0]
     assert n_tokens < n_chars
+
+
+def test_token_counts_matches_encode_docs(spark, tmp_path):
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    path = str(tmp_path / "tok.json")
+    save_tokenizer(bpe_train(docs), corpus_alphabet(docs), path)
+    model = load_tokenizer(path)
+    from kingfisher_process_spark.functions.tokenizer import token_counts
+    cheap = {r["doc_id"]: r["n_tokens"]
+             for r in token_counts(docs, model).collect()}
+    full = {r["doc_id"]: r["n_tokens"]
+            for r in encode_docs(docs, model).collect()}
+    for d, n in full.items():
+        assert cheap[d] == n
+    # token_counts also covers zero-word docs (encode_docs drops them)
+    assert len(cheap) == docs.count()
+
+
+def test_curate_with_frozen_tokenizer_packs_by_bpe_tokens(spark, tmp_path):
+    """The funnel's quality gate and packing unit switch to frozen-BPE
+    token counts when a tokenizer artifact is supplied; the manifest's
+    nt column must equal the frozen counts for every kept doc."""
+    from kingfisher_process_spark.functions.text import curate_corpus
+    from kingfisher_process_spark.functions.tokenizer import token_counts
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    path = str(tmp_path / "tok.json")
+    save_tokenizer(bpe_train(docs), corpus_alphabet(docs), path)
+    model = load_tokenizer(path)
+    out = str(tmp_path / "curated")
+    audit = curate_corpus(spark, docs, out, tokenizer_model=path)
+    assert audit["n_kept"] > 0
+    manifest = spark.read.parquet(out + "/manifest")
+    want = {r["doc_id"]: r["n_tokens"]
+            for r in token_counts(docs, model).collect()}
+    for r in manifest.collect():
+        assert r["nt"] == want[r["doc_id"]]
+    # offsets remain an exact prefix sum over the BPE counts
+    rows = manifest.orderBy("doc_id").collect()
+    off = 0
+    for r in rows:
+        assert r["start_off"] == off
+        off += r["nt"]
