@@ -31,11 +31,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kingfisher_process_spark.functions.text import (
-    _bpe_apply_multi, bpe_train_batched)
+    _bpe_apply_multi, _bpe_encode_sql, bpe_train, bpe_train_batched)
+from kingfisher_process_spark.plans.base import load_tables, probe
 
 ENCODE_CHECKPOINT_EVERY = 8  # runs between lineage truncations
 
@@ -192,3 +193,21 @@ def encode_docs(docs: DataFrame, model: dict) -> DataFrame:
                 F.struct("pos", "word_tokens"))).word_tokens)
                 .alias("tokens"))
             .select("doc_id", "tokens", F.size("tokens").alias("n_tokens")))
+
+
+@probe("t_tok_frozen_encode", _bpe_encode_sql(),
+       survey_ids="text-ext,A5,iterative-ext")
+def t_tok_frozen_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The artifact round-trip as a driver probe: train, SAVE the model
+    to disk, RELOAD it, and encode the corpus with the frozen merges —
+    sharing t_bpe_encode's unrolled oracle, so a drift anywhere in
+    save/load/disjoint-run application breaks the hash. This is the
+    operational path tokbuild→tokencode runs; the probe pins it at
+    driver scale."""
+    import os
+    import tempfile
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = os.path.join(tempfile.mkdtemp(prefix="kps_tok_"), "tok.json")
+    save_tokenizer(bpe_train(docs), corpus_alphabet(docs), path)
+    return encode_summary(docs, load_tokenizer(path))

@@ -92,6 +92,10 @@ SHOWCASE = [
      "Two Arrow-batched mapInPandas stages (WAV encode, real decode + "
      "featurize), blob-local, no shuffle; one narrow row leaves per "
      "blob."),
+    ("t_k_anonymity_enforce",
+     "One partial+final count per ladder rung over a SHRINKING "
+     "remainder; the per-level size table joins back as a broadcast; "
+     "the documents scan reads only the 3 quasi-identifier columns."),
 ]
 
 
