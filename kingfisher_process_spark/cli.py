@@ -156,9 +156,14 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--n-probe", type=int, default=None)
 
     au = sub.add_parser("annupsert",
-                        help="append new vectors to an index (frozen model)")
+                        help="append new vectors to an index (frozen model; "
+                             "ids are immutable — to change a vector, "
+                             "anndelete + anncompact + annupsert)")
     au.add_argument("--index", required=True)
     au.add_argument("--input", required=True)
+    au.add_argument("--strict", action="store_true",
+                    help="full-tree id check (O(index) read): also skips "
+                         "re-adds whose embedding changed cells")
 
     ac = sub.add_parser(
         "anncompact",
@@ -261,7 +266,8 @@ def main(argv: list[str] | None = None) -> int:
         from kingfisher_process_spark.functions.ann_index import upsert_index
 
         emb = spark.read.parquet(args.input)
-        print(json.dumps(upsert_index(spark, emb, args.index)))
+        print(json.dumps(upsert_index(spark, emb, args.index,
+                                      strict=args.strict)))
         return 0
 
     if args.command == "anncompact":
@@ -295,14 +301,21 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "tokencode":
         from kingfisher_process_spark.functions.tokenizer import (
-            encode_docs, encode_summary, load_tokenizer)
+            encode_docs, encode_summary, load_tokenizer,
+            summary_from_encoded)
 
         model = load_tokenizer(args.model)
         docs = spark.read.parquet(args.input)
         if args.output:
+            # one fold-chain pass: write the per-doc encoding, derive
+            # the summary from the written output (review r7 — the
+            # summary used to re-run the whole merge application)
             encode_docs(docs, model).write.mode("overwrite").parquet(
                 args.output)
-        summary = encode_summary(docs, model).collect()[0].asDict()
+            enc = spark.read.parquet(args.output)
+            summary = summary_from_encoded(docs, enc).collect()[0].asDict()
+        else:
+            summary = encode_summary(docs, model).collect()[0].asDict()
         summary.update({"model": args.model, "output": args.output})
         print(json.dumps(summary))
         return 0
@@ -316,8 +329,10 @@ def main(argv: list[str] | None = None) -> int:
         ranks = pagerank_ranks(copurchase_edges(li), iters=args.iters,
                                deltas=deltas, dangling=args.dangling)
         top = args.top if args.top is not None else PR_TOP
+        from pyspark.sql import functions as F
+
         rows = (ranks.selectExpr("node AS partkey", "rank")
-                .orderBy("rank", ascending=False).limit(top).collect())
+                .orderBy(F.desc("rank"), "partkey").limit(top).collect())
         print(json.dumps({
             "iters": args.iters,
             "l1_deltas": deltas,

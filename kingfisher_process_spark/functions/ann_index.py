@@ -73,22 +73,54 @@ def load_model(index_dir: str) -> dict:
         return json.load(f)
 
 
+def _codes_schema(model: dict) -> str:
+    """Explicit read schema for the codes tree: schema INFERENCE fails
+    outright when every cell has been emptied by deletes+compaction
+    (file-less dirs only), where the correct answer is zero rows."""
+    m = int(model.get("params", {}).get("pq_m", PQ_M))
+    codes = ", ".join(f"code_{i} BIGINT" for i in range(m))
+    return f"vec_id BIGINT, {codes}, cell INT"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
 @contextlib.contextmanager
 def _writer_lock(index_dir: str):
-    """Single-writer contract (r6 advice): two concurrent upserts could
+    """Single-writer contract (r6 advice): two concurrent writers could
     both pass the existence anti-join and double-append the same vec_id,
-    which corrupts ADC rankings. An O_EXCL lock file in the index dir
-    serializes writers; a second writer fails fast rather than corrupting
-    the index. (Readers never take the lock — appends and the staged
-    compaction swap are both safe to read through.)"""
+    which corrupts ADC rankings. An O_EXCL lock file (holding the
+    writer's pid) serializes writers; a second writer fails fast rather
+    than corrupting the index. A lock whose pid is no longer alive on
+    this host is STALE (the writer crashed) and is broken automatically
+    — crash recovery then proceeds without manual intervention. (The
+    stale-break has a small same-host race window; the contract remains
+    advisory single-writer, not a distributed lock.)"""
     path = os.path.join(index_dir, ".writer_lock")
-    try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise RuntimeError(
-            f"index writer lock held: {path} — another upsert/compaction "
-            "is running (or crashed; remove the lock file after verifying "
-            "no writer is alive)") from None
+    fd = None
+    for attempt in range(2):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            pid = None
+            with contextlib.suppress(OSError, ValueError):
+                with open(path) as f:
+                    pid = int(f.read().strip() or "0")
+            if attempt == 0 and pid is not None and not _pid_alive(pid):
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(path)  # stale: holder is dead
+                continue
+            raise RuntimeError(
+                f"index writer lock held: {path} (pid {pid}) — another "
+                "upsert/delete/compaction is running") from None
     try:
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
@@ -98,12 +130,32 @@ def _writer_lock(index_dir: str):
             os.remove(path)
 
 
+def _heal_if_unlocked(index_dir: str) -> None:
+    """Reader-side crash healing: run _recover_codes ONLY under the
+    writer lock. If the lock is held by a LIVE writer, skip — that
+    writer owns any in-flight swap, and a reader racing its renames
+    could strand a cell (review r7); a crashed writer's stale lock is
+    broken by _writer_lock itself, so post-crash reads still heal."""
+    codes_dir = os.path.join(index_dir, "codes")
+    marker = os.path.join(codes_dir, ".compact_staging", "_COMPLETE")
+    if not os.path.isfile(marker) and not _glob.glob(
+            os.path.join(codes_dir, ".compact_trash-*")):
+        return  # nothing stranded — the overwhelmingly common case
+    try:
+        with _writer_lock(index_dir):
+            _recover_codes(codes_dir)
+    except RuntimeError:
+        pass  # live writer mid-swap; it will finish its own swap
+
+
 def _recover_codes(codes_dir: str) -> bool:
     """Complete a crash-stranded compaction swap on the codes tree.
     Mirrors streaming.maintenance.recover_store at cell granularity:
     staging with a ``_COMPLETE`` marker holds the only copy of its
     folded cells once their dirs moved to trash — finish that swap
-    before any read. Cheap when there is nothing to do."""
+    before any read. Cheap when there is nothing to do. Callers must
+    hold the writer lock (write paths do; readers go through
+    _heal_if_unlocked)."""
     staging = os.path.join(codes_dir, ".compact_staging")
     marker = os.path.join(staging, "_COMPLETE")
     finished = False
@@ -154,7 +206,7 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     only metadata-scale state (one count over the codes tree + directory
     listings)."""
     codes_dir = os.path.join(index_dir, "codes")
-    _recover_codes(codes_dir)
+    _heal_if_unlocked(index_dir)
     model = load_model(index_dir)
     files_per_cell = {
         os.path.basename(d).split("=", 1)[1]:
@@ -163,7 +215,9 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     tomb = _read_tombstones(spark, index_dir)
     return {
         "index": index_dir,
-        "n_vectors": spark.read.parquet(codes_dir).count(),
+        "n_vectors": (spark.read.option("basePath", codes_dir)
+                      .schema(_codes_schema(model))
+                      .parquet(codes_dir).count()),
         "cells": model["params"]["cells"],
         "n_cell_dirs": len(files_per_cell),
         "n_files": sum(files_per_cell.values()),
@@ -216,18 +270,28 @@ def compact_index(spark: SparkSession, index_dir: str,
     codes_dir = os.path.join(index_dir, "codes")
     with _writer_lock(index_dir):
         _recover_codes(codes_dir)
+        model = load_model(index_dir)
         frag = set()
         for d in _glob.glob(os.path.join(codes_dir, "cell=*")):
             if len(_glob.glob(os.path.join(d, "*.parquet"))) >= min_files:
                 frag.add(os.path.basename(d).split("=", 1)[1])
         tomb = _read_tombstones(spark, index_dir)
         if tomb is not None:
-            hit = (spark.read.parquet(codes_dir)
+            hit = (spark.read.option("basePath", codes_dir)
+                   .schema(_codes_schema(model)).parquet(codes_dir)
                    .join(F.broadcast(tomb), "vec_id", "left_semi")
                    .select("cell").distinct())
             frag.update(str(r["cell"]) for r in hit.collect())
         frag = sorted(frag)
         if not frag:
+            if tomb is not None:
+                # every tombstone matches NO code row (already applied
+                # by a prior fold, or the id never existed): dead
+                # weight that would otherwise block re-upserting those
+                # ids FOREVER (review r7) — clearing is a no-op for
+                # serving, so drop the set here too
+                shutil.rmtree(_tombstones_path(index_dir),
+                              ignore_errors=True)
             return {"n_cells_compacted": 0, "n_deleted": 0,
                     "index": index_dir}
         staging = os.path.join(codes_dir, ".compact_staging")
@@ -266,7 +330,7 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     residual ADC tables (broadcast), and score ONLY the probed cells'
     code partitions — the read is partition-pruned by the cell literals
     (plan-pinned in tests), never a full index scan."""
-    _recover_codes(os.path.join(index_dir, "codes"))
+    _heal_if_unlocked(index_dir)
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]
     rcbs = [[[int(v) for v in c] for c in m] for m in model["codebooks"]]
@@ -274,7 +338,9 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     # probed cells as LITERALS so the codes read partition-prunes
     probed = sorted({r["cell"] for r in
                      probes_df.select("cell").distinct().collect()})
-    codes = (spark.read.parquet(os.path.join(index_dir, "codes"))
+    codes = (spark.read.option("basePath", os.path.join(index_dir, "codes"))
+             .schema(_codes_schema(model))
+             .parquet(os.path.join(index_dir, "codes"))
              .where(F.col("cell").isin(probed)))
     # logical deletes take effect immediately: tombstoned ids (small
     # between compactions) broadcast-anti-join out of the candidates
@@ -297,13 +363,25 @@ def _existing_ids(spark: SparkSession, codes_dir: str,
 
 
 def upsert_index(spark: SparkSession, emb: DataFrame,
-                 index_dir: str) -> dict:
-    """Incremental index maintenance: encode NEW vectors with the
+                 index_dir: str, strict: bool = False) -> dict:
+    """Insert-if-absent index maintenance: encode NEW vectors with the
     FROZEN model (no retraining — the production contract for online
     adds; retrain by rebuilding when drift warrants) and append them to
     the cell partitions. Single-writer (``.writer_lock``); fold the
     appended small files with ``compact_index`` past a file-count
-    threshold. Returns the upsert audit."""
+    threshold. Returns the upsert audit.
+
+    **Ids are immutable once indexed.** The default idempotence check
+    prunes the existence read to the new codes' cells (r6 advice —
+    O(touched cells), not O(index)), which is sound for RETRIES because
+    the frozen model routes an unchanged embedding to the same cell. It
+    cannot detect a CHANGED embedding under an existing vec_id (the new
+    codes land in a different cell and both generations would serve —
+    review r7): to change a vector, delete_index + compact_index +
+    upsert_index. ``strict=True`` pays the full-tree (column-pruned)
+    vec_id anti-join instead, which silently skips changed-embedding
+    re-adds too — use it when the input stream cannot be trusted to
+    keep ids immutable."""
     codes_dir = os.path.join(index_dir, "codes")
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]
@@ -334,12 +412,18 @@ def upsert_index(spark: SparkSession, emb: DataFrame,
         # was O(index) per upsert; this is O(touched cells)).
         new_cells = sorted({r["cell"] for r in
                             codes.select("cell").distinct().collect()})
-        existing = _existing_ids(spark, codes_dir, new_cells)
+        if strict:
+            existing = (spark.read.option("basePath", codes_dir)
+                        .schema(_codes_schema(model)).parquet(codes_dir)
+                        .select("vec_id"))
+        else:
+            existing = _existing_ids(spark, codes_dir, new_cells)
         codes = codes.join(existing, "vec_id", "left_anti").localCheckpoint()
         n_new = codes.count()
         if n_new:
             (codes.repartition("cell").write.mode("append")
              .partitionBy("cell").parquet(codes_dir))
-    total = spark.read.parquet(codes_dir).count()
+    total = (spark.read.option("basePath", codes_dir)
+             .schema(_codes_schema(model)).parquet(codes_dir).count())
     return {"n_added": n_new, "n_vectors": total, "index": index_dir,
             "cells_touched": len(new_cells)}

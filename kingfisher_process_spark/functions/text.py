@@ -1665,13 +1665,19 @@ def t_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generalized group reaches k (local recoding — rows in already-big
 # groups keep full precision); whatever survives level 3 under k is
 # suppressed.
+# NULL components coalesce to a sentinel so a null-QI row forms its own
+# group instead of vanishing from the equi-joins entirely (review r7:
+# concat null-propagation made such rows neither settled nor suppressed
+# — dropped without record, in probe AND oracle alike)
 _KANON_QI = (
-    "concat(lang, '|', source, '|',"
-    " CAST(CAST(floor(n_chars / 100.0) AS BIGINT) AS STRING))",
-    "concat(lang, '|', source, '|',"
-    " CAST(CAST(floor(n_chars / 1000.0) AS BIGINT) AS STRING))",
-    "concat(lang, '|', source)",
-    "lang",
+    "concat(coalesce(lang, '<null>'), '|', coalesce(source, '<null>'),"
+    " '|', coalesce(CAST(CAST(floor(n_chars / 100.0) AS BIGINT)"
+    " AS STRING), '<null>'))",
+    "concat(coalesce(lang, '<null>'), '|', coalesce(source, '<null>'),"
+    " '|', coalesce(CAST(CAST(floor(n_chars / 1000.0) AS BIGINT)"
+    " AS STRING), '<null>'))",
+    "concat(coalesce(lang, '<null>'), '|', coalesce(source, '<null>'))",
+    "coalesce(lang, '<null>')",
 )
 
 
@@ -1735,12 +1741,14 @@ def _kanon_enforce_sql(k: int = K_ANON) -> str:
     over the remainder, settle ≥ k, carry < k down a rung."""
     n = len(_KANON_QI)
     ctes = [f"""q AS (SELECT doc_id,
-      lang || '|' || source || '|' ||
-        CAST(CAST(floor(n_chars / 100.0) AS BIGINT) AS VARCHAR) AS qi0,
-      lang || '|' || source || '|' ||
-        CAST(CAST(floor(n_chars / 1000.0) AS BIGINT) AS VARCHAR) AS qi1,
-      lang || '|' || source AS qi2,
-      lang AS qi3
+      COALESCE(lang, '<null>') || '|' || COALESCE(source, '<null>')
+        || '|' || COALESCE(CAST(CAST(floor(n_chars / 100.0) AS BIGINT)
+                                AS VARCHAR), '<null>') AS qi0,
+      COALESCE(lang, '<null>') || '|' || COALESCE(source, '<null>')
+        || '|' || COALESCE(CAST(CAST(floor(n_chars / 1000.0) AS BIGINT)
+                                AS VARCHAR), '<null>') AS qi1,
+      COALESCE(lang, '<null>') || '|' || COALESCE(source, '<null>') AS qi2,
+      COALESCE(lang, '<null>') AS qi3
       FROM documents)"""]
     prev = "q"
     for lvl in range(n):

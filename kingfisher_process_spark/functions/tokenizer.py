@@ -150,6 +150,25 @@ def encode_summary(docs: DataFrame, model: dict) -> DataFrame:
     return before.crossJoin(after)
 
 
+def summary_from_encoded(docs: DataFrame, enc: DataFrame) -> DataFrame:
+    """encode_summary's (n_words, n_tokens_before, n_tokens_after)
+    derived WITHOUT re-running the fold chain: the before-side needs
+    only one exploded-word aggregate, and the after-side is a sum over
+    an already-encoded (doc_id, ..., n_tokens) output — so a caller
+    that just materialized encode_docs doesn't pay the merge
+    application twice (review r7)."""
+    base = (
+        docs.select(F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    before = base.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("freq") * F.length("word")).alias("n_tokens_before"))
+    after = enc.agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens_after"))
+    return before.crossJoin(after)
+
+
 def token_counts(docs: DataFrame, model: dict) -> DataFrame:
     """(doc_id, n_tokens) under the FROZEN model — the cheap form of
     encode_docs when only lengths are needed (sequence packing, quality
@@ -177,20 +196,27 @@ def encode_docs(docs: DataFrame, model: dict) -> DataFrame:
     vocabulary — the only place merges apply), then a word→tokens join
     rebuilds each document in word order and flattens. The corpus is
     scanned once for the word explode; the join shuffles on word, the
-    regroup on doc_id — both key-partitioned, no driver loop."""
+    regroup on doc_id — both key-partitioned, no driver loop.
+
+    Zero-word documents are KEPT with tokens = [] and n_tokens = 0
+    (posexplode_outer), the same contract as token_counts — a loader
+    joining the corpus against this output must not lose doc_ids."""
     merges = [(a, b) for a, b in model["merges"]]
     words = (docs.select(
         "doc_id",
-        F.posexplode(F.filter(F.split("text", " "), lambda x: x != ""))
+        F.posexplode_outer(F.filter(F.split("text", " "),
+                                    lambda x: x != ""))
         .alias("pos", "word")))
-    vocab = words.select("word").distinct().select(
-        "word", F.split("word", "").alias("l"))
+    vocab = (words.select("word").where(F.col("word").isNotNull())
+             .distinct().select("word", F.split("word", "").alias("l")))
     encoded = apply_frozen_merges(vocab, merges).withColumnRenamed(
         "l", "word_tokens")
-    return (words.join(encoded, "word")
+    empty = F.array().cast("array<string>")
+    return (words.join(encoded, "word", "left")
             .groupBy("doc_id")
-            .agg(F.flatten(F.array_sort(F.collect_list(
-                F.struct("pos", "word_tokens"))).word_tokens)
+            .agg(F.flatten(F.array_sort(F.collect_list(F.struct(
+                "pos", F.coalesce("word_tokens", empty)
+                .alias("word_tokens")))).word_tokens)
                 .alias("tokens"))
             .select("doc_id", "tokens", F.size("tokens").alias("n_tokens")))
 

@@ -109,6 +109,8 @@ def test_upsert_existence_read_prunes_to_touched_cells(spark, tmp_path):
 
 
 def test_upsert_rejected_while_writer_lock_held(spark, tmp_path):
+    """A lock held by a LIVE pid (here: our own) blocks writers; stale
+    locks are covered by test_stale_writer_lock_is_broken_automatically."""
     import pytest
 
     from kingfisher_process_spark.functions.ann_index import upsert_index
@@ -117,7 +119,7 @@ def test_upsert_rejected_while_writer_lock_held(spark, tmp_path):
     idx = str(tmp_path / "idx")
     build_index(spark, emb.where(F.col("vec_id") < 400), idx)
     with open(os.path.join(idx, ".writer_lock"), "w") as f:
-        f.write("12345")
+        f.write(str(os.getpid()))
     with pytest.raises(RuntimeError, match="writer lock held"):
         upsert_index(spark, emb.where(F.col("vec_id") >= 400), idx)
     # lock of the failed attempt must NOT be removed (it isn't ours)
@@ -284,3 +286,89 @@ def test_compaction_empties_cell_when_all_rows_deleted(spark, tmp_path):
     left = spark.read.parquet(idx + "/codes")
     assert left.where(F.col("cell") == cell0).count() == 0
     assert left.count() == emb.count() - len(cell_ids)
+
+
+def test_stale_writer_lock_is_broken_automatically(spark, tmp_path):
+    """A lock whose pid is dead (crashed writer) must not wedge the
+    index: the next writer breaks it and proceeds."""
+    from kingfisher_process_spark.functions.ann_index import upsert_index
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb.where(F.col("vec_id") < 300), idx)
+    with open(os.path.join(idx, ".writer_lock"), "w") as f:
+        f.write("999999999")  # no such pid
+    out = upsert_index(spark, emb.where(F.col("vec_id") >= 300), idx)
+    assert out["n_added"] > 0
+    assert not os.path.isfile(os.path.join(idx, ".writer_lock"))
+
+
+def test_strict_upsert_skips_changed_embedding_readd(spark, tmp_path):
+    """Ids are immutable: a re-add whose embedding changed (routes to a
+    different cell) slips past the cell-pruned default check but must be
+    skipped by strict=True (review r7)."""
+    from kingfisher_process_spark.functions.ann_index import upsert_index
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx)
+    codes = spark.read.parquet(idx + "/codes")
+    # forge a changed embedding for an existing id: borrow another
+    # vector's embedding from a DIFFERENT cell so routing moves
+    pairs = codes.select("vec_id", "cell").collect()
+    by_cell = {}
+    for r in pairs:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    cells = sorted(by_cell)
+    vid, donor = by_cell[cells[0]][0], by_cell[cells[-1]][0]
+    changed = (emb.where(F.col("vec_id") == donor)
+               .select(F.lit(vid).cast("bigint").alias("vec_id"),
+                       "embedding"))
+    out = upsert_index(spark, changed, idx, strict=True)
+    assert out["n_added"] == 0
+    assert spark.read.parquet(idx + "/codes").where(
+        F.col("vec_id") == vid).count() == 1
+
+
+def test_dead_tombstones_cleared_without_fragmentation(spark, tmp_path):
+    """Tombstones matching no code row (typo'd id, or already applied)
+    must be cleared by compaction even when nothing is fragmented —
+    otherwise re-upserting those ids is blocked forever (review r7)."""
+    import glob
+
+    from kingfisher_process_spark.functions.ann_index import (
+        compact_index, delete_index, upsert_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx)
+    delete_index(spark, idx, [99999999])  # id that never existed
+    c = compact_index(spark, idx)
+    assert c["n_cells_compacted"] == 0 and c["n_deleted"] == 0
+    assert not glob.glob(os.path.join(idx, "tombstones", "*.parquet"))
+    # and the id is upsertable (as a genuinely new vector) afterwards
+    nv = (emb.where(F.col("vec_id") == 0)
+          .select(F.lit(99999999).cast("bigint").alias("vec_id"),
+                  "embedding"))
+    assert upsert_index(spark, nv, idx)["n_added"] == 1
+
+
+def test_fully_emptied_index_still_serves_and_reports(spark, tmp_path):
+    """Delete EVERY vector, compact: query_index must return zero rows
+    and index_stats n_vectors=0 — not a schema-inference crash over the
+    file-less cell dirs (review r7)."""
+    from kingfisher_process_spark.functions.ann_index import (
+        compact_index, delete_index, index_stats)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"].where(
+        F.col("vec_id") < 100)
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx)
+    all_ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    delete_index(spark, idx, all_ids)
+    c = compact_index(spark, idx)
+    assert c["n_deleted"] == len(all_ids)
+    queries = emb.where(F.col("vec_id") < 2)
+    assert query_index(spark, idx, queries).count() == 0
+    stat = index_stats(spark, idx)
+    assert stat["n_vectors"] == 0 and stat["n_pending_tombstones"] == 0

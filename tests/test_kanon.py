@@ -80,3 +80,22 @@ def test_enforce_l_diversity_binds_on_homogeneous_groups(spark):
     # each group is k-sized but cohort-homogeneous at levels 0-2; the
     # groups merge (and mix cohorts) only at the lang rung
     assert set(ldiv.values()) == {n - 1}
+
+
+def test_null_quasi_identifiers_are_not_dropped(spark):
+    """Rows with NULL lang/source/n_chars must appear in the output
+    (settled or suppressed), never silently vanish (review r7: concat
+    null-propagation dropped them from every equi-join)."""
+    n = len(_KANON_QI)
+    rows = ([(i, None, "web", 150) for i in range(K_ANON)]   # null lang x5
+            + [(50, "en", None, 150)]                        # null source
+            + [(60, "en", "web", None)])                     # null n_chars
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, source string, n_chars bigint")
+    out = k_anonymity_enforce(docs)
+    assert out.count() == docs.count()          # one row per input doc
+    got = {r["doc_id"]: r["level"] for r in out.collect()}
+    # the five null-lang docs share every QI level -> settle at level 0
+    assert all(got[i] == 0 for i in range(K_ANON))
+    # the two loners can never reach k anywhere -> suppressed
+    assert got[50] == got[60] == n

@@ -137,3 +137,38 @@ def test_curate_with_frozen_tokenizer_packs_by_bpe_tokens(spark, tmp_path):
     for r in rows:
         assert r["start_off"] == off
         off += r["nt"]
+
+
+def test_encode_docs_keeps_zero_word_documents(spark, tmp_path):
+    """Zero-word docs must round-trip as (doc_id, [], 0) — the same
+    contract as token_counts, so a loader join loses no doc_ids
+    (review r7)."""
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "   "), (4, "abc")],
+        "doc_id bigint, text string")
+    model = {"version": 1, "merges": [["a", "b"]], "alphabet": [],
+             "params": {}}
+    enc = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in encode_docs(docs, model).collect()}
+    assert set(enc) == {1, 2, 3, 4}
+    assert enc[2] == ([], 0) and enc[3] == ([], 0)
+    assert enc[4] == (["ab", "c"], 2)
+    assert enc[1][1] == len("helloworld")
+    from kingfisher_process_spark.functions.tokenizer import token_counts
+    cheap = {r["doc_id"]: r["n_tokens"]
+             for r in token_counts(docs, model).collect()}
+    assert cheap == {d: n for d, (_, n) in enc.items()}
+
+
+def test_summary_from_encoded_matches_encode_summary(spark, tmp_path):
+    from kingfisher_process_spark.functions.tokenizer import (
+        summary_from_encoded)
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    path = str(tmp_path / "tok.json")
+    save_tokenizer(bpe_train(docs), corpus_alphabet(docs), path)
+    model = load_tokenizer(path)
+    enc = encode_docs(docs, model)
+    cheap = summary_from_encoded(docs, enc).collect()[0].asDict()
+    full = encode_summary(docs, model).collect()[0].asDict()
+    assert cheap == full
