@@ -26,6 +26,7 @@ def _registry():
         import kingfisher_process_spark.functions.tokenizer  # noqa: F401
         import kingfisher_process_spark.functions.dedup  # noqa: F401
         import kingfisher_process_spark.functions.similarity  # noqa: F401
+        import kingfisher_process_spark.functions.ann_index  # noqa: F401
         import kingfisher_process_spark.functions.multimodal  # noqa: F401
         import kingfisher_process_spark.functions.sketch  # noqa: F401
         import kingfisher_process_spark.functions.zorder  # noqa: F401
@@ -84,9 +85,11 @@ def _registry():
     #     datetime, dedup signatures, LSH ANN, and the partitioned MV;
     #     a10_approx_distinct stays out — rows-only by design, a slot
     #     spent on it buys no triple-green). The remaining 26 r4-era
-    #     probes rotate in r8, plus t_tok_frozen_encode (registered
-    #     after the r7 cap freeze — the tokenizer-artifact round-trip,
-    #     never driver-checked); all are CI-parity-green every run.
+    #     probes rotate in r8, plus the two post-freeze r7 additions
+    #     that have never had a driver row: t_tok_frozen_encode (the
+    #     tokenizer-artifact round-trip) and st_ann_index_maintenance
+    #     (stream-upserted index serving, shares the residual IVF-PQ
+    #     retraining oracle); all are CI-parity-green every run.
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",

@@ -46,16 +46,17 @@ from kingfisher_process_spark.functions.similarity import (
     K_CELLS, N_PROBE, PQ_M, PQ_TRAIN_K, TOP_K)
 
 
-def build_index(spark: SparkSession, emb: DataFrame, out_dir: str,
-                cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K) -> dict:
-    """Train the coarse quantizer and residual PQ codebooks, encode the
-    corpus, and persist the index directory. Returns the build audit."""
+def init_index(spark: SparkSession, emb: DataFrame, out_dir: str,
+               cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K) -> dict:
+    """Train the model on a corpus WITHOUT encoding it: persist
+    model.json + an empty codes tree. The streaming-maintenance entry
+    point — batches then arrive through upsert_index, each encoded with
+    this frozen model, and the result converges to build_index on the
+    same corpus (probe st_ann_index_maintenance pins bit-equality)."""
     cents = train_ivf_grid_centroids(emb, k=cells)
     res = _residuals(_quantized(emb), cents)
     rcbs = _train_pq_on(res.select("vec_id", "qa"), k=pq_k)
-    codes = res.selectExpr("vec_id", "cell", *_code_exprs(rcbs))
-    (codes.repartition("cell").write.mode("overwrite")
-     .partitionBy("cell").parquet(os.path.join(out_dir, "codes")))
+    os.makedirs(os.path.join(out_dir, "codes"), exist_ok=True)
     model = {
         "centroids": cents,
         "codebooks": rcbs,
@@ -63,6 +64,20 @@ def build_index(spark: SparkSession, emb: DataFrame, out_dir: str,
     }
     with open(os.path.join(out_dir, "model.json"), "w") as f:
         json.dump(model, f)
+    return model
+
+
+def build_index(spark: SparkSession, emb: DataFrame, out_dir: str,
+                cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K) -> dict:
+    """Train the coarse quantizer and residual PQ codebooks, encode the
+    corpus, and persist the index directory. Returns the build audit."""
+    model = init_index(spark, emb, out_dir, cells=cells, pq_k=pq_k)
+    cents = [list(map(int, c)) for c in model["centroids"]]
+    rcbs = [[[int(v) for v in c] for c in m] for m in model["codebooks"]]
+    codes = (_residuals(_quantized(emb), cents)
+             .selectExpr("vec_id", "cell", *_code_exprs(rcbs)))
+    (codes.repartition("cell").write.mode("overwrite")
+     .partitionBy("cell").parquet(os.path.join(out_dir, "codes")))
     n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
     return {"n_vectors": n, "cells": cells, "pq_k": pq_k,
             "bytes_per_vector": PQ_M, "index": out_dir}
@@ -352,12 +367,14 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
 
 
 def _existing_ids(spark: SparkSession, codes_dir: str,
-                  cells: list[int]) -> DataFrame:
+                  cells: list[int], model: dict) -> DataFrame:
     """vec_ids already present in the given cells — the upsert's
     idempotence probe. The ``cell IN (...)`` literal filter reaches the
     scan as a PartitionFilter (plan-pinned in tests), so the read is
-    O(touched cells), never the whole codes tree."""
-    return (spark.read.parquet(codes_dir)
+    O(touched cells), never the whole codes tree. Explicit schema: an
+    init_index'd (not-yet-upserted) tree has no files to infer from."""
+    return (spark.read.option("basePath", codes_dir)
+            .schema(_codes_schema(model)).parquet(codes_dir)
             .where(F.col("cell").isin(cells))
             .select("vec_id"))
 
@@ -417,7 +434,7 @@ def upsert_index(spark: SparkSession, emb: DataFrame,
                         .schema(_codes_schema(model)).parquet(codes_dir)
                         .select("vec_id"))
         else:
-            existing = _existing_ids(spark, codes_dir, new_cells)
+            existing = _existing_ids(spark, codes_dir, new_cells, model)
         codes = codes.join(existing, "vec_id", "left_anti").localCheckpoint()
         n_new = codes.count()
         if n_new:
@@ -427,3 +444,68 @@ def upsert_index(spark: SparkSession, emb: DataFrame,
              .schema(_codes_schema(model)).parquet(codes_dir).count())
     return {"n_added": n_new, "n_vectors": total, "index": index_dir,
             "cells_touched": len(new_cells)}
+
+
+# ---------------------------------------------------------------------------
+# Streaming index maintenance — the dirty-set pattern applied to the
+# serving index itself: the corpus arrives in micro-batches; the model
+# is trained ONCE (init_index), every batch encodes with the frozen
+# model through upsert_index (idempotent under at-least-once replays —
+# the pruned existence anti-join), compaction folds committed appends
+# mid-loop, and the final serving output must be BIT-IDENTICAL to the
+# one-shot in-plan probe — so the probe shares ann_ivfpq_residual_topk's
+# quantizer-retraining oracle verbatim.
+# ---------------------------------------------------------------------------
+
+
+def _register_stream_probe() -> None:
+    from kingfisher_process_spark.plans.base import (
+        REGISTRY, load_tables, oracle_of, probe)
+
+    @probe("st_ann_index_maintenance", None,
+           survey_ids="similarity-ext,streaming-ext,J1,O5")
+    def st_ann_index_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+        """Continuously-maintained ANN index: embeddings arrive as a
+        4-slice file stream sliced by pmod(hash(vec_id), 4) — NOT
+        id-ordered. foreachBatch upserts each batch into an
+        init_index'd (model-trained, codes-empty) index; batch 2 runs
+        an in-loop compact_index under the correctness gate. The final
+        query_index output must hash-match the BATCH probe's oracle
+        (ann_ivfpq_residual_topk's retraining SQL), proving
+        stream-upserted serving converges to the one-shot build for
+        any batch split, THROUGH a compaction."""
+        import tempfile
+
+        from kingfisher_process_spark.functions.similarity import N_QUERIES
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        tmp = tempfile.mkdtemp(prefix="kps_stann_")
+        idx = os.path.join(tmp, "idx")
+        init_index(spark, emb, idx)
+        watch = os.path.join(tmp, "watch")
+        os.makedirs(watch)
+        for i in range(4):
+            (emb.where(F.pmod(F.hash("vec_id"), F.lit(4)) == i).coalesce(1)
+             .write.mode("append").parquet(os.path.join(watch, f"slice={i}")))
+
+        def upsert(batch_df, batch_id):
+            upsert_index(batch_df.sparkSession, batch_df, idx)
+            if batch_id == 2:
+                compact_index(batch_df.sparkSession, idx)
+
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(watch, "slice=*"))
+                  .writeStream.foreachBatch(upsert)
+                  .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                  .trigger(availableNow=True).start())
+        stream.awaitTermination()
+        return query_index(spark, idx,
+                           emb.where(F.col("vec_id") < N_QUERIES))
+
+    REGISTRY["st_ann_index_maintenance"].oracle = oracle_of(
+        "ann_ivfpq_residual_topk")
+
+
+_register_stream_probe()

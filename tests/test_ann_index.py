@@ -103,7 +103,7 @@ def test_upsert_existence_read_prunes_to_touched_cells(spark, tmp_path):
     emb = load_tables(spark, SF_SMOKE)["embeddings"]
     idx = str(tmp_path / "idx")
     build_index(spark, emb, idx)
-    plan = (_existing_ids(spark, idx + "/codes", [0, 1])
+    plan = (_existing_ids(spark, idx + "/codes", [0, 1], load_model(idx))
             ._jdf.queryExecution().executedPlan().toString())
     assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
 
