@@ -46,24 +46,37 @@ from kingfisher_process_spark.functions.similarity import (
     K_CELLS, N_PROBE, PQ_M, PQ_TRAIN_K, TOP_K)
 
 
-def init_index(spark: SparkSession, emb: DataFrame, out_dir: str,
+def init_index(emb: DataFrame, out_dir: str,
                cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K) -> dict:
     """Train the model on a corpus WITHOUT encoding it: persist
-    model.json + an empty codes tree. The streaming-maintenance entry
-    point — batches then arrive through upsert_index, each encoded with
-    this frozen model, and the result converges to build_index on the
-    same corpus (probe st_ann_index_maintenance pins bit-equality)."""
+    model.json + an EMPTY codes tree (any prior generation's codes are
+    cleared — they were encoded under the old model and decoding them
+    with the new codebooks would silently corrupt rankings). The
+    streaming-maintenance entry point — batches then arrive through
+    upsert_index, each encoded with this frozen model, and the result
+    converges to build_index on the same corpus (probe
+    st_ann_index_maintenance pins bit-equality). Serializes on the
+    writer lock like every other index mutation; model.json publishes
+    atomically (write-temp + rename) so a concurrent load_model can
+    never see a torn file."""
     cents = train_ivf_grid_centroids(emb, k=cells)
     res = _residuals(_quantized(emb), cents)
     rcbs = _train_pq_on(res.select("vec_id", "qa"), k=pq_k)
-    os.makedirs(os.path.join(out_dir, "codes"), exist_ok=True)
     model = {
         "centroids": cents,
         "codebooks": rcbs,
         "params": {"cells": cells, "pq_k": pq_k, "pq_m": PQ_M},
     }
-    with open(os.path.join(out_dir, "model.json"), "w") as f:
-        json.dump(model, f)
+    os.makedirs(out_dir, exist_ok=True)
+    with _writer_lock(out_dir):
+        codes_dir = os.path.join(out_dir, "codes")
+        shutil.rmtree(codes_dir, ignore_errors=True)
+        os.makedirs(codes_dir)
+        shutil.rmtree(_tombstones_path(out_dir), ignore_errors=True)
+        tmp = os.path.join(out_dir, ".model.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(model, f)
+        os.replace(tmp, os.path.join(out_dir, "model.json"))
     return model
 
 
@@ -71,11 +84,10 @@ def build_index(spark: SparkSession, emb: DataFrame, out_dir: str,
                 cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K) -> dict:
     """Train the coarse quantizer and residual PQ codebooks, encode the
     corpus, and persist the index directory. Returns the build audit."""
-    model = init_index(spark, emb, out_dir, cells=cells, pq_k=pq_k)
-    cents = [list(map(int, c)) for c in model["centroids"]]
-    rcbs = [[[int(v) for v in c] for c in m] for m in model["codebooks"]]
-    codes = (_residuals(_quantized(emb), cents)
-             .selectExpr("vec_id", "cell", *_code_exprs(rcbs)))
+    model = init_index(emb, out_dir, cells=cells, pq_k=pq_k)
+    codes = (_residuals(_quantized(emb), model["centroids"])
+             .selectExpr("vec_id", "cell",
+                         *_code_exprs(model["codebooks"])))
     (codes.repartition("cell").write.mode("overwrite")
      .partitionBy("cell").parquet(os.path.join(out_dir, "codes")))
     n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
@@ -380,7 +392,8 @@ def _existing_ids(spark: SparkSession, codes_dir: str,
 
 
 def upsert_index(spark: SparkSession, emb: DataFrame,
-                 index_dir: str, strict: bool = False) -> dict:
+                 index_dir: str, strict: bool = False,
+                 count_total: bool = True) -> dict:
     """Insert-if-absent index maintenance: encode NEW vectors with the
     FROZEN model (no retraining — the production contract for online
     adds; retrain by rebuilding when drift warrants) and append them to
@@ -440,8 +453,13 @@ def upsert_index(spark: SparkSession, emb: DataFrame,
         if n_new:
             (codes.repartition("cell").write.mode("append")
              .partitionBy("cell").parquet(codes_dir))
-    total = (spark.read.option("basePath", codes_dir)
-             .schema(_codes_schema(model)).parquet(codes_dir).count())
+    # the whole-tree audit count is O(index files) — fine for ad-hoc
+    # CLI upserts, wrong inside a per-trigger maintenance loop (review
+    # r7): streaming callers pass count_total=False and track n_added
+    total = None
+    if count_total:
+        total = (spark.read.option("basePath", codes_dir)
+                 .schema(_codes_schema(model)).parquet(codes_dir).count())
     return {"n_added": n_new, "n_vectors": total, "index": index_dir,
             "cells_touched": len(new_cells)}
 
@@ -482,7 +500,7 @@ def _register_stream_probe() -> None:
         emb = load_tables(spark, sf_dir)["embeddings"]
         tmp = tempfile.mkdtemp(prefix="kps_stann_")
         idx = os.path.join(tmp, "idx")
-        init_index(spark, emb, idx)
+        init_index(emb, idx)
         watch = os.path.join(tmp, "watch")
         os.makedirs(watch)
         for i in range(4):
@@ -490,7 +508,8 @@ def _register_stream_probe() -> None:
              .write.mode("append").parquet(os.path.join(watch, f"slice={i}")))
 
         def upsert(batch_df, batch_id):
-            upsert_index(batch_df.sparkSession, batch_df, idx)
+            upsert_index(batch_df.sparkSession, batch_df, idx,
+                         count_total=False)  # O(batch) per trigger
             if batch_id == 2:
                 compact_index(batch_df.sparkSession, idx)
 

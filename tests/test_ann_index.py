@@ -372,3 +372,28 @@ def test_fully_emptied_index_still_serves_and_reports(spark, tmp_path):
     assert query_index(spark, idx, queries).count() == 0
     stat = index_stats(spark, idx)
     assert stat["n_vectors"] == 0 and stat["n_pending_tombstones"] == 0
+
+
+def test_reinit_clears_prior_generation(spark, tmp_path):
+    """Re-training via init_index must clear old-model codes and
+    tombstones: decoding prior-generation codes with the new codebooks
+    would silently corrupt rankings (review r7)."""
+    import glob
+
+    from kingfisher_process_spark.functions.ann_index import (
+        delete_index, init_index, upsert_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx)
+    delete_index(spark, idx, [1, 2])
+    init_index(emb, idx, cells=4)  # retrain at a different geometry
+    assert not glob.glob(os.path.join(idx, "codes", "**", "*.parquet"),
+                         recursive=True)
+    assert not glob.glob(os.path.join(idx, "tombstones", "*.parquet"))
+    assert load_model(idx)["params"]["cells"] == 4
+    # fresh upserts under the new model serve normally
+    out = upsert_index(spark, emb, idx)
+    assert out["n_added"] == emb.count()
+    assert query_index(spark, idx,
+                       emb.where(F.col("vec_id") < 2)).count() > 0
