@@ -226,6 +226,20 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     timings["ann_index_serve_prod64"] = round(best, 4)
 
+    # Refine-tier serving (r8): ADC shortlist (4x k) + exact grid-L2
+    # rerank fetched from the vectors tree — the recall-restoring
+    # production path (SCALE.md §14: clustered recall 0.24 -> 0.79).
+    # Build outside the timer like the other serving entries.
+    idx_rr = tempfile.mkdtemp(prefix="kps_bench_annidxrr_")
+    build_index(spark, emb, idx_rr, store_vectors=True)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        query_index(spark, idx_rr, queries, rerank=True).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["ann_index_serve_rerank"] = round(best, 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir

@@ -146,6 +146,9 @@ def build_parser() -> argparse.ArgumentParser:
     ab.add_argument("--output", required=True)
     ab.add_argument("--cells", type=int, default=None)
     ab.add_argument("--pq-k", type=int, default=None)
+    ab.add_argument("--store-vectors", action="store_true",
+                    help="also persist exact grid vectors per cell — "
+                         "enables annquery --rerank (the refine tier)")
 
     aq = sub.add_parser("annquery",
                         help="serve top-k from a persisted ANN index")
@@ -154,6 +157,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="embeddings parquet holding the query vectors")
     aq.add_argument("--top-k", type=int, default=None)
     aq.add_argument("--n-probe", type=int, default=None)
+    aq.add_argument("--rerank", action="store_true",
+                    help="exact grid-L2 refine over the 4x ADC shortlist "
+                         "(needs an index built with --store-vectors)")
 
     au = sub.add_parser("annupsert",
                         help="append new vectors to an index (frozen model; "
@@ -273,7 +279,8 @@ def _dispatch(args, spark, store) -> int:
         audit = build_index(
             spark, emb, args.output,
             cells=K_CELLS if args.cells is None else args.cells,
-            pq_k=PQ_TRAIN_K if args.pq_k is None else args.pq_k)
+            pq_k=PQ_TRAIN_K if args.pq_k is None else args.pq_k,
+            store_vectors=args.store_vectors)
         print(json.dumps(audit))
         return 0
 
@@ -375,7 +382,8 @@ def _dispatch(args, spark, store) -> int:
         res = query_index(
             spark, args.index, queries,
             top_k=TOP_K if args.top_k is None else args.top_k,
-            n_probe=N_PROBE if args.n_probe is None else args.n_probe)
+            n_probe=N_PROBE if args.n_probe is None else args.n_probe,
+            rerank=args.rerank)
         print(json.dumps([r.asDict() for r in res.collect()]))
         return 0
 

