@@ -98,9 +98,11 @@ def _registry():
     #     regression watch, skewed OCDS compile, crawl diff, and
     #     stateful sessionization). The remaining 29 r5-era probes
     #     (u1_union_distinct_buyers joins them — its U-family shape was
-    #     driver-checked in r7 via u4) rotate in r9. Every entry below
-    #     was re-verified green at sf0.01 against its DuckDB oracle
-    #     before this freeze.
+    #     driver-checked in r7 via u4) rotate in r9, plus the one
+    #     post-freeze r8 addition st_ann_index_rerank_maintenance (the
+    #     streamed vectors-tree twin, CI-parity-green at both SFs).
+    #     Every entry below was re-verified green at sf0.01 against its
+    #     DuckDB oracle before this freeze.
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",

@@ -190,8 +190,12 @@ def _writer_lock(index_dir: str):
                 if ":" in raw:
                     host, _, raw = raw.rpartition(":")
                 pid = int(raw or "0")
-            if (attempt == 0 and pid is not None
-                    and host == local_host and not _pid_alive(pid)):
+            # pid 0 = a writer that crashed between O_EXCL create and
+            # the payload write: os.kill(0, 0) signals our own process
+            # GROUP (always "alive"), so without this clause an empty
+            # lock file could never be auto-broken
+            if (attempt == 0 and pid is not None and host == local_host
+                    and (pid == 0 or not _pid_alive(pid))):
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(path)  # stale: holder died on THIS host
                 continue
@@ -271,11 +275,13 @@ def _exchange_dirs(a: str, b: str) -> bool:
         renameat2 = libc.renameat2
     except (OSError, AttributeError):
         return False
+    import errno
+
     at_fdcwd, rename_exchange = -100, 2
     if renameat2(at_fdcwd, os.fsencode(a), at_fdcwd, os.fsencode(b),
                  rename_exchange) != 0:
         err = ctypes.get_errno()
-        if err in (38, 22, 95):  # ENOSYS / EINVAL / EOPNOTSUPP
+        if err in (errno.ENOSYS, errno.EINVAL, errno.EOPNOTSUPP):
             return False
         raise OSError(err, os.strerror(err), a)
     return True
@@ -479,6 +485,13 @@ def _fold_tree(spark: SparkSession, tree_dir: str, schema: str,
     """Fold the listed cells of one tree (codes or vectors) to one file
     per cell, dropping tombstoned rows, via the staged atomic swap.
     Returns (n_cells, n_rows_deleted)."""
+    # a cell may be absent from THIS tree while listed (tombstone-hit
+    # cells come from the codes tree; a crash between the codes and
+    # vectors appends can leave the vectors tree without it) — folding
+    # only the dirs that exist is correct: an absent cell has no rows
+    # to delete or fold
+    frag = [c for c in frag
+            if os.path.isdir(os.path.join(tree_dir, f"cell={c}"))]
     if not frag:
         return 0, 0
     staging = os.path.join(tree_dir, ".compact_staging")
@@ -787,27 +800,18 @@ def _register_stream_probe() -> None:
     from kingfisher_process_spark.plans.base import (
         REGISTRY, load_tables, oracle_of, probe)
 
-    @probe("st_ann_index_maintenance", None,
-           survey_ids="similarity-ext,streaming-ext,J1,O5")
-    def st_ann_index_maintenance(spark: SparkSession,
-                                 sf_dir: str) -> DataFrame:
-        """Continuously-maintained ANN index: embeddings arrive as a
-        4-slice file stream sliced by pmod(hash(vec_id), 4) — NOT
-        id-ordered. foreachBatch upserts each batch into an
-        init_index'd (model-trained, codes-empty) index; batch 2 runs
-        an in-loop compact_index under the correctness gate. The final
-        query_index output must hash-match the BATCH probe's oracle
-        (ann_ivfpq_residual_topk's retraining SQL), proving
-        stream-upserted serving converges to the one-shot build for
-        any batch split, THROUGH a compaction."""
+    def _stream_maintained_index(spark: SparkSession, sf_dir: str,
+                                 store_vectors: bool) -> tuple[str, DataFrame]:
+        """Shared skeleton: train once (init_index), stream the corpus
+        in 4 hash-slices (NOT id-ordered) through foreachBatch upserts,
+        compact in-loop at batch 2 — returns the maintained index path
+        and the corpus."""
         import tempfile
-
-        from kingfisher_process_spark.functions.similarity import N_QUERIES
 
         emb = load_tables(spark, sf_dir)["embeddings"]
         tmp = tempfile.mkdtemp(prefix="kps_stann_")
         idx = os.path.join(tmp, "idx")
-        init_index(emb, idx)
+        init_index(emb, idx, store_vectors=store_vectors)
         watch = os.path.join(tmp, "watch")
         os.makedirs(watch)
         for i in range(4):
@@ -827,11 +831,54 @@ def _register_stream_probe() -> None:
                   .option("checkpointLocation", os.path.join(tmp, "ckpt"))
                   .trigger(availableNow=True).start())
         stream.awaitTermination()
+        return idx, emb
+
+    @probe("st_ann_index_maintenance", None,
+           survey_ids="similarity-ext,streaming-ext,J1,O5")
+    def st_ann_index_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+        """Continuously-maintained ANN index: embeddings arrive as a
+        4-slice file stream sliced by pmod(hash(vec_id), 4) — NOT
+        id-ordered. foreachBatch upserts each batch into an
+        init_index'd (model-trained, codes-empty) index; batch 2 runs
+        an in-loop compact_index under the correctness gate. The final
+        query_index output must hash-match the BATCH probe's oracle
+        (ann_ivfpq_residual_topk's retraining SQL), proving
+        stream-upserted serving converges to the one-shot build for
+        any batch split, THROUGH a compaction."""
+        from kingfisher_process_spark.functions.similarity import N_QUERIES
+
+        idx, emb = _stream_maintained_index(spark, sf_dir,
+                                            store_vectors=False)
         return query_index(spark, idx,
                            emb.where(F.col("vec_id") < N_QUERIES))
 
     REGISTRY["st_ann_index_maintenance"].oracle = oracle_of(
         "ann_ivfpq_residual_topk")
+
+    @probe("st_ann_index_rerank_maintenance", None,
+           survey_ids="similarity-ext,streaming-ext,J1,O5")
+    def st_ann_index_rerank_maintenance(spark: SparkSession,
+                                        sf_dir: str) -> DataFrame:
+        """The refine tier under streaming maintenance (r8): the SAME
+        hash-sliced micro-batch upsert loop, with the index
+        rerank-capable (store_vectors) — every batch appends BOTH
+        trees, the in-loop compaction folds both, and the final
+        rerank-served top-k must hash-match ann_index_rerank_topk's
+        one-shot-build oracle. Pins that the vectors tree's per-tree
+        existence anti-join keeps codes and vectors converged under
+        at-least-once replay + compaction — the failure mode a
+        single-tree check could not see."""
+        from kingfisher_process_spark.functions.similarity import N_QUERIES
+
+        idx, emb = _stream_maintained_index(spark, sf_dir,
+                                            store_vectors=True)
+        return query_index(spark, idx,
+                           emb.where(F.col("vec_id") < N_QUERIES),
+                           rerank=True)
+
+    REGISTRY["st_ann_index_rerank_maintenance"].oracle = oracle_of(
+        "ann_index_rerank_topk")
 
 
 _register_stream_probe()

@@ -544,6 +544,11 @@ def test_rerank_serving_through_full_lifecycle(spark, tmp_path):
 
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     got = query_index(spark, idx, queries, rerank=True)
+    # the vectors fetch must partition-prune to the probed cells, like
+    # the codes scan — never a full vectors-tree read
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"vectors\]?, PartitionFilters: \[[^]]*cell", plan) \
+        or re.search(r"PartitionFilters: \[[^]]*cell[^]]*INSET", plan), plan
     rows = got.collect()
     assert set(got.columns) == {"query_id", "neighbor_id", "l2_dist", "rnk"}
     adc = query_index(spark, idx, queries)
@@ -618,3 +623,60 @@ def test_rerank_recall_dominates_adc_on_clustered_data(spark, tmp_path):
                             rerank=True).collect())
     assert rr > adc, (rr, adc)
     assert rr >= 0.5, rr  # measured 0.79 @20k/0.7+ @2k; wide margin
+
+
+def test_empty_lock_file_is_broken_as_stale(spark, tmp_path):
+    """A writer that crashed between O_EXCL create and the payload
+    write leaves an EMPTY lock: pid parses as 0, and os.kill(0, 0)
+    signals our own process group ("alive" forever) — the r8 stale
+    break must treat it as dead, not wedge the index permanently."""
+    from kingfisher_process_spark.functions.ann_index import upsert_index
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb.where(F.col("vec_id") < 300), idx)
+    open(os.path.join(idx, ".writer_lock"), "w").close()  # empty payload
+    out = upsert_index(spark, emb.where(F.col("vec_id") >= 300), idx)
+    assert out["n_added"] > 0
+    assert not os.path.isfile(os.path.join(idx, ".writer_lock"))
+
+
+def test_compact_survives_vectors_cell_missing(spark, tmp_path):
+    """Crash window between the codes append and the vectors append: a
+    cell can exist in codes but not in vectors. Deleting ids in that
+    cell and compacting must fold the codes tree and SKIP the absent
+    vectors cell instead of failing on a missing read path; the next
+    upsert replay converges the vectors tree."""
+    import shutil
+
+    from kingfisher_process_spark.functions.ann_index import (
+        _vectors_schema, compact_index, delete_index, upsert_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb.where(F.col("vec_id") < 300), idx,
+                store_vectors=True)
+    upsert_index(spark, emb.where(F.col("vec_id") >= 300), idx)
+    # simulate the crash: drop one vectors cell that codes still has
+    vec_dir = os.path.join(idx, "vectors")
+    import glob as _g
+    victim = sorted(_g.glob(os.path.join(vec_dir, "cell=*")))[0]
+    cname = os.path.basename(victim).split("=", 1)[1]
+    lost = {r["vec_id"] for r in
+            (spark.read.option("basePath", vec_dir)
+             .schema(_vectors_schema()).parquet(victim).collect())}
+    shutil.rmtree(victim)
+    # tombstone two ids routed to that cell, then compact
+    dead = sorted(lost)[:2]
+    delete_index(spark, idx, dead)
+    c = compact_index(spark, idx)
+    assert c["n_deleted"] == 2  # codes rows dropped
+    # replaying the lost slice converges vectors without duplicating codes
+    again = upsert_index(
+        spark, emb.where(F.col("vec_id").isin([int(v) for v in lost
+                                               if v not in dead])), idx)
+    assert again["n_added"] == 0  # codes already complete
+    vecs = (spark.read.option("basePath", vec_dir)
+            .schema(_vectors_schema()).parquet(vec_dir))
+    assert vecs.where(F.col("cell") == int(cname)).count() == len(lost) - 2
+    assert vecs.count() == vecs.select("vec_id").distinct().count()
