@@ -252,8 +252,10 @@ def coverage_report(docs: DataFrame, model: dict) -> DataFrame:
             .select("doc_id", "s", unk)
             .agg(F.count(F.lit(1)).cast("long")
                  .alias("n_symbol_occurrences"),
-                 F.sum(F.col("unk").cast("long")).cast("long")
-                 .alias("n_unknown_occurrences"),
+                 # coalesce: a symbol-less corpus reports 0 unknowns
+                 # (coverage itself is NULL there — 0/0 is meaningless)
+                 F.coalesce(F.sum(F.col("unk").cast("long")), F.lit(0))
+                 .cast("long").alias("n_unknown_occurrences"),
                  F.count_distinct(F.when(F.col("unk"), F.col("s")))
                  .cast("long").alias("n_unknown_symbols"),
                  F.count_distinct(F.when(F.col("unk"), F.col("doc_id")))
@@ -308,7 +310,7 @@ def _tok_coverage_sql() -> str:
     )
     SELECT
       CAST(COUNT(*) AS BIGINT) AS n_symbol_occurrences,
-      CAST(SUM(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT)
+      CAST(COALESCE(SUM(CASE WHEN unk THEN 1 ELSE 0 END), 0) AS BIGINT)
         AS n_unknown_occurrences,
       CAST(COUNT(DISTINCT CASE WHEN unk THEN s END) AS BIGINT)
         AS n_unknown_symbols,

@@ -96,6 +96,12 @@ SHOWCASE = [
      "One partial+final count per ladder rung over a SHRINKING "
      "remainder; the per-level size table joins back as a broadcast; "
      "the documents scan reads only the 3 quasi-identifier columns."),
+    ("ann_index_rerank_topk",
+     "Persisted-index refine tier: BOTH index scans (codes, vectors) "
+     "carry PartitionFilters over the probed cells; the 4x-k ADC "
+     "shortlist and the query vectors join as BROADCASTs, so the "
+     "exact grid-L2 rescore touches O(shortlist) rows and raw vectors "
+     "never shuffle."),
 ]
 
 
