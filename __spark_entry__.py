@@ -90,17 +90,19 @@ def _registry():
     #     rows-only by design) + the two post-freeze r7 additions that
     #     have never had a driver row (t_tok_frozen_encode,
     #     st_ann_index_maintenance) + the r8 additions (t_tok_coverage,
-    #     the frozen-alphabet drift audit, and ann_index_rerank_topk,
-    #     the persisted-index refine tier) + six family sentinels + the
-    #     15 longest-unchecked r5-era probes to fill 50 (family spread:
+    #     the frozen-alphabet drift audit; ann_index_rerank_topk, the
+    #     persisted-index refine tier; sk_hll_distinct, the
+    #     deterministic exact-oracle HLL) + six family sentinels + the
+    #     14 longest-unchecked r5-era probes to fill 50 (family spread:
     #     TPC-H aggregates/joins/windows, JSON predicate, scalar
     #     functions, exact-dup + MinHash-LSH dedup, the ann_ivfpq_topk
     #     regression watch, skewed OCDS compile, crawl diff, and
     #     stateful sessionization). The remaining 29 r5-era probes
-    #     (u1_union_distinct_buyers joins them — its U-family shape was
-    #     driver-checked in r7 via u4) rotate in r9, plus the one
-    #     post-freeze r8 addition st_ann_index_rerank_maintenance (the
-    #     streamed vectors-tree twin, CI-parity-green at both SFs).
+    #     (u1_union_distinct_buyers and a8_exists_guard join them —
+    #     their U/A family shapes are in-cap via u4-r7 and a3/a7)
+    #     rotate in r9, plus the one post-freeze r8 addition
+    #     st_ann_index_rerank_maintenance (the streamed vectors-tree
+    #     twin, CI-parity-green at both SFs).
     #     Every entry below was re-verified green at sf0.01 against its
     #     DuckDB oracle before this freeze.
     priority = [
@@ -110,7 +112,7 @@ def _registry():
         "t_sequence_packing", "m_resize_images",
         # never-driver-checked: post-freeze r7 probes + the r8 additions
         "t_tok_frozen_encode", "st_ann_index_maintenance",
-        "t_tok_coverage", "ann_index_rerank_topk",
+        "t_tok_coverage", "ann_index_rerank_topk", "sk_hll_distinct",
         # the 25 remaining r4-era probes (judge r7 #1; last row: r4)
         "a13_conditional_agg", "a15_unpivot_monthly_metrics",
         "a9_rollup_revenue", "ann_recall_audit", "d_curation_funnel",
@@ -124,7 +126,7 @@ def _registry():
         "q6_forecast_revenue", "s_lsh_buckets", "t_bpe_token_counts",
         "t_fingerprint", "t_repetition_metrics",
         # longest-unchecked r5-era fill (last driver row: r5)
-        "a3_distinct_counts", "a7_group_counter", "a8_exists_guard",
+        "a3_distinct_counts", "a7_group_counter",
         "j2_customers_without_orders", "j5_recursive_tree",
         "o3_latest_order_per_customer",
         "p6_json_predicate", "f_scalar_functions",

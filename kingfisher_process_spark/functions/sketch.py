@@ -295,3 +295,173 @@ def sk_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                f"mn + ((mx - mn) / {HIST_BUCKETS}.0)"
                f" * (bk + (r - (cum - c)) * 1.0 / c) AS est_value"))
     return est.orderBy("qpm")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (r8): the distinct-count sketch joins the
+# exact-oracle family. Spark's approx_count_distinct (a10) is engine-
+# specific HLL++ and can only be rows-only checked; THIS sketch derives
+# bucket and rho from md5 hex — (p=8 → 256 registers; rho = leading
+# zero BITS of the next 120 hash bits + 1, read off the hex digits with
+# pure string ops) — and accumulates the harmonic sum in EXACT decimal
+# (rho capped at 32 so every 2^-rho term is exactly representable at
+# scale 35; the cap's bias is P(rho>32) ≈ 2^-32, unobservable), so
+# DuckDB replays sketch AND estimator bit-for-bit. No bias corrections
+# (raw HLL estimator only): corrections need ln(), whose libm rounding
+# is not contractually identical across engines; the probe outputs the
+# exact count and relative error alongside, so the quality is VISIBLE
+# in the verified artifact rather than assumed.
+# ---------------------------------------------------------------------------
+
+HLL_P = 8
+HLL_M = 1 << HLL_P          # registers
+HLL_RHO_CAP = 32            # keeps 2^-rho exact in DECIMAL(38,35)
+def _dlit(v: float) -> str:
+    """A float as a DOUBLE literal in BOTH engines: bare decimal
+    literals parse as DECIMAL (and round) in DuckDB and ANSI Spark —
+    the exponent suffix forces double-precision parsing of the exact
+    shortest repr."""
+    r = repr(float(v))
+    return r if "e" in r or "E" in r else r + "e0"
+
+
+# alpha_m * m^2 for m=256 — ONE python-computed literal embedded in both
+# engines' texts, so the final division has identical operands
+HLL_ALPHA_MM = _dlit(0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M)
+
+# Small-range (linear counting) correction: est = m * ln(m / V) when the
+# raw estimate <= 2.5m and V (zero registers) > 0. ln() is libm — not
+# contractually bit-identical across engines — but its only possible
+# inputs here are V in 1..m, so the whole function is a 256-entry
+# literal table precomputed in Python and embedded verbatim in BOTH
+# texts (same trick as the alpha literal, applied to a function).
+import math as _math
+
+HLL_LINEAR = [_dlit(HLL_M * _math.log(HLL_M / v))
+              for v in range(1, HLL_M + 1)]
+
+def _hll_lzd_case(d: str) -> str:
+    """Leading zero BITS within the first non-zero hex digit ``d`` (''
+    when the whole rest is zeros — ELSE 0, the cap absorbs it)."""
+    return (f"CASE WHEN {d} = '1' THEN 3 WHEN {d} IN ('2', '3') THEN 2 "
+            f"WHEN {d} IN ('4', '5', '6', '7') THEN 1 ELSE 0 END")
+
+
+def hll_registers(df: DataFrame, key_sql: str) -> DataFrame:
+    """(bucket, m) — present-bucket max-rho registers for ``key_sql``.
+    One map-side hash projection + a 256-group groupBy with map-side
+    partials: each task reduces to <=256 rows before the one tiny
+    shuffle, which is exactly HLL's merge-for-free property (register
+    MAX is the merge operator)."""
+    return (df
+            .selectExpr(f"md5('hll:' || CAST({key_sql} AS STRING)) AS h")
+            .selectExpr(
+                "CAST(conv(substring(h, 1, 2), 16, 10) AS INT) AS bucket",
+                "substring(h, 3, 30) AS rest")
+            .selectExpr(
+                "bucket",
+                "length(regexp_extract(rest, '^(0*)', 1)) AS zh", "rest")
+            .selectExpr(
+                "bucket", "zh", "substring(rest, zh + 1, 1) AS d")
+            .selectExpr(
+                "bucket",
+                f"LEAST(4 * zh + {_hll_lzd_case('d')} + 1, {HLL_RHO_CAP})"
+                " AS rho")
+            .groupBy("bucket").agg(F.max("rho").alias("m")))
+
+
+def hll_estimate(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """(est_distinct, n_zero_registers) from a register table: absent
+    buckets count as zero registers; the harmonic sum is an exact
+    decimal accumulation cast to double ONCE at the end (the repo's
+    decimal-sum determinism device, OUTPUT TYPE POLICY)."""
+    base = spark.range(HLL_M).selectExpr("CAST(id AS INT) AS bucket")
+    return (base.join(F.broadcast(regs), "bucket", "left")
+            .selectExpr("COALESCE(m, 0) AS M")
+            .selectExpr(
+                "CAST(POWER(2.0, -M) AS DECIMAL(38,35)) AS term",
+                "CASE WHEN M = 0 THEN 1 ELSE 0 END AS z")
+            .agg(F.expr("SUM(term)").alias("hs"),
+                 F.expr("CAST(SUM(z) AS BIGINT)").alias("n_zero_registers"))
+            .selectExpr(
+                f"{HLL_ALPHA_MM} / CAST(hs AS DOUBLE) AS est_raw",
+                "n_zero_registers")
+            .selectExpr(
+                "est_raw",
+                f"CASE WHEN est_raw <= {_dlit(2.5 * HLL_M)}"
+                " AND n_zero_registers > 0"
+                f" THEN element_at(array({', '.join(HLL_LINEAR)}),"
+                " CAST(n_zero_registers AS INT))"
+                " ELSE est_raw END AS est_distinct",
+                "n_zero_registers"))
+
+
+_HLL_SQL = f"""
+    WITH h AS (
+      SELECT md5('hll:' || CAST(o_custkey AS VARCHAR)) AS h FROM orders),
+    parts AS (
+      SELECT CAST(CAST(('0x' || substr(h, 1, 2)) AS UBIGINT) AS INT)
+               AS bucket,
+             substr(h, 3, 30) AS rest
+      FROM h),
+    zs AS (
+      SELECT bucket,
+             length(regexp_extract(rest, '^(0*)', 1)) AS zh, rest
+      FROM parts),
+    ds AS (
+      SELECT bucket, zh, substr(rest, zh + 1, 1) AS d FROM zs),
+    rho AS (
+      SELECT bucket,
+             LEAST(4 * zh + {_hll_lzd_case("d")} + 1, {HLL_RHO_CAP}) AS rho
+      FROM ds),
+    regs AS (SELECT bucket, MAX(rho) AS m FROM rho GROUP BY bucket),
+    base AS (SELECT unnest(range({HLL_M})) AS bucket),
+    filled AS (
+      SELECT COALESCE(regs.m, 0) AS M
+      FROM base LEFT JOIN regs ON base.bucket = regs.bucket),
+    agg AS (
+      SELECT SUM(CAST(POWER(2.0, -M) AS DECIMAL(38,35))) AS hs,
+             CAST(SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_registers
+      FROM filled),
+    raw AS (
+      SELECT {HLL_ALPHA_MM} / CAST(hs AS DOUBLE) AS est_raw,
+             n_zero_registers
+      FROM agg),
+    est AS (
+      SELECT est_raw,
+             CASE WHEN est_raw <= {_dlit(2.5 * HLL_M)}
+                   AND n_zero_registers > 0
+                  THEN ([{", ".join(HLL_LINEAR)}])
+                         [CAST(n_zero_registers AS INT)]
+                  ELSE est_raw END AS est_distinct,
+             n_zero_registers
+      FROM raw),
+    ex AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders)
+    SELECT est_raw, est_distinct, n_zero_registers, exact_distinct,
+           (est_distinct - CAST(exact_distinct AS DOUBLE))
+             / CAST(exact_distinct AS DOUBLE) AS rel_err
+    FROM est, ex
+    """
+
+
+@probe("sk_hll_distinct", _HLL_SQL, survey_ids="sketch-ext,A3,A5")
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HLL distinct-customer estimate over orders, with
+    the exact count and relative error in the SAME verified row — the
+    sketch, the estimator arithmetic, and the error it commits are all
+    hash-pinned against the DuckDB replay (unlike a10's engine HLL++,
+    which is rows-only by necessity)."""
+    t = load_tables(spark, sf_dir)
+    regs = hll_registers(t["orders"], "o_custkey")
+    est = hll_estimate(spark, regs)
+    exact = t["orders"].selectExpr(
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct")
+    return (est.crossJoin(F.broadcast(exact))
+            .selectExpr(
+                "est_raw", "est_distinct", "n_zero_registers",
+                "exact_distinct",
+                "(est_distinct - CAST(exact_distinct AS DOUBLE))"
+                " / CAST(exact_distinct AS DOUBLE) AS rel_err"))

@@ -78,3 +78,21 @@ def test_histogram_quantile_error_bounded_by_bucket_width(spark):
             for r in sk_histogram_quantiles(spark, SF_SMOKE).collect()}
     for qpm, ex in zip(HIST_QS_PM, exact):
         assert abs(ests[qpm] - ex) <= w, (qpm, ests[qpm], ex, w)
+
+
+def test_hll_distinct_quality_and_small_range_correction(spark):
+    """The deterministic HLL (r8): the self-auditing probe row must show
+    a bounded relative error, and the small-range regime must take the
+    linear-counting branch (est_distinct != est_raw) — raw HLL
+    overshoots badly when most registers are zero."""
+    from kingfisher_process_spark.functions.sketch import sk_hll_distinct
+    from tests.conftest import SF_SMOKE
+
+    row = sk_hll_distinct(spark, SF_SMOKE).collect()[0].asDict()
+    # sf0.001: 150 distinct custkeys over 256 registers — deep in the
+    # linear-counting regime
+    assert row["n_zero_registers"] > 0
+    assert row["est_distinct"] != row["est_raw"]
+    assert abs(row["rel_err"]) < 0.1, row
+    # the raw estimator really is the one being corrected away
+    assert row["est_raw"] > row["exact_distinct"] * 1.5
