@@ -100,9 +100,10 @@ def _registry():
     #     stateful sessionization). The remaining 29 r5-era probes
     #     (u1_union_distinct_buyers and a8_exists_guard join them —
     #     their U/A family shapes are in-cap via u4-r7 and a3/a7)
-    #     rotate in r9, plus the one post-freeze r8 addition
+    #     rotate in r9, plus the post-freeze r8 additions
     #     st_ann_index_rerank_maintenance (the streamed vectors-tree
-    #     twin, CI-parity-green at both SFs).
+    #     twin) and st_hll_incremental (the streamed register-merge
+    #     HLL twin) — both CI-parity-green at both SFs.
     #     Every entry below was re-verified green at sf0.01 against its
     #     DuckDB oracle before this freeze.
     priority = [

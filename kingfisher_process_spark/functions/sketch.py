@@ -465,3 +465,58 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "exact_distinct",
                 "(est_distinct - CAST(exact_distinct AS DOUBLE))"
                 " / CAST(exact_distinct AS DOUBLE) AS rel_err"))
+
+
+def _register_streaming_hll() -> None:
+    from kingfisher_process_spark.plans.base import REGISTRY, oracle_of
+
+    @probe("st_hll_incremental", None,
+           survey_ids="sketch-ext,streaming-ext,A3")
+    def st_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The HLL register table maintained INCREMENTALLY: orders
+        arrive as a 4-slice file stream sliced by pmod(hash(o_orderkey),
+        4) — not key-ordered — and the register state is simply the
+        streaming ``groupBy(bucket).max(rho)`` in the state store
+        (register MAX is HLL's merge operator, so the state is ≤256
+        rows no matter how much data streams through: the mergeability
+        claim, executed). The final estimate row must hash-match
+        sk_hll_distinct's batch oracle for ANY slicing — order
+        independence is exactly max's commutativity."""
+        import os
+        import tempfile
+        import uuid as _uuid
+
+        t = load_tables(spark, sf_dir)
+        orders = t["orders"]
+        tmp = tempfile.mkdtemp(prefix="kps_sthll_")
+        watch = os.path.join(tmp, "watch")
+        os.makedirs(watch)
+        for i in range(4):
+            (orders.where(F.pmod(F.hash("o_orderkey"), F.lit(4)) == i)
+             .coalesce(1).write.mode("append")
+             .parquet(os.path.join(watch, f"slice={i}")))
+        stream = (spark.readStream.schema(orders.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(watch, "slice=*")))
+        sink = f"st_hll_{_uuid.uuid4().hex[:8]}"
+        q = (hll_registers(stream, "o_custkey")
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        regs = spark.table(sink)
+        est = hll_estimate(spark, regs)
+        exact = orders.selectExpr(
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct")
+        return (est.crossJoin(F.broadcast(exact))
+                .selectExpr(
+                    "est_raw", "est_distinct", "n_zero_registers",
+                    "exact_distinct",
+                    "(est_distinct - CAST(exact_distinct AS DOUBLE))"
+                    " / CAST(exact_distinct AS DOUBLE) AS rel_err"))
+
+    REGISTRY["st_hll_incremental"].oracle = oracle_of("sk_hll_distinct")
+
+
+_register_streaming_hll()
