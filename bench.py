@@ -91,6 +91,7 @@ HEADLINE = [
     "e_scd2_intervals",
     "sk_bloom_prejoin_audit",
     "sk_histogram_quantiles",
+    "sk_hll_distinct",
     "m_media_features",
     "m_audio_features",
     "m_embed_ann",
