@@ -102,8 +102,9 @@ def _registry():
     #     their U/A family shapes are in-cap via u4-r7 and a3/a7)
     #     rotate in r9, plus the post-freeze r8 additions
     #     st_ann_index_rerank_maintenance (the streamed vectors-tree
-    #     twin) and st_hll_incremental (the streamed register-merge
-    #     HLL twin) — both CI-parity-green at both SFs.
+    #     twin), st_hll_incremental (the streamed register-merge HLL
+    #     twin), and sk_hll_setops (HLL union/intersection by register
+    #     algebra) — all CI-parity-green at both SFs.
     #     Every entry below was re-verified green at sf0.01 against its
     #     DuckDB oracle before this freeze.
     priority = [

@@ -520,3 +520,127 @@ def _register_streaming_hll() -> None:
 
 
 _register_streaming_hll()
+
+
+# ---------------------------------------------------------------------------
+# HLL set operations (r8): the reason sketches exist at 100 TB is that
+# SUMMARIES COMBINE without rescanning — union is register-wise MAX
+# (exactly the streaming merge), intersection falls out of
+# inclusion-exclusion on three estimates. Everything below reuses the
+# deterministic register/estimator machinery, so union AND intersection
+# estimates are exact-oracle-checkable alongside their true values.
+# ---------------------------------------------------------------------------
+
+HLL_SET_A = "o_orderpriority = '1-URGENT'"
+HLL_SET_B = "o_orderstatus = 'F'"
+
+
+def _hll_regs_sql(tag: str, where: str) -> str:
+    """CTE chain producing regs_{tag}(bucket, m) for the filtered keys."""
+    return f"""
+    h_{tag} AS (
+      SELECT md5('hll:' || CAST(o_custkey AS VARCHAR)) AS h
+      FROM orders WHERE {where}),
+    parts_{tag} AS (
+      SELECT CAST(CAST(('0x' || substr(h, 1, 2)) AS UBIGINT) AS INT)
+               AS bucket,
+             substr(h, 3, 30) AS rest
+      FROM h_{tag}),
+    zs_{tag} AS (
+      SELECT bucket,
+             length(regexp_extract(rest, '^(0*)', 1)) AS zh, rest
+      FROM parts_{tag}),
+    ds_{tag} AS (
+      SELECT bucket, zh, substr(rest, zh + 1, 1) AS d FROM zs_{tag}),
+    rho_{tag} AS (
+      SELECT bucket,
+             LEAST(4 * zh + {_hll_lzd_case("d")} + 1, {HLL_RHO_CAP}) AS rho
+      FROM ds_{tag}),
+    regs_{tag} AS (
+      SELECT bucket, MAX(rho) AS m FROM rho_{tag} GROUP BY bucket)"""
+
+
+def _hll_est_sql(tag: str) -> str:
+    """CTE chain producing est_{tag}(est) from regs_{tag} (shared
+    ``base`` CTE provides the full bucket list)."""
+    return f"""
+    filled_{tag} AS (
+      SELECT COALESCE(r.m, 0) AS M
+      FROM base LEFT JOIN regs_{tag} r ON base.bucket = r.bucket),
+    agg_{tag} AS (
+      SELECT SUM(CAST(POWER(2.0, -M) AS DECIMAL(38,35))) AS hs,
+             CAST(SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+      FROM filled_{tag}),
+    raw_{tag} AS (
+      SELECT {HLL_ALPHA_MM} / CAST(hs AS DOUBLE) AS est_raw, z
+      FROM agg_{tag}),
+    est_{tag} AS (
+      SELECT CASE WHEN est_raw <= {_dlit(2.5 * HLL_M)} AND z > 0
+                  THEN ([{", ".join(HLL_LINEAR)}])[CAST(z AS INT)]
+                  ELSE est_raw END AS est
+      FROM raw_{tag})"""
+
+
+_HLL_SETOPS_SQL = f"""
+    WITH {_hll_regs_sql("a", HLL_SET_A).strip()},
+    {_hll_regs_sql("b", HLL_SET_B).strip()},
+    regs_u AS (
+      SELECT bucket, MAX(m) AS m
+      FROM (SELECT bucket, m FROM regs_a
+            UNION ALL SELECT bucket, m FROM regs_b) both_regs
+      GROUP BY bucket),
+    base AS (SELECT unnest(range({HLL_M})) AS bucket),
+    {_hll_est_sql("a").strip()},
+    {_hll_est_sql("b").strip()},
+    {_hll_est_sql("u").strip()},
+    exacts AS (
+      SELECT
+        (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders
+          WHERE ({HLL_SET_A}) OR ({HLL_SET_B})) AS exact_union,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE {HLL_SET_A}
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE {HLL_SET_B}) i)
+          AS exact_intersection)
+    SELECT est_a.est AS est_a, est_b.est AS est_b,
+           est_u.est AS est_union,
+           est_a.est + est_b.est - est_u.est AS est_intersection,
+           exact_union, exact_intersection
+    FROM est_a, est_b, est_u, exacts
+    """
+
+
+@probe("sk_hll_setops", _HLL_SETOPS_SQL,
+       survey_ids="sketch-ext,A3,U1,U3")
+def sk_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra on HLL sketches, hash-pinned: distinct customers
+    with an urgent order (A) and with a finished order (B) are sketched
+    SEPARATELY; the union sketch is the register-wise MAX of the two
+    REGISTER TABLES (no rescan of either input — the merge a 100 TB
+    deployment runs across partitions/days/sources), and the
+    intersection estimate is inclusion-exclusion over the three
+    estimates. True union/intersection counts ride along in the same
+    verified row."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    regs_a = hll_registers(orders.where(HLL_SET_A), "o_custkey")
+    regs_b = hll_registers(orders.where(HLL_SET_B), "o_custkey")
+    regs_u = (regs_a.unionAll(regs_b)
+              .groupBy("bucket").agg(F.max("m").alias("m")))
+    est_a = hll_estimate(spark, regs_a).selectExpr("est_distinct AS est_a")
+    est_b = hll_estimate(spark, regs_b).selectExpr("est_distinct AS est_b")
+    est_u = hll_estimate(spark, regs_u).selectExpr(
+        "est_distinct AS est_union")
+    exact_u = orders.where(f"({HLL_SET_A}) OR ({HLL_SET_B})").selectExpr(
+        "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_union")
+    exact_i = (orders.where(HLL_SET_A).select("o_custkey").distinct()
+               .intersect(
+                   orders.where(HLL_SET_B).select("o_custkey").distinct())
+               .selectExpr("CAST(COUNT(*) AS BIGINT) AS exact_intersection"))
+    return (est_a.crossJoin(est_b).crossJoin(est_u)
+            .crossJoin(F.broadcast(exact_u))
+            .crossJoin(F.broadcast(exact_i))
+            .selectExpr(
+                "est_a", "est_b", "est_union",
+                "est_a + est_b - est_union AS est_intersection",
+                "exact_union", "exact_intersection"))
