@@ -644,3 +644,136 @@ def sk_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_a", "est_b", "est_union",
                 "est_a + est_b - est_union AS est_intersection",
                 "exact_union", "exact_intersection"))
+
+
+def hll_registers_grouped(df: DataFrame, key_sql: str,
+                          group_col: str) -> DataFrame:
+    """(group, bucket, m) — one register table PER GROUP, still one
+    groupBy with map-side partials (each task reduces to
+    <= groups×256 rows): the sketch composed with GROUP BY, which is
+    how a 100 TB profile computes per-segment cardinalities in one
+    pass."""
+    return (df
+            .selectExpr(
+                f"{group_col} AS grp",
+                f"md5('hll:' || CAST({key_sql} AS STRING)) AS h")
+            .selectExpr(
+                "grp",
+                "CAST(conv(substring(h, 1, 2), 16, 10) AS INT) AS bucket",
+                "substring(h, 3, 30) AS rest")
+            .selectExpr(
+                "grp", "bucket",
+                "length(regexp_extract(rest, '^(0*)', 1)) AS zh", "rest")
+            .selectExpr(
+                "grp", "bucket", "zh", "substring(rest, zh + 1, 1) AS d")
+            .selectExpr(
+                "grp", "bucket",
+                f"LEAST(4 * zh + {_hll_lzd_case('d')} + 1, {HLL_RHO_CAP})"
+                " AS rho")
+            .groupBy("grp", "bucket").agg(F.max("rho").alias("m")))
+
+
+def hll_estimate_grouped(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """(grp, est_distinct) from a grouped register table: each group's
+    256 registers fill against the bucket base (groups × 256 rows —
+    sketch-scale, broadcast), then the same exact-decimal harmonic sum
+    and literal-table correction per group."""
+    base = spark.range(HLL_M).selectExpr("CAST(id AS INT) AS bucket")
+    groups = regs.select("grp").distinct()
+    return (groups.crossJoin(base)
+            .join(F.broadcast(regs), ["grp", "bucket"], "left")
+            .selectExpr("grp", "COALESCE(m, 0) AS M")
+            .selectExpr(
+                "grp",
+                "CAST(POWER(2.0, -M) AS DECIMAL(38,35)) AS term",
+                "CASE WHEN M = 0 THEN 1 ELSE 0 END AS z")
+            .groupBy("grp")
+            .agg(F.expr("SUM(term)").alias("hs"),
+                 F.expr("CAST(SUM(z) AS BIGINT)").alias("z"))
+            .selectExpr(
+                "grp",
+                f"{HLL_ALPHA_MM} / CAST(hs AS DOUBLE) AS est_raw", "z")
+            .selectExpr(
+                "grp",
+                f"CASE WHEN est_raw <= {_dlit(2.5 * HLL_M)} AND z > 0"
+                f" THEN element_at(array({', '.join(HLL_LINEAR)}),"
+                " CAST(z AS INT))"
+                " ELSE est_raw END AS est_distinct"))
+
+
+_HLL_GROUPED_SQL = f"""
+    WITH h AS (
+      SELECT o_orderpriority AS grp,
+             md5('hll:' || CAST(o_custkey AS VARCHAR)) AS h
+      FROM orders),
+    parts AS (
+      SELECT grp,
+             CAST(CAST(('0x' || substr(h, 1, 2)) AS UBIGINT) AS INT)
+               AS bucket,
+             substr(h, 3, 30) AS rest
+      FROM h),
+    zs AS (
+      SELECT grp, bucket,
+             length(regexp_extract(rest, '^(0*)', 1)) AS zh, rest
+      FROM parts),
+    ds AS (
+      SELECT grp, bucket, zh, substr(rest, zh + 1, 1) AS d FROM zs),
+    rho AS (
+      SELECT grp, bucket,
+             LEAST(4 * zh + {_hll_lzd_case("d")} + 1, {HLL_RHO_CAP}) AS rho
+      FROM ds),
+    regs AS (
+      SELECT grp, bucket, MAX(rho) AS m FROM rho GROUP BY grp, bucket),
+    base AS (SELECT unnest(range({HLL_M})) AS bucket),
+    groups AS (SELECT DISTINCT grp FROM regs),
+    filled AS (
+      SELECT g.grp, COALESCE(r.m, 0) AS M
+      FROM groups g CROSS JOIN base b
+      LEFT JOIN regs r ON r.grp = g.grp AND r.bucket = b.bucket),
+    agg AS (
+      SELECT grp,
+             SUM(CAST(POWER(2.0, -M) AS DECIMAL(38,35))) AS hs,
+             CAST(SUM(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z
+      FROM filled GROUP BY grp),
+    raw AS (
+      SELECT grp, {HLL_ALPHA_MM} / CAST(hs AS DOUBLE) AS est_raw, z
+      FROM agg),
+    est AS (
+      SELECT grp,
+             CASE WHEN est_raw <= {_dlit(2.5 * HLL_M)} AND z > 0
+                  THEN ([{", ".join(HLL_LINEAR)}])[CAST(z AS INT)]
+                  ELSE est_raw END AS est_distinct
+      FROM raw),
+    ex AS (
+      SELECT o_orderpriority AS grp,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders GROUP BY grp)
+    SELECT est.grp AS o_orderpriority, est.est_distinct, ex.exact_distinct,
+           (est.est_distinct - CAST(ex.exact_distinct AS DOUBLE))
+             / CAST(ex.exact_distinct AS DOUBLE) AS rel_err
+    FROM est JOIN ex ON est.grp = ex.grp
+    ORDER BY o_orderpriority
+    """
+
+
+@probe("sk_hll_by_group", _HLL_GROUPED_SQL,
+       survey_ids="sketch-ext,A3,A1,O1")
+def sk_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group distinct-customer sketches in ONE pass: registers keyed
+    by (priority, bucket) — the per-segment cardinality profile a
+    100 TB pipeline computes without one COUNT(DISTINCT) shuffle per
+    segment; each group's estimate and its true value share the
+    verified row."""
+    t = load_tables(spark, sf_dir)
+    regs = hll_registers_grouped(t["orders"], "o_custkey",
+                                 "o_orderpriority")
+    est = hll_estimate_grouped(spark, regs)
+    exact = t["orders"].groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.expr("CAST(COUNT(DISTINCT o_custkey) AS BIGINT)")
+        .alias("exact_distinct"))
+    return (est.join(exact, "grp")
+            .selectExpr(
+                "grp AS o_orderpriority", "est_distinct", "exact_distinct",
+                "(est_distinct - CAST(exact_distinct AS DOUBLE))"
+                " / CAST(exact_distinct AS DOUBLE) AS rel_err")
+            .orderBy("o_orderpriority"))
