@@ -96,3 +96,28 @@ def test_hll_distinct_quality_and_small_range_correction(spark):
     assert abs(row["rel_err"]) < 0.1, row
     # the raw estimator really is the one being corrected away
     assert row["est_raw"] > row["exact_distinct"] * 1.5
+
+
+def test_hll_set_algebra_tracks_truth(spark):
+    """Union-by-register-merge and inclusion-exclusion intersection must
+    track their exact values, and the union estimate must never fall
+    below either input's (register MAX dominates both sides)."""
+    from kingfisher_process_spark.functions.sketch import sk_hll_setops
+    from tests.conftest import SF_SMOKE
+
+    row = sk_hll_setops(spark, SF_SMOKE).collect()[0].asDict()
+    assert row["est_union"] >= max(row["est_a"], row["est_b"])
+    assert abs(row["est_union"] - row["exact_union"]) \
+        <= 0.15 * row["exact_union"], row
+    assert abs(row["est_intersection"] - row["exact_intersection"]) \
+        <= 0.2 * row["exact_intersection"], row
+
+
+def test_hll_by_group_bounded_error_every_group(spark):
+    from kingfisher_process_spark.functions.sketch import sk_hll_by_group
+    from tests.conftest import SF_SMOKE
+
+    rows = sk_hll_by_group(spark, SF_SMOKE).collect()
+    assert len(rows) == 5  # the five order priorities
+    for r in rows:
+        assert abs(r["rel_err"]) < 0.15, r.asDict()
