@@ -104,8 +104,9 @@ def _registry():
     #     st_ann_index_rerank_maintenance (the streamed vectors-tree
     #     twin), st_hll_incremental (the streamed register-merge HLL
     #     twin), sk_hll_setops (HLL union/intersection by register
-    #     algebra), and sk_hll_by_group (per-group registers in one
-    #     pass) — all CI-parity-green at both SFs.
+    #     algebra), sk_hll_by_group (per-group registers in one pass),
+    #     and sk_cms_heavy_hitters (the CMS point-query path) — all
+    #     CI-parity-green at both SFs.
     #     Every entry below was re-verified green at sf0.01 against its
     #     DuckDB oracle before this freeze.
     priority = [

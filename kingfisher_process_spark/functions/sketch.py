@@ -777,3 +777,64 @@ def sk_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "(est_distinct - CAST(exact_distinct AS DOUBLE))"
                 " / CAST(exact_distinct AS DOUBLE) AS rel_err")
             .orderBy("o_orderpriority"))
+
+
+_CMS_EST_SQL = f"""
+    WITH cells AS ({_CMS_ROWS_SQL}),
+    sketch AS (
+      SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY row, bucket),
+    keys AS (SELECT DISTINCT event_type FROM events),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT event_type, {d} AS row, "
+          + _CMS_BUCKET_SQL.format(d=d).replace(
+              "('cms{d}:' || event_type)".format(d=d),
+              f"('cms{d}:' || event_type)")
+          + " AS bucket FROM keys"
+          for d in range(CMS_DEPTH))}
+    ),
+    ests AS (
+      SELECT p.event_type,
+             MIN(COALESCE(s.cnt, 0)) AS est
+      FROM probes p LEFT JOIN sketch s
+        ON s.row = p.row AND s.bucket = p.bucket
+      GROUP BY p.event_type),
+    exact AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM events GROUP BY event_type)
+    SELECT e.event_type AS event_type,
+           CAST(es.est AS BIGINT) AS est_count,
+           e.true_count,
+           CAST(es.est - e.true_count AS BIGINT) AS overestimate
+    FROM ests es JOIN exact e ON es.event_type = e.event_type
+    ORDER BY est_count DESC, e.event_type
+    """
+
+
+@probe("sk_cms_heavy_hitters", _CMS_EST_SQL,
+       survey_ids="sketch-ext,A1,O6")
+def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CMS POINT-QUERY path, oracle-pinned (r8 — the table probe
+    sk_count_min_event_types verified only the sketch build): every
+    distinct event_type is estimated as MIN over its CMS_DEPTH cells
+    (a broadcast join against the depth×width sketch), ranked by
+    estimated frequency next to the true count and the one-sided
+    overestimate (CMS never undercounts — the oracle equality proves
+    it per key). At 100 TB the keys side is whatever candidate set you
+    care about; the sketch side stays depth×width rows regardless of
+    input volume."""
+    t = load_tables(spark, sf_dir)
+    ev = t["events"]
+    sketch = cms_build(ev, F.col("event_type"))
+    ests = cms_estimate(sketch, ev.select("event_type").distinct(),
+                        "event_type")
+    exact = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    return (ests.join(exact, "key")
+            .selectExpr(
+                "key AS event_type",
+                "CAST(est AS BIGINT) AS est_count",
+                "true_count",
+                "CAST(est - true_count AS BIGINT) AS overestimate")
+            .orderBy(F.desc("est_count"), "event_type"))
