@@ -439,24 +439,37 @@ def compact_index(spark: SparkSession, index_dir: str,
         model = load_model(index_dir)
         tomb = _read_tombstones(spark, index_dir)
         hit_cells: set[str] = set()
+        vec_hit_cells: set[str] = set()
         if tomb is not None:
             hit = (spark.read.option("basePath", codes_dir)
                    .schema(_codes_schema(model)).parquet(codes_dir)
                    .join(F.broadcast(tomb), "vec_id", "left_semi")
                    .select("cell").distinct())
             hit_cells = {str(r["cell"]) for r in hit.collect()}
+            # tombstone-hit cells for the vectors tree come from the
+            # vectors tree ITSELF, never the codes tree: a crash after
+            # the codes fold but before the vectors fold leaves the
+            # codes tree already purged, so a codes-derived set would
+            # be empty on replay and the stale vectors rows would
+            # survive the tombstone clear below — a later re-upsert of
+            # the same vec_id would then leave two generations in
+            # vectors/ and rerank serving could surface the stale one
+            if has_vec and _glob.glob(os.path.join(vec_dir, "cell=*")):
+                vec_hit = (spark.read.option("basePath", vec_dir)
+                           .schema(_vectors_schema()).parquet(vec_dir)
+                           .join(F.broadcast(tomb), "vec_id", "left_semi")
+                           .select("cell").distinct())
+                vec_hit_cells = {str(r["cell"]) for r in vec_hit.collect()}
         frag = _fragmented_cells(codes_dir, min_files) | hit_cells
-        # vectors are co-partitioned with codes (same frozen routing),
-        # so the tombstone-hit cells apply to both trees; fragmentation
-        # is measured per tree
-        vec_frag = (_fragmented_cells(vec_dir, min_files) | hit_cells
+        vec_frag = (_fragmented_cells(vec_dir, min_files) | vec_hit_cells
                     if has_vec else set())
         if not frag and not vec_frag:
             if tomb is not None:
-                # every tombstone matches NO code row (already applied
-                # by a prior fold, or the id never existed): dead
-                # weight that would otherwise block re-upserting those
-                # ids FOREVER (review r7) — clearing is a no-op for
+                # every tombstone matches NO row in EITHER tree (both
+                # semi-joins above came back empty: already applied by
+                # a prior fold, or the id never existed): dead weight
+                # that would otherwise block re-upserting those ids
+                # FOREVER (review r7) — clearing is a no-op for
                 # serving, so drop the set here too
                 shutil.rmtree(_tombstones_path(index_dir),
                               ignore_errors=True)

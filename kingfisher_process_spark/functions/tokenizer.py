@@ -260,9 +260,13 @@ def coverage_report(docs: DataFrame, model: dict) -> DataFrame:
                  .cast("long").alias("n_unknown_symbols"),
                  F.count_distinct(F.when(F.col("unk"), F.col("doc_id")))
                  .cast("long").alias("n_docs_with_unknown"))
-            .select("*", (F.lit(1.0)
-                          - F.col("n_unknown_occurrences")
-                          / F.col("n_symbol_occurrences"))
+            .select("*", F.when(
+                F.col("n_symbol_occurrences") > 0,
+                F.lit(1.0) - F.col("n_unknown_occurrences")
+                / F.col("n_symbol_occurrences"))
+                    # pyspark 4 runs ANSI mode by default: an unguarded
+                    # 0/0 on a symbol-less corpus is a DIVIDE_BY_ZERO
+                    # error, not the NULL this column promises
                     .alias("symbol_coverage")))
 
 

@@ -210,6 +210,26 @@ def test_coverage_report_flags_out_of_alphabet_corpus(spark, tmp_path):
     assert per_doc == {10: 3, 11: 2, 12: 0, 13: 0}
 
 
+def test_coverage_report_null_on_symbol_less_corpus(spark, tmp_path):
+    """ADVICE r8: pyspark 4 runs ANSI mode by default, so the 0/0 on a
+    symbol-less corpus must be a guarded NULL, not a DIVIDE_BY_ZERO
+    crash — tokencode on an empty input reports instead of dying."""
+    from kingfisher_process_spark.functions.tokenizer import coverage_report
+
+    train = spark.createDataFrame(
+        [(0, "abc ab")], "doc_id BIGINT, text STRING")
+    path = str(tmp_path / "tok.json")
+    save_tokenizer(bpe_train(train), corpus_alphabet(train), path)
+    model = load_tokenizer(path)
+
+    empty = spark.createDataFrame(
+        [(1, "   "), (2, "")], "doc_id BIGINT, text STRING")
+    rep = coverage_report(empty, model).collect()[0].asDict()
+    assert rep["n_symbol_occurrences"] == 0
+    assert rep["n_unknown_occurrences"] == 0
+    assert rep["symbol_coverage"] is None
+
+
 def test_tokencode_cli_reports_coverage(spark, tmp_path, capsys):
     """The tokencode summary must carry the coverage fields so a
     pipeline can gate on symbol_coverage (judge r7 #7)."""
