@@ -1196,3 +1196,146 @@ def d_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_union"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-span coverage (r9) — the word-level form of exact
+# substring deduplication (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better": repeated ~50-token spans are the
+# memorization hazard exact-doc dedup misses). A span = SPAN_N
+# consecutive words; a span occurring 2+ times corpus-wide is
+# duplicated; a document's coverage is the fraction of its word
+# positions inside at least one duplicated-span occurrence.
+# ---------------------------------------------------------------------------
+
+SPAN_N = 8
+
+
+def span_positions(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, pos0, h) — every n-word span per document with its
+    0-based word offset and 60-bit hash. Same linear zip_with shingle
+    construction as shingles_df (the transform(sequence) form goes
+    quadratic under InferFiltersFromGenerate — see that docstring);
+    posexplode keeps the offset the coverage math needs. Spans shuffle
+    as 8-byte hashes, never strings."""
+    m = f"(size(ts) - {n - 1})"
+    acc = f"slice(ts, 1, {m})"
+    for k in range(1, n):
+        acc = (f"zip_with({acc}, slice(ts, {k + 1}, {m}),"
+               f" (a, b) -> concat_ws(' ', a, b))")
+    sh = (f"CASE WHEN size(ts) >= {n} THEN {acc}"
+          f" ELSE CAST(array() AS array<string>) END")
+    return (fanout(docs)
+            .select("doc_id", F.split("text", " ").alias("ts"))
+            .select("doc_id", F.posexplode(F.expr(sh)).alias("pos0", "span"))
+            .select("doc_id", "pos0", h60(F.col("span")).alias("h")))
+
+
+def duplicated_span_hashes(spans: DataFrame) -> DataFrame:
+    """(h) — span hashes with corpus-wide frequency >= 2. One groupBy
+    on the 8-byte hash with map-side partials; the heavy tail (a span
+    repeated millions of times) collapses map-side before the
+    shuffle."""
+    return (spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1).select("h"))
+
+
+def span_coverage(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, n_words, n_dup_positions, dup_frac) for documents with
+    at least one duplicated-span occurrence. Two shuffles total: the
+    span-frequency groupBy and the hash join back (both on the 8-byte
+    hash), then the covered-position distinct is per-doc-local keys.
+    Position sets come from explode(sequence(...)) — bounded inflate of
+    n per span row."""
+    spans = span_positions(docs, n)
+    dup = duplicated_span_hashes(spans)
+    covered = (spans.join(dup, "h")
+               .select("doc_id",
+                       F.explode(F.expr(f"sequence(pos0 + 1, pos0 + {n})"))
+                       .alias("p"))
+               .distinct()
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint")
+                    .alias("n_dup_positions")))
+    nw = docs.select("doc_id", F.size(F.split("text", " ")).cast("bigint")
+                     .alias("n_words"))
+    return (covered.join(nw, "doc_id")
+            .selectExpr("doc_id", "n_words", "n_dup_positions",
+                        "CAST(n_dup_positions AS DOUBLE)"
+                        " / CAST(n_words AS DOUBLE) AS dup_frac")
+            .orderBy("doc_id"))
+
+
+def strip_duplicated_spans(docs: DataFrame, n: int = SPAN_N) -> DataFrame:
+    """(doc_id, text) with every word position covered by a duplicated
+    span REMOVED — the Lee-et-al cleaning step itself, not just the
+    audit. Documents with no duplicated spans pass through verbatim
+    (left join + coalesce); a fully-covered document becomes the empty
+    string, for the caller's length filter to drop. The covered-
+    position set rides as one array per doc (collect_set after the
+    distinct — bounded by the doc's own word count), and the rebuild is
+    a map-side zip_with/filter with no further shuffle."""
+    spans = span_positions(docs, n)
+    dup = duplicated_span_hashes(spans)
+    cov = (spans.join(dup, "h")
+           .select("doc_id",
+                   F.explode(F.expr(f"sequence(pos0 + 1, pos0 + {n})"))
+                   .alias("p"))
+           .distinct()
+           .groupBy("doc_id").agg(F.collect_set("p").alias("cov")))
+    return (docs.join(cov, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("cov").isNull(), F.col("text")).otherwise(
+                    F.expr(
+                        "concat_ws(' ', filter(zip_with("
+                        "split(text, ' '), sequence(1, size(split(text, ' '))),"
+                        " (w, i) -> IF(array_contains(cov, i), NULL, w)),"
+                        " x -> x IS NOT NULL))"))
+                .alias("text")))
+
+
+_SPAN_COVERAGE_SQL = f"""
+    WITH spans AS (
+      SELECT doc_id, u.pos0 AS pos0, {H60_SQL.format(x="u.span")} AS h
+      FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= {SPAN_N} THEN
+                 list_transform(generate_series(1, len(ws) - {SPAN_N - 1}),
+                   i -> struct_pack(pos0 := i - 1,
+                                    span := array_to_string(
+                                        ws[i:i+{SPAN_N - 1}], ' ')))
+                 ELSE [] END) AS u
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents) w) s),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) > 1),
+    covered AS (
+      SELECT DISTINCT s.doc_id, s.pos0 + t.j AS p
+      FROM spans s JOIN dup USING (h), generate_series(1, {SPAN_N}) t(j)),
+    cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_positions
+            FROM covered GROUP BY doc_id),
+    nw AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+           FROM documents)
+    SELECT c.doc_id AS doc_id, n_words, n_dup_positions,
+           CAST(n_dup_positions AS DOUBLE) / CAST(n_words AS DOUBLE)
+             AS dup_frac
+    FROM cov c JOIN nw USING (doc_id)
+    ORDER BY doc_id
+    """
+
+
+@probe("d_dup_span_coverage", _SPAN_COVERAGE_SQL,
+       survey_ids="dedup-ext,J4,A1")
+def d_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span audit over the documents corpus: which
+    documents contain {SPAN_N}-word spans repeated ANYWHERE in the
+    corpus, and what fraction of each document those spans cover —
+    the signal exact-doc dedup (d_exact_dup_groups) misses when only a
+    paragraph is copied. strip_duplicated_spans applies the removal
+    (golden-pinned in tests/test_dedup_spans.py). At 100 TB the span
+    table shuffles 8-byte hashes with map-side partial counts, the dup
+    set joins back on the same key, and no stage ever holds a
+    document's text beyond its own map task."""
+    t = load_tables(spark, sf_dir)
+    return span_coverage(t["documents"])

@@ -779,6 +779,10 @@ def sk_hll_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
+# the probes CTE re-uses _CMS_BUCKET_SQL verbatim: it hashes
+# `event_type`, which the keys CTE exposes under exactly that name —
+# the same expression as the ingest side (_CMS_ROWS_SQL) by
+# construction, so probe buckets line up with sketch buckets
 _CMS_EST_SQL = f"""
     WITH cells AS ({_CMS_ROWS_SQL}),
     sketch AS (
@@ -788,9 +792,7 @@ _CMS_EST_SQL = f"""
     probes AS (
       {" UNION ALL ".join(
           f"SELECT event_type, {d} AS row, "
-          + _CMS_BUCKET_SQL.format(d=d).replace(
-              "('cms{d}:' || event_type)".format(d=d),
-              f"('cms{d}:' || event_type)")
+          + _CMS_BUCKET_SQL.format(d=d)
           + " AS bucket FROM keys"
           for d in range(CMS_DEPTH))}
     ),
@@ -838,3 +840,197 @@ def sk_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "true_count",
                 "CAST(est - true_count AS BIGINT) AS overestimate")
             .orderBy(F.desc("est_count"), "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Theta / KMV sketch (r9): the k-minimum-values distinct sketch. HLL
+# (above) unions for free but reaches intersections only through
+# inclusion-exclusion, whose absolute error scales with the UNION —
+# useless when the intersection is small. The theta sketch supports
+# INTERSECTION and DIFFERENCE natively: below theta every hash's
+# membership in each set is known exactly (the sample retains it or it
+# isn't in the set), so A∩B and A\B are decided exactly inside the
+# retained region and scaled by 1/theta. Hashes are the md5-derived
+# 60-bit family (deterministic in both engines); each estimate is one
+# IEEE division of two doubles built from BIGINTs, so DuckDB replays
+# sketch AND estimator bit-for-bit — exact-oracle-checkable like the
+# rest of this module, unlike engine-seeded theta implementations.
+# ---------------------------------------------------------------------------
+
+THETA_K = 256
+THETA_SLACK = 8
+_TWO60_BIG = 1 << 60
+# 2^60 as an exact DOUBLE literal in both engines (a power of two, so
+# the cast is lossless and the division denominators are identical)
+_TWO60_DLIT = "1152921504606846976e0"
+
+
+def kmv_sample(df: DataFrame, key, k: int = THETA_K,
+               slack: int = THETA_SLACK) -> DataFrame:
+    """(h) — the k smallest DISTINCT 60-bit hashes of ``key`` (a
+    Column): a KMV/theta sketch sample. Samples are mergeable (union
+    the tables, re-take the k smallest), so partitions/days/sources
+    sketch independently and combine sketch-side.
+
+    The scan is ONE TakeOrderedAndProject — map-side per-partition
+    top-(k*slack) rows, driver merge, NO exchange. The bottom k*slack
+    ROWS are a superset of the bottom k distinct VALUES whenever they
+    hold >= k distinct hashes (any hash absent from the window exceeds
+    everything inside it); the <= k*slack-row window is
+    driver-materialized (bounded, the _resolve_keyset precedent) and
+    deduped in-process. Only if the FULL window held < k distinct
+    values (duplication factor > slack among the global hash minima)
+    does it fall back to the one-shuffle exact distinct top-k. The
+    RESULT is identical on either path, so the path choice never shows
+    in the output."""
+    spark = df.sparkSession
+    hashed = df.select(h60(key).alias("h"))
+    rows = [r["h"] for r in hashed.orderBy("h").limit(k * slack).collect()]
+    cand = sorted(set(rows))
+    if len(rows) == k * slack and len(cand) < k:
+        cand = [r["h"] for r in
+                hashed.distinct().orderBy("h").limit(k).collect()]
+    return spark.createDataFrame([(int(h),) for h in cand[:k]], "h BIGINT")
+
+
+def theta_setops(a: DataFrame, b: DataFrame, k: int = THETA_K) -> DataFrame:
+    """One row of sketch-side set algebra over two KMV samples — the
+    sketched inputs are never rescanned. A saturated sample's theta is
+    its max retained hash and est = |{h < theta}| / (theta/2^60); an
+    unsaturated sample has theta = 2^60, where every estimate degrades
+    gracefully to EXACT (the sample IS the set — both regimes are
+    exercised across the test scale factors). Intersection, union and
+    difference evaluate under theta = LEAST(theta_a, theta_b), below
+    which membership in both sets is exact — the native advantage over
+    HLL's inclusion-exclusion."""
+    sa = a.agg(F.count("h").alias("n_a"), F.max("h").alias("mx_a"))
+    sb = b.agg(F.count("h").alias("n_b"), F.max("h").alias("mx_b"))
+    st = (F.broadcast(sa).crossJoin(F.broadcast(sb))
+          .selectExpr(
+              f"CASE WHEN n_a = {k} THEN mx_a ELSE {_TWO60_BIG} END AS th_a",
+              f"CASE WHEN n_b = {k} THEN mx_b ELSE {_TWO60_BIG} END AS th_b")
+          .selectExpr("th_a", "th_b", "LEAST(th_a, th_b) AS th"))
+    j = (a.selectExpr("h", "1 AS a_tag")
+         .join(b.selectExpr("h", "1 AS b_tag"), "h", "full")
+         .selectExpr(
+             "h",
+             "CASE WHEN a_tag IS NOT NULL THEN 1 ELSE 0 END AS in_a",
+             "CASE WHEN b_tag IS NOT NULL THEN 1 ELSE 0 END AS in_b"))
+    cnts = (j.crossJoin(F.broadcast(st)).selectExpr(
+        "CAST(SUM(CASE WHEN in_a = 1 AND h < th_a THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS c_a",
+        "CAST(SUM(CASE WHEN in_b = 1 AND h < th_b THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS c_b",
+        "CAST(SUM(CASE WHEN h < th THEN 1 ELSE 0 END) AS BIGINT) AS c_u",
+        "CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 AND h < th"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS c_i",
+        "CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 AND h < th"
+        " THEN 1 ELSE 0 END) AS BIGINT) AS c_d"))
+    return (cnts.crossJoin(F.broadcast(st)).selectExpr(
+        f"CAST(c_a AS DOUBLE) / (CAST(th_a AS DOUBLE) / {_TWO60_DLIT})"
+        " AS est_a",
+        f"CAST(c_b AS DOUBLE) / (CAST(th_b AS DOUBLE) / {_TWO60_DLIT})"
+        " AS est_b",
+        f"CAST(c_u AS DOUBLE) / (CAST(th AS DOUBLE) / {_TWO60_DLIT})"
+        " AS est_union",
+        f"CAST(c_i AS DOUBLE) / (CAST(th AS DOUBLE) / {_TWO60_DLIT})"
+        " AS est_intersection",
+        f"CAST(c_d AS DOUBLE) / (CAST(th AS DOUBLE) / {_TWO60_DLIT})"
+        " AS est_difference"))
+
+
+THETA_SET_A = "o_orderstatus = 'O'"
+THETA_SET_B = "o_orderstatus = 'F'"
+_THETA_KEY_SQL = "('theta:' || CAST(o_custkey AS STRING))"
+
+
+def _theta_sample_sql(tag: str, where: str, k: int = THETA_K) -> str:
+    return (f"s{tag} AS (SELECT DISTINCT "
+            f"{H60_SQL.format(x=_THETA_KEY_SQL)} AS h "
+            f"FROM orders WHERE {where} ORDER BY h LIMIT {k})")
+
+
+_THETA_SETOPS_SQL = f"""
+    WITH {_theta_sample_sql("a", THETA_SET_A)},
+    {_theta_sample_sql("b", THETA_SET_B)},
+    st AS (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM sa) = {THETA_K}
+                  THEN (SELECT MAX(h) FROM sa)
+                  ELSE {_TWO60_BIG} END AS th_a,
+             CASE WHEN (SELECT COUNT(*) FROM sb) = {THETA_K}
+                  THEN (SELECT MAX(h) FROM sb)
+                  ELSE {_TWO60_BIG} END AS th_b),
+    st2 AS (SELECT th_a, th_b, LEAST(th_a, th_b) AS th FROM st),
+    j AS (
+      SELECT COALESCE(sa.h, sb.h) AS h,
+             CASE WHEN sa.h IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+             CASE WHEN sb.h IS NOT NULL THEN 1 ELSE 0 END AS in_b
+      FROM sa FULL OUTER JOIN sb ON sa.h = sb.h),
+    cnts AS (
+      SELECT
+        CAST(SUM(CASE WHEN in_a = 1 AND h < th_a THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_a,
+        CAST(SUM(CASE WHEN in_b = 1 AND h < th_b THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_b,
+        CAST(SUM(CASE WHEN h < th THEN 1 ELSE 0 END) AS BIGINT) AS c_u,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 AND h < th
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_i,
+        CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0 AND h < th
+             THEN 1 ELSE 0 END) AS BIGINT) AS c_d
+      FROM j, st2),
+    exacts AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE {THETA_SET_A}
+           INTERSECT
+           SELECT DISTINCT o_custkey FROM orders WHERE {THETA_SET_B}) i)
+          AS exact_intersection,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+           SELECT DISTINCT o_custkey FROM orders WHERE {THETA_SET_A}
+           EXCEPT
+           SELECT DISTINCT o_custkey FROM orders WHERE {THETA_SET_B}) d)
+          AS exact_difference)
+    SELECT
+      CAST(c_a AS DOUBLE) / (CAST(th_a AS DOUBLE) / {_TWO60_DLIT}) AS est_a,
+      CAST(c_b AS DOUBLE) / (CAST(th_b AS DOUBLE) / {_TWO60_DLIT}) AS est_b,
+      CAST(c_u AS DOUBLE) / (CAST(th AS DOUBLE) / {_TWO60_DLIT})
+        AS est_union,
+      CAST(c_i AS DOUBLE) / (CAST(th AS DOUBLE) / {_TWO60_DLIT})
+        AS est_intersection,
+      CAST(c_d AS DOUBLE) / (CAST(th AS DOUBLE) / {_TWO60_DLIT})
+        AS est_difference,
+      exact_intersection, exact_difference
+    FROM cnts, st2, exacts
+    """
+
+
+@probe("sk_theta_setops", _THETA_SETOPS_SQL,
+       survey_ids="sketch-ext,A3,U1,U3")
+def sk_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set algebra, hash-pinned: customers with an open
+    order (A) and with a finished order (B) are KMV-sampled
+    SEPARATELY; union, INTERSECTION and DIFFERENCE estimates come from
+    the two k-row sample tables alone — the capability HLL lacks
+    (sk_hll_setops can only infer intersection by inclusion-exclusion,
+    and difference not at all). True intersection/difference counts
+    ride along in the same verified row, so estimator quality is
+    visible in the artifact. At sf0.001 both sketches are unsaturated
+    (estimates EXACT by construction); at sf0.01+ they saturate and
+    the 1/theta scaling is what the oracle pins."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    key = F.concat(F.lit("theta:"), F.col("o_custkey").cast("string"))
+    samp_a = kmv_sample(orders.where(THETA_SET_A), key)
+    samp_b = kmv_sample(orders.where(THETA_SET_B), key)
+    ests = theta_setops(samp_a, samp_b)
+    exact_i = (orders.where(THETA_SET_A).select("o_custkey").distinct()
+               .intersect(
+                   orders.where(THETA_SET_B).select("o_custkey").distinct())
+               .selectExpr(
+                   "CAST(COUNT(*) AS BIGINT) AS exact_intersection"))
+    exact_d = (orders.where(THETA_SET_A).select("o_custkey").distinct()
+               .exceptAll(
+                   orders.where(THETA_SET_B).select("o_custkey").distinct())
+               .selectExpr("CAST(COUNT(*) AS BIGINT) AS exact_difference"))
+    return (ests.crossJoin(F.broadcast(exact_i))
+            .crossJoin(F.broadcast(exact_d)))

@@ -1898,3 +1898,60 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
         "corpus": f"{out_dir}/corpus",
         "manifest": f"{out_dir}/manifest",
     }
+
+
+SAMPLE_PER_GROUP = 25
+
+
+def deterministic_sample(docs: DataFrame, group_col: str = "lang",
+                         n: int = SAMPLE_PER_GROUP) -> DataFrame:
+    """(group, doc_id, rk) — exactly min(n, |group|) documents per
+    group, chosen by bottom-k md5-hash priority. Complements
+    t_stratified_split (proportional hash-split): this is the
+    EXACT-SIZE carve a curation pipeline needs for per-language eval
+    sets or human-review batches. Because priority is a pure function
+    of doc_id, the sample is CONSISTENT: re-runs, engine changes, and
+    re-partitions reproduce it, and growing the corpus only ever
+    displaces the highest-priority members instead of reshuffling the
+    whole sample. One exchange on the group key; the rank-<=n predicate
+    becomes a WindowGroupLimit (per-partition top-n pushdown) so no
+    task ever ranks a full group."""
+    from pyspark.sql.window import Window
+
+    from kingfisher_process_spark.functions.dedup import h60
+    h = h60(F.concat(F.lit("samp:"), F.col("doc_id").cast("string")))
+    w = F.row_number().over(
+        Window.partitionBy("grp").orderBy("h", "doc_id"))
+    return (docs.select(F.col(group_col).alias("grp"), "doc_id",
+                        h.alias("h"))
+            .withColumn("rk", w.cast("bigint"))
+            .where(F.col("rk") <= n)
+            .select("grp", "doc_id", "rk")
+            .orderBy("grp", "rk"))
+
+
+_DET_SAMPLE_SQL = f"""
+    WITH hashed AS (
+      SELECT lang AS grp, doc_id,
+             CAST(CAST(('0x' || substr(md5('samp:' ||
+                  CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)
+               AS h
+      FROM documents),
+    ranked AS (
+      SELECT grp, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h, doc_id)
+                  AS BIGINT) AS rk
+      FROM hashed)
+    SELECT grp, doc_id, rk FROM ranked
+    WHERE rk <= {SAMPLE_PER_GROUP}
+    ORDER BY grp, rk
+    """
+
+
+@probe("t_deterministic_sample", _DET_SAMPLE_SQL,
+       survey_ids="text-ext,sampling-ext,O3,O5")
+def t_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-language sample of the documents corpus by
+    consistent bottom-k hash priority (see deterministic_sample)."""
+    t = load_tables(spark, sf_dir)
+    return deterministic_sample(t["documents"])
