@@ -107,36 +107,51 @@ def _registry():
     #     algebra), sk_hll_by_group (per-group registers in one pass),
     #     and sk_cms_heavy_hitters (the CMS point-query path) — all
     #     CI-parity-green at both SFs.
+    #   r9 window (this one, judge r8 missing #1/#2): the five
+    #     post-freeze r8 probes that have never had a driver row
+    #     (st_ann_index_rerank_maintenance, st_hll_incremental,
+    #     sk_hll_setops, sk_hll_by_group, sk_cms_heavy_hitters) + the
+    #     re-pointed a10_approx_distinct (now estimator-audit output
+    #     with an exact oracle — first chance at triple-green after
+    #     five rounds rows-only) + the r9 additions (sk_theta_setops,
+    #     the KMV intersection/difference algebra; d_dup_span_coverage,
+    #     exact duplicated-span audit; t_deterministic_sample,
+    #     consistent bottom-k per-group sampling) + ALL 30 r5-era
+    #     probes (last driver row: r5 — the oldest block, three rounds
+    #     stale, exactly the rotation the r8 ledger promised) + six
+    #     family sentinels + 5 longest-unchecked r6-era fills chosen
+    #     for family spread (min/max agg, TPC-H multi-join profit,
+    #     weighted PageRank, streaming incremental rollup, running
+    #     window). The remaining 39 r6-era probes rotate in r10.
     #     Every entry below was re-verified green at sf0.01 against its
-    #     DuckDB oracle before this freeze.
+    #     DuckDB oracle before this freeze (scripts/verify_cap.py).
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",
         "st_ingest_pipeline", "d_dup_clusters_lss",
         "t_sequence_packing", "m_resize_images",
-        # never-driver-checked: post-freeze r7 probes + the r8 additions
-        "t_tok_frozen_encode", "st_ann_index_maintenance",
-        "t_tok_coverage", "ann_index_rerank_topk", "sk_hll_distinct",
-        # the 25 remaining r4-era probes (judge r7 #1; last row: r4)
-        "a13_conditional_agg", "a15_unpivot_monthly_metrics",
-        "a9_rollup_revenue", "ann_recall_audit", "d_curation_funnel",
-        "d_minhash_estimate_audit", "d_simhash_signatures",
-        "ocds_open_close_pipeline", "ocds_tender_value_by_currency",
-        "q10_returned_revenue", "q11_important_stock",
-        "q12_late_lines_by_flag", "q14_promo_revenue", "q15_top_supplier",
-        "q16_supplier_count_by_part", "q18_large_orders",
-        "q19_disjunctive_revenue", "q20_suppliers_with_excess",
-        "q21_waiting_supplier", "q22_wealthy_inactive_customers",
-        "q6_forecast_revenue", "s_lsh_buckets", "t_bpe_token_counts",
-        "t_fingerprint", "t_repetition_metrics",
-        # longest-unchecked r5-era fill (last driver row: r5)
-        "a3_distinct_counts", "a7_group_counter",
-        "j2_customers_without_orders", "j5_recursive_tree",
-        "o3_latest_order_per_customer",
-        "p6_json_predicate", "f_scalar_functions",
-        "w6_quartile_spend_by_segment", "d_exact_dup_groups",
-        "d_minhash_lsh_pairs", "ann_ivfpq_topk", "ocds_compile_skewed",
-        "ocds_crawl_diff", "st_sessionize",
+        # never-driver-checked: post-freeze r8 probes + the r9 additions
+        "st_ann_index_rerank_maintenance", "st_hll_incremental",
+        "sk_hll_setops", "sk_hll_by_group", "sk_cms_heavy_hitters",
+        "sk_theta_setops", "d_dup_span_coverage", "t_deterministic_sample",
+        # first triple-green shot after the r9 re-point (judge r8 #2)
+        "a10_approx_distinct",
+        # the 30 r5-era probes (judge r8 #1; last driver row: r5)
+        "a8_exists_guard", "ann_brute_force_topk", "ann_ivf_topk",
+        "ann_pq_adc_topk", "ann_pq_codes", "ann_pq_recall_audit",
+        "d_dup_clusters", "d_simhash_near_pairs", "e_profile_orders",
+        "e_referential_audit", "e_session_window_builtin",
+        "j3_customers_with_open_orders", "j4_explode_token_counts",
+        "m_frame_sample", "m_media_features", "ocds_compile_skewed_single",
+        "ocds_incremental_compile", "ocds_orphan_wipe",
+        "ocds_upgrade_parties", "s_embedding_near_dups", "st_dedup_ingest",
+        "st_dedup_watermarked", "st_stream_static_enrich", "t_bpe_encode",
+        "t_bpe_train", "t_langid_heuristic", "t_pii_redact",
+        "t_token_stats", "u1_union_distinct_buyers",
+        "u3_except_inactive_customers",
+        # longest-unchecked r6-era fill, family spread (last row: r6)
+        "a4_minmax_prefix", "q9_product_profit", "g_item_pagerank",
+        "st_incremental_rollup", "w1_running_customer_spend",
     ]
     missing = set(priority) - REGISTRY.keys()
     # a misspelled priority name would silently pull a different probe
