@@ -125,6 +125,12 @@ def _registry():
     #     window). The remaining 39 r6-era probes rotate in r10.
     #     Every entry below was re-verified green at sf0.01 against its
     #     DuckDB oracle before this freeze (scripts/verify_cap.py).
+    #     POST-FREEZE r9 additions (CI-parity-green, never driver-
+    #     checked — first cap slots in r10): ann_index_spill_topk
+    #     (spill=2 multi-assignment serving with min-over-cells ADC),
+    #     st_hll_by_group (grouped registers as streaming state),
+    #     sk_qdigest_quantiles (deterministic q-digest with unrolled
+    #     compression-pass oracle).
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",

