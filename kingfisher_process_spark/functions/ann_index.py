@@ -610,8 +610,15 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
         raise ValueError(
             f"{index_dir} has no vectors/ tree — rerank serving needs "
             "an index built with store_vectors=True")
+    # a spilled index widens the probed candidate pool spill× and the
+    # secondary copies' ADC scores bias low (primary-trained codebooks
+    # shrink large secondary residuals), so a FIXED shortlist gets
+    # crowded and recall DROPS below spill=1 (measured, SCALE.md §15:
+    # 0.963 → 0.804 at shortlist 100); scaling the shortlist by spill
+    # restores — and then exceeds — the spill=1 ceiling (0.985) at the
+    # same probe budget, paying only O(shortlist) more exact work
     short = (score(probes_df, narrow, rcbs,
-                   top_k=rerank_factor * top_k)
+                   top_k=rerank_factor * spill * top_k)
              .select("query_id", "neighbor_id"))
     # shortlist is queries × (factor·k) rows — broadcast-sized; the
     # vectors read is pruned to the probed cells, so the fetch pass is
@@ -878,7 +885,7 @@ def _register_spill_probe() -> None:
     from kingfisher_process_spark.plans.base import load_tables, probe
 
     spill = 2
-    sql = f"""
+    prefix = f"""
     WITH {_ivft_ctes()},
     asg AS ({_IVFT_SQL_ASG}),
     probes AS ({_IVFT_SQL_PROBES}),
@@ -930,7 +937,9 @@ def _register_spill_probe() -> None:
       GROUP BY 1, 2, 3),
     adc AS (
       SELECT query_id, neighbor_id, MIN(adc) AS adc
-      FROM adc_cell GROUP BY 1, 2)
+      FROM adc_cell GROUP BY 1, 2)"""
+
+    sql = f"""{prefix}
     SELECT query_id, neighbor_id, CAST(adc AS DOUBLE) AS adc_dist, rnk FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY adc, neighbor_id) AS rnk
@@ -960,6 +969,48 @@ def _register_spill_probe() -> None:
         build_index(spark, emb, idx, spill=spill)
         return query_index(spark, idx,
                            emb.where(F.col("vec_id") < N_QUERIES))
+
+    rerank_sql = f"""{prefix},
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc, neighbor_id) AS rnk
+        FROM adc) x WHERE rnk <= {RERANK_FACTOR * TOP_K * spill}),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             SUM((qq.x - qn.x) * (qq.x - qn.x)) AS d2
+      FROM short s
+      JOIN pqq qq ON qq.vec_id = s.query_id
+      JOIN pqq qn ON qn.vec_id = s.neighbor_id
+                 AND qn.m = qq.m AND qn.j = qq.j
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, CAST(d2 AS DOUBLE) AS l2_dist, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2, neighbor_id) AS rnk
+      FROM exact) x WHERE rnk <= {TOP_K}
+    ORDER BY query_id, rnk
+    """
+
+    @probe("ann_index_spill_rerank_topk", rerank_sql,
+           survey_ids="similarity-ext,J1,O5,iterative-ext")
+    def ann_index_spill_rerank_topk(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+        """The ONLY configuration where corpus-side spill pays
+        (SCALE.md §15): spill=2 build with the vectors tree, serving
+        ADC-shortlists rerank_factor × spill × k per query (the
+        spill-scaled width — a fixed width gets crowded by
+        low-biased secondary-copy scores and recall drops BELOW
+        spill=1), dedupes the spilled fetch, and exactly re-ranks.
+        The oracle replays multi-assignment, per-cell min-ADC, the
+        widened shortlist, and the exact rescore."""
+        import tempfile
+
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        idx = tempfile.mkdtemp(prefix="kps_spillrr_idx_")
+        build_index(spark, emb, idx, spill=spill, store_vectors=True)
+        return query_index(spark, idx,
+                           emb.where(F.col("vec_id") < N_QUERIES),
+                           rerank=True)
 
 
 _register_spill_probe()

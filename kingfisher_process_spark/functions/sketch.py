@@ -1151,13 +1151,28 @@ def qdigest_build(df: DataFrame, value_sql: str,
     families stop cascading."""
     leaf = (df.crossJoin(F.broadcast(bounds))
             .selectExpr(
-                f"{QD_GRID} + LEAST(CAST(FLOOR(({value_sql} - mn)"
-                f" / ((mx - mn) / {QD_GRID}.0)) AS BIGINT),"
-                f" {QD_GRID - 1}) AS id",
+                f"{qdigest_leaf_expr(value_sql)} AS id",
                 "thr")
             .groupBy("id", "thr")
             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
-    cur, kept = leaf, []
+    return qdigest_compress_leaves(leaf)
+
+
+def qdigest_leaf_expr(value_sql: str) -> str:
+    """The grid-cell heap-id expression (needs mn/mx in scope) — shared
+    by the batch build and the streaming twin so both map values with
+    identical operands."""
+    return (f"{QD_GRID} + LEAST(CAST(FLOOR(({value_sql} - mn)"
+            f" / ((mx - mn) / {QD_GRID}.0)) AS BIGINT), {QD_GRID - 1})")
+
+
+def qdigest_compress_leaves(leaf: DataFrame) -> DataFrame:
+    """The QD_D bottom-up compression passes over a (id, thr, cnt) leaf
+    table — split out so a streaming maintainer (whose bounded state IS
+    the leaf table: <= QD_GRID rows at any input volume, counts ADD
+    under any batch slicing) compresses its final state identically to
+    the batch build."""
+    cur, kept = leaf.select("id", "cnt", "thr"), []
     for lvl in range(QD_D, 0, -1):
         cur = cur.selectExpr("id", "cnt", "thr", "id DIV 2 AS pid")
         fam = (cur.groupBy("pid", "thr")
@@ -1336,12 +1351,21 @@ def sk_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
     b = qdigest_bounds(o, "o_totalprice")
     digest = qdigest_build(o, "o_totalprice", b).localCheckpoint()
-    est = qdigest_quantiles(spark, digest, b)
+    return _qdigest_audit(spark, o, digest, b)
+
+
+def _qdigest_audit(spark: SparkSession, o: DataFrame, digest: DataFrame,
+                   bounds: DataFrame) -> DataFrame:
+    """The shared probe tail: quantile walk + audit columns (exact
+    quantile, the estimate's true rank, digest size) — one body for the
+    batch probe and the streaming twin so both return byte-identical
+    projections."""
+    est = qdigest_quantiles(spark, digest, bounds)
     ranked = o.selectExpr(
         "o_totalprice AS v",
         "ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn")
     tgt = est.select("qpm", F.col("target_rank").alias("r"))
-    exact = (tgt.join(F.broadcast(ranked.where(F.lit(True))),
+    exact = (tgt.join(F.broadcast(ranked),
                       F.col("rn") >= F.col("r"))
              .groupBy("qpm").agg(F.min("v").alias("exact_value")))
     rke = (est.join(o.selectExpr("o_totalprice AS v"),
@@ -1358,3 +1382,307 @@ def sk_qdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS rank_err",
                 "n_nodes")
             .orderBy("qpm"))
+
+
+def _register_streaming_qdigest() -> None:
+    from kingfisher_process_spark.plans.base import REGISTRY, oracle_of
+
+    @probe("st_qdigest_incremental", None,
+           survey_ids="sketch-ext,streaming-ext,A4,O5")
+    def st_qdigest_incremental(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+        """The q-digest's LEAF TABLE as streaming state: orders arrive
+        as a 4-slice unordered file stream; the state store holds
+        groupBy(grid-cell).sum(cnt) — bounded at QD_GRID (4096) rows no
+        matter how much data streams through, because leaf counts ADD
+        (the sketch's mergeability, executed as a streaming agg). The
+        grid bounds are fixed ahead like any sketch config
+        (production: from yesterday's profile); compression runs once
+        on the final state and the result must hash-match
+        sk_qdigest_quantiles' batch oracle for ANY batch slicing —
+        addition's commutativity is the whole proof."""
+        import os
+        import tempfile
+        import uuid as _uuid
+
+        o = load_tables(spark, sf_dir)["orders"]
+        b = qdigest_bounds(o, "o_totalprice")
+        tmp = tempfile.mkdtemp(prefix="kps_stqd_")
+        watch = os.path.join(tmp, "watch")
+        os.makedirs(watch)
+        for i in range(4):
+            (o.where(F.pmod(F.hash("o_orderkey"), F.lit(4)) == i)
+             .coalesce(1).write.mode("append")
+             .parquet(os.path.join(watch, f"slice={i}")))
+        stream = (spark.readStream.schema(o.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(watch, "slice=*")))
+        leaves = (stream.crossJoin(b)  # stream-static: bounds broadcast
+                  .selectExpr(
+                      f"{qdigest_leaf_expr('o_totalprice')} AS id",
+                      "thr")
+                  .groupBy("id", "thr")
+                  .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+        sink = f"st_qd_{_uuid.uuid4().hex[:8]}"
+        q = (leaves.writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        digest = qdigest_compress_leaves(
+            spark.table(sink).localCheckpoint()).localCheckpoint()
+        return _qdigest_audit(spark, o, digest, b)
+
+    REGISTRY["st_qdigest_incremental"].oracle = oracle_of(
+        "sk_qdigest_quantiles")
+
+
+_register_streaming_qdigest()
+
+
+def cms_merge(parts: list[DataFrame]) -> DataFrame:
+    """Merge Count-Min sketches by CELL-WISE ADDITION — unlike HLL
+    union (register MAX, an estimate) this is EXACT: counts distribute
+    over any partition of the input, so the merged table is
+    bit-identical to building one sketch over everything. The
+    sketch-side cost is a <= depth×width-row groupBy per merge."""
+    cur = parts[0]
+    for p in parts[1:]:
+        cur = cur.unionAll(p)
+    return (cur.groupBy("row", "bucket")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
+def _register_cms_merge() -> None:
+    from kingfisher_process_spark.plans.base import oracle_of
+
+    @probe("sk_cms_merge", oracle_of("sk_count_min_event_types"),
+           survey_ids="sketch-ext,A1,U2")
+    def sk_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sketch-side CMS merge, pinned by EQUALITY: events split into
+        two halves by event_id parity, each half sketched
+        independently, the two tables merged by cell addition — and
+        the result must hash-match the ONE-PASS full-data sketch's
+        oracle verbatim (cms cells are plain sums, so the merge
+        commutes with the build). This is the 100 TB deployment shape:
+        days/sources/partitions sketch locally, merge tables of
+        depth×width rows, never rescan."""
+        ev = load_tables(spark, sf_dir)["events"]
+        halves = [ev.where(F.pmod(F.col("event_id"), F.lit(2)) == i)
+                  for i in range(2)]
+        merged = cms_merge([cms_build(h, F.col("event_type"))
+                            for h in halves])
+        return merged.orderBy("row", "bucket")
+
+
+_register_cms_merge()
+
+
+def qdigest_bounds_grouped(df: DataFrame, value_sql: str,
+                           group_col: str, k: int = QD_K) -> DataFrame:
+    """(grp, mn, mx, n, thr) — per-group grid config: each segment gets
+    its OWN value grid, so a segment whose range is 100× narrower keeps
+    100× finer absolute resolution (the win over one shared grid)."""
+    return df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.expr(f"MIN({value_sql})").alias("mn"),
+        F.expr(f"MAX({value_sql})").alias("mx"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr(f"GREATEST(CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / {k}.0)"
+               " AS BIGINT), 1)").alias("thr"))
+
+
+def qdigest_build_grouped(df: DataFrame, value_sql: str, group_col: str,
+                          bounds: DataFrame) -> DataFrame:
+    """(grp, id, level, cnt) — one digest PER GROUP in ONE pass: the
+    leaf groupBy and every compression pass key on (grp, node), so a
+    100 TB profile computes per-segment quantile sketches without one
+    sorted percentile job per segment; state stays
+    <= groups × digest-size rows."""
+    leaf = (df.select(F.col(group_col).alias("grp"),
+                      F.expr(value_sql).alias("v"))
+            .join(F.broadcast(bounds), "grp")
+            .selectExpr("grp", f"{qdigest_leaf_expr('v')} AS id", "thr")
+            .groupBy("grp", "id", "thr")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    cur, kept = leaf, []
+    for lvl in range(QD_D, 0, -1):
+        cur = cur.selectExpr("grp", "id", "cnt", "thr", "id DIV 2 AS pid")
+        fam = (cur.groupBy("grp", "pid", "thr")
+               .agg(F.sum("cnt").cast("bigint").alias("s")))
+        kept.append(
+            cur.join(F.broadcast(fam.where("s > thr")
+                                 .select("grp", "pid")),
+                     ["grp", "pid"], "left_semi")
+            .selectExpr("grp", "id", f"CAST({lvl} AS INT) AS level",
+                        "cnt", "thr"))
+        cur = (fam.where("s <= thr")
+               .selectExpr("grp", "pid AS id", "s AS cnt", "thr"))
+    kept.append(cur.selectExpr("grp", "id", "CAST(0 AS INT) AS level",
+                               "cnt", "thr"))
+    out = kept[0]
+    for part in kept[1:]:
+        out = out.unionByName(part)
+    return out.select("grp", "id", "level", "cnt")
+
+
+def qdigest_quantiles_grouped(spark: SparkSession, digest: DataFrame,
+                              bounds: DataFrame,
+                              qs_pm=HIST_QS_PM) -> DataFrame:
+    """(grp, qpm, target_rank, est_value) — the rank walk windowed per
+    group (within a group the running count strictly increases, so the
+    (grp, cum) join back to the covering node is unique)."""
+    nodes = digest.selectExpr(
+        "grp", "cnt",
+        f"(id - shiftleft(CAST(1 AS BIGINT), level) + 1)"
+        f" * shiftleft(CAST(1 AS BIGINT), {QD_D} - level) - 1 AS hi",
+        f"(id - shiftleft(CAST(1 AS BIGINT), level))"
+        f" * shiftleft(CAST(1 AS BIGINT), {QD_D} - level) AS lo")
+    cum = nodes.selectExpr(
+        "grp", "hi", "cnt",
+        "SUM(cnt) OVER (PARTITION BY grp ORDER BY hi, lo DESC"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum")
+    qs = spark.range(1).selectExpr(
+        f"explode(array({', '.join(str(q) for q in qs_pm)})) AS qpm")
+    tgt = qs.crossJoin(F.broadcast(bounds)).selectExpr(
+        "grp", "qpm", "CAST(ceil(qpm * n / 1000.0) AS BIGINT) AS r",
+        "mn", "mx")
+    c2 = cum.withColumnRenamed("grp", "cgrp")
+    pick = (tgt.join(F.broadcast(c2),
+                     (F.col("grp") == F.col("cgrp"))
+                     & (F.col("cum") >= F.col("r")))
+            .groupBy("grp", "qpm", "r", "mn", "mx")
+            .agg(F.min("cum").alias("cum")))
+    back = c2.select("cgrp", "cum", "hi")
+    return (pick.join(F.broadcast(back),
+                      (F.col("grp") == F.col("cgrp"))
+                      & (pick["cum"] == back["cum"]))
+            .selectExpr(
+                "grp", "qpm", "r AS target_rank",
+                f"mn + (hi + 1) * ((mx - mn) / {QD_GRID}.0) AS est_value"))
+
+
+def _qd_grouped_oracle_sql() -> str:
+    """The grouped unrolled replay: per-group grid config, (grp, node)-
+    keyed compression passes, per-group rank walk + audit columns."""
+    lvls = [f"""
+    lvl{QD_D} AS (
+      SELECT b.grp,
+             {QD_GRID} + LEAST(CAST(FLOOR((o.o_totalprice - b.mn)
+                 / ((b.mx - b.mn) / {QD_GRID}.0)) AS BIGINT),
+               {QD_GRID - 1}) AS id,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders o JOIN b ON b.grp = o.o_orderpriority
+      GROUP BY 1, 2)"""]
+    for lvl in range(QD_D, 0, -1):
+        lvls.append(f"""
+    fam{lvl} AS (
+      SELECT grp, id // 2 AS pid, CAST(SUM(cnt) AS BIGINT) AS s
+      FROM lvl{lvl} GROUP BY 1, 2),
+    keep{lvl} AS (
+      SELECT n.grp, n.id, {lvl} AS level, n.cnt
+      FROM lvl{lvl} n
+      JOIN fam{lvl} f ON f.grp = n.grp AND n.id // 2 = f.pid
+      JOIN b ON b.grp = n.grp
+      WHERE f.s > b.thr),
+    lvl{lvl - 1} AS (
+      SELECT f.grp, f.pid AS id, f.s AS cnt
+      FROM fam{lvl} f JOIN b ON b.grp = f.grp WHERE f.s <= b.thr)""")
+    union = " UNION ALL ".join(
+        [f"SELECT grp, id, level, cnt FROM keep{lvl}"
+         for lvl in range(QD_D, 0, -1)]
+        + ["SELECT grp, id, 0 AS level, cnt FROM lvl0"])
+    return f"""
+    WITH b AS (
+      SELECT o_orderpriority AS grp,
+             MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             GREATEST(CAST(FLOOR(CAST(COUNT(*) AS DOUBLE) / {QD_K}.0)
+               AS BIGINT), 1) AS thr
+      FROM orders GROUP BY 1),
+    {",".join(lvls)},
+    digest AS ({union}),
+    nodes AS (
+      SELECT grp, cnt,
+             (id - (CAST(1 AS BIGINT) << level) + 1)
+               * (CAST(1 AS BIGINT) << ({QD_D} - level)) - 1 AS hi,
+             (id - (CAST(1 AS BIGINT) << level))
+               * (CAST(1 AS BIGINT) << ({QD_D} - level)) AS lo
+      FROM digest),
+    cum AS (
+      SELECT grp, hi, cnt,
+             SUM(cnt) OVER (PARTITION BY grp ORDER BY hi, lo DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM nodes),
+    qs AS (SELECT UNNEST([{", ".join(str(q) for q in HIST_QS_PM)}]) AS qpm),
+    tgt AS (SELECT b.grp, qpm,
+                   CAST(ceil(qpm * b.n / 1000.0) AS BIGINT) AS r,
+                   b.mn, b.mx
+            FROM qs, b),
+    pick AS (
+      SELECT t.grp, t.qpm, t.r, t.mn, t.mx, MIN(c.cum) AS cum
+      FROM tgt t JOIN cum c ON c.grp = t.grp AND c.cum >= t.r
+      GROUP BY 1, 2, 3, 4, 5),
+    est AS (
+      SELECT p.grp, p.qpm, p.r AS target_rank,
+             p.mn + (c.hi + 1) * ((p.mx - p.mn) / {QD_GRID}.0) AS est_value
+      FROM pick p JOIN cum c ON c.grp = p.grp AND c.cum = p.cum),
+    ranked AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn
+      FROM orders),
+    exact AS (
+      SELECT t.grp, t.qpm, MIN(rk.v) AS exact_value
+      FROM tgt t JOIN ranked rk ON rk.grp = t.grp AND rk.rn >= t.r
+      GROUP BY 1, 2),
+    rke AS (
+      SELECT e.grp, e.qpm, CAST(COUNT(*) AS BIGINT) AS rank_of_est
+      FROM est e JOIN orders o
+        ON o.o_orderpriority = e.grp AND o.o_totalprice <= e.est_value
+      GROUP BY 1, 2)
+    SELECT e.grp AS o_orderpriority, e.qpm, e.target_rank, e.est_value,
+           x.exact_value, rke.rank_of_est,
+           CAST(ABS(rke.rank_of_est - e.target_rank) AS BIGINT)
+             AS rank_err
+    FROM est e
+    JOIN exact x ON x.grp = e.grp AND x.qpm = e.qpm
+    JOIN rke ON rke.grp = e.grp AND rke.qpm = e.qpm
+    ORDER BY e.grp, e.qpm
+    """
+
+
+@probe("sk_qdigest_by_group", _qd_grouped_oracle_sql(),
+       survey_ids="sketch-ext,A4,A1,O1")
+def sk_qdigest_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment quantile profile in ONE pass: a q-digest per
+    o_orderpriority (each on its own grid), p50/p90/p99 per segment
+    with the exact value and rank error in every verified row — what a
+    100 TB pipeline computes instead of a sorted percentile job per
+    segment. The oracle replays per-group grids, all (grp, node)-keyed
+    compression passes, and the per-group rank walks."""
+    o = load_tables(spark, sf_dir)["orders"]
+    b = qdigest_bounds_grouped(o, "o_totalprice", "o_orderpriority")
+    digest = (qdigest_build_grouped(o, "o_totalprice", "o_orderpriority",
+                                    b).localCheckpoint())
+    est = qdigest_quantiles_grouped(spark, digest, b)
+    ranked = o.selectExpr(
+        "o_orderpriority AS rgrp", "o_totalprice AS v",
+        "ROW_NUMBER() OVER (PARTITION BY o_orderpriority"
+        " ORDER BY o_totalprice) AS rn")
+    tgt = est.select("grp", "qpm", F.col("target_rank").alias("r"))
+    exact = (tgt.join(F.broadcast(ranked),
+                      (F.col("grp") == F.col("rgrp"))
+                      & (F.col("rn") >= F.col("r")))
+             .groupBy("grp", "qpm").agg(F.min("v").alias("exact_value")))
+    ov = o.selectExpr("o_orderpriority AS ogrp", "o_totalprice AS v")
+    rke = (est.join(ov, (F.col("grp") == F.col("ogrp"))
+                    & (F.col("v") <= F.col("est_value")))
+           .groupBy("grp", "qpm")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("rank_of_est")))
+    return (est.join(exact, ["grp", "qpm"]).join(rke, ["grp", "qpm"])
+            .selectExpr(
+                "grp AS o_orderpriority", "qpm", "target_rank",
+                "est_value", "exact_value", "rank_of_est",
+                "CAST(ABS(rank_of_est - target_rank) AS BIGINT)"
+                " AS rank_err")
+            .orderBy("o_orderpriority", "qpm"))
