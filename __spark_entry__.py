@@ -29,6 +29,7 @@ def _registry():
         import kingfisher_process_spark.functions.ann_index  # noqa: F401
         import kingfisher_process_spark.functions.multimodal  # noqa: F401
         import kingfisher_process_spark.functions.sketch  # noqa: F401
+        import kingfisher_process_spark.functions.sketch_store  # noqa: F401
         import kingfisher_process_spark.functions.zorder  # noqa: F401
         import kingfisher_process_spark.functions.graph  # noqa: F401
         import kingfisher_process_spark.streaming.probes  # noqa: F401
@@ -128,9 +129,15 @@ def _registry():
     #     POST-FREEZE r9 additions (CI-parity-green, never driver-
     #     checked — first cap slots in r10): ann_index_spill_topk
     #     (spill=2 multi-assignment serving with min-over-cells ADC),
+    #     ann_index_spill_rerank_topk (the spill-scaled-shortlist
+    #     rerank tier — the only net-win spill configuration),
     #     st_hll_by_group (grouped registers as streaming state),
-    #     sk_qdigest_quantiles (deterministic q-digest with unrolled
-    #     compression-pass oracle).
+    #     sk_qdigest_quantiles / sk_qdigest_by_group /
+    #     st_qdigest_incremental (deterministic q-digest family with
+    #     unrolled compression-pass oracles), sk_cms_merge (exact
+    #     sketch-side merge), sk_cms_join_size (inner-product join-
+    #     cardinality estimate), sk_store_roundtrip (persisted sketch
+    #     store round-trip, shares sk_hll_distinct's oracle).
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",

@@ -211,6 +211,39 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--ids", required=True,
                     help="comma-separated vec_ids to delete")
 
+    sb = sub.add_parser(
+        "sketchbuild",
+        help="one-pass sketch directory (HLL+CMS per key column, "
+             "q-digest per value column) for a parquet table")
+    sb.add_argument("--input", required=True)
+    sb.add_argument("--output", required=True)
+    sb.add_argument("--keys", default="",
+                    help="comma-separated key columns (distinct/"
+                         "frequency sketches)")
+    sb.add_argument("--values", default="",
+                    help="comma-separated numeric columns (quantile "
+                         "digests)")
+    sb.add_argument("--bounds", default=None,
+                    help="JSON {col: {mn, mx}} freezing the value "
+                         "grids so directories built per day/source "
+                         "stay mergeable")
+
+    sm = sub.add_parser(
+        "sketchmerge",
+        help="merge sketch dirs sketch-side: HLL register MAX, CMS "
+             "cell ADD, q-digest recompress — history never rescanned")
+    sm.add_argument("--inputs", required=True,
+                    help="comma-separated sketch directories")
+    sm.add_argument("--output", required=True)
+
+    ss = sub.add_parser(
+        "sketchstat",
+        help="profile from a sketch dir alone: per-key est distinct, "
+             "per-value p50/p90/p99, optional CMS point counts")
+    ss.add_argument("--sketch", required=True)
+    ss.add_argument("--counts", default=None,
+                    help="col=key1,key2 — CMS point-count these keys")
+
     tb = sub.add_parser(
         "tokbuild",
         help="train BPE merges on a documents parquet, persist the model")
@@ -327,6 +360,42 @@ def _dispatch(args, spark, store) -> int:
 
         ids = [int(v) for v in args.ids.split(",") if v]
         print(json.dumps(delete_index(spark, args.index, ids)))
+        return 0
+
+    if args.command == "sketchbuild":
+        from kingfisher_process_spark.functions.sketch_store import (
+            build_sketches)
+
+        df = spark.read.parquet(args.input)
+        bounds = json.loads(args.bounds) if args.bounds else None
+        man = build_sketches(
+            spark, df, args.output,
+            key_cols=[c for c in args.keys.split(",") if c],
+            value_cols=[c for c in args.values.split(",") if c],
+            bounds=bounds)
+        print(json.dumps(man, sort_keys=True))
+        return 0
+
+    if args.command == "sketchmerge":
+        from kingfisher_process_spark.functions.sketch_store import (
+            merge_sketch_dirs)
+
+        man = merge_sketch_dirs(
+            spark, [d for d in args.inputs.split(",") if d], args.output)
+        print(json.dumps(man, sort_keys=True))
+        return 0
+
+    if args.command == "sketchstat":
+        from kingfisher_process_spark.functions.sketch_store import (
+            sketch_point_counts, sketch_summary)
+
+        out = sketch_summary(spark, args.sketch)
+        if args.counts:
+            col, _, keys = args.counts.partition("=")
+            out["point_counts"] = {col: sketch_point_counts(
+                spark, args.sketch, col,
+                [k for k in keys.split(",") if k])}
+        print(json.dumps(out, sort_keys=True))
         return 0
 
     if args.command == "annstat":

@@ -26,19 +26,23 @@ CMS_DEPTH = 4
 CMS_WIDTH = 64
 
 
-def _bucket(key, d: int):
+def _bucket(key, d: int, width: int = CMS_WIDTH):
     """Row-d hash bucket: independent-enough permutations come from
     seeding the md5 input, same trick as the minhash SEED_CONSTS."""
-    return F.pmod(h60(F.concat(F.lit(f"cms{d}:"), key)), F.lit(CMS_WIDTH))
+    return F.pmod(h60(F.concat(F.lit(f"cms{d}:"), key)), F.lit(width))
 
 
-def cms_build(df: DataFrame, key, depth: int = CMS_DEPTH) -> DataFrame:
+def cms_build(df: DataFrame, key, depth: int = CMS_DEPTH,
+              width: int = CMS_WIDTH) -> DataFrame:
     """(row, bucket, cnt) — the Count-Min table for ``key``'s frequency
     distribution. One shuffle of at most depth*width cells thanks to
     map-side partials; rows the data never hashes into are simply absent
-    (an absent cell is a zero)."""
+    (an absent cell is a zero). ``width`` sizes the error: point queries
+    err by ~n/width, inner products (cms_join_size) by ~n_a*n_b/width —
+    the join estimator wants a much wider table than point lookups."""
     rows = [
-        df.select(F.lit(d).alias("row"), _bucket(key, d).alias("bucket"))
+        df.select(F.lit(d).alias("row"),
+                  _bucket(key, d, width).alias("bucket"))
         for d in range(depth)
     ]
     union = rows[0]
@@ -1686,3 +1690,87 @@ def sk_qdigest_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(ABS(rank_of_est - target_rank) AS BIGINT)"
                 " AS rank_err")
             .orderBy("o_orderpriority", "qpm"))
+
+
+def cms_join_size(a_sketch: DataFrame, b_sketch: DataFrame) -> DataFrame:
+    """Estimate |A ⋈ B| on the sketched key from the two CMS tables
+    alone (Cormode & Muthukrishnan's inner-product estimator): for each
+    hash row, sum over buckets of cnt_a × cnt_b; the estimate is the
+    MIN over rows — an upper bound on the true join cardinality
+    (colliding keys only ever ADD cross terms). Cost is a
+    depth×width-row join; the inputs are never rescanned. The planner
+    use at 100 TB: decide broadcast-vs-shuffle or pre-filter strategy
+    for a join WITHOUT running it."""
+    j = (a_sketch.selectExpr("row", "bucket", "cnt AS ca")
+         .join(b_sketch.selectExpr("row", "bucket", "cnt AS cb"),
+               ["row", "bucket"])
+         .groupBy("row")
+         .agg(F.expr("CAST(SUM(ca * cb) AS BIGINT)").alias("ip")))
+    return j.agg(F.expr("CAST(MIN(ip) AS BIGINT)").alias("est_join_size"))
+
+
+CMS_JOIN_WIDTH = 4096  # inner-product error ~ n_a*n_b/width
+
+_CMS_O_BUCKET_SQL = ("CAST("
+                     + H60_SQL.format(x="('cms{d}:' || CAST(o_custkey AS VARCHAR))")
+                     + f" % {CMS_JOIN_WIDTH} AS BIGINT)")
+_CMS_C_BUCKET_SQL = ("CAST("
+                     + H60_SQL.format(x="('cms{d}:' || CAST(c_custkey AS VARCHAR))")
+                     + f" % {CMS_JOIN_WIDTH} AS BIGINT)")
+
+_CMS_JOIN_SQL = f"""
+    WITH acells AS (
+      {" UNION ALL ".join(
+          f"SELECT {d} AS row, {_CMS_O_BUCKET_SQL.format(d=d)} AS bucket"
+          " FROM orders" for d in range(CMS_DEPTH))}
+    ),
+    bcells AS (
+      {" UNION ALL ".join(
+          f"SELECT {d} AS row, {_CMS_C_BUCKET_SQL.format(d=d)} AS bucket"
+          " FROM customer WHERE c_acctbal > 0" for d in range(CMS_DEPTH))}
+    ),
+    a AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS ca
+          FROM acells GROUP BY 1, 2),
+    b AS (SELECT row, bucket, CAST(COUNT(*) AS BIGINT) AS cb
+          FROM bcells GROUP BY 1, 2),
+    ip AS (
+      SELECT a.row, CAST(SUM(a.ca * b.cb) AS BIGINT) AS ip
+      FROM a JOIN b ON a.row = b.row AND a.bucket = b.bucket
+      GROUP BY 1),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_size FROM ip),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_size
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_acctbal > 0)
+    SELECT est.est_join_size, ex.exact_join_size,
+           CAST(est.est_join_size - ex.exact_join_size AS BIGINT)
+             AS overestimate
+    FROM est, ex
+    """
+
+
+@probe("sk_cms_join_size", _CMS_JOIN_SQL,
+       survey_ids="sketch-ext,J1,A1")
+def sk_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches alone: orders and the
+    positive-balance customers are CMS-sketched INDEPENDENTLY on
+    custkey; the per-row inner product (min over rows) estimates
+    |orders ⋈ customers| without running the join or rescanning either
+    side. The true join count and the one-sided overestimate ride in
+    the same verified row — the oracle proves est >= exact per run.
+    All-integer arithmetic, so the replay is bit-exact."""
+    t = load_tables(spark, sf_dir)
+    a = cms_build(t["orders"], F.col("o_custkey"),
+                  width=CMS_JOIN_WIDTH)
+    b = cms_build(t["customer"].where("c_acctbal > 0"),
+                  F.col("c_custkey"), width=CMS_JOIN_WIDTH)
+    est = cms_join_size(a, b)
+    ex = (t["orders"].join(
+        t["customer"].where("c_acctbal > 0"),
+        F.col("o_custkey") == F.col("c_custkey"))
+        .selectExpr("CAST(COUNT(*) AS BIGINT) AS exact_join_size"))
+    return (est.crossJoin(F.broadcast(ex))
+            .selectExpr(
+                "est_join_size", "exact_join_size",
+                "CAST(est_join_size - exact_join_size AS BIGINT)"
+                " AS overestimate"))

@@ -1,0 +1,240 @@
+"""Persisted sketch store — the build-once / merge-forever operational
+form of the sketch family (the pattern `functions/tokenizer.py` and
+`functions/ann_index.py` set: train/build an artifact on disk, then
+serve and maintain it without rescanning history).
+
+A sketch directory is:
+
+- ``manifest.json`` — table row count, sketched columns, and the grid
+  config (mn/mx/n/thr per value column — FROZEN at build time so later
+  merges share identical grids, the q-digest merge precondition),
+- ``hll/<col>/`` — the 256-row register table per key column,
+- ``cms/<col>/`` — the depth×width Count-Min table per key column,
+- ``qdigest/<col>/`` — the compressed digest per value column.
+
+The 100 TB contract these three share: each partition/day/source builds
+its own directory in one pass over its slice, and ``merge_sketch_dirs``
+combines any number of directories SKETCH-SIDE — HLL by register MAX
+(estimate-preserving: exactly the table a one-pass build over the union
+produces), CMS by cell ADD (bit-exact vs the one-pass build), q-digest
+by node concat + re-compression under the combined count. History is
+never rescanned; a summary over a year of data reads 365 tiny
+directories.
+
+Reference analogue: none (operational extension of the sketch family,
+SURVEY §2.13).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.functions.sketch import (
+    CMS_DEPTH, CMS_WIDTH, QD_K, _dlit,
+    cms_build, cms_estimate, cms_merge,
+    hll_estimate, hll_registers,
+    qdigest_compress_leaves, qdigest_merge, qdigest_quantiles)
+
+_HLL_SCHEMA = "bucket INT, m INT"
+_CMS_SCHEMA = "row INT, bucket BIGINT, cnt BIGINT"
+_QD_SCHEMA = "id BIGINT, level INT, cnt BIGINT"
+
+
+def _write_manifest(out_dir: str, manifest: dict) -> None:
+    tmp = os.path.join(out_dir, ".manifest.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "manifest.json"))
+
+
+def load_manifest(sketch_dir: str) -> dict:
+    with open(os.path.join(sketch_dir, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _bounds_df(spark: SparkSession, b: dict) -> DataFrame:
+    """One-row bounds frame from frozen manifest values. The doubles
+    round-trip exactly through JSON (repr-faithful), so the quantile
+    arithmetic uses the same operands the build used."""
+    return spark.createDataFrame(
+        [(float(b["mn"]), float(b["mx"]), int(b["n"]), int(b["thr"]))],
+        "mn DOUBLE, mx DOUBLE, n BIGINT, thr BIGINT")
+
+
+def build_sketches(spark: SparkSession, df: DataFrame, out_dir: str,
+                   key_cols: list[str], value_cols: list[str],
+                   bounds: dict | None = None) -> dict:
+    """One pass per sketch over ``df``: HLL + CMS per key column,
+    q-digest per numeric value column. ``bounds`` (col -> {mn, mx}) may
+    be supplied to FREEZE the value grids ahead of time (the production
+    form: day 1 profiles, every later day builds on the same grid so
+    directories merge); without it the grids come from this input and
+    the manifest records them for later builders to reuse."""
+    os.makedirs(out_dir, exist_ok=True)
+    n_rows = df.count()
+    man: dict = {"n_rows": n_rows, "keys": key_cols,
+                 "values": value_cols,
+                 "cms": {"depth": CMS_DEPTH, "width": CMS_WIDTH},
+                 "bounds": {}}
+    for col in key_cols:
+        (hll_registers(df, col).coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "hll", col)))
+        (cms_build(df, F.col(col)).coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "cms", col)))
+    for col in value_cols:
+        if bounds is not None and col in bounds:
+            mn, mx = float(bounds[col]["mn"]), float(bounds[col]["mx"])
+            # _dlit: a bare decimal literal parses as DECIMAL under
+            # ANSI Spark and would round the frozen grid edge
+            agg = df.selectExpr(
+                f"{_dlit(mn)} AS mn", f"{_dlit(mx)} AS mx",
+                "CAST(COUNT(*) AS BIGINT) AS n").collect()[0]
+        else:
+            agg = df.selectExpr(
+                f"MIN({col}) AS mn", f"MAX({col}) AS mx",
+                "CAST(COUNT(*) AS BIGINT) AS n").collect()[0]
+        thr = max(int(agg["n"]) // QD_K, 1)
+        b = {"mn": float(agg["mn"]), "mx": float(agg["mx"]),
+             "n": int(agg["n"]), "thr": thr}
+        man["bounds"][col] = b
+        bdf = _bounds_df(spark, b)
+        from kingfisher_process_spark.functions.sketch import (
+            qdigest_leaf_expr)
+
+        leaf = (df.select(F.col(col).alias("v"))
+                .crossJoin(F.broadcast(bdf))
+                .selectExpr(f"{qdigest_leaf_expr('v')} AS id", "thr")
+                .groupBy("id", "thr")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+        (qdigest_compress_leaves(leaf).coalesce(1)
+         .write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "qdigest", col)))
+    _write_manifest(out_dir, man)
+    return man
+
+
+def merge_sketch_dirs(spark: SparkSession, in_dirs: list[str],
+                      out_dir: str) -> dict:
+    """Combine sketch directories sketch-side. HLL registers merge by
+    MAX (commutative — byte-equal to a one-pass build over the union),
+    CMS cells by ADD (exact), q-digests by node concat + re-compression
+    under the summed count. Value grids must MATCH across inputs (the
+    manifest pins them; mismatched grids are a config error, not a
+    silently-wrong merge)."""
+    mans = [load_manifest(d) for d in in_dirs]
+    keys, values = mans[0]["keys"], mans[0]["values"]
+    for m in mans[1:]:
+        if m["keys"] != keys or m["values"] != values:
+            raise ValueError("sketch dirs cover different columns")
+        for col in values:
+            a, b = mans[0]["bounds"][col], m["bounds"][col]
+            if (a["mn"], a["mx"]) != (b["mn"], b["mx"]):
+                raise ValueError(
+                    f"value grid mismatch for {col}: {a} vs {b} — "
+                    "build with frozen bounds to make dirs mergeable")
+    os.makedirs(out_dir, exist_ok=True)
+    out_man: dict = {"n_rows": sum(m["n_rows"] for m in mans),
+                     "keys": keys, "values": values,
+                     "cms": mans[0]["cms"], "bounds": {}}
+    for col in keys:
+        regs = [spark.read.schema(_HLL_SCHEMA)
+                .parquet(os.path.join(d, "hll", col)) for d in in_dirs]
+        u = regs[0]
+        for r in regs[1:]:
+            u = u.unionByName(r)
+        (u.groupBy("bucket").agg(F.max("m").alias("m"))
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "hll", col)))
+        cmss = [spark.read.schema(_CMS_SCHEMA)
+                .parquet(os.path.join(d, "cms", col)) for d in in_dirs]
+        (cms_merge(cmss).coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "cms", col)))
+    for col in values:
+        n = sum(m["bounds"][col]["n"] for m in mans)
+        b = dict(mans[0]["bounds"][col])
+        b["n"], b["thr"] = n, max(n // QD_K, 1)
+        out_man["bounds"][col] = b
+        parts = [spark.read.schema(_QD_SCHEMA)
+                 .parquet(os.path.join(d, "qdigest", col))
+                 for d in in_dirs]
+        merged = qdigest_merge(parts, _bounds_df(spark, b))
+        (merged.coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(out_dir, "qdigest", col)))
+    _write_manifest(out_dir, out_man)
+    return out_man
+
+
+def sketch_summary(spark: SparkSession, sketch_dir: str,
+                   qs_pm=(500, 900, 990)) -> dict:
+    """The profile a year of merged daily sketches answers without
+    touching the data: per key column the estimated distinct count,
+    per value column the estimated p50/p90/p99. Reads only
+    sketch-sized parquet."""
+    man = load_manifest(sketch_dir)
+    out: dict = {"n_rows": man["n_rows"], "distinct": {},
+                 "quantiles": {}}
+    for col in man["keys"]:
+        regs = spark.read.schema(_HLL_SCHEMA).parquet(
+            os.path.join(sketch_dir, "hll", col))
+        [r] = hll_estimate(spark, regs).collect()
+        out["distinct"][col] = r["est_distinct"]
+    for col in man["values"]:
+        digest = spark.read.schema(_QD_SCHEMA).parquet(
+            os.path.join(sketch_dir, "qdigest", col))
+        b = _bounds_df(spark, man["bounds"][col])
+        rows = qdigest_quantiles(spark, digest, b, qs_pm=qs_pm).collect()
+        out["quantiles"][col] = {
+            int(r["qpm"]): r["est_value"] for r in rows}
+    return out
+
+
+def sketch_point_counts(spark: SparkSession, sketch_dir: str,
+                        col: str, keys: list) -> dict:
+    """CMS point queries against the persisted table — estimated
+    frequency per requested key, never rescanning the data."""
+    sketch = spark.read.schema(_CMS_SCHEMA).parquet(
+        os.path.join(sketch_dir, "cms", col))
+    kdf = spark.createDataFrame([(str(k),) for k in keys], "key STRING")
+    rows = cms_estimate(sketch, kdf, "key").collect()
+    return {r["key"]: int(r["est"]) for r in rows}
+
+
+def _register_store_probe() -> None:
+    from kingfisher_process_spark.plans.base import (
+        REGISTRY, load_tables, oracle_of, probe)
+
+    @probe("sk_store_roundtrip", None, survey_ids="sketch-ext,A3,A5")
+    def sk_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Persistence round-trip pinned by EQUALITY: build a sketch
+        directory for orders (HLL on o_custkey), read the REGISTER
+        TABLE BACK FROM DISK, and the estimate row must hash-match
+        sk_hll_distinct's in-plan oracle verbatim — one bit lost or
+        retyped anywhere in write → manifest → schema-pinned read →
+        estimator breaks the hash."""
+        import tempfile
+
+        orders = load_tables(spark, sf_dir)["orders"]
+        d = tempfile.mkdtemp(prefix="kps_sketchstore_")
+        build_sketches(spark, orders, d,
+                       key_cols=["o_custkey"],
+                       value_cols=["o_totalprice"])
+        regs = spark.read.schema(_HLL_SCHEMA).parquet(
+            os.path.join(d, "hll", "o_custkey"))
+        est = hll_estimate(spark, regs)
+        exact = orders.selectExpr(
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct")
+        return (est.crossJoin(F.broadcast(exact))
+                .selectExpr(
+                    "est_raw", "est_distinct", "n_zero_registers",
+                    "exact_distinct",
+                    "(est_distinct - CAST(exact_distinct AS DOUBLE))"
+                    " / CAST(exact_distinct AS DOUBLE) AS rel_err"))
+
+    REGISTRY["sk_store_roundtrip"].oracle = oracle_of("sk_hll_distinct")
+
+
+_register_store_probe()

@@ -214,3 +214,18 @@ def test_qdigest_beats_histogram_on_heavy_tail(spark):
     qd_err, hist_err = abs(qd_rank - r50), abs(hist_rank - r50)
     # adaptive resolution should cut the rank error by a wide margin
     assert qd_err * 2 < hist_err, (qd_err, hist_err)
+
+
+def test_cms_join_size_one_sided_and_bounded(spark):
+    """The inner-product estimate never undercounts (colliding keys
+    only ADD cross terms) and its overestimate stays near the theory
+    bound n_a*n_b/width (pinned at 4x slack for hash luck)."""
+    from kingfisher_process_spark.functions.sketch import (
+        CMS_JOIN_WIDTH, sk_cms_join_size)
+
+    [r] = sk_cms_join_size(spark, SF_SMOKE).collect()
+    assert r["overestimate"] >= 0
+    t = load_tables(spark, SF_SMOKE)
+    n_a = t["orders"].count()
+    n_b = t["customer"].where("c_acctbal > 0").count()
+    assert r["overestimate"] <= 4 * n_a * n_b / CMS_JOIN_WIDTH + 1, r

@@ -1,0 +1,138 @@
+"""Persisted sketch store: per-slice directories must merge
+sketch-side into exactly what a one-pass build over the union
+produces (HLL/CMS), q-digest quantiles from the merged digest must
+obey the batch error bound, and mismatched grids must refuse."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.functions.sketch_store import (
+    _CMS_SCHEMA, _HLL_SCHEMA, _QD_SCHEMA, build_sketches,
+    merge_sketch_dirs, sketch_point_counts, sketch_summary)
+from kingfisher_process_spark.plans.base import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def _halves(orders):
+    return [orders.where(F.pmod(F.hash("o_orderkey"), F.lit(2)) == i)
+            for i in range(2)]
+
+
+def test_merged_dirs_equal_one_pass_build(spark, tmp_path):
+    orders = load_tables(spark, SF_SMOKE)["orders"]
+    full_b = orders.selectExpr(
+        "MIN(o_totalprice) AS mn", "MAX(o_totalprice) AS mx").collect()[0]
+    bounds = {"o_totalprice": {"mn": full_b["mn"], "mx": full_b["mx"]}}
+    dirs = []
+    for i, h in enumerate(_halves(orders)):
+        d = str(tmp_path / f"part{i}")
+        build_sketches(spark, h, d, key_cols=["o_custkey"],
+                       value_cols=["o_totalprice"], bounds=bounds)
+        dirs.append(d)
+    merged = str(tmp_path / "merged")
+    man = merge_sketch_dirs(spark, dirs, merged)
+    assert man["n_rows"] == orders.count()
+
+    ref = str(tmp_path / "ref")
+    build_sketches(spark, orders, ref, key_cols=["o_custkey"],
+                   value_cols=["o_totalprice"], bounds=bounds)
+
+    # HLL registers: register-MAX merge == one-pass build, row for row
+    got = spark.read.schema(_HLL_SCHEMA).parquet(merged + "/hll/o_custkey")
+    want = spark.read.schema(_HLL_SCHEMA).parquet(ref + "/hll/o_custkey")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # CMS: cell-ADD merge == one-pass build, exactly
+    got = spark.read.schema(_CMS_SCHEMA).parquet(merged + "/cms/o_custkey")
+    want = spark.read.schema(_CMS_SCHEMA).parquet(ref + "/cms/o_custkey")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    # q-digest: count conservation + batch error bound on the merged
+    # digest's quantiles (merge re-compresses, so node sets may differ
+    # from the one-pass build, but the guarantee must hold)
+    from kingfisher_process_spark.functions.sketch import QD_D, QD_K
+
+    dg = spark.read.schema(_QD_SCHEMA).parquet(
+        merged + "/qdigest/o_totalprice")
+    n = orders.count()
+    assert dg.agg(F.sum("cnt")).collect()[0][0] == n
+    summ = sketch_summary(spark, merged)
+    bound = QD_D * n / QD_K + 1
+    for qpm, v in summ["quantiles"]["o_totalprice"].items():
+        rank = orders.where(F.col("o_totalprice") <= v).count()
+        target = -(-qpm * n // 1000)  # ceil
+        assert abs(rank - target) <= bound, (qpm, rank, target)
+
+    # distinct estimate from the merged dir equals the one-pass dir's
+    assert (summ["distinct"]["o_custkey"]
+            == sketch_summary(spark, ref)["distinct"]["o_custkey"])
+
+
+def test_grid_mismatch_refuses(spark, tmp_path):
+    orders = load_tables(spark, SF_SMOKE)["orders"]
+    a, b = _halves(orders)
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    build_sketches(spark, a, da, key_cols=[],
+                   value_cols=["o_totalprice"])  # own grid
+    build_sketches(spark, b, db, key_cols=[],
+                   value_cols=["o_totalprice"])  # different grid
+    with pytest.raises(ValueError, match="grid mismatch"):
+        merge_sketch_dirs(spark, [da, db], str(tmp_path / "m"))
+
+
+def test_point_counts_upper_bound_truth(spark, tmp_path):
+    orders = load_tables(spark, SF_SMOKE)["orders"]
+    d = str(tmp_path / "s")
+    build_sketches(spark, orders, d, key_cols=["o_orderpriority"],
+                   value_cols=[])
+    truth = {r["o_orderpriority"]: r["c"] for r in
+             orders.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("c")).collect()}
+    est = sketch_point_counts(spark, d, "o_orderpriority",
+                              list(truth))
+    for k, true_c in truth.items():
+        assert est[k] >= true_c  # CMS never undercounts
+
+
+def test_cli_sketch_commands(spark, tmp_path, capsys):
+    from tests.test_cli import run
+
+    orders_path = f"{SF_SMOKE}/orders.parquet"
+    d1, d2, dm = (str(tmp_path / x) for x in ("d1", "d2", "dm"))
+    store = str(tmp_path / "store")
+    full = spark.read.parquet(orders_path)
+    b = full.selectExpr("MIN(o_totalprice) AS mn",
+                        "MAX(o_totalprice) AS mx").collect()[0]
+    bounds = json.dumps(
+        {"o_totalprice": {"mn": b["mn"], "mx": b["mx"]}})
+    rc, man1 = run(capsys, "--store", store, "sketchbuild",
+                   "--input", orders_path, "--output", d1,
+                   "--keys", "o_custkey", "--values", "o_totalprice",
+                   "--bounds", bounds)
+    assert rc == 0 and man1["n_rows"] == full.count()
+    rc, _ = run(capsys, "--store", store, "sketchbuild",
+                "--input", orders_path, "--output", d2,
+                "--keys", "o_custkey", "--values", "o_totalprice",
+                "--bounds", bounds)
+    assert rc == 0
+    rc, man = run(capsys, "--store", store, "sketchmerge",
+                  "--inputs", f"{d1},{d2}", "--output", dm)
+    assert rc == 0 and man["n_rows"] == 2 * full.count()
+    rc, summ = run(capsys, "--store", store, "sketchstat",
+                   "--sketch", dm, "--counts", "o_custkey=1,2")
+    assert rc == 0
+    # self-merge doubles every multiplicity but adds no NEW distincts:
+    # the register table (set-of-hashes summary) is IDENTICAL, so the
+    # estimate matches the single build's exactly
+    assert (summ["distinct"]["o_custkey"]
+            == sketch_summary(spark, d1)["distinct"]["o_custkey"])
+    # CLI output went through JSON, so the qpm keys are strings
+    assert set(summ["quantiles"]["o_totalprice"]) == {"500", "900", "990"}
+    assert all(v >= 1 for v in summ["point_counts"]["o_custkey"].values())
