@@ -30,6 +30,7 @@ def _registry():
         import kingfisher_process_spark.functions.multimodal  # noqa: F401
         import kingfisher_process_spark.functions.sketch  # noqa: F401
         import kingfisher_process_spark.functions.sketch_store  # noqa: F401
+        import kingfisher_process_spark.functions.text_index  # noqa: F401
         import kingfisher_process_spark.functions.zorder  # noqa: F401
         import kingfisher_process_spark.functions.graph  # noqa: F401
         import kingfisher_process_spark.streaming.probes  # noqa: F401
@@ -137,7 +138,10 @@ def _registry():
     #     unrolled compression-pass oracles), sk_cms_merge (exact
     #     sketch-side merge), sk_cms_join_size (inner-product join-
     #     cardinality estimate), sk_store_roundtrip (persisted sketch
-    #     store round-trip, shares sk_hll_distinct's oracle).
+    #     store round-trip, shares sk_hll_distinct's oracle),
+    #     t_bm25_index_topk (persisted BM25 inverted index serving)
+    #     and s_hybrid_persisted_fusion (RRF over BOTH persisted
+    #     indexes — the two-index serving stack in one hash).
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",

@@ -211,6 +211,44 @@ def build_parser() -> argparse.ArgumentParser:
     ad.add_argument("--ids", required=True,
                     help="comma-separated vec_ids to delete")
 
+    bb = sub.add_parser(
+        "bm25build",
+        help="build a persisted BM25 inverted index (cell-partitioned "
+             "postings) from a documents parquet")
+    bb.add_argument("--input", required=True,
+                    help="documents parquet (doc_id, text)")
+    bb.add_argument("--output", required=True)
+
+    bq = sub.add_parser(
+        "bm25query",
+        help="BM25 top-k from a persisted index (partition-pruned "
+             "postings read; scores bit-identical to the in-plan probe)")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("--terms", required=True,
+                    help="comma-separated query terms")
+    bq.add_argument("--top-k", type=int, default=10)
+
+    bu = sub.add_parser(
+        "bm25upsert",
+        help="append new documents to a BM25 index (idempotent under "
+             "retries; tombstoned ids refused until bm25compact)")
+    bu.add_argument("--index", required=True)
+    bu.add_argument("--input", required=True)
+
+    bd = sub.add_parser(
+        "bm25delete",
+        help="tombstone documents: hidden from serving immediately, "
+             "purged at the next bm25compact")
+    bd.add_argument("--index", required=True)
+    bd.add_argument("--ids", required=True,
+                    help="comma-separated doc_ids")
+
+    bc = sub.add_parser(
+        "bm25compact",
+        help="fold fragmented cells, purge tombstoned docs, refresh "
+             "the exact corpus stats")
+    bc.add_argument("--index", required=True)
+
     sb = sub.add_parser(
         "sketchbuild",
         help="one-pass sketch directory (HLL+CMS per key column, "
@@ -360,6 +398,51 @@ def _dispatch(args, spark, store) -> int:
 
         ids = [int(v) for v in args.ids.split(",") if v]
         print(json.dumps(delete_index(spark, args.index, ids)))
+        return 0
+
+    if args.command == "bm25build":
+        from kingfisher_process_spark.functions.text_index import (
+            build_text_index)
+
+        docs = spark.read.parquet(args.input)
+        print(json.dumps(build_text_index(
+            spark, docs.select("doc_id", "text"), args.output)))
+        return 0
+
+    if args.command == "bm25query":
+        from kingfisher_process_spark.functions.text_index import (
+            query_text_index)
+
+        terms = [t for t in args.terms.split(",") if t]
+        rows = query_text_index(spark, args.index, terms,
+                                top_k=args.top_k).collect()
+        print(json.dumps([{k: r[k] for k in
+                           ("doc_id", "dl", "tf_total", "score")}
+                          for r in rows]))
+        return 0
+
+    if args.command == "bm25upsert":
+        from kingfisher_process_spark.functions.text_index import (
+            upsert_text_index)
+
+        docs = spark.read.parquet(args.input)
+        print(json.dumps(upsert_text_index(
+            spark, docs.select("doc_id", "text"), args.index)))
+        return 0
+
+    if args.command == "bm25delete":
+        from kingfisher_process_spark.functions.text_index import (
+            delete_text_index)
+
+        ids = [int(v) for v in args.ids.split(",") if v]
+        print(json.dumps(delete_text_index(spark, args.index, ids)))
+        return 0
+
+    if args.command == "bm25compact":
+        from kingfisher_process_spark.functions.text_index import (
+            compact_text_index)
+
+        print(json.dumps(compact_text_index(spark, args.index)))
         return 0
 
     if args.command == "sketchbuild":

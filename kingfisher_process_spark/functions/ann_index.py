@@ -517,10 +517,12 @@ def _fragmented_cells(tree_dir: str, min_files: int) -> set[str]:
 
 
 def _fold_tree(spark: SparkSession, tree_dir: str, schema: str,
-               tomb: DataFrame | None, frag: list[str]) -> tuple[int, int]:
-    """Fold the listed cells of one tree (codes or vectors) to one file
-    per cell, dropping tombstoned rows, via the staged atomic swap.
-    Returns (n_cells, n_rows_deleted)."""
+               tomb: DataFrame | None, frag: list[str],
+               key: str = "vec_id") -> tuple[int, int]:
+    """Fold the listed cells of one tree (codes or vectors — or any
+    cell-partitioned tree: the BM25 inverted index reuses this with
+    key='doc_id') to one file per cell, dropping tombstoned rows, via
+    the staged atomic swap. Returns (n_cells, n_rows_deleted)."""
     # a cell may be absent from THIS tree while listed (tombstone-hit
     # cells come from the codes tree; a crash between the codes and
     # vectors appends can leave the vectors tree without it) — folding
@@ -537,7 +539,7 @@ def _fold_tree(spark: SparkSession, tree_dir: str, schema: str,
             .schema(schema).parquet(*src))
     n_before = body.count()
     if tomb is not None:
-        body = body.join(F.broadcast(tomb), "vec_id", "left_anti")
+        body = body.join(F.broadcast(tomb), key, "left_anti")
     # one task per cell → one output file per cell directory
     (body.repartition("cell")
      .write.mode("overwrite").partitionBy("cell").parquet(staging))

@@ -1,0 +1,468 @@
+"""Persisted BM25 inverted index — the build-once / serve-many form of
+`t_bm25_search` (the lexical half of the retrieval stack), built on the
+SAME cell-partitioned tree machinery as the ANN index: writer lock,
+crash-healed staged swaps, tombstone deletes, cell folds.
+
+The index directory is:
+
+- ``stats.json`` — n_docs and sum_dl as EXACT BIGINTs (avgdl is
+  derived as one IEEE division at query time, so serving reproduces
+  the in-plan probe's doubles bit-for-bit), k1/b parameters,
+- ``postings/`` — one row per (term, doc) pair: (term, doc_id, tf,
+  dl), parquet partitioned by ``cell`` = pmod(h60(term), N_TERM_CELLS).
+  A query's terms map to cell literals, so the read is
+  partition-pruned: serving I/O is |query-term cells| / N_TERM_CELLS
+  of the index — the inverted-index analogue of the ANN probed-cell
+  read. dl is denormalized onto every posting so scoring never joins
+  a doc-length table.
+- ``docs/`` — (doc_id, dl) partitioned by ``cell`` =
+  pmod(h60(doc_id), N_DOC_CELLS): the upsert existence probe (pruned
+  to the batch's doc cells) and the ground truth the stats refresh
+  scans,
+- ``tombstones/`` — pending doc_id deletes: serving anti-joins them
+  immediately, ``compact_text_index`` applies them physically.
+
+Writers serialize on the ANN index's ``.writer_lock``; both trees heal
+crash-stranded compaction swaps through the same ``_recover_codes``
+path. Idempotence under replay is keyed (doc_id, cell) per tree —
+a partial postings append (some term cells committed, others not)
+replays exactly the missing cells' rows.
+
+Reference analogue: none (operational extension of the text family,
+SURVEY §2.13; the reference has no retrieval surface).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.functions.ann_index import (
+    _fold_tree, _fragmented_cells, _recover_codes, _writer_lock)
+from kingfisher_process_spark.functions.dedup import h60
+from kingfisher_process_spark.functions.text import BM25_B, BM25_K1
+
+N_TERM_CELLS = 64
+N_DOC_CELLS = 64
+
+_POSTINGS_SCHEMA = "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, cell INT"
+_DOCS_SCHEMA = "doc_id BIGINT, dl BIGINT, cell INT"
+
+
+def _postings_dir(d: str) -> str:
+    return os.path.join(d, "postings")
+
+
+def _docs_dir(d: str) -> str:
+    return os.path.join(d, "docs")
+
+
+def _tomb_path(d: str) -> str:
+    return os.path.join(d, "tombstones")
+
+
+def _term_cell(col) -> F.Column:
+    return F.pmod(h60(F.concat(F.lit("tix:"), col)),
+                  F.lit(N_TERM_CELLS)).cast("int")
+
+
+def _doc_cell(col) -> F.Column:
+    return F.pmod(h60(F.concat(F.lit("dix:"), col.cast("string"))),
+                  F.lit(N_DOC_CELLS)).cast("int")
+
+
+def _posting_rows(docs: DataFrame) -> DataFrame:
+    """(term, doc_id, tf, dl, cell) — whitespace tokens, the same
+    tokenization as t_bm25_search; one explode + one (doc, term)
+    groupBy (map-side partials collapse repeated terms per doc)."""
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    base = docs.select("doc_id",
+                       F.size(toks).cast("long").alias("dl"),
+                       F.explode(toks).alias("term"))
+    return (base.groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+            .select("term", "doc_id", "tf", "dl",
+                    _term_cell(F.col("term")).alias("cell")))
+
+
+def _write_stats(spark: SparkSession, index_dir: str) -> dict:
+    """Recompute exact corpus stats FROM THE DOCS TREE (column-pruned
+    scan) and publish atomically — derived-from-truth, so a crash
+    between tree appends and a stats write converges on the next
+    mutation instead of drifting."""
+    docs = spark.read.option("basePath", _docs_dir(index_dir)) \
+        .schema(_DOCS_SCHEMA).parquet(_docs_dir(index_dir))
+    [r] = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    ).collect()
+    stats = {"n_docs": int(r["n_docs"]), "sum_dl": int(r["sum_dl"]),
+             "k1": BM25_K1, "b": BM25_B}
+    tmp = os.path.join(index_dir, ".stats.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, os.path.join(index_dir, "stats.json"))
+    return stats
+
+
+def load_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        return json.load(f)
+
+
+def build_text_index(spark: SparkSession, docs: DataFrame,
+                     out_dir: str) -> dict:
+    """One pass over (doc_id, text): write the cell-partitioned
+    postings and docs trees and the exact stats. Returns the build
+    audit."""
+    os.makedirs(out_dir, exist_ok=True)
+    import shutil
+
+    with _writer_lock(out_dir):
+        for d in (_postings_dir(out_dir), _docs_dir(out_dir),
+                  _tomb_path(out_dir)):
+            shutil.rmtree(d, ignore_errors=True)
+        rows = _posting_rows(docs)
+        (rows.repartition("cell").write.mode("overwrite")
+         .partitionBy("cell").parquet(_postings_dir(out_dir)))
+        toks = F.filter(F.split("text", " "), lambda x: x != "")
+        (docs.select("doc_id",
+                     F.size(toks).cast("long").alias("dl"),
+                     _doc_cell(F.col("doc_id")).alias("cell"))
+         .repartition("cell").write.mode("overwrite")
+         .partitionBy("cell").parquet(_docs_dir(out_dir)))
+        stats = _write_stats(spark, out_dir)
+    n_postings = spark.read.schema(_POSTINGS_SCHEMA) \
+        .option("basePath", _postings_dir(out_dir)) \
+        .parquet(_postings_dir(out_dir)).count()
+    return {"index": out_dir, "n_postings": n_postings, **stats}
+
+
+def _read_tomb(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    import glob as _glob
+
+    t = _tomb_path(index_dir)
+    if not _glob.glob(os.path.join(t, "*.parquet")):
+        return None
+    return spark.read.schema("doc_id BIGINT").parquet(t).distinct()
+
+
+def query_text_index(spark: SparkSession, index_dir: str,
+                     terms: list[str], top_k: int = 10) -> DataFrame:
+    """BM25 top-k over the persisted index: the postings read is
+    partition-pruned to the query terms' cells (literal IN-list —
+    |terms| cells of N_TERM_CELLS), df per term counts the pruned
+    postings, and scoring replays t_bm25_search's rational-idf
+    arithmetic with the SAME association order, so matched-document
+    scores are bit-identical to the in-plan probe. Only matching
+    documents are rankable (an inverted index never sees the rest) —
+    the contract the probe's oracle mirrors with its matched-only
+    filter."""
+    stats = load_stats(index_dir)
+    cells = sorted({_term_cell_py(t) for t in terms})
+    p = (spark.read.option("basePath", _postings_dir(index_dir))
+         .schema(_POSTINGS_SCHEMA).parquet(_postings_dir(index_dir))
+         .where(F.col("cell").isin(cells))
+         .where(F.col("term").isin(list(terms))))
+    tomb = _read_tomb(spark, index_dir)
+    if tomb is not None:
+        p = p.join(F.broadcast(tomb), "doc_id", "left_anti")
+    dfs = (p.groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    d = (p.groupBy("doc_id", "dl")
+         .pivot("term", list(terms))
+         .agg(F.coalesce(F.sum("tf"), F.lit(0)))
+         .na.fill(0))
+    for i, t in enumerate(terms):
+        d = d.withColumnRenamed(t, f"tf{i}")
+    n_docs, sum_dl = stats["n_docs"], stats["sum_dl"]
+    # avgdl as ONE division of exact integers — t_bm25_search's operands
+    avgdl = f"(CAST({sum_dl} AS DOUBLE) / {n_docs})"
+    dflit = {r["term"]: int(r["df"]) for r in dfs.collect()}
+
+    from kingfisher_process_spark.functions.sketch import _dlit
+
+    def term_score(i: int, t: str) -> str:
+        # every float constant through _dlit: a bare decimal literal
+        # parses as DECIMAL in Spark and would shift the arithmetic off
+        # the in-plan probe's doubles
+        df = dflit.get(t, 0)
+        return (
+            f"CASE WHEN tf{i} > 0 THEN "
+            f"(((CAST({n_docs} AS DOUBLE) - CAST({df} AS DOUBLE))"
+            f" + {_dlit(0.5)})"
+            f" / (CAST({df} AS DOUBLE) + {_dlit(0.5)}))"
+            f" * ((CAST(tf{i} AS DOUBLE) * {_dlit(BM25_K1 + 1.0)})"
+            f" / (CAST(tf{i} AS DOUBLE)"
+            f" + {_dlit(BM25_K1)} * ({_dlit(1.0 - BM25_B)} + {_dlit(BM25_B)}"
+            f" * (CAST(dl AS DOUBLE) / {avgdl})))) ELSE {_dlit(0.0)} END")
+
+    score = term_score(0, terms[0])
+    for i, t in enumerate(terms[1:], start=1):
+        score = f"({score} + {term_score(i, t)})"
+    return (d.selectExpr(
+        "doc_id", "dl",
+        "CAST(" + " + ".join(f"tf{i}" for i in range(len(terms)))
+        + " AS BIGINT) AS tf_total",
+        f"{score} AS score")
+        .orderBy(F.desc("score"), "doc_id").limit(top_k))
+
+
+def _term_cell_py(term: str) -> int:
+    """Driver-side twin of _term_cell (the cell literals that prune the
+    read): md5-derived 60-bit hash mod N_TERM_CELLS, same bytes."""
+    import hashlib
+
+    h = int(hashlib.md5(f"tix:{term}".encode()).hexdigest()[:15], 16)
+    return h % N_TERM_CELLS
+
+
+def upsert_text_index(spark: SparkSession, docs: DataFrame,
+                      index_dir: str) -> dict:
+    """Insert-if-absent maintenance: append new documents' postings and
+    doc rows, then refresh the exact stats from the docs tree.
+    Idempotence is keyed (doc_id, cell) per tree within the touched
+    cells (pruned existence reads), so retries and partial-commit
+    crashes replay exactly the missing rows — the ANN upsert
+    discipline applied to the inverted index. Re-adding a tombstoned
+    doc_id is refused until compaction, for the same two-generations
+    reason as the ANN index."""
+    with _writer_lock(index_dir):
+        _recover_codes(_postings_dir(index_dir))
+        _recover_codes(_docs_dir(index_dir))
+        rows = _posting_rows(docs).localCheckpoint()
+        tomb = _read_tomb(spark, index_dir)
+        if tomb is not None:
+            n_dead = rows.select("doc_id").distinct().join(
+                F.broadcast(tomb), "doc_id", "left_semi").count()
+            if n_dead:
+                raise ValueError(
+                    f"{n_dead} documents to upsert are tombstoned; run "
+                    "compact_text_index before re-adding these ids")
+        new_cells = sorted({r["cell"] for r in
+                            rows.select("cell").distinct().collect()})
+        existing = (spark.read.option("basePath", _postings_dir(index_dir))
+                    .schema(_POSTINGS_SCHEMA)
+                    .parquet(_postings_dir(index_dir))
+                    .where(F.col("cell").isin(new_cells))
+                    .select("doc_id", "cell").distinct())
+        add = rows.join(existing, ["doc_id", "cell"], "left_anti") \
+            .localCheckpoint()
+        n_add = add.count()
+        if n_add:
+            (add.repartition("cell").write.mode("append")
+             .partitionBy("cell").parquet(_postings_dir(index_dir)))
+        toks = F.filter(F.split("text", " "), lambda x: x != "")
+        drows = docs.select(
+            "doc_id", F.size(toks).cast("long").alias("dl"),
+            _doc_cell(F.col("doc_id")).alias("cell"))
+        dcells = sorted({r["cell"] for r in
+                         drows.select("cell").distinct().collect()})
+        dex = (spark.read.option("basePath", _docs_dir(index_dir))
+               .schema(_DOCS_SCHEMA).parquet(_docs_dir(index_dir))
+               .where(F.col("cell").isin(dcells)).select("doc_id"))
+        dadd = drows.join(dex, "doc_id", "left_anti").localCheckpoint()
+        n_docs_added = dadd.count()
+        if n_docs_added:
+            (dadd.repartition("cell").write.mode("append")
+             .partitionBy("cell").parquet(_docs_dir(index_dir)))
+        stats = _write_stats(spark, index_dir)
+    return {"index": index_dir, "n_postings_added": n_add,
+            "n_docs_added": n_docs_added, **stats}
+
+
+def delete_text_index(spark: SparkSession, index_dir: str,
+                      doc_ids: list[int]) -> dict:
+    """Logical delete: tombstone the doc ids (idempotent); serving
+    hides them immediately, compaction removes their postings and doc
+    rows physically and refreshes the stats."""
+    with _writer_lock(index_dir):
+        ids = spark.createDataFrame(
+            [(int(v),) for v in doc_ids], "doc_id BIGINT").distinct()
+        existing = _read_tomb(spark, index_dir)
+        if existing is not None:
+            ids = ids.join(existing, "doc_id", "left_anti")
+        n_new = ids.count()
+        if n_new:
+            (ids.coalesce(1).write.mode("append")
+             .parquet(_tomb_path(index_dir)))
+    return {"n_tombstoned": n_new, "index": index_dir}
+
+
+def compact_text_index(spark: SparkSession, index_dir: str,
+                       min_files: int = 2) -> dict:
+    """Fold fragmented cells of both trees to one file per cell,
+    dropping tombstoned documents physically, then clear the tombstone
+    set and refresh stats — compact_index's discipline on the
+    inverted-index trees (shared staged-swap helpers, so the swaps are
+    atomic and crash-healed)."""
+    import shutil
+
+    with _writer_lock(index_dir):
+        n_cells = n_del = 0
+        tomb = _read_tomb(spark, index_dir)
+        for tree, schema in ((_postings_dir(index_dir), _POSTINGS_SCHEMA),
+                             (_docs_dir(index_dir), _DOCS_SCHEMA)):
+            _recover_codes(tree)
+            hit: set[str] = set()
+            if tomb is not None:
+                hits = (spark.read.option("basePath", tree)
+                        .schema(schema).parquet(tree)
+                        .join(F.broadcast(tomb), "doc_id", "left_semi")
+                        .select("cell").distinct())
+                hit = {str(r["cell"]) for r in hits.collect()}
+            frag = _fragmented_cells(tree, min_files) | hit
+            c, d = _fold_tree(spark, tree, schema, tomb, sorted(frag),
+                              key="doc_id")
+            n_cells += c
+            n_del += d
+        shutil.rmtree(_tomb_path(index_dir), ignore_errors=True)
+        stats = _write_stats(spark, index_dir)
+    return {"n_cells_compacted": n_cells, "n_rows_deleted": n_del,
+            "index": index_dir, **stats}
+
+
+def _register_index_probe() -> None:
+    from kingfisher_process_spark.functions.text import (
+        BM25_QUERY, _bm25_score_sql)
+    from kingfisher_process_spark.plans.base import load_tables, probe
+
+    sql = f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text,' '), t -> t <> ''))
+               AS BIGINT) AS dl,
+             {", ".join(
+                 "CAST(len(list_filter(string_split(text,' '),"
+                 f" t -> t = '{t}')) AS BIGINT) AS tf{i}"
+                 for i, t in enumerate(BM25_QUERY))}
+      FROM documents
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+             {", ".join(
+                 f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+                 f" AS BIGINT) AS df{i}"
+                 for i in range(len(BM25_QUERY)))}
+      FROM d
+    )
+    SELECT doc_id, dl,
+           CAST({" + ".join(f"tf{i}" for i in range(len(BM25_QUERY)))}
+             AS BIGINT) AS tf_total,
+           (({_bm25_score_sql(0)} + {_bm25_score_sql(1)})
+             + {_bm25_score_sql(2)}) AS score
+    FROM d, s
+    WHERE {" + ".join(f"tf{i}" for i in range(len(BM25_QUERY)))} > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 10
+    """
+
+    @probe("t_bm25_index_topk", sql, survey_ids="text-ext,A6,O5,J1")
+    def t_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """BM25 served FROM THE PERSISTED INVERTED INDEX: build the
+        cell-partitioned postings/docs trees, then rank the fixed query
+        over a partition-pruned postings read. The oracle recomputes
+        BM25 over the raw corpus restricted to MATCHING documents (the
+        set an inverted index can rank) with t_bm25_search's exact
+        rational-idf arithmetic — one bit of drift through tokenize →
+        postings → stats.json → pruned read → df count → score breaks
+        the hash."""
+        import tempfile
+
+        docs = load_tables(spark, sf_dir)["documents"]
+        idx = tempfile.mkdtemp(prefix="kps_textidx_")
+        build_text_index(spark, docs.select("doc_id", "text"), idx)
+        return query_text_index(spark, idx, list(BM25_QUERY))
+
+
+_register_index_probe()
+
+
+def _register_hybrid_persisted_probe() -> None:
+    from kingfisher_process_spark.functions.similarity import RRF_K
+    from kingfisher_process_spark.plans.base import (
+        load_tables, oracle_of, probe)
+
+    sql = f"""
+    WITH bm_raw AS ({oracle_of("t_bm25_index_topk")}),
+    bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm_rank
+      FROM bm_raw
+    ),
+    ann_raw AS ({oracle_of("ann_index_rerank_topk")}),
+    ann AS (
+      SELECT neighbor_id AS doc_id, rnk AS ann_rank
+      FROM ann_raw WHERE query_id = 0
+    ),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, ann.doc_id) AS doc_id,
+             COALESCE(bm.bm_rank, CAST(0 AS BIGINT)) AS bm_rank,
+             COALESCE(ann.ann_rank, CAST(0 AS BIGINT)) AS ann_rank,
+             COALESCE(CAST(floor(1000000000.0 / ({RRF_K} + bm.bm_rank))
+                        AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000000.0 / ({RRF_K} + ann.ann_rank))
+                          AS BIGINT), 0) AS rrf_scaled
+      FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+    )
+    SELECT doc_id, bm_rank, ann_rank, rrf_scaled
+    FROM fused
+    ORDER BY rrf_scaled DESC, doc_id
+    """
+
+    @probe("s_hybrid_persisted_fusion", sql,
+           survey_ids="similarity-ext,text-ext,J1,O5,U1")
+    def s_hybrid_persisted_fusion(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+        """Hybrid retrieval ENTIRELY from persisted artifacts — the
+        production serving shape the in-plan s_hybrid_rrf_fusion
+        prototypes: BM25 top-10 from the inverted index
+        (partition-pruned postings) fused by reciprocal rank with the
+        dense top-10 for query vector 0 from the rerank-capable ANN
+        index (probed-cell codes + exact refine). The oracle composes
+        both persisted probes' oracles and replays the integer-exact
+        RRF arithmetic — the whole two-index serving stack is one
+        hash."""
+        import tempfile
+
+        from pyspark.sql import Window
+        from kingfisher_process_spark.functions.ann_index import (
+            build_index, query_index)
+
+        t = load_tables(spark, sf_dir)
+        tix = tempfile.mkdtemp(prefix="kps_hyb_tix_")
+        build_text_index(spark, t["documents"].select("doc_id", "text"),
+                         tix)
+        from kingfisher_process_spark.functions.text import BM25_QUERY
+
+        w = Window.orderBy(F.desc("score"), "doc_id")
+        bm = (query_text_index(spark, tix, list(BM25_QUERY))
+              .select("doc_id", "score")
+              .withColumn("bm_rank",
+                          F.row_number().over(w).cast("long"))
+              .drop("score"))
+        aix = tempfile.mkdtemp(prefix="kps_hyb_aix_")
+        emb = t["embeddings"]
+        build_index(spark, emb, aix, store_vectors=True)
+        ann = (query_index(spark, aix,
+                           emb.where(F.col("vec_id") == 0), rerank=True)
+               .select(F.col("neighbor_id").alias("doc_id"),
+                       F.col("rnk").cast("long").alias("ann_rank")))
+        fused = (
+            bm.join(ann, "doc_id", "full_outer")
+            .selectExpr(
+                "doc_id",
+                "COALESCE(bm_rank, CAST(0 AS BIGINT)) AS bm_rank",
+                "COALESCE(ann_rank, CAST(0 AS BIGINT)) AS ann_rank",
+                f"COALESCE(CAST(floor(1000000000.0 / ({RRF_K} + bm_rank))"
+                f" AS BIGINT), 0)"
+                f" + COALESCE(CAST(floor(1000000000.0 / ({RRF_K}"
+                f" + ann_rank)) AS BIGINT), 0) AS rrf_scaled"))
+        return fused.orderBy(F.desc("rrf_scaled"), "doc_id")
+
+
+_register_hybrid_persisted_probe()

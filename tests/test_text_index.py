@@ -1,0 +1,133 @@
+"""Persisted BM25 inverted index: serving must reproduce the in-plan
+probe on matched documents bit-for-bit, reads must partition-prune to
+the query terms' cells, and the upsert/delete/compact lifecycle must
+converge under retries and partial-commit crashes."""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.functions.text import BM25_QUERY, t_bm25_search
+from kingfisher_process_spark.functions.text_index import (
+    build_text_index, compact_text_index, delete_text_index, load_stats,
+    query_text_index, upsert_text_index)
+from kingfisher_process_spark.plans.base import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_tables(spark, SF_SMOKE)["documents"].select(
+        "doc_id", "text")
+
+
+def test_serving_matches_in_plan_probe_and_prunes(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "tix")
+    audit = build_text_index(spark, docs, idx)
+    assert audit["n_docs"] == docs.count()
+
+    got = [tuple(r) for r in
+           query_text_index(spark, idx, list(BM25_QUERY)).collect()]
+    want = [tuple(r) for r in
+            t_bm25_search(spark, SF_SMOKE)
+            .where(F.col("tf_total") > 0).collect()]
+    assert got == want  # bit-identical on the matched set
+
+    plan = (query_text_index(spark, idx, list(BM25_QUERY))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
+
+
+def test_upsert_converges_and_replays_partial_crash(spark, tmp_path):
+    docs = _docs(spark)
+    idx, ref = str(tmp_path / "tix"), str(tmp_path / "ref")
+    old = docs.where(F.col("doc_id") < 250)
+    new = docs.where(F.col("doc_id") >= 250)
+    build_text_index(spark, old, idx)
+    up = upsert_text_index(spark, new, idx)
+    assert up["n_docs_added"] == new.count()
+    assert up["n_docs"] == docs.count()
+    # retry adds nothing
+    again = upsert_text_index(spark, new, idx)
+    assert again["n_postings_added"] == 0 and again["n_docs_added"] == 0
+
+    # serving equals a one-shot build (stats AND postings identical)
+    build_text_index(spark, docs, ref)
+    assert load_stats(idx) == load_stats(ref)
+    got = [tuple(r) for r in
+           query_text_index(spark, idx, list(BM25_QUERY)).collect()]
+    want = [tuple(r) for r in
+            query_text_index(spark, ref, list(BM25_QUERY)).collect()]
+    assert got == want
+
+    # partial-commit crash: one postings cell dir vanishes; replay
+    # restores exactly the missing rows ((doc_id, cell)-keyed probe)
+    victim = sorted(glob.glob(os.path.join(idx, "postings", "cell=*")))[0]
+    lost = (spark.read.option("basePath", os.path.join(idx, "postings"))
+            .parquet(victim).count())
+    shutil.rmtree(victim)
+    healed = upsert_text_index(spark, docs, idx)
+    assert healed["n_postings_added"] == lost
+    got = [tuple(r) for r in
+           query_text_index(spark, idx, list(BM25_QUERY)).collect()]
+    assert got == want
+
+
+def test_delete_hides_then_compact_purges(spark, tmp_path):
+    docs = _docs(spark)
+    idx = str(tmp_path / "tix")
+    build_text_index(spark, docs, idx)
+    # fragment the postings tree so compaction has cells to fold
+    upsert_text_index(
+        spark, docs.selectExpr("doc_id + 1000000 AS doc_id", "text")
+        .where(F.col("doc_id") < 1000050), idx)
+
+    top = query_text_index(spark, idx, list(BM25_QUERY)).collect()
+    dead = [r["doc_id"] for r in top[:3]]
+    assert delete_text_index(spark, idx, dead)["n_tombstoned"] == 3
+    served = {r["doc_id"] for r in
+              query_text_index(spark, idx, list(BM25_QUERY)).collect()}
+    assert not served & set(dead)
+
+    n_docs_before = load_stats(idx)["n_docs"]
+    audit = compact_text_index(spark, idx)
+    assert audit["n_rows_deleted"] > 0
+    assert audit["n_docs"] == n_docs_before - len(dead)
+    assert not os.path.isdir(os.path.join(idx, "tombstones"))
+    postings = (spark.read
+                .option("basePath", os.path.join(idx, "postings"))
+                .parquet(os.path.join(idx, "postings")))
+    assert postings.where(F.col("doc_id").isin(dead)).count() == 0
+    served2 = {r["doc_id"] for r in
+               query_text_index(spark, idx, list(BM25_QUERY)).collect()}
+    assert served2 == served
+
+
+def test_cli_bm25_lifecycle(spark, tmp_path, capsys):
+    from tests.test_cli import run
+
+    docs_path = f"{SF_SMOKE}/documents.parquet"
+    idx = str(tmp_path / "tix")
+    store = str(tmp_path / "store")
+    rc, audit = run(capsys, "--store", store, "bm25build",
+                    "--input", docs_path, "--output", idx)
+    assert rc == 0 and audit["n_docs"] > 0
+    rc, top = run(capsys, "--store", store, "bm25query",
+                  "--index", idx, "--terms", ",".join(BM25_QUERY))
+    assert rc == 0 and len(top) == 10
+    assert top == sorted(top, key=lambda r: (-r["score"], r["doc_id"]))
+    dead = str(top[0]["doc_id"])
+    rc, d = run(capsys, "--store", store, "bm25delete",
+                "--index", idx, "--ids", dead)
+    assert rc == 0 and d["n_tombstoned"] == 1
+    rc, c = run(capsys, "--store", store, "bm25compact", "--index", idx)
+    assert rc == 0 and c["n_docs"] == audit["n_docs"] - 1
+    rc, top2 = run(capsys, "--store", store, "bm25query",
+                   "--index", idx, "--terms", ",".join(BM25_QUERY))
+    assert rc == 0
+    assert int(dead) not in {r["doc_id"] for r in top2}
