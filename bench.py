@@ -98,6 +98,9 @@ HEADLINE = [
     "sk_bloom_prejoin_audit",
     "sk_histogram_quantiles",
     "sk_hll_distinct",
+    "sk_cms_heavy_hitters",
+    "sk_theta_setops",
+    "sk_qdigest_quantiles",
     "m_media_features",
     "m_audio_features",
     "m_embed_ann",
@@ -271,6 +274,20 @@ def main() -> None:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     timings["ann_index_serve_rerank"] = round(best, 4)
+
+    # Spilled-index serving (r9): spill=2 doubles the probed candidate
+    # pool and serving MIN-reduces per-cell ADC — this prices the
+    # min-over-cells group-by against ann_index_serve's plain path at
+    # the same cells/n_probe.
+    idx_sp = tempfile.mkdtemp(prefix="kps_bench_annidxsp_")
+    build_index(spark, emb, idx_sp, spill=2)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        query_index(spark, idx_sp, queries).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["ann_index_serve_spill2"] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

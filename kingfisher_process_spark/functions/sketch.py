@@ -1175,25 +1175,39 @@ def qdigest_compress_leaves(leaf: DataFrame) -> DataFrame:
     table — split out so a streaming maintainer (whose bounded state IS
     the leaf table: <= QD_GRID rows at any input volume, counts ADD
     under any batch slicing) compresses its final state identically to
-    the batch build."""
-    cur, kept = leaf.select("id", "cnt", "thr"), []
+    the batch build.
+
+    The fold runs DRIVER-SIDE over the collected leaf table: the
+    distributed pass already reduced the corpus to <= QD_GRID (4096)
+    grid-cell counts BY CONSTRUCTION, so this is the bounded-summary
+    collect discipline the broadcast ADC tables use — the earlier
+    12-level DataFrame cascade spent ~7 s of pure scheduling overhead
+    (12 tiny shuffles + 12 broadcasts) on the same integer arithmetic
+    (bench r9). Exact BIGINT family sums, identical semantics to the
+    unrolled SQL oracle."""
+    spark = leaf.sparkSession
+    rows = leaf.select("id", "cnt", "thr").collect()
+    if not rows:
+        return spark.createDataFrame([], "id BIGINT, level INT, cnt BIGINT")
+    thr = int(rows[0]["thr"])
+    cur: dict[int, int] = {}
+    for r in rows:
+        cur[int(r["id"])] = cur.get(int(r["id"]), 0) + int(r["cnt"])
+    out: list[tuple[int, int, int]] = []
     for lvl in range(QD_D, 0, -1):
-        cur = cur.selectExpr("id", "cnt", "thr", "id DIV 2 AS pid")
-        fam = (cur.groupBy("pid", "thr")
-               .agg(F.sum("cnt").cast("bigint").alias("s")))
-        kept.append(
-            cur.join(F.broadcast(fam.where("s > thr").select("pid")),
-                     "pid", "left_semi")
-            .selectExpr("id", f"CAST({lvl} AS INT) AS level", "cnt",
-                        "thr"))
-        cur = (fam.where("s <= thr")
-               .selectExpr("pid AS id", "s AS cnt", "thr"))
-    kept.append(cur.selectExpr("id", "CAST(0 AS INT) AS level", "cnt",
-                               "thr"))
-    out = kept[0]
-    for part in kept[1:]:
-        out = out.unionByName(part)
-    return out.select("id", "level", "cnt")
+        byp: dict[int, list[tuple[int, int]]] = {}
+        for i, c in cur.items():
+            byp.setdefault(i // 2, []).append((i, c))
+        nxt: dict[int, int] = {}
+        for pid, kids in byp.items():
+            s = sum(c for _, c in kids)
+            if s > thr:
+                out += [(i, lvl, c) for i, c in kids]
+            else:
+                nxt[pid] = s
+        cur = nxt
+    out += [(i, 0, c) for i, c in cur.items()]
+    return spark.createDataFrame(out, "id BIGINT, level INT, cnt BIGINT")
 
 
 def qdigest_merge(parts: list[DataFrame], bounds: DataFrame) -> DataFrame:
@@ -1203,32 +1217,30 @@ def qdigest_merge(parts: list[DataFrame], bounds: DataFrame) -> DataFrame:
     digest already holds at the parent — counts move, never duplicate).
     This is the 100 TB shape: partitions/days/sources digest
     independently, merge sketch-side without rescanning anything."""
-    cur = parts[0]
-    for p in parts[1:]:
-        cur = cur.unionByName(p)
-    cur = (cur.groupBy("id", "level")
-           .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-           .crossJoin(F.broadcast(bounds.select("thr")))
-           .localCheckpoint())
+    spark = parts[0].sparkSession
+    thr = int(bounds.select("thr").collect()[0]["thr"])
+    nodes: dict[tuple[int, int], int] = {}
+    for p in parts:
+        for r in p.select("id", "level", "cnt").collect():
+            k = (int(r["id"]), int(r["level"]))
+            nodes[k] = nodes.get(k, 0) + int(r["cnt"])
+    out: list[tuple[int, int, int]] = []
     for lvl in range(QD_D, 0, -1):
-        at = (cur.where(F.col("level") == lvl)
-              .selectExpr("id", "cnt", "thr", "id DIV 2 AS pid"))
-        others = cur.where(F.col("level") != lvl)
-        fam = (at.groupBy("pid", "thr")
-               .agg(F.sum("cnt").cast("bigint").alias("s")))
-        keep = (at.join(F.broadcast(fam.where("s > thr").select("pid")),
-                        "pid", "left_semi")
-                .selectExpr("id", f"CAST({lvl} AS INT) AS level", "cnt",
-                            "thr"))
-        up = (fam.where("s <= thr")
-              .selectExpr("pid AS id", f"CAST({lvl - 1} AS INT) AS level",
-                          "s AS cnt", "thr"))
-        cur = (others.unionByName(keep).unionByName(up)
-               .groupBy("id", "level", "thr")
-               .agg(F.sum("cnt").cast("bigint").alias("cnt"))
-               .selectExpr("id", "level", "cnt", "thr")
-               .localCheckpoint())
-    return cur.select("id", "level", "cnt")
+        at = {i: c for (i, l), c in nodes.items() if l == lvl}
+        for i in at:
+            del nodes[(i, lvl)]
+        byp: dict[int, list[tuple[int, int]]] = {}
+        for i, c in at.items():
+            byp.setdefault(i // 2, []).append((i, c))
+        for pid, kids in byp.items():
+            s = sum(c for _, c in kids)
+            if s > thr:
+                out += [(i, lvl, c) for i, c in kids]
+            else:
+                k = (pid, lvl - 1)
+                nodes[k] = nodes.get(k, 0) + s
+    out += [(i, 0, c) for (i, l), c in nodes.items() if l == 0]
+    return spark.createDataFrame(out, "id BIGINT, level INT, cnt BIGINT")
 
 
 def qdigest_quantiles(spark: SparkSession, digest: DataFrame,
@@ -1364,7 +1376,9 @@ def _qdigest_audit(spark: SparkSession, o: DataFrame, digest: DataFrame,
     quantile, the estimate's true rank, digest size) — one body for the
     batch probe and the streaming twin so both return byte-identical
     projections."""
-    est = qdigest_quantiles(spark, digest, bounds)
+    # 3 rows; downstream audit joins (exact, rke) would otherwise
+    # re-execute the whole walk per consumer
+    est = qdigest_quantiles(spark, digest, bounds).localCheckpoint()
     ranked = o.selectExpr(
         "o_totalprice AS v",
         "ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn")

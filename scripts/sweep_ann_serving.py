@@ -199,6 +199,8 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
             sims = xn[ids] @ xn[q]
             top = np.argsort(-sims)[:TOP_K]
             rr[q] = {ids[i] for i in top}
+        # flush per row: a timeout-killed long sweep must not lose the
+        # rows it already measured to the stdout pipe buffer
         rows.append({
             "fixture": tag, "cells": cells, "n_probe": n_probe,
             "spill": spill,
@@ -212,11 +214,12 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
                 {q: set(ids) for q, ids in cand.items()}, truth), 4),
             "n_vectors": n_vec,
         })
-        print(json.dumps(rows[-1]))
+        print(json.dumps(rows[-1]), flush=True)
     return rows
 
 
-SCALE_NS = [20_000, 200_000, 800_000]
+SCALE_NS = [int(x) for x in os.environ.get(
+    "SPARK_GRAFT_SCALE_NS", "20000,200000,800000").split(",")]
 
 
 SCALE_CONFIGS = ((16, 4, 1), (64, 8, 1), (256, 16, 1))
@@ -243,7 +246,7 @@ def scale_sweep(spark, reps: int) -> None:
                      "fraction_scanned": 1.0, "build_s": 0.0,
                      "serve_s": round(flat, 4), "recall_at_10": 1.0,
                      "n_vectors": n, "config": "flat_exact_scan"})
-        print(json.dumps(rows[-1]))
+        print(json.dumps(rows[-1]), flush=True)
         rows += sweep(spark, emb, queries, truth, reps, tag, xn,
                       configs=SCALE_CONFIGS)
     print(json.dumps({"mode": "scale", "rows": rows}))
