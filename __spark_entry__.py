@@ -139,9 +139,11 @@ def _registry():
     #     sketch-side merge), sk_cms_join_size (inner-product join-
     #     cardinality estimate), sk_store_roundtrip (persisted sketch
     #     store round-trip, shares sk_hll_distinct's oracle),
-    #     t_bm25_index_topk (persisted BM25 inverted index serving)
-    #     and s_hybrid_persisted_fusion (RRF over BOTH persisted
-    #     indexes — the two-index serving stack in one hash).
+    #     t_bm25_index_topk (persisted BM25 inverted index serving),
+    #     s_hybrid_persisted_fusion (RRF over BOTH persisted
+    #     indexes — the two-index serving stack in one hash),
+    #     sk_bloom_merge (exact OR-merge of Bloom position sets) and
+    #     st_cms_incremental (CMS cells as streaming state).
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",

@@ -1788,3 +1788,94 @@ def sk_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "est_join_size", "exact_join_size",
                 "CAST(est_join_size - exact_join_size AS BIGINT)"
                 " AS overestimate"))
+
+
+def bloom_merge(parts: list[DataFrame]) -> DataFrame:
+    """Merge Bloom position tables by set UNION — exact, like CMS cell
+    addition: the bit positions a key sets do not depend on which slice
+    held it, so OR-ing independently-built filters is bit-identical to
+    building one filter over everything. Each merge is a
+    <= BLOOM_BITS-row distinct."""
+    cur = parts[0]
+    for p in parts[1:]:
+        cur = cur.unionAll(p)
+    return cur.distinct()
+
+
+def _register_bloom_merge() -> None:
+    from kingfisher_process_spark.plans.base import probe
+
+    sql = f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    dim_pos AS (
+      {" UNION ".join(
+          f"SELECT {_bloom_pos_sql('c_custkey', i)} AS pos FROM dim"
+          for i in range(BLOOM_K))}
+    )
+    SELECT pos FROM dim_pos ORDER BY pos
+    """
+
+    @probe("sk_bloom_merge", sql, survey_ids="sketch-ext,U1,A3")
+    def sk_bloom_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sketch-side Bloom merge pinned by EQUALITY: the BUILDING
+        segment split into two halves by custkey parity, each half's
+        position set built independently, the union must hash-match
+        the one-pass full-segment filter's bit set verbatim — the
+        merge the distributed runtime-filter deployment runs (each
+        scan task builds its local filter, the driver ORs them)."""
+        t = load_tables(spark, sf_dir)
+        dim = t["customer"].where("c_mktsegment = 'BUILDING'")
+        halves = [dim.where(F.pmod(F.col("c_custkey"), F.lit(2)) == i)
+                  for i in range(2)]
+        merged = bloom_merge(
+            [bloom_positions(h, F.col("c_custkey")) for h in halves])
+        return merged.orderBy("pos")
+
+
+_register_bloom_merge()
+
+
+def _register_streaming_cms() -> None:
+    from kingfisher_process_spark.plans.base import REGISTRY, oracle_of
+
+    @probe("st_cms_incremental", None,
+           survey_ids="sketch-ext,streaming-ext,A1")
+    def st_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The Count-Min table maintained INCREMENTALLY: events arrive
+        as a 4-slice unordered file stream and the state store holds
+        the streaming groupBy(row, bucket).count — depth×width rows of
+        state at ANY input volume (cell addition is CMS's merge
+        operator, so the state is the sketch). The final table must
+        hash-match sk_count_min_event_types' batch oracle for any
+        slicing — addition's commutativity, executed."""
+        import os
+        import tempfile
+        import uuid as _uuid
+
+        ev = load_tables(spark, sf_dir)["events"]
+        tmp = tempfile.mkdtemp(prefix="kps_stcms_")
+        watch = os.path.join(tmp, "watch")
+        os.makedirs(watch)
+        for i in range(4):
+            (ev.where(F.pmod(F.hash("event_id"), F.lit(4)) == i)
+             .coalesce(1).write.mode("append")
+             .parquet(os.path.join(watch, f"slice={i}")))
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(watch, "slice=*")))
+        sink = f"st_cms_{_uuid.uuid4().hex[:8]}"
+        q = (cms_build(stream, F.col("event_type"))
+             .writeStream.format("memory").queryName(sink)
+             .outputMode("complete")
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(sink).orderBy("row", "bucket")
+
+    REGISTRY["st_cms_incremental"].oracle = oracle_of(
+        "sk_count_min_event_types")
+
+
+_register_streaming_cms()
