@@ -144,33 +144,54 @@ def _registry():
     #     indexes — the two-index serving stack in one hash),
     #     sk_bloom_merge (exact OR-merge of Bloom position sets) and
     #     st_cms_incremental (CMS cells as streaming state).
+    #   r10 window (this one, judge r9 "Next round" #1): the 13
+    #     post-freeze r9 probes above — the entire new operational
+    #     layer gets its first driver rows — + 31 of the 39 r6-era
+    #     probes the r9 ledger promised (last driver row: r6) + six
+    #     family sentinels = 50. The promised set is 39 + 13 + 6 = 58
+    #     > 50, so the rotation is an explicit TWO-ROUND split: the 8
+    #     r6-era probes deferred to r11 are exactly those whose family
+    #     shape is already driver-checked in THIS cap by a newer,
+    #     strictly-wider probe — sk_histogram_quantiles (superseded
+    #     in-cap by the q-digest trio), sk_bloom_prejoin_audit
+    #     (sk_bloom_merge), s_hybrid_rrf_fusion
+    #     (s_hybrid_persisted_fusion — the persisted form of the same
+    #     fusion arithmetic), t_bm25_search (t_bm25_index_topk scores
+    #     bit-identically on the matched set), and four trained-ANN
+    #     variants (ann_ivf_trained_topk, ann_sq8_topk,
+    #     ann_pq_rerank_topk, ann_ivfpq_loss_audit) whose shared
+    #     quantizer-retraining oracle machinery is exercised in-cap by
+    #     ann_ivfpq_residual_topk + both spill probes. r11 MUST open
+    #     with those 8 plus any post-r10-freeze additions.
+    #     Every entry below was re-verified green at sf0.01 against its
+    #     DuckDB oracle before this freeze (scripts/verify_cap.py).
     priority = [
         # family sentinels (previously triple-green)
         "q1_pricing_summary", "ocds_compile_pipeline",
         "st_ingest_pipeline", "d_dup_clusters_lss",
         "t_sequence_packing", "m_resize_images",
-        # never-driver-checked: post-freeze r8 probes + the r9 additions
-        "st_ann_index_rerank_maintenance", "st_hll_incremental",
-        "sk_hll_setops", "sk_hll_by_group", "sk_cms_heavy_hitters",
-        "sk_theta_setops", "d_dup_span_coverage", "t_deterministic_sample",
-        # first triple-green shot after the r9 re-point (judge r8 #2)
-        "a10_approx_distinct",
-        # the 30 r5-era probes (judge r8 #1; last driver row: r5)
-        "a8_exists_guard", "ann_brute_force_topk", "ann_ivf_topk",
-        "ann_pq_adc_topk", "ann_pq_codes", "ann_pq_recall_audit",
-        "d_dup_clusters", "d_simhash_near_pairs", "e_profile_orders",
-        "e_referential_audit", "e_session_window_builtin",
-        "j3_customers_with_open_orders", "j4_explode_token_counts",
-        "m_frame_sample", "m_media_features", "ocds_compile_skewed_single",
-        "ocds_incremental_compile", "ocds_orphan_wipe",
-        "ocds_upgrade_parties", "s_embedding_near_dups", "st_dedup_ingest",
-        "st_dedup_watermarked", "st_stream_static_enrich", "t_bpe_encode",
-        "t_bpe_train", "t_langid_heuristic", "t_pii_redact",
-        "t_token_stats", "u1_union_distinct_buyers",
-        "u3_except_inactive_customers",
-        # longest-unchecked r6-era fill, family spread (last row: r6)
-        "a4_minmax_prefix", "q9_product_profit", "g_item_pagerank",
-        "st_incremental_rollup", "w1_running_customer_spend",
+        # never-driver-checked: the 13 post-freeze r9 probes
+        "ann_index_spill_topk", "ann_index_spill_rerank_topk",
+        "st_hll_by_group", "sk_qdigest_quantiles", "sk_qdigest_by_group",
+        "st_qdigest_incremental", "sk_cms_merge", "sk_cms_join_size",
+        "sk_store_roundtrip", "t_bm25_index_topk",
+        "s_hybrid_persisted_fusion", "sk_bloom_merge",
+        "st_cms_incremental",
+        # 31 of the 39 r6-era probes (last driver row: r6; the other 8
+        # defer to r11 per the ledger above)
+        "ann_ivfpq_residual_topk", "d_decontaminate", "d_semantic_dedup",
+        "d_simhash_banded_pairs", "e_asof_last_view_before_click",
+        "e_funnel_conversion", "e_gapfill_forward", "e_key_skew_audit",
+        "e_sessionize", "f_array_functions", "j7_salted_skew_join",
+        "m_audio_features", "o6_newest_first", "ocds_check_errors",
+        "ocds_compile_two_phase", "ocds_incremental_checks",
+        "ocds_record_ladder", "p5_json_extract_agg",
+        "s_semantic_decontaminate", "st_funnel_maintenance",
+        "st_incremental_compile", "st_semantic_dedup",
+        "t_bpe_pack_pipeline", "t_k_anonymity_audit", "t_ngram_lm_score",
+        "t_pretrain_corpus_pipeline", "t_quality_classifier",
+        "t_quality_scores", "t_table_diff", "u2_union_all_counts",
+        "z_order_codes",
     ]
     missing = set(priority) - REGISTRY.keys()
     # a misspelled priority name would silently pull a different probe

@@ -289,6 +289,37 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     timings["ann_index_serve_spill2"] = round(best, 4)
 
+    # BM25 inverted-index serving (r10): build the postings/docs trees
+    # once outside the timer, then price (a) one query through the
+    # pruned-read single path and (b) FIVE queries through the batched
+    # path — the point of batching is that the per-query Spark-job
+    # overhead amortizes, so the batch entry should price near ONE
+    # query, not five.
+    from kingfisher_process_spark.functions.text import BM25_QUERY
+    from kingfisher_process_spark.functions.text_index import (
+        BM25_BATCH_QUERIES, build_text_index, query_text_index,
+        query_text_index_batch)
+
+    tix = tempfile.mkdtemp(prefix="kps_bench_tix_")
+    build_text_index(spark, docs.select("doc_id", "text"), tix)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        query_text_index(spark, tix, list(BM25_QUERY)).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["bm25_index_serve"] = round(best, 4)
+    qdf = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in BM25_BATCH_QUERIES],
+        "query_id BIGINT, terms ARRAY<STRING>")
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        query_text_index_batch(spark, tix, qdf).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["bm25_index_serve_batch5"] = round(best, 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir

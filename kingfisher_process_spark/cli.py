@@ -274,6 +274,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated sketch directories")
     sm.add_argument("--output", required=True)
 
+    su = sub.add_parser(
+        "sketchupsert",
+        help="fold a new parquet micro-batch into an existing sketch "
+             "dir IN PLACE (frozen grids; register MAX / cell ADD / "
+             "digest merge) — equals build-then-sketchmerge, without "
+             "accumulating per-batch directories")
+    su.add_argument("--input", required=True)
+    su.add_argument("--sketch", required=True)
+
     ss = sub.add_parser(
         "sketchstat",
         help="profile from a sketch dir alone: per-key est distinct, "
@@ -465,6 +474,15 @@ def _dispatch(args, spark, store) -> int:
 
         man = merge_sketch_dirs(
             spark, [d for d in args.inputs.split(",") if d], args.output)
+        print(json.dumps(man, sort_keys=True))
+        return 0
+
+    if args.command == "sketchupsert":
+        from kingfisher_process_spark.functions.sketch_store import (
+            upsert_sketches)
+
+        man = upsert_sketches(spark, spark.read.parquet(args.input),
+                              args.sketch)
         print(json.dumps(man, sort_keys=True))
         return 0
 

@@ -1147,11 +1147,13 @@ def qdigest_build(df: DataFrame, value_sql: str,
                   bounds: DataFrame) -> DataFrame:
     """(id, level, cnt) — the compressed digest. Leaves are grid-cell
     counts at heap ids 2^D + cell (one {QD_GRID}-group groupBy with
-    map-side partials); then QD_D bottom-up passes each merge sibling
-    pairs whose family sum fits under thr into their parent (one
-    sketch-sized groupBy + a broadcast semi-join per pass — every
-    frame after the leaf pass is <= the digest size). No collects, no
-    UDFs; the pass count is the FIXED schedule, data only decides which
+    map-side partials); then the QD_D bottom-up sibling-fold passes via
+    qdigest_compress_leaves — a DRIVER-SIDE fold over the collected
+    leaf table, which the distributed pass already bounded at
+    <= QD_GRID (4096) rows BY CONSTRUCTION (the bounded-summary collect
+    discipline; the earlier 12-pass DataFrame cascade spent ~7 s of
+    pure scheduling overhead on the same integer arithmetic — bench
+    r9). The pass count is the FIXED schedule, data only decides which
     families stop cascading."""
     leaf = (df.crossJoin(F.broadcast(bounds))
             .selectExpr(
@@ -1165,9 +1167,14 @@ def qdigest_build(df: DataFrame, value_sql: str,
 def qdigest_leaf_expr(value_sql: str) -> str:
     """The grid-cell heap-id expression (needs mn/mx in scope) — shared
     by the batch build and the streaming twin so both map values with
-    identical operands."""
-    return (f"{QD_GRID} + LEAST(CAST(FLOOR(({value_sql} - mn)"
-            f" / ((mx - mn) / {QD_GRID}.0)) AS BIGINT), {QD_GRID - 1})")
+    identical operands. Clamped on BOTH edges: under frozen bounds
+    (build_sketches(bounds=...)) a later slice may hold values outside
+    [mn, mx], and an unclamped lower edge would yield a negative cell —
+    a heap id BELOW QD_GRID, i.e. inside the internal-node id space,
+    silently corrupting the digest and the rank walk (r9 advice)."""
+    return (f"{QD_GRID} + GREATEST(LEAST(CAST(FLOOR(({value_sql} - mn)"
+            f" / ((mx - mn) / {QD_GRID}.0)) AS BIGINT), {QD_GRID - 1}),"
+            " 0)")
 
 
 def qdigest_compress_leaves(leaf: DataFrame) -> DataFrame:
@@ -1281,9 +1288,9 @@ def _qd_oracle_sql() -> str:
     full sort, the estimate's true rank, digest size)."""
     lvls = [f"""
     lvl{QD_D} AS (
-      SELECT {QD_GRID} + LEAST(CAST(FLOOR((o_totalprice - b.mn)
+      SELECT {QD_GRID} + GREATEST(LEAST(CAST(FLOOR((o_totalprice - b.mn)
                  / ((b.mx - b.mn) / {QD_GRID}.0)) AS BIGINT),
-               {QD_GRID - 1}) AS id,
+               {QD_GRID - 1}), 0) AS id,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM orders, b GROUP BY 1)"""]
     for lvl in range(QD_D, 0, -1):
@@ -1585,9 +1592,9 @@ def _qd_grouped_oracle_sql() -> str:
     lvls = [f"""
     lvl{QD_D} AS (
       SELECT b.grp,
-             {QD_GRID} + LEAST(CAST(FLOOR((o.o_totalprice - b.mn)
+             {QD_GRID} + GREATEST(LEAST(CAST(FLOOR((o.o_totalprice - b.mn)
                  / ((b.mx - b.mn) / {QD_GRID}.0)) AS BIGINT),
-               {QD_GRID - 1}) AS id,
+               {QD_GRID - 1}), 0) AS id,
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM orders o JOIN b ON b.grp = o.o_orderpriority
       GROUP BY 1, 2)"""]

@@ -161,10 +161,15 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
 
     n_vec = emb.count()
     rows = []
-    for cells, n_probe, spill in configs:
+    for cfg in configs:
+        # (cells, n_probe, spill[, train_frac]) — train_frac < 1 is the
+        # sampled-training lever for big-corpus fine-cell builds
+        cells, n_probe, spill = cfg[:3]
+        train_frac = cfg[3] if len(cfg) > 3 else 1.0
         idx = tempfile.mkdtemp(prefix=f"kps_sweep_{tag}{cells}s{spill}_")
         t0 = time.perf_counter()
-        build_index(spark, emb, idx, cells=cells, spill=spill)
+        build_index(spark, emb, idx, cells=cells, spill=spill,
+                    train_frac=train_frac)
         build_s = time.perf_counter() - t0
         # warm once, then min-of-reps on the serving path only
         query_index(spark, idx, queries, n_probe=n_probe).collect()
@@ -203,7 +208,7 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
         # rows it already measured to the stdout pipe buffer
         rows.append({
             "fixture": tag, "cells": cells, "n_probe": n_probe,
-            "spill": spill,
+            "spill": spill, "train_frac": train_frac,
             "fraction_scanned": round(n_probe * spill / cells, 4),
             "build_s": round(build_s, 3),
             "serve_s": round(best, 4),
@@ -222,7 +227,23 @@ SCALE_NS = [int(x) for x in os.environ.get(
     "SPARK_GRAFT_SCALE_NS", "20000,200000,800000").split(",")]
 
 
-SCALE_CONFIGS = ((16, 4, 1), (64, 8, 1), (256, 16, 1))
+def _parse_configs(spec: str):
+    """"cells:probe[:spill[:train_frac]],..." — the r10 scaled-probe /
+    sampled-training sweep points come in via env without editing the
+    script."""
+    out = []
+    for part in spec.split(","):
+        bits = part.split(":")
+        out.append((int(bits[0]), int(bits[1]),
+                    int(bits[2]) if len(bits) > 2 else 1,
+                    float(bits[3]) if len(bits) > 3 else 1.0))
+    return tuple(out)
+
+
+SCALE_CONFIGS = _parse_configs(os.environ.get(
+    "SPARK_GRAFT_SCALE_CONFIGS", "16:4,64:8,256:16"))
+
+SKIP_FLAT = os.environ.get("SPARK_GRAFT_SCALE_SKIP_FLAT", "") == "1"
 
 
 def scale_sweep(spark, reps: int) -> None:
@@ -241,12 +262,14 @@ def scale_sweep(spark, reps: int) -> None:
         emb = spark.read.parquet(path)
         queries = emb.where(F.col("vec_id") < CLUSTERED_QUERIES)
         tag = f"clustered_{n // 1000}k"
-        flat = flat_exact_scan_s(spark, emb, CLUSTERED_QUERIES, reps)
-        rows.append({"fixture": tag, "cells": 0, "n_probe": 0, "spill": 1,
-                     "fraction_scanned": 1.0, "build_s": 0.0,
-                     "serve_s": round(flat, 4), "recall_at_10": 1.0,
-                     "n_vectors": n, "config": "flat_exact_scan"})
-        print(json.dumps(rows[-1]), flush=True)
+        if not SKIP_FLAT:
+            flat = flat_exact_scan_s(spark, emb, CLUSTERED_QUERIES, reps)
+            rows.append({"fixture": tag, "cells": 0, "n_probe": 0,
+                         "spill": 1, "fraction_scanned": 1.0,
+                         "build_s": 0.0, "serve_s": round(flat, 4),
+                         "recall_at_10": 1.0, "n_vectors": n,
+                         "config": "flat_exact_scan"})
+            print(json.dumps(rows[-1]), flush=True)
         rows += sweep(spark, emb, queries, truth, reps, tag, xn,
                       configs=SCALE_CONFIGS)
     print(json.dumps({"mode": "scale", "rows": rows}))

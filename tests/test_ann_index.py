@@ -810,6 +810,39 @@ def test_spill_upsert_retry_and_partial_crash_replay(spark, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_spill_strict_upsert_heals_and_skips_changed(spark, tmp_path):
+    """strict=True on a spilled index (r9 advice): the existence probe
+    is (vec_id, cell)-keyed over the FULL tree, so a partial-commit
+    crash replays exactly the missing copies even in strict mode — but
+    a CHANGED embedding (on-disk copies outside the incoming
+    assignment) is still skipped wholly, never part-filled across two
+    generations."""
+    import glob
+    import shutil
+
+    from kingfisher_process_spark.functions.ann_index import (
+        init_index, upsert_index)
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    init_index(emb, idx, spill=2)
+    assert upsert_index(spark, emb, idx, strict=True)["n_added"] \
+        == 2 * emb.count()
+    assert upsert_index(spark, emb, idx, strict=True)["n_added"] == 0
+    victim = sorted(glob.glob(os.path.join(idx, "codes", "cell=*")))[0]
+    lost = (spark.read.option("basePath", os.path.join(idx, "codes"))
+            .parquet(victim).count())
+    shutil.rmtree(victim)
+    assert upsert_index(spark, emb, idx, strict=True)["n_added"] == lost
+    # changed embedding: negate one vector so it routes to other cells;
+    # strict must add NONE of its spill copies
+    changed = emb.where(F.col("vec_id") == 0).select(
+        "vec_id", F.transform("embedding", lambda x: -x).alias("embedding"))
+    before = spark.read.parquet(idx + "/codes").count()
+    assert upsert_index(spark, changed, idx, strict=True)["n_added"] == 0
+    assert spark.read.parquet(idx + "/codes").count() == before
+
+
 def test_spill_delete_compact_drops_both_copies(spark, tmp_path):
     """Tombstones on a spilled index hide the id immediately and
     compaction physically drops BOTH cell copies."""

@@ -78,6 +78,56 @@ def test_upsert_converges_and_replays_partial_crash(spark, tmp_path):
     assert got == want
 
 
+def test_batch_serving_equals_single_query_path(spark, tmp_path):
+    """The batched path must reproduce the single-query path QUERY FOR
+    QUERY, bit-identically: same docs, same dl/tf_total, same score
+    doubles, same ranks — the left-associated fold in term order is
+    the same IEEE addition sequence as the nested single-query
+    expression (zero contributions are exact identities under +)."""
+    from kingfisher_process_spark.functions.text_index import (
+        BM25_BATCH_QUERIES, query_text_index_batch)
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "tix")
+    build_text_index(spark, docs, idx)
+    qdf = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in BM25_BATCH_QUERIES],
+        "query_id BIGINT, terms ARRAY<STRING>")
+    batch = query_text_index_batch(spark, idx, qdf).collect()
+    by_q: dict[int, list] = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["dl"], r["tf_total"], r["score"]))
+    for qid, terms in BM25_BATCH_QUERIES:
+        single = [(r["doc_id"], r["dl"], r["tf_total"], r["score"])
+                  for r in
+                  query_text_index(spark, idx, list(terms)).collect()]
+        assert by_q.get(qid, []) == single, qid
+    # one pruned read for the whole batch: the scan's partition filter
+    # covers the union of all queries' term cells
+    plan = (query_text_index_batch(spark, idx, qdf)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert re.search(r"PartitionFilters: \[[^]]*cell", plan), plan
+
+
+def test_upsert_refuses_changed_document(spark, tmp_path):
+    """r9 advice: re-upserting a doc whose text changed would split its
+    postings across two dl generations (two phantom docs in scoring) —
+    the docs-tree probe must refuse it like the tombstone check."""
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "tix")
+    build_text_index(spark, docs, idx)
+    changed = docs.where(F.col("doc_id") < 5).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" extra token")).alias("text"))
+    with pytest.raises(ValueError, match="different length"):
+        upsert_text_index(spark, changed, idx)
+    # identical retry still converges to zero adds
+    again = upsert_text_index(spark, docs.where(F.col("doc_id") < 5), idx)
+    assert again["n_postings_added"] == 0 and again["n_docs_added"] == 0
+
+
 def test_delete_hides_then_compact_purges(spark, tmp_path):
     docs = _docs(spark)
     idx = str(tmp_path / "tix")
@@ -89,12 +139,15 @@ def test_delete_hides_then_compact_purges(spark, tmp_path):
 
     top = query_text_index(spark, idx, list(BM25_QUERY)).collect()
     dead = [r["doc_id"] for r in top[:3]]
+    n_docs_before = load_stats(idx)["n_docs"]
     assert delete_text_index(spark, idx, dead)["n_tombstoned"] == 3
+    # stats refresh AT DELETE TIME (tombstone-excluded), so idf/avgdl
+    # describe the same corpus view the tf/df anti-joins serve
+    assert load_stats(idx)["n_docs"] == n_docs_before - len(dead)
     served = {r["doc_id"] for r in
               query_text_index(spark, idx, list(BM25_QUERY)).collect()}
     assert not served & set(dead)
 
-    n_docs_before = load_stats(idx)["n_docs"]
     audit = compact_text_index(spark, idx)
     assert audit["n_rows_deleted"] > 0
     assert audit["n_docs"] == n_docs_before - len(dead)
