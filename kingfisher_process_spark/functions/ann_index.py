@@ -107,9 +107,11 @@ def init_index(emb: DataFrame, out_dir: str,
         raise ValueError(f"train_frac must be in (0, 1], got {train_frac}")
     train = emb
     if train_frac < 1.0:
-        seeds = (F.col("vec_id") >= N_QUERIES) & (
-            F.col("vec_id") < N_QUERIES + cells)
-        train = emb.where(seeds | (
+        # the contiguous seed prefix covers BOTH seed ranges: IVF's
+        # [N_QUERIES, N_QUERIES+cells) and PQ's fixed
+        # [N_QUERIES+K_CELLS, N_QUERIES+K_CELLS+pq_k)
+        seed_hi = N_QUERIES + max(cells, K_CELLS + pq_k)
+        train = emb.where((F.col("vec_id") < seed_hi) | (
             F.pmod(F.hash(F.col("vec_id")), F.lit(1_000_000))
             < int(train_frac * 1_000_000)))
     cents = train_ivf_grid_centroids(train, k=cells)
@@ -606,7 +608,17 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     cells only — then a broadcast join on the shortlist ids), and the
     final top-k ranks by exact grid L2. Requires an index built or
     initialized with ``store_vectors=True``. Output columns switch to
-    (query_id, neighbor_id, l2_dist, rnk) — the pq_rerank_topk shape."""
+    (query_id, neighbor_id, l2_dist, rnk) — the pq_rerank_topk shape.
+
+    **Sizing rule (measured, SCALE.md §16):** on tightly-clustered
+    corpora recall is SHORTLIST-bound, not probe-bound — the query's
+    whole cluster routes into one probed cell, so raising ``n_probe``
+    adds only wrong-cluster candidates (recall flat 8→32 probes at
+    200k), while scaling ``rerank_factor`` so the shortlist tracks
+    per-cell occupancy (n/cells) restores it (0.417 → 0.929 at
+    shortlist 1000, → 1.0 at 3200, serve time nearly unchanged —
+    the probed-cell read dominates). Reach for ``n_probe`` only when
+    routing actually splits clusters."""
     _heal_if_unlocked(index_dir)
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]

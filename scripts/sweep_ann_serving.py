@@ -83,7 +83,11 @@ def make_clustered_embeddings(out_dir: str, n: int = CLUSTERED_N,
     return path
 
 
-SHORTLIST = 100  # ADC candidates handed to the exact rerank tier
+# ADC candidates handed to the exact rerank tier. Env-overridable: the
+# r10 200k finding is that recall is SHORTLIST-bound, not probe-bound
+# (n_probe 8->32 moves recall not at all on atomically-routed clusters),
+# so the recovery sweeps scale this instead of n_probe.
+SHORTLIST = int(os.environ.get("SPARK_GRAFT_SWEEP_SHORTLIST", "100"))
 
 
 def load_normalized(path: str):
@@ -161,16 +165,25 @@ def sweep(spark, emb, queries, truth, reps: int, tag: str,
 
     n_vec = emb.count()
     rows = []
+    built: dict[tuple, tuple[str, float]] = {}
     for cfg in configs:
         # (cells, n_probe, spill[, train_frac]) — train_frac < 1 is the
-        # sampled-training lever for big-corpus fine-cell builds
+        # sampled-training lever for big-corpus fine-cell builds.
+        # Builds are cached per (cells, spill, train_frac): probe-count
+        # variants share one index (n_probe is a pure serving knob).
         cells, n_probe, spill = cfg[:3]
         train_frac = cfg[3] if len(cfg) > 3 else 1.0
-        idx = tempfile.mkdtemp(prefix=f"kps_sweep_{tag}{cells}s{spill}_")
-        t0 = time.perf_counter()
-        build_index(spark, emb, idx, cells=cells, spill=spill,
-                    train_frac=train_frac)
-        build_s = time.perf_counter() - t0
+        bkey = (cells, spill, train_frac)
+        if bkey in built:
+            idx, build_s = built[bkey]
+        else:
+            idx = tempfile.mkdtemp(
+                prefix=f"kps_sweep_{tag}{cells}s{spill}_")
+            t0 = time.perf_counter()
+            build_index(spark, emb, idx, cells=cells, spill=spill,
+                        train_frac=train_frac)
+            build_s = time.perf_counter() - t0
+            built[bkey] = (idx, build_s)
         # warm once, then min-of-reps on the serving path only
         query_index(spark, idx, queries, n_probe=n_probe).collect()
         best, hits = None, None
