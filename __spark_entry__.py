@@ -162,7 +162,15 @@ def _registry():
     #     ann_pq_rerank_topk, ann_ivfpq_loss_audit) whose shared
     #     quantizer-retraining oracle machinery is exercised in-cap by
     #     ann_ivfpq_residual_topk + both spill probes. r11 MUST open
-    #     with those 8 plus any post-r10-freeze additions.
+    #     with those 8 plus the post-r10-freeze additions:
+    #     t_bm25_index_batch_topk (batched BM25 serving, one pruned
+    #     read for 5 queries), s_hybrid_batch_fusion (per-query RRF
+    #     over both persisted indexes), sk_store_upsert_roundtrip
+    #     (in-place sketch-directory upsert, shares sk_hll_distinct's
+    #     oracle), and st_bm25_index_maintenance (streamed 4-slice
+    #     upserts through an in-loop compaction converge to the
+    #     one-shot build — shares t_bm25_index_topk's oracle) — all
+    #     CI-parity-green, never driver-checked.
     #     Every entry below was re-verified green at sf0.01 against its
     #     DuckDB oracle before this freeze (scripts/verify_cap.py).
     priority = [

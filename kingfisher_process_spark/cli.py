@@ -228,6 +228,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="comma-separated query terms")
     bq.add_argument("--top-k", type=int, default=10)
 
+    bb = sub.add_parser(
+        "bm25batch",
+        help="BM25 top-k for a BATCH of queries in one pruned postings "
+             "read (per-query scores bit-identical to bm25query)")
+    bb.add_argument("--index", required=True)
+    bb.add_argument("--queries", required=True,
+                    help="semicolon-separated 'query_id:term1,term2' "
+                         "entries")
+    bb.add_argument("--top-k", type=int, default=10)
+
     bu = sub.add_parser(
         "bm25upsert",
         help="append new documents to a BM25 index (idempotent under "
@@ -427,6 +437,24 @@ def _dispatch(args, spark, store) -> int:
                                 top_k=args.top_k).collect()
         print(json.dumps([{k: r[k] for k in
                            ("doc_id", "dl", "tf_total", "score")}
+                          for r in rows]))
+        return 0
+
+    if args.command == "bm25batch":
+        from kingfisher_process_spark.functions.text_index import (
+            query_text_index_batch)
+
+        batch = []
+        for part in args.queries.split(";"):
+            qid, _, terms = part.partition(":")
+            batch.append((int(qid), [t for t in terms.split(",") if t]))
+        qdf = spark.createDataFrame(
+            batch, "query_id BIGINT, terms ARRAY<STRING>")
+        rows = query_text_index_batch(spark, args.index, qdf,
+                                      top_k=args.top_k).collect()
+        print(json.dumps([{k: r[k] for k in
+                           ("query_id", "doc_id", "dl", "tf_total",
+                            "score", "rnk")}
                           for r in rows]))
         return 0
 

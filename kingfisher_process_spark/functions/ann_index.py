@@ -593,7 +593,7 @@ def _fold_tree(spark: SparkSession, tree_dir: str, schema: str,
 def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
                 top_k: int = TOP_K, n_probe: int = N_PROBE,
                 rerank: bool = False,
-                rerank_factor: int = RERANK_FACTOR) -> DataFrame:
+                rerank_factor: int | str = RERANK_FACTOR) -> DataFrame:
     """Serve top-k from the persisted index: route each query to its
     ``n_probe`` nearest trained cells, build the per-(query, cell)
     residual ADC tables (broadcast), and score ONLY the probed cells'
@@ -618,7 +618,10 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     per-cell occupancy (n/cells) restores it (0.417 → 0.929 at
     shortlist 1000, → 1.0 at 3200, serve time nearly unchanged —
     the probed-cell read dominates). Reach for ``n_probe`` only when
-    routing actually splits clusters."""
+    routing actually splits clusters. ``rerank_factor="occupancy"``
+    applies the rule automatically: the shortlist becomes
+    max(default, ceil(n_vectors / cells)) per query, with n_vectors
+    read from parquet FOOTERS (no count job)."""
     _heal_if_unlocked(index_dir)
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]
@@ -656,8 +659,21 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     # 0.963 → 0.804 at shortlist 100); scaling the shortlist by spill
     # restores — and then exceeds — the spill=1 ceiling (0.985) at the
     # same probe budget, paying only O(shortlist) more exact work
+    if rerank_factor == "occupancy":
+        # the r10 shortlist law (SCALE.md §16): recall on clustered
+        # corpora tracks shortlist/occupancy, so size the ADC shortlist
+        # to one full cell's expected population. Footer row counts —
+        # no Spark job on the serving path.
+        n_vec = _footer_rows(
+            [f for d in _glob.glob(
+                os.path.join(index_dir, "codes", "cell=*"))
+             for f in _glob.glob(os.path.join(d, "*.parquet"))]) // spill
+        cells = int(model["params"]["cells"])
+        shortlist_k = max(RERANK_FACTOR * top_k, -(-n_vec // cells))
+    else:
+        shortlist_k = rerank_factor * top_k
     short = (score(probes_df, narrow, rcbs,
-                   top_k=rerank_factor * spill * top_k)
+                   top_k=shortlist_k * spill)
              .select("query_id", "neighbor_id"))
     # shortlist is queries × (factor·k) rows — broadcast-sized; the
     # vectors read is pruned to the probed cells, so the fetch pass is

@@ -385,5 +385,40 @@ def _register_store_probe() -> None:
 
     REGISTRY["sk_store_roundtrip"].oracle = oracle_of("sk_hll_distinct")
 
+    @probe("sk_store_upsert_roundtrip", None,
+           survey_ids="sketch-ext,A3,U2")
+    def sk_store_upsert_roundtrip(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+        """The in-place upsert pinned by the SAME equality as the build
+        round-trip: orders split in half, the first half builds the
+        directory, the second folds in via upsert_sketches — and the
+        register table read back must produce the estimate row
+        sk_hll_distinct's oracle computes over the FULL table (register
+        MAX commutes with any batch slicing, executed through the
+        staged-swap commit path)."""
+        import tempfile
+
+        orders = load_tables(spark, sf_dir)["orders"]
+        halves = [orders.where(
+            F.pmod(F.hash("o_orderkey"), F.lit(2)) == i) for i in range(2)]
+        d = tempfile.mkdtemp(prefix="kps_sketchup_")
+        build_sketches(spark, halves[0], d,
+                       key_cols=["o_custkey"], value_cols=[])
+        upsert_sketches(spark, halves[1], d)
+        regs = spark.read.schema(_HLL_SCHEMA).parquet(
+            os.path.join(d, "hll", "o_custkey"))
+        est = hll_estimate(spark, regs)
+        exact = orders.selectExpr(
+            "CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct")
+        return (est.crossJoin(F.broadcast(exact))
+                .selectExpr(
+                    "est_raw", "est_distinct", "n_zero_registers",
+                    "exact_distinct",
+                    "(est_distinct - CAST(exact_distinct AS DOUBLE))"
+                    " / CAST(exact_distinct AS DOUBLE) AS rel_err"))
+
+    REGISTRY["sk_store_upsert_roundtrip"].oracle = oracle_of(
+        "sk_hll_distinct")
+
 
 _register_store_probe()

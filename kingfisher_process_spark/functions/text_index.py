@@ -148,6 +148,28 @@ def build_text_index(spark: SparkSession, docs: DataFrame,
     return {"index": out_dir, "n_postings": n_postings, **stats}
 
 
+def init_text_index(out_dir: str) -> dict:
+    """Create an EMPTY index (postings/docs trees + zero stats) — the
+    streaming-maintenance entry point, mirroring the ANN init_index
+    contract: batches then arrive through upsert_text_index and the
+    result converges to build_text_index on the same corpus (probe
+    st_bm25_index_maintenance pins serving-hash equality)."""
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    with _writer_lock(out_dir):
+        for d in (_postings_dir(out_dir), _docs_dir(out_dir)):
+            shutil.rmtree(d, ignore_errors=True)
+            os.makedirs(d)
+        shutil.rmtree(_tomb_path(out_dir), ignore_errors=True)
+        stats = {"n_docs": 0, "sum_dl": 0, "k1": BM25_K1, "b": BM25_B}
+        tmp = os.path.join(out_dir, ".stats.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(stats, f)
+        os.replace(tmp, os.path.join(out_dir, "stats.json"))
+    return stats
+
+
 def _read_tomb(spark: SparkSession, index_dir: str) -> DataFrame | None:
     import glob as _glob
 
@@ -764,3 +786,60 @@ def _register_hybrid_batch_probe() -> None:
 
 
 _register_hybrid_batch_probe()
+
+
+def _register_stream_maintenance_probe() -> None:
+    from kingfisher_process_spark.functions.text import BM25_QUERY
+    from kingfisher_process_spark.plans.base import (
+        REGISTRY, load_tables, oracle_of, probe)
+
+    @probe("st_bm25_index_maintenance", None,
+           survey_ids="text-ext,streaming-ext,A6,O5")
+    def st_bm25_index_maintenance(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+        """Continuously-maintained BM25 index — the streaming symmetry
+        the ANN tree already has (st_ann_index_maintenance): documents
+        arrive as a 4-slice file stream sliced by pmod(hash(doc_id), 4)
+        (NOT id-ordered); foreachBatch upserts each batch into an
+        init_text_index'd EMPTY index (O(batch + touched cells) per
+        trigger — stats re-derive from the docs tree, so every trigger
+        leaves a servable, self-consistent index); batch 2 runs an
+        in-loop compact_text_index under the correctness gate. The
+        final query must hash-match t_bm25_index_topk's one-shot-build
+        oracle — postings content, exact BIGINT stats, and the score
+        doubles all converge for ANY batch slicing, THROUGH a
+        compaction."""
+        import os as _os
+        import tempfile
+
+        docs = load_tables(spark, sf_dir)["documents"] \
+            .select("doc_id", "text")
+        tmp = tempfile.mkdtemp(prefix="kps_stbm25_")
+        idx = _os.path.join(tmp, "idx")
+        init_text_index(idx)
+        watch = _os.path.join(tmp, "watch")
+        _os.makedirs(watch)
+        for i in range(4):
+            (docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == i)
+             .coalesce(1).write.mode("append")
+             .parquet(_os.path.join(watch, f"slice={i}")))
+
+        def upsert(batch_df, batch_id):
+            upsert_text_index(batch_df.sparkSession, batch_df, idx)
+            if batch_id == 2:
+                compact_text_index(batch_df.sparkSession, idx)
+
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(_os.path.join(watch, "slice=*"))
+                  .writeStream.foreachBatch(upsert)
+                  .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+                  .trigger(availableNow=True).start())
+        stream.awaitTermination()
+        return query_text_index(spark, idx, list(BM25_QUERY))
+
+    REGISTRY["st_bm25_index_maintenance"].oracle = oracle_of(
+        "t_bm25_index_topk")
+
+
+_register_stream_maintenance_probe()

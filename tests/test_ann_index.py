@@ -810,6 +810,30 @@ def test_spill_upsert_retry_and_partial_crash_replay(spark, tmp_path):
     assert want.exceptAll(got).count() == 0
 
 
+def test_occupancy_scaled_rerank_shortlist(spark, tmp_path):
+    """rerank_factor='occupancy' (the r10 shortlist law, SCALE.md §16):
+    the ADC shortlist grows to one cell's expected population, so the
+    exact tier sees a SUPERSET of the default shortlist — per (query,
+    rank) the served distance can only improve (≤), and the output
+    shape stays exactly top_k per query."""
+    from kingfisher_process_spark.functions.similarity import TOP_K
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    # 4 cells → occupancy n/4 ≫ the default 4×k shortlist
+    build_index(spark, emb, idx, cells=4, store_vectors=True)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    base = {(r["query_id"], r["rnk"]): r["l2_dist"] for r in
+            query_index(spark, idx, queries, rerank=True).collect()}
+    occ = {(r["query_id"], r["rnk"]): r["l2_dist"] for r in
+           query_index(spark, idx, queries, rerank=True,
+                       rerank_factor="occupancy").collect()}
+    assert len(occ) == N_QUERIES * TOP_K
+    assert set(occ) == set(base)
+    for key, d in occ.items():
+        assert d <= base[key], key
+
+
 def test_spill_strict_upsert_heals_and_skips_changed(spark, tmp_path):
     """strict=True on a spilled index (r9 advice): the existence probe
     is (vec_id, cell)-keyed over the FULL tree, so a partial-commit

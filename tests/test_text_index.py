@@ -184,3 +184,13 @@ def test_cli_bm25_lifecycle(spark, tmp_path, capsys):
                    "--index", idx, "--terms", ",".join(BM25_QUERY))
     assert rc == 0
     assert int(dead) not in {r["doc_id"] for r in top2}
+    # batched serving through the CLI: query 0's ranking must equal the
+    # single-query path row for row
+    rc, batch = run(capsys, "--store", store, "bm25batch", "--index",
+                    idx, "--queries",
+                    f"0:{','.join(BM25_QUERY)};1:join,window")
+    assert rc == 0 and {r["query_id"] for r in batch} == {0, 1}
+    b0 = [(r["doc_id"], r["dl"], r["tf_total"], r["score"])
+          for r in batch if r["query_id"] == 0]
+    assert b0 == [(r["doc_id"], r["dl"], r["tf_total"], r["score"])
+                  for r in top2]
