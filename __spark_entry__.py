@@ -167,10 +167,13 @@ def _registry():
     #     read for 5 queries), s_hybrid_batch_fusion (per-query RRF
     #     over both persisted indexes), sk_store_upsert_roundtrip
     #     (in-place sketch-directory upsert, shares sk_hll_distinct's
-    #     oracle), and st_bm25_index_maintenance (streamed 4-slice
+    #     oracle), st_bm25_index_maintenance (streamed 4-slice
     #     upserts through an in-loop compaction converge to the
-    #     one-shot build — shares t_bm25_index_topk's oracle) — all
-    #     CI-parity-green, never driver-checked.
+    #     one-shot build — shares t_bm25_index_topk's oracle), and
+    #     st_minhash_lsh_incremental (new docs band against persisted
+    #     bucket history, never re-self-joining it; union of per-
+    #     trigger emissions hash-matches d_minhash_lsh_pairs' oracle)
+    #     — all CI-parity-green, never driver-checked.
     #     Every entry below was re-verified green at sf0.01 against its
     #     DuckDB oracle before this freeze (scripts/verify_cap.py).
     priority = [

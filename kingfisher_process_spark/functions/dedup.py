@@ -1345,3 +1345,102 @@ def d_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     document's text beyond its own map task."""
     t = load_tables(spark, sf_dir)
     return span_coverage(t["documents"])
+
+
+def _lsh_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) — the banded LSH bucket rows for a batch
+    of documents, factored from d_minhash_lsh_pairs so the incremental
+    maintainer banding matches the batch probe byte for byte."""
+    sigs = minhash_signatures(docs)
+    return sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(":", *_band_cols(band))).alias("bucket"),
+            )
+            for band in range(N_BANDS)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def _register_incremental_lsh_probe() -> None:
+    @probe("st_minhash_lsh_incremental", None,
+           survey_ids="dedup-ext,streaming-ext,A3,J1")
+    def st_minhash_lsh_incremental(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+        """Near-dup candidate discovery against a GROWING corpus — the
+        incremental form of d_minhash_lsh_pairs: documents arrive as a
+        4-slice file stream (hash-sliced, NOT id-ordered); each trigger
+        bands only the NEW docs, joins them against the persisted
+        bucket HISTORY (new×history) plus themselves (new×new), emits
+        that trigger's candidate pairs, and appends its buckets to the
+        history. History is never re-self-joined — per trigger the
+        join cost is O(batch × matching history buckets), the shape a
+        daily-ingest dedup needs at 100 TB (the batch probe's full
+        self-join re-pairs the entire corpus every run). A pair is
+        emitted exactly once, in the trigger where its LATER doc
+        arrives, with ALL its shared bands (signatures are per-doc and
+        complete). The union of per-trigger emissions must hash-match
+        the batch probe's oracle for ANY slicing; the final groupBy
+        takes MAX (idempotent under at-least-once replay)."""
+        import glob as _glob
+        import os as _os
+        import tempfile
+
+        docs = load_tables(spark, sf_dir)["documents"] \
+            .select("doc_id", "text")
+        tmp = tempfile.mkdtemp(prefix="kps_stlsh_")
+        watch = _os.path.join(tmp, "watch")
+        hist = _os.path.join(tmp, "buckets")
+        pairs = _os.path.join(tmp, "pairs")
+        _os.makedirs(watch)
+        for i in range(4):
+            (docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == i)
+             .coalesce(1).write.mode("append")
+             .parquet(_os.path.join(watch, f"slice={i}")))
+        bucket_schema = "doc_id BIGINT, band INT, bucket STRING"
+
+        def step(batch_df, batch_id):
+            sp = batch_df.sparkSession
+            nb = _lsh_buckets(batch_df).localCheckpoint()
+            within = (nb.alias("a").join(
+                nb.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+                .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b"))
+            allp = within
+            if _glob.glob(_os.path.join(hist, "*.parquet")):
+                h = sp.read.schema(bucket_schema).parquet(hist)
+                cross = (nb.alias("n").join(
+                    h.alias("h"),
+                    (F.col("n.band") == F.col("h.band"))
+                    & (F.col("n.bucket") == F.col("h.bucket")))
+                    .selectExpr("LEAST(n.doc_id, h.doc_id) AS doc_a",
+                                "GREATEST(n.doc_id, h.doc_id) AS doc_b"))
+                allp = within.unionByName(cross)
+            (allp.groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+             .write.mode("append").parquet(pairs))
+            nb.write.mode("append").parquet(hist)
+
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(_os.path.join(watch, "slice=*"))
+                  .writeStream.foreachBatch(step)
+                  .option("checkpointLocation", _os.path.join(tmp, "ckpt"))
+                  .trigger(availableNow=True).start())
+        stream.awaitTermination()
+        out = spark.read.schema(
+            "doc_a BIGINT, doc_b BIGINT, n_shared_bands BIGINT") \
+            .parquet(pairs)
+        return (out.groupBy("doc_a", "doc_b")
+                .agg(F.max("n_shared_bands").alias("n_shared_bands"))
+                .orderBy("doc_a", "doc_b"))
+
+    _base.REGISTRY["st_minhash_lsh_incremental"].oracle = oracle_of(
+        "d_minhash_lsh_pairs")
+
+
+_register_incremental_lsh_probe()
