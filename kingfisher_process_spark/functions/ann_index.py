@@ -622,6 +622,11 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     applies the rule automatically: the shortlist becomes
     max(default, ceil(n_vectors / cells)) per query, with n_vectors
     read from parquet FOOTERS (no count job)."""
+    if isinstance(rerank_factor, str) and not rerank:
+        # a string policy silently ignored looks like a served rerank
+        # that never happened (r10 advice) — refuse loudly instead
+        raise ValueError(
+            f"rerank_factor={rerank_factor!r} requires rerank=True")
     _heal_if_unlocked(index_dir)
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]
@@ -663,11 +668,19 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
         # the r10 shortlist law (SCALE.md §16): recall on clustered
         # corpora tracks shortlist/occupancy, so size the ADC shortlist
         # to one full cell's expected population. Footer row counts —
-        # no Spark job on the serving path.
-        n_vec = _footer_rows(
+        # no Spark job on the serving path. Pending tombstones still
+        # sit in the codes footers until compaction, so subtract the
+        # tombstone tree's own footer count — after heavy deletes the
+        # gross count would oversize the shortlist and pay extra exact
+        # rerank work for rows the anti-join drops anyway (r10 advice).
+        n_tomb = _footer_rows(
+            _glob.glob(os.path.join(_tombstones_path(index_dir),
+                                    "*.parquet")))
+        n_vec = max(0, _footer_rows(
             [f for d in _glob.glob(
                 os.path.join(index_dir, "codes", "cell=*"))
              for f in _glob.glob(os.path.join(d, "*.parquet"))]) // spill
+            - n_tomb)
         cells = int(model["params"]["cells"])
         shortlist_k = max(RERANK_FACTOR * top_k, -(-n_vec // cells))
     else:

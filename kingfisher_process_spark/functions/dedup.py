@@ -1364,6 +1364,57 @@ def _lsh_buckets(docs: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+_LSH_BUCKET_SCHEMA = "doc_id BIGINT, band INT, bucket STRING"
+
+
+def incremental_lsh_step(batch_df: DataFrame, hist_dir: str,
+                         pairs_dir: str) -> None:
+    """One incremental-LSH trigger: band the batch, emit candidate
+    pairs (new×new within the batch plus new×history), append the
+    batch's buckets to the history. Replay-idempotent under
+    at-least-once foreachBatch (r10 advice): the history append
+    anti-joins on (doc_id, band) so a replayed trigger appends
+    nothing; the cross join excludes n.doc_id == h.doc_id (no
+    self-pairs when the batch's own buckets are already in history);
+    n_shared_bands is COUNT DISTINCT band, so within + both-cross
+    re-counting on replay collapses to the first run's value and the
+    consumer's MAX-fold dedupes the duplicate pair rows."""
+    import glob as _glob
+    import os as _os
+
+    sp = batch_df.sparkSession
+    nb = _lsh_buckets(batch_df).localCheckpoint()
+    within = (nb.alias("a").join(
+        nb.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+                    "a.band AS band"))
+    allp = within
+    fresh = nb
+    if _glob.glob(_os.path.join(hist_dir, "*.parquet")):
+        h = sp.read.schema(_LSH_BUCKET_SCHEMA).parquet(hist_dir)
+        cross = (nb.alias("n").join(
+            h.alias("h"),
+            (F.col("n.band") == F.col("h.band"))
+            & (F.col("n.bucket") == F.col("h.bucket"))
+            & (F.col("n.doc_id") != F.col("h.doc_id")))
+            .selectExpr("LEAST(n.doc_id, h.doc_id) AS doc_a",
+                        "GREATEST(n.doc_id, h.doc_id) AS doc_b",
+                        "n.band AS band"))
+        allp = within.unionByName(cross)
+        # replay guard: a trigger whose buckets already landed must
+        # append nothing. (doc_id, band) is the bucket-row key — band
+        # indexes the signature slice, one row each
+        fresh = (nb.join(h, ["doc_id", "band"], "left_anti")
+                 .localCheckpoint())
+    (allp.groupBy("doc_a", "doc_b")
+     .agg(F.countDistinct("band").cast("long").alias("n_shared_bands"))
+     .write.mode("append").parquet(pairs_dir))
+    fresh.write.mode("append").parquet(hist_dir)
+
+
 def _register_incremental_lsh_probe() -> None:
     @probe("st_minhash_lsh_incremental", None,
            survey_ids="dedup-ext,streaming-ext,A3,J1")
@@ -1383,8 +1434,13 @@ def _register_incremental_lsh_probe() -> None:
         arrives, with ALL its shared bands (signatures are per-doc and
         complete). The union of per-trigger emissions must hash-match
         the batch probe's oracle for ANY slicing; the final groupBy
-        takes MAX (idempotent under at-least-once replay)."""
-        import glob as _glob
+        takes MAX. Replay-idempotent under at-least-once foreachBatch
+        (r10 advice): the history append anti-joins on (doc_id, band)
+        so a replayed trigger appends nothing; the cross join excludes
+        n.doc_id == h.doc_id so a batch whose buckets already landed
+        in history emits no self-pairs; and n_shared_bands is COUNT
+        DISTINCT band, so the within + both-cross re-counting a replay
+        produces collapses to the same value the first run emitted."""
         import os as _os
         import tempfile
 
@@ -1399,31 +1455,9 @@ def _register_incremental_lsh_probe() -> None:
             (docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == i)
              .coalesce(1).write.mode("append")
              .parquet(_os.path.join(watch, f"slice={i}")))
-        bucket_schema = "doc_id BIGINT, band INT, bucket STRING"
 
         def step(batch_df, batch_id):
-            sp = batch_df.sparkSession
-            nb = _lsh_buckets(batch_df).localCheckpoint()
-            within = (nb.alias("a").join(
-                nb.alias("b"),
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
-                .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b"))
-            allp = within
-            if _glob.glob(_os.path.join(hist, "*.parquet")):
-                h = sp.read.schema(bucket_schema).parquet(hist)
-                cross = (nb.alias("n").join(
-                    h.alias("h"),
-                    (F.col("n.band") == F.col("h.band"))
-                    & (F.col("n.bucket") == F.col("h.bucket")))
-                    .selectExpr("LEAST(n.doc_id, h.doc_id) AS doc_a",
-                                "GREATEST(n.doc_id, h.doc_id) AS doc_b"))
-                allp = within.unionByName(cross)
-            (allp.groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
-             .write.mode("append").parquet(pairs))
-            nb.write.mode("append").parquet(hist)
+            incremental_lsh_step(batch_df, hist, pairs)
 
         stream = (spark.readStream.schema(docs.schema)
                   .option("maxFilesPerTrigger", 1)

@@ -262,6 +262,15 @@ def upsert_sketches(spark: SparkSession, df: DataFrame,
     with _writer_lock(sketch_dir):
         _recover_upsert(sketch_dir)
         man = load_manifest(sketch_dir)
+        if man.get("cms") != {"depth": CMS_DEPTH, "width": CMS_WIDTH}:
+            # mirrors merge_sketch_dirs: the batch's cells are built
+            # with the CURRENT constants — cell-adding them into a
+            # directory pinned to another geometry mixes incompatible
+            # bucket spaces into a silently wrong sketch (r10 advice)
+            raise ValueError(
+                f"cms config mismatch: directory has {man.get('cms')},"
+                f" this build uses depth={CMS_DEPTH} width={CMS_WIDTH}"
+                " — rebuild with one cms geometry")
         staged = _staged_dir(sketch_dir)
         shutil.rmtree(staged, ignore_errors=True)
         os.makedirs(staged, exist_ok=True)

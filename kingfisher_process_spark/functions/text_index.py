@@ -49,7 +49,7 @@ N_TERM_CELLS = 64
 N_DOC_CELLS = 64
 
 _POSTINGS_SCHEMA = "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT, cell INT"
-_DOCS_SCHEMA = "doc_id BIGINT, dl BIGINT, cell INT"
+_DOCS_SCHEMA = "doc_id BIGINT, dl BIGINT, chash STRING, cell INT"
 
 
 def _postings_dir(d: str) -> str:
@@ -138,6 +138,7 @@ def build_text_index(spark: SparkSession, docs: DataFrame,
         toks = F.filter(F.split("text", " "), lambda x: x != "")
         (docs.select("doc_id",
                      F.size(toks).cast("long").alias("dl"),
+                     F.md5("text").alias("chash"),
                      _doc_cell(F.col("doc_id")).alias("cell"))
          .repartition("cell").write.mode("overwrite")
          .partitionBy("cell").parquet(_docs_dir(out_dir)))
@@ -327,9 +328,9 @@ def upsert_text_index(spark: SparkSession, docs: DataFrame,
     cells (pruned existence reads), so retries and partial-commit
     crashes replay exactly the missing rows — the ANN upsert
     discipline applied to the inverted index. Re-adding a tombstoned
-    doc_id, or a doc_id that already exists with a different length
-    (changed text), is refused until delete+compact, for the same
-    two-generations reason as the ANN index."""
+    doc_id, or a doc_id that already exists with a different md5
+    content hash (changed text), is refused until delete+compact, for
+    the same two-generations reason as the ANN index."""
     with _writer_lock(index_dir):
         _recover_codes(_postings_dir(index_dir))
         _recover_codes(_docs_dir(index_dir))
@@ -345,27 +346,36 @@ def upsert_text_index(spark: SparkSession, docs: DataFrame,
         toks = F.filter(F.split("text", " "), lambda x: x != "")
         drows = (docs.select(
             "doc_id", F.size(toks).cast("long").alias("dl"),
+            F.md5("text").alias("chash"),
             _doc_cell(F.col("doc_id")).alias("cell"))
             .localCheckpoint())
         dcells = sorted({r["cell"] for r in
                          drows.select("cell").distinct().collect()})
         # upsert is insert-if-absent, NOT update: a doc_id already in
-        # the docs tree with a DIFFERENT length is a changed document —
+        # the docs tree with DIFFERENT text is a changed document —
         # the (doc_id, cell) postings probe would insert its new-term
         # cells while old cells keep the old generation, splitting the
-        # doc across two dl values (two phantom docs in scoring — r9
-        # advice). Refuse like the tombstone check; a doc_id's docs row
-        # lives in a deterministic cell, so the probe read is pruned.
+        # doc across two generations (phantom docs in scoring — r9
+        # advice). Compared on the stored md5 content hash, not dl
+        # alone — a changed doc with an identical token count slipped
+        # the length-only guard (r10 advice). Refuse like the tombstone
+        # check; a doc_id's docs row lives in a deterministic cell, so
+        # the probe read is pruned. old_chash IS NULL means a
+        # pre-chash-generation row: fall back to the dl comparison.
         dexist = (spark.read.option("basePath", _docs_dir(index_dir))
                   .schema(_DOCS_SCHEMA).parquet(_docs_dir(index_dir))
                   .where(F.col("cell").isin(dcells))
-                  .select("doc_id", F.col("dl").alias("old_dl")))
+                  .select("doc_id", F.col("dl").alias("old_dl"),
+                          F.col("chash").alias("old_chash")))
         n_changed = (drows.join(dexist, "doc_id")
-                     .where(F.col("dl") != F.col("old_dl")).count())
+                     .where(F.when(F.col("old_chash").isNotNull(),
+                                   F.col("chash") != F.col("old_chash"))
+                            .otherwise(F.col("dl") != F.col("old_dl")))
+                     .count())
         if n_changed:
             raise ValueError(
-                f"{n_changed} documents to upsert already exist with a "
-                "different length (changed text); delete_text_index + "
+                f"{n_changed} documents to upsert already exist with "
+                "different content (changed text); delete_text_index + "
                 "compact_text_index before re-adding these ids")
         new_cells = sorted({r["cell"] for r in
                             rows.select("cell").distinct().collect()})

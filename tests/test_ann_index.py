@@ -913,3 +913,58 @@ def test_spill_rerank_dedupes_fetch_and_scores_exact(spark, tmp_path):
                    for a, b in zip(grid[r["query_id"]],
                                    grid[r["neighbor_id"]]))
         assert r["l2_dist"] == float(want), (r, want)
+
+
+def test_string_rerank_factor_without_rerank_refuses(spark, tmp_path):
+    """r10 advice: rerank_factor='occupancy' with rerank=False was
+    silently ignored — a serve that LOOKS reranked but isn't. Refuse."""
+    import pytest
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx, cells=4)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    with pytest.raises(ValueError, match="requires rerank=True"):
+        query_index(spark, idx, queries, rerank_factor="occupancy")
+
+
+def test_occupancy_shortlist_excludes_pending_tombstones(spark, tmp_path):
+    """r10 advice: occupancy sizing read gross footer counts, which
+    still include tombstoned-but-uncompacted rows — after heavy deletes
+    the shortlist oversized. The sizing now subtracts the tombstone
+    tree's footer count; serving stays correct (top_k per query, and
+    per (query, rank) the exact distance still dominates the default
+    fixed shortlist) with deletes pending."""
+    from kingfisher_process_spark.functions.ann_index import delete_index
+    from kingfisher_process_spark.functions.similarity import TOP_K
+
+    emb = load_tables(spark, SF_SMOKE)["embeddings"]
+    idx = str(tmp_path / "idx")
+    build_index(spark, emb, idx, cells=4, store_vectors=True)
+    n = emb.count()
+    # tombstone the top half of the id space — heavy-delete regime
+    dead = [int(r["vec_id"]) for r in
+            emb.where(F.col("vec_id") >= n // 2)
+            .where(F.col("vec_id") >= N_QUERIES)
+            .select("vec_id").collect()]
+    delete_index(spark, idx, dead)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    base = {(r["query_id"], r["rnk"]): r["l2_dist"] for r in
+            query_index(spark, idx, queries, rerank=True).collect()}
+    occ = {(r["query_id"], r["rnk"]): r["l2_dist"] for r in
+           query_index(spark, idx, queries, rerank=True,
+                       rerank_factor="occupancy").collect()}
+    assert len(occ) == N_QUERIES * TOP_K
+    assert set(occ) == set(base)
+    for key, d in occ.items():
+        assert d <= base[key], key
+    # the live count the sizing uses is net of tombstones
+    import glob as g
+
+    import pyarrow.parquet as pq
+    gross = sum(pq.ParquetFile(f).metadata.num_rows for f in
+                g.glob(os.path.join(idx, "codes", "cell=*", "*.parquet")))
+    tomb = sum(pq.ParquetFile(f).metadata.num_rows for f in
+               g.glob(os.path.join(idx, "tombstones", "*.parquet")))
+    assert tomb == len(dead)
+    assert gross - tomb == n - len(dead)

@@ -284,3 +284,25 @@ def test_cli_sketch_commands(spark, tmp_path, capsys):
     assert rc == 0 and man_up["n_rows"] == 2 * full.count()
     assert (sketch_summary(spark, d1)["distinct"]["o_custkey"]
             == summ["distinct"]["o_custkey"])
+
+
+def test_upsert_cms_config_mismatch_refuses(spark, tmp_path):
+    """r10 advice: upsert builds the batch's CMS cells with the CURRENT
+    depth/width constants — folding them into a directory pinned to a
+    different geometry would cell-add incompatible bucket spaces, so
+    the manifest guard that merge_sketch_dirs has must fire here too."""
+    from kingfisher_process_spark.functions.sketch_store import (
+        upsert_sketches)
+
+    orders = load_tables(spark, SF_SMOKE)["orders"]
+    d = str(tmp_path / "s")
+    build_sketches(spark, orders, d, key_cols=["o_custkey"],
+                   value_cols=[])
+    man_path = os.path.join(d, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    man["cms"]["width"] = man["cms"]["width"] * 2
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="cms config mismatch"):
+        upsert_sketches(spark, orders.limit(10), d)

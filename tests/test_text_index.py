@@ -112,7 +112,7 @@ def test_batch_serving_equals_single_query_path(spark, tmp_path):
 
 def test_upsert_refuses_changed_document(spark, tmp_path):
     """r9 advice: re-upserting a doc whose text changed would split its
-    postings across two dl generations (two phantom docs in scoring) —
+    postings across two generations (two phantom docs in scoring) —
     the docs-tree probe must refuse it like the tombstone check."""
     import pytest
 
@@ -121,11 +121,37 @@ def test_upsert_refuses_changed_document(spark, tmp_path):
     build_text_index(spark, docs, idx)
     changed = docs.where(F.col("doc_id") < 5).select(
         "doc_id", F.concat(F.col("text"), F.lit(" extra token")).alias("text"))
-    with pytest.raises(ValueError, match="different length"):
+    with pytest.raises(ValueError, match="different content"):
         upsert_text_index(spark, changed, idx)
     # identical retry still converges to zero adds
     again = upsert_text_index(spark, docs.where(F.col("doc_id") < 5), idx)
     assert again["n_postings_added"] == 0 and again["n_docs_added"] == 0
+
+
+def test_upsert_refuses_changed_text_with_same_length(spark, tmp_path):
+    """r10 advice: the length-only guard passed a changed document
+    whose token count happened to match, splitting its postings across
+    two generations. The guard now compares the stored md5 content
+    hash, so a same-dl rewrite is refused too."""
+    import pytest
+
+    docs = _docs(spark)
+    idx = str(tmp_path / "tix")
+    build_text_index(spark, docs, idx)
+    # permute the first two tokens: same whitespace token count (same
+    # dl), different bytes for any doc whose first two tokens differ
+    toks = F.filter(F.split("text", " "), lambda x: x != "")
+    same_dl = (docs.where(F.col("doc_id") < 5)
+               .where((F.size(toks) >= 2)
+                      & (F.element_at(toks, 1) != F.element_at(toks, 2)))
+               .select("doc_id", F.concat_ws(
+                   " ",
+                   F.element_at(toks, 2), F.element_at(toks, 1),
+                   F.array_join(F.slice(toks, 3, 1_000_000), " "))
+                   .alias("text")))
+    assert same_dl.count() > 0
+    with pytest.raises(ValueError, match="different content"):
+        upsert_text_index(spark, same_dl, idx)
 
 
 def test_delete_hides_then_compact_purges(spark, tmp_path):
