@@ -38,7 +38,6 @@ family, SURVEY §2.13).
 from __future__ import annotations
 
 import contextlib
-import glob as _glob
 import json
 import os
 import shutil
@@ -47,6 +46,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kingfisher_process_spark.functions.artifact_fs import (
+    list_cell_dirs, list_parquet, list_trash_dirs)
 from kingfisher_process_spark.functions.similarity import (
     _code_exprs, _ivf_cell_expr, _ivf_spill_cells_expr, _quantized,
     _residuals, _residuals_spill, _train_pq_on,
@@ -276,7 +277,7 @@ def _heal_if_unlocked(index_dir: str) -> None:
     stranded = [
         t for t in trees
         if os.path.isfile(os.path.join(t, ".compact_staging", "_COMPLETE"))
-        or _glob.glob(os.path.join(t, ".compact_trash-*"))]
+        or list_trash_dirs(t)]
     if not stranded:
         return  # nothing stranded — the overwhelmingly common case
     try:
@@ -303,7 +304,7 @@ def _recover_codes(codes_dir: str) -> bool:
             cells = [c for c in f.read().split(",") if c]
         _finish_cell_swap(codes_dir, staging, cells)
         finished = True
-    for t in _glob.glob(os.path.join(codes_dir, ".compact_trash-*")):
+    for t in list_trash_dirs(codes_dir):
         shutil.rmtree(t, ignore_errors=True)
     return finished
 
@@ -392,7 +393,7 @@ def _read_tombstones(spark: SparkSession, index_dir: str) -> DataFrame | None:
     Tombstones are small between compactions (deletes since the last
     fold), so the serving anti-join broadcasts them."""
     t = _tombstones_path(index_dir)
-    if not _glob.glob(os.path.join(t, "*.parquet")):
+    if not list_parquet(t):
         return None
     return spark.read.schema("vec_id BIGINT").parquet(t).distinct()
 
@@ -419,9 +420,8 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
     _heal_if_unlocked(index_dir)
     model = load_model(index_dir)
     files_per_cell = {
-        os.path.basename(d).split("=", 1)[1]:
-            _glob.glob(os.path.join(d, "*.parquet"))
-        for d in _glob.glob(os.path.join(codes_dir, "cell=*"))}
+        os.path.basename(d).split("=", 1)[1]: list_parquet(d)
+        for d in list_cell_dirs(codes_dir)}
     all_files = [f for fs in files_per_cell.values() for f in fs]
     return {
         "index": index_dir,
@@ -434,8 +434,7 @@ def index_stats(spark: SparkSession, index_dir: str) -> dict:
         "max_files_per_cell": max(
             (len(fs) for fs in files_per_cell.values()), default=0),
         "n_pending_tombstones": _footer_rows(
-            _glob.glob(os.path.join(_tombstones_path(index_dir),
-                                    "*.parquet"))),
+            list_parquet(_tombstones_path(index_dir))),
         "has_vectors": os.path.isdir(_vectors_dir(index_dir)),
         "writer_lock_held": os.path.isfile(
             os.path.join(index_dir, ".writer_lock")),
@@ -504,7 +503,7 @@ def compact_index(spark: SparkSession, index_dir: str,
             # survive the tombstone clear below — a later re-upsert of
             # the same vec_id would then leave two generations in
             # vectors/ and rerank serving could surface the stale one
-            if has_vec and _glob.glob(os.path.join(vec_dir, "cell=*")):
+            if has_vec and list_cell_dirs(vec_dir):
                 vec_hit = (spark.read.option("basePath", vec_dir)
                            .schema(_vectors_schema()).parquet(vec_dir)
                            .join(F.broadcast(tomb), "vec_id", "left_semi")
@@ -539,8 +538,8 @@ def compact_index(spark: SparkSession, index_dir: str,
 
 def _fragmented_cells(tree_dir: str, min_files: int) -> set[str]:
     return {os.path.basename(d).split("=", 1)[1]
-            for d in _glob.glob(os.path.join(tree_dir, "cell=*"))
-            if len(_glob.glob(os.path.join(d, "*.parquet"))) >= min_files}
+            for d in list_cell_dirs(tree_dir)
+            if len(list_parquet(d)) >= min_files}
 
 
 def _fold_tree(spark: SparkSession, tree_dir: str, schema: str,
@@ -572,7 +571,7 @@ def _fold_tree(spark: SparkSession, tree_dir: str, schema: str,
      .write.mode("overwrite").partitionBy("cell").parquet(staging))
     n_after = (spark.read.option("basePath", staging)
                .schema(schema).parquet(staging).count()
-               if _glob.glob(os.path.join(staging, "cell=*")) else 0)
+               if list_cell_dirs(staging) else 0)
     # a cell whose rows ALL tombstoned away wrote no staged dir —
     # stage an EMPTY dir so the swap replaces (empties) it. Every
     # staged cell dir gets a _STAGED marker BEFORE _COMPLETE: resume
@@ -674,12 +673,10 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
         # gross count would oversize the shortlist and pay extra exact
         # rerank work for rows the anti-join drops anyway (r10 advice).
         n_tomb = _footer_rows(
-            _glob.glob(os.path.join(_tombstones_path(index_dir),
-                                    "*.parquet")))
+            list_parquet(_tombstones_path(index_dir)))
         n_vec = max(0, _footer_rows(
-            [f for d in _glob.glob(
-                os.path.join(index_dir, "codes", "cell=*"))
-             for f in _glob.glob(os.path.join(d, "*.parquet"))]) // spill
+            [f for d in list_cell_dirs(os.path.join(index_dir, "codes"))
+             for f in list_parquet(d)]) // spill
             - n_tomb)
         cells = int(model["params"]["cells"])
         shortlist_k = max(RERANK_FACTOR * top_k, -(-n_vec // cells))

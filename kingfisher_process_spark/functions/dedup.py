@@ -1379,8 +1379,7 @@ def incremental_lsh_step(batch_df: DataFrame, hist_dir: str,
     n_shared_bands is COUNT DISTINCT band, so within + both-cross
     re-counting on replay collapses to the first run's value and the
     consumer's MAX-fold dedupes the duplicate pair rows."""
-    import glob as _glob
-    import os as _os
+    from kingfisher_process_spark.functions.artifact_fs import list_parquet
 
     sp = batch_df.sparkSession
     nb = _lsh_buckets(batch_df).localCheckpoint()
@@ -1393,7 +1392,7 @@ def incremental_lsh_step(batch_df: DataFrame, hist_dir: str,
                     "a.band AS band"))
     allp = within
     fresh = nb
-    if _glob.glob(_os.path.join(hist_dir, "*.parquet")):
+    if list_parquet(hist_dir):
         h = sp.read.schema(_LSH_BUCKET_SCHEMA).parquet(hist_dir)
         cross = (nb.alias("n").join(
             h.alias("h"),

@@ -172,10 +172,10 @@ def init_text_index(out_dir: str) -> dict:
 
 
 def _read_tomb(spark: SparkSession, index_dir: str) -> DataFrame | None:
-    import glob as _glob
+    from kingfisher_process_spark.functions.artifact_fs import list_parquet
 
     t = _tomb_path(index_dir)
-    if not _glob.glob(os.path.join(t, "*.parquet")):
+    if not list_parquet(t):
         return None
     return spark.read.schema("doc_id BIGINT").parquet(t).distinct()
 
