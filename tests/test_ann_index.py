@@ -823,8 +823,12 @@ def test_occupancy_scaled_rerank_shortlist(spark, tmp_path):
     # 4 cells → occupancy n/4 ≫ the default 4×k shortlist
     build_index(spark, emb, idx, cells=4, store_vectors=True)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
+    # pin the FIXED tier explicitly — occupancy is the serving default
+    # now (r11), so the dominance comparison needs the old baseline
+    from kingfisher_process_spark.functions.similarity import RERANK_FACTOR
     base = {(r["query_id"], r["rnk"]): r["l2_dist"] for r in
-            query_index(spark, idx, queries, rerank=True).collect()}
+            query_index(spark, idx, queries, rerank=True,
+                        rerank_factor=RERANK_FACTOR).collect()}
     occ = {(r["query_id"], r["rnk"]): r["l2_dist"] for r in
            query_index(spark, idx, queries, rerank=True,
                        rerank_factor="occupancy").collect()}
@@ -949,8 +953,12 @@ def test_occupancy_shortlist_excludes_pending_tombstones(spark, tmp_path):
             .select("vec_id").collect()]
     delete_index(spark, idx, dead)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
+    # pin the FIXED tier explicitly — occupancy is the serving default
+    # now (r11), so the dominance comparison needs the old baseline
+    from kingfisher_process_spark.functions.similarity import RERANK_FACTOR
     base = {(r["query_id"], r["rnk"]): r["l2_dist"] for r in
-            query_index(spark, idx, queries, rerank=True).collect()}
+            query_index(spark, idx, queries, rerank=True,
+                        rerank_factor=RERANK_FACTOR).collect()}
     occ = {(r["query_id"], r["rnk"]): r["l2_dist"] for r in
            query_index(spark, idx, queries, rerank=True,
                        rerank_factor="occupancy").collect()}
