@@ -25,6 +25,7 @@ def _registry():
         import kingfisher_process_spark.functions.text  # noqa: F401
         import kingfisher_process_spark.functions.tokenizer  # noqa: F401
         import kingfisher_process_spark.functions.dedup  # noqa: F401
+        import kingfisher_process_spark.functions.lsh_store  # noqa: F401
         import kingfisher_process_spark.functions.similarity  # noqa: F401
         import kingfisher_process_spark.functions.ann_index  # noqa: F401
         import kingfisher_process_spark.functions.multimodal  # noqa: F401

@@ -151,6 +151,14 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--contam-pm", type=int, default=100,
                      help="contamination threshold, per-mille of a "
                           "doc's shingles (100 = the probe's 10%% rule)")
+    cur.add_argument("--lsh-store", default=None, dest="lsh_store",
+                     help="with --near-dedup: run near-dedup "
+                          "INCREMENTALLY against this persisted LSH "
+                          "bucket history (created if absent) — the "
+                          "batch is upserted, only its new pairs are "
+                          "computed, and survivors matching a "
+                          "HISTORICAL doc are dropped at candidate "
+                          "level (historical text is not retained)")
 
     ab = sub.add_parser(
         "annbuild",
@@ -299,6 +307,38 @@ def build_parser() -> argparse.ArgumentParser:
     su.add_argument("--input", required=True)
     su.add_argument("--sketch", required=True)
 
+    lb = sub.add_parser(
+        "lshbuild",
+        help="persist a MinHash-LSH bucket history + candidate pairs "
+             "from a (doc_id, text) parquet — the near-dedup state "
+             "later batches upsert against instead of re-pairing the "
+             "whole corpus")
+    lb.add_argument("--input", required=True)
+    lb.add_argument("--output", required=True)
+
+    lu = sub.add_parser(
+        "lshupsert",
+        help="band a new batch against the persisted bucket history: "
+             "emits only the pairs the batch creates (new x new plus "
+             "new x history through cell-pruned reads) and appends "
+             "its buckets — history is never re-self-joined")
+    lu.add_argument("--input", required=True)
+    lu.add_argument("--lsh-store", required=True, dest="lsh_store")
+
+    lp = sub.add_parser(
+        "lshpairs",
+        help="the accumulated candidate pair set (MAX-folded) — equal "
+             "to the batch self-join over everything ever upserted")
+    lp.add_argument("--lsh-store", required=True, dest="lsh_store")
+    lp.add_argument("--limit", type=int, default=100)
+
+    lc = sub.add_parser(
+        "lshcompact",
+        help="fold fragmented bucket/doc cells and collapse the "
+             "appended pair emissions to one MAX-folded file")
+    lc.add_argument("--lsh-store", required=True, dest="lsh_store")
+    lc.add_argument("--min-files", type=int, default=2)
+
     ss = sub.add_parser(
         "sketchstat",
         help="profile from a sketch dir alone: per-key est distinct, "
@@ -385,8 +425,44 @@ def _dispatch(args, spark, store) -> int:
             min_tokens=args.min_tokens, max_tokens=args.max_tokens,
             tokenizer_model=args.tokenizer,
             near_dedup=args.near_dedup, near_jaccard=args.near_jaccard,
-            decontaminate=bench, contam_pm=args.contam_pm)
+            decontaminate=bench, contam_pm=args.contam_pm,
+            lsh_store=args.lsh_store)
         print(json.dumps(audit, default=str))
+        return 0
+
+    if args.command == "lshbuild":
+        from kingfisher_process_spark.functions.lsh_store import (
+            build_lsh_store)
+
+        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        print(json.dumps(build_lsh_store(spark, docs, args.output)))
+        return 0
+
+    if args.command == "lshupsert":
+        from kingfisher_process_spark.functions.lsh_store import (
+            upsert_lsh_store)
+
+        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        print(json.dumps(upsert_lsh_store(spark, docs, args.lsh_store)))
+        return 0
+
+    if args.command == "lshpairs":
+        from kingfisher_process_spark.functions.lsh_store import (
+            query_lsh_pairs)
+
+        pairs = query_lsh_pairs(spark, args.lsh_store)
+        print(json.dumps({
+            "n_pairs": pairs.count(),
+            "top": [r.asDict() for r in pairs.limit(args.limit).collect()],
+        }))
+        return 0
+
+    if args.command == "lshcompact":
+        from kingfisher_process_spark.functions.lsh_store import (
+            compact_lsh_store)
+
+        print(json.dumps(compact_lsh_store(
+            spark, args.lsh_store, min_files=args.min_files)))
         return 0
 
     if args.command == "annbuild":

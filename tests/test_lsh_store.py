@@ -1,0 +1,202 @@
+"""Persisted LSH bucket history (the fourth artifact family): the
+accumulated pair set must equal the batch self-join for any batch
+split (probe d_lsh_store_incremental pins the oracle hash); here the
+lifecycle edges — changed-doc refusal, replay no-ops, compaction
+parity, pairs-fold crash recovery, geometry guard — plus the CLI and
+the incremental curate integration."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kingfisher_process_spark.functions.lsh_store import (
+    _BUCKETS_SCHEMA, _buckets_dir, _pairs_dir, _staged_pairs,
+    build_lsh_store, compact_lsh_store, load_lsh_manifest,
+    query_lsh_pairs, upsert_lsh_store)
+from kingfisher_process_spark.plans.base import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_tables(spark, SF_SMOKE)["documents"].select(
+        "doc_id", "text")
+
+
+def _halves(docs):
+    return [docs.where(F.pmod(F.hash("doc_id"), F.lit(2)) == i)
+            for i in range(2)]
+
+
+def _pairs_map(spark, store):
+    return {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in
+            query_lsh_pairs(spark, store).collect()}
+
+
+def test_incremental_equals_batch_and_replay_noops(spark, tmp_path):
+    docs = _docs(spark)
+    store = str(tmp_path / "lsh")
+    a, b = _halves(docs)
+    audit = build_lsh_store(spark, a, store)
+    assert audit["n_docs_added"] == a.count()
+    up = upsert_lsh_store(spark, b, store)
+    assert up["n_docs_added"] == b.count()
+    assert up["n_docs"] == docs.count()
+
+    from kingfisher_process_spark.functions.dedup import (
+        d_minhash_lsh_pairs)
+    want = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in
+            d_minhash_lsh_pairs(spark, SF_SMOKE).collect()}
+    assert _pairs_map(spark, store) == want
+
+    # at-least-once replay: no docs, no pairs, no bucket rows added
+    n_buckets = spark.read.schema(_BUCKETS_SCHEMA) \
+        .parquet(_buckets_dir(store)).count()
+    again = upsert_lsh_store(spark, b, store)
+    assert again["n_docs_added"] == 0 and again["n_pairs_emitted"] == 0
+    assert spark.read.schema(_BUCKETS_SCHEMA) \
+        .parquet(_buckets_dir(store)).count() == n_buckets
+    assert _pairs_map(spark, store) == want
+
+
+def test_changed_document_refused(spark, tmp_path):
+    docs = _docs(spark)
+    store = str(tmp_path / "lsh")
+    build_lsh_store(spark, docs, store)
+    changed = docs.where(F.col("doc_id") < 5).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" extra token")).alias("text"))
+    with pytest.raises(ValueError, match="different content"):
+        upsert_lsh_store(spark, changed, store)
+
+
+def test_compact_folds_and_preserves_pairs(spark, tmp_path):
+    docs = _docs(spark)
+    store = str(tmp_path / "lsh")
+    a, b = _halves(docs)
+    build_lsh_store(spark, a, store)
+    upsert_lsh_store(spark, b, store)
+    before = _pairs_map(spark, store)
+    audit = compact_lsh_store(spark, store)
+    assert audit["n_pairs"] == len(before)
+    # one MAX-folded pairs file; serving unchanged
+    from kingfisher_process_spark.functions.artifact_fs import (
+        list_parquet)
+    assert len(list_parquet(_pairs_dir(store))) == 1
+    assert _pairs_map(spark, store) == before
+    assert load_lsh_manifest(store)["n_docs"] == docs.count()
+
+
+def test_pairs_fold_crash_recovery(spark, tmp_path):
+    docs = _docs(spark)
+    store = str(tmp_path / "lsh")
+    a, b = _halves(docs)
+    build_lsh_store(spark, a, store)
+    upsert_lsh_store(spark, b, store)
+    want = _pairs_map(spark, store)
+
+    # crash BEFORE the marker: a partial staged fold must be discarded
+    # (the live emissions are untouched)
+    staged = _staged_pairs(store)
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert upsert_lsh_store(spark, b, store)["n_docs_added"] == 0
+    assert not os.path.isdir(staged)
+    assert _pairs_map(spark, store) == want
+
+    # crash AFTER the marker: the staged fold is the only folded copy —
+    # recovery must swap it in
+    folded = (spark.read.schema(
+        "doc_a BIGINT, doc_b BIGINT, n_shared_bands BIGINT")
+        .parquet(_pairs_dir(store))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("n_shared_bands").alias("n_shared_bands")))
+    folded.coalesce(1).write.mode("overwrite").parquet(staged)
+    with open(os.path.join(staged, "_COMPLETE"), "w"):
+        pass
+    assert upsert_lsh_store(spark, b, store)["n_docs_added"] == 0
+    assert not os.path.isdir(staged)
+    assert _pairs_map(spark, store) == want
+
+
+def test_geometry_mismatch_refused(spark, tmp_path):
+    docs = _docs(spark)
+    store = str(tmp_path / "lsh")
+    build_lsh_store(spark, docs, store)
+    man_path = os.path.join(store, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    man["n_bands"] = man["n_bands"] * 2
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        upsert_lsh_store(spark, docs.limit(3), store)
+
+
+def test_curate_incremental_near_dedup(spark, tmp_path):
+    """curate --near-dedup --lsh-store: batch 1 seeds the history;
+    batch 2 contains a byte-identical copy of a batch-1 doc under a
+    NEW doc_id — invisible to batch-2's own exact dedup, but its
+    buckets match the history in all bands, so the incremental stage
+    drops it at candidate level."""
+    from kingfisher_process_spark.functions.text import curate_corpus
+
+    docs = _docs(spark).withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("t"))
+    a = docs.where(F.col("doc_id") < 250)
+    b = docs.where(F.col("doc_id") >= 250)
+    store = str(tmp_path / "lsh")
+    audit_a = curate_corpus(
+        spark, a, str(tmp_path / "out_a"),
+        near_dedup=True, lsh_store=store)
+    assert audit_a["n_kept"] > 0
+
+    # one curated batch-1 survivor, re-id'd into batch 2
+    kept_a = spark.read.parquet(str(tmp_path / "out_a") + "/corpus")
+    dup = (kept_a.orderBy("doc_id").limit(1)
+           .selectExpr("doc_id + 1000000 AS doc_id", "text",
+                       "lang", "source"))
+    b2 = b.unionByName(dup)
+    audit_b = curate_corpus(
+        spark, b2, str(tmp_path / "out_b"),
+        near_dedup=True, lsh_store=store)
+    assert audit_b["n_dropped_vs_history"] >= 1
+    kept_b = spark.read.parquet(str(tmp_path / "out_b") + "/corpus")
+    assert kept_b.where(F.col("doc_id") >= 1000000).count() == 0
+
+    # the same batch WITHOUT the store keeps the cross-batch dup —
+    # the incremental path is what caught it
+    audit_solo = curate_corpus(
+        spark, b2, str(tmp_path / "out_solo"), near_dedup=True)
+    kept_solo = spark.read.parquet(str(tmp_path / "out_solo") + "/corpus")
+    assert kept_solo.where(F.col("doc_id") >= 1000000).count() == 1
+    assert "n_dropped_vs_history" not in audit_solo
+
+
+def test_cli_lsh_lifecycle(spark, tmp_path, capsys):
+    from tests.test_cli import run
+
+    docs = _docs(spark)
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    a, b = _halves(docs)
+    a.write.parquet(a_path)
+    b.write.parquet(b_path)
+    store_dir = str(tmp_path / "store")
+    lsh = str(tmp_path / "lsh")
+
+    rc, audit = run(capsys, "--store", store_dir, "lshbuild",
+                    "--input", a_path, "--output", lsh)
+    assert rc == 0 and audit["n_docs_added"] == a.count()
+    rc, up = run(capsys, "--store", store_dir, "lshupsert",
+                 "--input", b_path, "--lsh-store", lsh)
+    assert rc == 0 and up["n_docs"] == docs.count()
+    rc, pairs = run(capsys, "--store", store_dir, "lshpairs",
+                    "--lsh-store", lsh, "--limit", "5")
+    assert rc == 0 and pairs["n_pairs"] == len(_pairs_map(spark, lsh))
+    rc, comp = run(capsys, "--store", store_dir, "lshcompact",
+                   "--lsh-store", lsh)
+    assert rc == 0 and comp["n_pairs"] == pairs["n_pairs"]

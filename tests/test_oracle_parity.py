@@ -38,7 +38,7 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
-N_PROBES = 195  # bump when registering a probe — guards against the
+N_PROBES = 196  # bump when registering a probe — guards against the
 # _registry() import-guard silently swallowing a module and shrinking
 # the corpus the driver verifies
 
