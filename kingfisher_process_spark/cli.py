@@ -339,6 +339,12 @@ def build_parser() -> argparse.ArgumentParser:
     lc.add_argument("--lsh-store", required=True, dest="lsh_store")
     lc.add_argument("--min-files", type=int, default=2)
 
+    ls = sub.add_parser(
+        "lshstat",
+        help="store snapshot from parquet footers + listings alone "
+             "(no Spark job): geometry, rows, files, fragmentation")
+    ls.add_argument("--lsh-store", required=True, dest="lsh_store")
+
     ss = sub.add_parser(
         "sketchstat",
         help="profile from a sketch dir alone: per-key est distinct, "
@@ -463,6 +469,13 @@ def _dispatch(args, spark, store) -> int:
 
         print(json.dumps(compact_lsh_store(
             spark, args.lsh_store, min_files=args.min_files)))
+        return 0
+
+    if args.command == "lshstat":
+        from kingfisher_process_spark.functions.lsh_store import (
+            lsh_store_stats)
+
+        print(json.dumps(lsh_store_stats(args.lsh_store)))
         return 0
 
     if args.command == "annbuild":

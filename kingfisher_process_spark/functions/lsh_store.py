@@ -338,6 +338,27 @@ def compact_lsh_store(spark: SparkSession, store_dir: str,
             **man}
 
 
+def lsh_store_stats(store_dir: str) -> dict:
+    """Operational snapshot from metadata alone (the annstat
+    discipline): manifest geometry + per-tree file/row counts from
+    parquet FOOTERS and directory listings — no Spark job, safe at any
+    corpus size. Fragmentation here is the compact-now signal."""
+    man = load_lsh_manifest(store_dir)
+    out = {"store": store_dir, **man}
+    for name, tree in (("buckets", _buckets_dir(store_dir)),
+                       ("docs", _docs_dir(store_dir))):
+        per_cell = {d: list_parquet(d) for d in list_cell_dirs(tree)}
+        files = [f for fs in per_cell.values() for f in fs]
+        out[f"n_{name}_rows"] = _footer_rows(files)
+        out[f"n_{name}_files"] = len(files)
+        out[f"n_{name}_fragmented_cells"] = sum(
+            1 for fs in per_cell.values() if len(fs) >= 2)
+    pfiles = list_parquet(_pairs_dir(store_dir))
+    out["n_pair_rows"] = _footer_rows(pfiles)  # pre-fold (dups possible)
+    out["n_pair_files"] = len(pfiles)
+    return out
+
+
 def _register_store_probe() -> None:
     from kingfisher_process_spark.plans.base import (
         REGISTRY, load_tables, oracle_of, probe)

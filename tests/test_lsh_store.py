@@ -200,3 +200,11 @@ def test_cli_lsh_lifecycle(spark, tmp_path, capsys):
     rc, comp = run(capsys, "--store", store_dir, "lshcompact",
                    "--lsh-store", lsh)
     assert rc == 0 and comp["n_pairs"] == pairs["n_pairs"]
+    rc, stat = run(capsys, "--store", store_dir, "lshstat",
+                   "--lsh-store", lsh)
+    assert rc == 0
+    assert stat["n_docs"] == docs.count()
+    from kingfisher_process_spark.functions.dedup import N_BANDS
+    assert stat["n_buckets_rows"] == docs.count() * N_BANDS
+    assert stat["n_docs_fragmented_cells"] == 0  # just compacted
+    assert stat["n_pair_files"] == 1 and stat["n_pair_rows"] == comp["n_pairs"]
