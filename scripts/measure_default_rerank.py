@@ -3,8 +3,18 @@
 build a 64-cell store_vectors index over the 200k clustered fixture
 and serve ``query_index(rerank=True)`` WITH NO SHORTLIST FLAG — the
 occupancy-scaled default must hold recall@10 >= 0.9 where the old
-fixed 4x10 shortlist measured 0.417. The fixed tier is measured next
-to it (explicit integer rerank_factor) so the delta is in one table.
+fixed 4x10 shortlist collapses. The fixed tier is measured next to it
+(explicit integer rerank_factor) so the delta is in one table.
+
+Recall is reported against TWO exact ground truths: exact L2 — the
+metric query_index's refine tier actually serves (its output column
+IS l2_dist) — and exact cosine, the sweep's historical truth. On a
+tight cluster the ~3000 mates are near-equidistant, so the top-10 BY
+COSINE and the top-10 BY L2 are genuinely different sets; recall vs
+cosine truth mixes metric disagreement into what should be a
+shortlist-coverage measurement. The >=0.9 bar applies to the L2
+truth; the cosine number is reported for continuity with SCALE.md
+§16's sweep (whose rerank tier re-scores by cosine).
 
 Usage: python scripts/measure_default_rerank.py [n_vectors]
 """
@@ -31,6 +41,22 @@ from scripts.sweep_ann_serving import (  # noqa: E402
     make_clustered_embeddings, _recall)
 
 
+def exact_truth_l2(path: str, n_queries: int, top_k: int) -> dict:
+    """Exact L2 top-k on the raw float vectors, self-match excluded —
+    the ground truth matching query_index's refine metric."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).sort_by("vec_id")
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    q = x[:n_queries]
+    # ||q - x||^2 = ||q||^2 - 2 q.x + ||x||^2; argsort ignores ||q||^2
+    d2 = (np.sum(x * x, axis=1)[None, :] - 2.0 * (q @ x.T))
+    np.fill_diagonal(d2[:, :n_queries], np.inf)
+    order = np.argsort(d2, axis=1)[:, :top_k]
+    return {i: set(order[i].tolist()) for i in range(n_queries)}
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     spark = get_spark("default-rerank-measure")
@@ -38,6 +64,7 @@ def main() -> None:
     path = make_clustered_embeddings(fix, n=n)
     xn = load_normalized(path)
     truth = exact_truth_numpy(xn, CLUSTERED_QUERIES, TOP_K)
+    truth_l2 = exact_truth_l2(path, CLUSTERED_QUERIES, TOP_K)
     emb = spark.read.parquet(path)
     queries = emb.where(F.col("vec_id") < CLUSTERED_QUERIES)
     idx = tempfile.mkdtemp(prefix="kps_defrr_idx_")
@@ -59,20 +86,23 @@ def main() -> None:
         got = {}
         for r in hits:
             got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-        return round(best, 3), round(_recall(got, truth), 4)
+        return (round(best, 3), round(_recall(got, truth_l2), 4),
+                round(_recall(got, truth), 4))
 
     # THE DEFAULT — no shortlist flag anywhere
-    d_serve, d_recall = serve()
+    d_serve, d_l2, d_cos = serve()
     # the old fixed tier, for the same-table delta
-    f_serve, f_recall = serve(rerank_factor=RERANK_FACTOR)
+    f_serve, f_l2, f_cos = serve(rerank_factor=RERANK_FACTOR)
     print(json.dumps({
         "n_vectors": n, "cells": 64, "n_probe": 8,
         "build_s": round(build_s, 1), "train_frac": 0.1,
         "default_occupancy": {"serve_s": d_serve,
-                              "recall_at_10": d_recall},
-        "fixed_40": {"serve_s": f_serve, "recall_at_10": f_recall},
+                              "recall_at_10_l2": d_l2,
+                              "recall_at_10_cosine": d_cos},
+        "fixed_40": {"serve_s": f_serve, "recall_at_10_l2": f_l2,
+                     "recall_at_10_cosine": f_cos},
     }), flush=True)
-    assert d_recall >= 0.9, d_recall
+    assert d_l2 >= 0.9, d_l2
 
 
 if __name__ == "__main__":
