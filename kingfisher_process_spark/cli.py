@@ -151,6 +151,13 @@ def build_parser() -> argparse.ArgumentParser:
     cur.add_argument("--contam-pm", type=int, default=100,
                      help="contamination threshold, per-mille of a "
                           "doc's shingles (100 = the probe's 10%% rule)")
+    cur.add_argument("--history-bands", type=int, default=1,
+                     dest="history_bands",
+                     help="with --lsh-store: drop a survivor matching "
+                          "a HISTORICAL doc only when they share at "
+                          "least this many LSH bands (1 = any "
+                          "candidate match; raise for precision — "
+                          "history matches cannot be Jaccard-verified)")
     cur.add_argument("--lsh-store", default=None, dest="lsh_store",
                      help="with --near-dedup: run near-dedup "
                           "INCREMENTALLY against this persisted LSH "
@@ -432,7 +439,7 @@ def _dispatch(args, spark, store) -> int:
             tokenizer_model=args.tokenizer,
             near_dedup=args.near_dedup, near_jaccard=args.near_jaccard,
             decontaminate=bench, contam_pm=args.contam_pm,
-            lsh_store=args.lsh_store)
+            lsh_store=args.lsh_store, history_bands=args.history_bands)
         print(json.dumps(audit, default=str))
         return 0
 

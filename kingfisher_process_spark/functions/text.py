@@ -1828,7 +1828,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                   near_dedup: bool = False, near_jaccard: float = 0.5,
                   decontaminate: DataFrame | None = None,
                   contam_pm: int = 100,
-                  lsh_store: str | None = None) -> dict:
+                  lsh_store: str | None = None,
+                  history_bands: int = 1) -> dict:
     """Run the pretraining curation funnel end-to-end and WRITE the
     artifacts — the user-facing form of t_pretrain_corpus_pipeline:
 
@@ -1913,8 +1914,10 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
             # HISTORICAL doc is dropped at CANDIDATE level (the store
             # keeps buckets, not text, so there is nothing to verify
             # against — the deliberate trade a daily-ingest dedup
-            # makes; raise the banding threshold, not this code, if
-            # that is too aggressive).
+            # makes; ``history_bands`` is the precision knob: require
+            # >= that many shared bands before a history match drops a
+            # survivor — at N_BANDS/4-row bands, 2 shared bands
+            # corresponds to roughly Jaccard >= 0.7 being likely).
             import os as _os
 
             from kingfisher_process_spark.functions.lsh_store import (
@@ -1940,6 +1943,8 @@ def curate_corpus(spark: SparkSession, docs: DataFrame, out_dir: str,
                     .selectExpr("doc_a AS src", "doc_b AS dst"))
             hist_losers = (tagged.where(F.col("_a").isNull()
                                         | F.col("_b").isNull())
+                           .where(F.col("n_shared_bands")
+                                  >= history_bands)
                            .selectExpr("CASE WHEN _a IS NOT NULL THEN "
                                        "doc_a ELSE doc_b END AS doc_id")
                            .distinct())

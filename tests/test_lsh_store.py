@@ -176,6 +176,20 @@ def test_curate_incremental_near_dedup(spark, tmp_path):
     assert kept_solo.where(F.col("doc_id") >= 1000000).count() == 1
     assert "n_dropped_vs_history" not in audit_solo
 
+    # history_bands above N_BANDS: no history match can qualify, so
+    # the byte-identical dup survives — the precision knob is live
+    store2 = str(tmp_path / "lsh2")
+    curate_corpus(spark, a, str(tmp_path / "out_a2"),
+                  near_dedup=True, lsh_store=store2)
+    from kingfisher_process_spark.functions.dedup import N_BANDS
+    audit_hb = curate_corpus(
+        spark, b2, str(tmp_path / "out_hb"),
+        near_dedup=True, lsh_store=store2,
+        history_bands=N_BANDS + 1)
+    assert audit_hb["n_dropped_vs_history"] == 0
+    kept_hb = spark.read.parquet(str(tmp_path / "out_hb") + "/corpus")
+    assert kept_hb.where(F.col("doc_id") >= 1000000).count() == 1
+
 
 def test_cli_lsh_lifecycle(spark, tmp_path, capsys):
     from tests.test_cli import run
