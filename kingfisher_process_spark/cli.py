@@ -47,6 +47,19 @@ def _fail(msg: str) -> "CliError":
     return CliError(2)
 
 
+def _rerank_factor(s: str):
+    """--rerank-factor value: an integer string or 'occupancy'. A
+    parser-level check so a typo ('4x', 'Occupancy') is an argparse
+    usage error, not an uncaught int() traceback (r11 advice)."""
+    if s == "occupancy":
+        return s
+    try:
+        return int(s)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected an integer or 'occupancy', got {s!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kingfisher_process_spark")
     p.add_argument("--store", required=True,
@@ -195,7 +208,7 @@ def build_parser() -> argparse.ArgumentParser:
                     help="exact grid-L2 refine over the ADC shortlist "
                          "(needs an index built with --store-vectors); "
                          "the shortlist is occupancy-scaled by default")
-    aq.add_argument("--rerank-factor", default=None,
+    aq.add_argument("--rerank-factor", default=None, type=_rerank_factor,
                     help="shortlist policy with --rerank: an integer "
                          "pins the fixed factor x top-k tier; "
                          "'occupancy' (the default) sizes the shortlist "
@@ -339,6 +352,16 @@ def build_parser() -> argparse.ArgumentParser:
     lp.add_argument("--lsh-store", required=True, dest="lsh_store")
     lp.add_argument("--limit", type=int, default=100)
 
+    lq = sub.add_parser(
+        "lshprobe",
+        help="READ-ONLY near-dup lookup: band a (doc_id, text) parquet "
+             "and join it against the cell-pruned bucket history — "
+             "candidate pairs involving the probe docs, without "
+             "mutating the store or reading the pairs tree")
+    lq.add_argument("--input", required=True)
+    lq.add_argument("--lsh-store", required=True, dest="lsh_store")
+    lq.add_argument("--limit", type=int, default=100)
+
     lc = sub.add_parser(
         "lshcompact",
         help="fold fragmented bucket/doc cells and collapse the "
@@ -464,6 +487,19 @@ def _dispatch(args, spark, store) -> int:
             query_lsh_pairs)
 
         pairs = query_lsh_pairs(spark, args.lsh_store)
+        print(json.dumps({
+            "n_pairs": pairs.count(),
+            "top": [r.asDict() for r in pairs.limit(args.limit).collect()],
+        }))
+        return 0
+
+    if args.command == "lshprobe":
+        from kingfisher_process_spark.functions.lsh_store import (
+            probe_lsh_pairs)
+
+        docs = spark.read.parquet(args.input).select("doc_id", "text")
+        pairs = (probe_lsh_pairs(spark, docs, args.lsh_store)
+                 .orderBy("doc_a", "doc_b"))
         print(json.dumps({
             "n_pairs": pairs.count(),
             "top": [r.asDict() for r in pairs.limit(args.limit).collect()],
@@ -701,15 +737,15 @@ def _dispatch(args, spark, store) -> int:
         from kingfisher_process_spark.functions.similarity import (
             N_PROBE, TOP_K)
 
+        if args.rerank_factor is not None and not args.rerank:
+            raise _fail("--rerank-factor requires --rerank (without it "
+                        "the knob would be silently ignored)")
         queries = spark.read.parquet(args.queries)
-        factor = args.rerank_factor
-        if factor is not None and factor != "occupancy":
-            factor = int(factor)
         res = query_index(
             spark, args.index, queries,
             top_k=TOP_K if args.top_k is None else args.top_k,
             n_probe=N_PROBE if args.n_probe is None else args.n_probe,
-            rerank=args.rerank, rerank_factor=factor)
+            rerank=args.rerank, rerank_factor=args.rerank_factor)
         print(json.dumps([r.asDict() for r in res.collect()]))
         return 0
 

@@ -646,13 +646,14 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     query, with live_vectors read from parquet FOOTERS net of pending
     tombstones (no count job). Pass an integer ``rerank_factor`` to
     pin the fixed shortlist tier instead."""
-    if rerank_factor is None:
-        rerank_factor = "occupancy" if rerank else RERANK_FACTOR
-    if isinstance(rerank_factor, str) and not rerank:
-        # a string policy silently ignored looks like a served rerank
-        # that never happened (r10 advice) — refuse loudly instead
+    if not rerank and rerank_factor is not None:
+        # ANY explicit factor silently ignored looks like a served
+        # rerank that never happened (r10/r11 advice) — refuse loudly;
+        # without rerank the shortlist knob has nothing to size
         raise ValueError(
             f"rerank_factor={rerank_factor!r} requires rerank=True")
+    if rerank_factor is None:
+        rerank_factor = "occupancy" if rerank else RERANK_FACTOR
     _heal_if_unlocked(index_dir)
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]

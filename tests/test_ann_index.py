@@ -919,9 +919,10 @@ def test_spill_rerank_dedupes_fetch_and_scores_exact(spark, tmp_path):
         assert r["l2_dist"] == float(want), (r, want)
 
 
-def test_string_rerank_factor_without_rerank_refuses(spark, tmp_path):
-    """r10 advice: rerank_factor='occupancy' with rerank=False was
-    silently ignored — a serve that LOOKS reranked but isn't. Refuse."""
+def test_rerank_factor_without_rerank_refuses(spark, tmp_path):
+    """r10/r11 advice: ANY rerank_factor with rerank=False was silently
+    ignored — a serve that LOOKS reranked but isn't. Refuse both the
+    string policy and the integer tier."""
     import pytest
 
     emb = load_tables(spark, SF_SMOKE)["embeddings"]
@@ -930,6 +931,8 @@ def test_string_rerank_factor_without_rerank_refuses(spark, tmp_path):
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     with pytest.raises(ValueError, match="requires rerank=True"):
         query_index(spark, idx, queries, rerank_factor="occupancy")
+    with pytest.raises(ValueError, match="requires rerank=True"):
+        query_index(spark, idx, queries, rerank_factor=4)
 
 
 def test_occupancy_shortlist_excludes_pending_tombstones(spark, tmp_path):

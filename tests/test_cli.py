@@ -498,3 +498,16 @@ def test_ann_cli_rerank_factor_policies(spark, tmp_path, capsys):
     # occupancy's wider shortlist can only improve each served distance
     for key, d in occ_default.items():
         assert d <= fixed[key], key
+
+    # misuse is a clean error, not a traceback (r11 advice): a typo'd
+    # factor fails in the parser; a factor without --rerank is refused
+    with pytest.raises(SystemExit) as exc:
+        main(["--store", store_dir, "annquery", "--index", idx,
+              "--queries", q_path, "--rerank", "--rerank-factor", "4x"])
+    assert exc.value.code == 2
+    capsys.readouterr()
+    with pytest.raises(SystemExit) as exc:
+        main(["--store", store_dir, "annquery", "--index", idx,
+              "--queries", q_path, "--rerank-factor", "4"])
+    assert exc.value.code == 2
+    capsys.readouterr()
