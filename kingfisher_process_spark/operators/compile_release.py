@@ -869,11 +869,12 @@ def materialized_compile_upsert(batch_df: DataFrame, batch_id: int,
       volume and leaves every clean bucket's files byte-untouched
       (pinned by tests/test_streaming.py).
     """
-    import glob
     import os
 
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    from kingfisher_process_spark.functions.artifact_fs import (
+        list_partition_dirs)
     from kingfisher_process_spark.streaming.maintenance import recover_store
 
     # heal any crash-stranded compaction swap BEFORE reading the history
@@ -912,7 +913,7 @@ def materialized_compile_upsert(batch_df: DataFrame, batch_id: int,
     # existence = any bucket partition on disk (the dynamic-overwrite
     # commit protocol writes no _SUCCESS marker; production would track
     # the table in a catalog instead of probing the filesystem)
-    if glob.glob(os.path.join(compiled_dir, "bucket=*")):
+    if list_partition_dirs(compiled_dir, "bucket"):
         kept = (s.read.parquet(compiled_dir)
                 .where(F.col("bucket").isin(dirty_buckets))  # pruned
                 .join(F.broadcast(dirty), "ocid", "left_anti"))

@@ -44,13 +44,15 @@ compacts under it; a parquet-layout maintainer has to own this step.
 
 from __future__ import annotations
 
-import glob
 import os
 import re
 import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+
+from kingfisher_process_spark.functions.artifact_fs import (
+    list_parquet_recursive, list_partition_dirs, list_trash_dirs)
 
 _BATCH_RE = re.compile(r"^batch_id=(\d+)$")
 _MARKER_RE = re.compile(r"^upto=(\d+) ")
@@ -59,7 +61,7 @@ _MARKER_RE = re.compile(r"^upto=(\d+) ")
 def batch_ids(store_dir: str) -> list[int]:
     """Committed batch partitions present in the store, ascending."""
     out = []
-    for d in glob.glob(os.path.join(store_dir, "batch_id=*")):
+    for d in list_partition_dirs(store_dir, "batch_id"):
         m = _BATCH_RE.match(os.path.basename(d))
         if m and os.path.isdir(d):
             out.append(int(m.group(1)))
@@ -76,7 +78,7 @@ def recover_store(store_dir: str) -> bool:
     silent divergence from the batch oracle, not just staleness).
 
     Idempotent and cheap when there is nothing to do (one stat + one
-    glob). Returns True if a stranded swap was completed.
+    listing). Returns True if a stranded swap was completed.
 
     - Staging with a ``_COMPLETE`` marker holds the ONLY copy of its
       folded batches once their dirs moved to trash — finish THAT swap
@@ -95,7 +97,7 @@ def recover_store(store_dir: str) -> bool:
         if m:
             _finish_swap(store_dir, staging, int(m.group(1)))
             finished = True
-    for t in glob.glob(os.path.join(store_dir, ".compact_trash-*")):
+    for t in list_trash_dirs(store_dir):
         shutil.rmtree(t, ignore_errors=True)
     return finished
 
@@ -120,9 +122,7 @@ def compact_batches(spark: SparkSession, store_dir: str, upto: int) -> int:
     # schema inference would fail on it; fold only file-backed dirs
     # (the file-less ones still fold away via the rename step).
     src_dirs = [os.path.join(store_dir, f"batch_id={b}") for b in olds]
-    with_files = [d for d in src_dirs
-                  if glob.glob(os.path.join(d, "**", "*.parquet"),
-                               recursive=True)]
+    with_files = [d for d in src_dirs if list_parquet_recursive(d)]
     if with_files:
         src = spark.read.option("basePath", store_dir).parquet(*with_files)
         inner = [c for c in src.columns
@@ -166,4 +166,5 @@ def _finish_swap(store_dir: str, staging: str, upto: int) -> None:
 
 def _is_partition_dir(store_dir: str, col: str) -> bool:
     """True if ``col`` appears as an inner partition directory level."""
-    return bool(glob.glob(os.path.join(store_dir, "batch_id=*", f"{col}=*")))
+    return any(list_partition_dirs(b, col)
+               for b in list_partition_dirs(store_dir, "batch_id"))

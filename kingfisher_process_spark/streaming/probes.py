@@ -369,11 +369,12 @@ def _drain_events_three_batches(spark: SparkSession, sf_dir: str,
     foreachBatch fold built by ``fold_factory(acc_dir, run_id)``, and
     return the accumulator path once the drain terminates."""
     import datetime
-    import glob
     import os
     import shutil
     import tempfile
 
+    from kingfisher_process_spark.functions.artifact_fs import (
+        list_parquet)
     from kingfisher_process_spark.plans.base import load_tables
 
     events = load_tables(spark, sf_dir)["events"].select(
@@ -392,7 +393,7 @@ def _drain_events_three_batches(spark: SparkSession, sf_dir: str,
         # one file per batch, named in event-time order
         part.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(base, f"stage{i}"))
-        src = glob.glob(os.path.join(base, f"stage{i}", "part-*.parquet"))[0]
+        src = list_parquet(os.path.join(base, f"stage{i}"))[0]
         shutil.copy(src, os.path.join(drop, f"batch_{i}.parquet"))
 
     acc = os.path.join(base, "acc")
@@ -603,9 +604,10 @@ def funnel_maintenance_upsert(batch_df: DataFrame, batch_id: int,
     funnel-relevant events to its own idempotent ``batch_id=N``
     partition (user-bucketed inside), recompute frontiers for the
     batch's users from the pruned history, swap only dirty buckets."""
-    import glob
     import os
 
+    from kingfisher_process_spark.functions.artifact_fs import (
+        list_partition_dirs)
     from kingfisher_process_spark.plans.queries import funnel_frontiers
     from kingfisher_process_spark.streaming.maintenance import recover_store
 
@@ -633,7 +635,7 @@ def funnel_maintenance_upsert(batch_df: DataFrame, batch_id: int,
     v, c, p = funnel_frontiers(redo_ev)
     redone = (v.join(c, "user_id", "left").join(p, "user_id", "left")
               .withColumn("ubucket", ub))
-    if glob.glob(os.path.join(funnel_dir, "ubucket=*")):
+    if list_partition_dirs(funnel_dir, "ubucket"):
         kept = (spark.read.parquet(funnel_dir)
                 .where(F.col("ubucket").isin(dirty_buckets))
                 .join(F.broadcast(dirty), "user_id", "left_anti"))
