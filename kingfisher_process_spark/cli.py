@@ -344,6 +344,12 @@ def build_parser() -> argparse.ArgumentParser:
              "its buckets — history is never re-self-joined")
     lu.add_argument("--input", required=True)
     lu.add_argument("--lsh-store", required=True, dest="lsh_store")
+    lu.add_argument("--auto-compact-pair-files", type=int, default=64,
+                    dest="auto_compact_pair_files",
+                    help="MAX-fold the pairs tree in place once it "
+                         "holds this many appended files (0 disables) "
+                         "— bounds lshpairs' serving cost without a "
+                         "manual lshcompact")
 
     lp = sub.add_parser(
         "lshpairs",
@@ -479,7 +485,9 @@ def _dispatch(args, spark, store) -> int:
             upsert_lsh_store)
 
         docs = spark.read.parquet(args.input).select("doc_id", "text")
-        print(json.dumps(upsert_lsh_store(spark, docs, args.lsh_store)))
+        print(json.dumps(upsert_lsh_store(
+            spark, docs, args.lsh_store,
+            auto_compact_pair_files=args.auto_compact_pair_files)))
         return 0
 
     if args.command == "lshpairs":
