@@ -285,6 +285,73 @@ def test_curate_incremental_near_dedup(spark, tmp_path):
     assert kept_hb.where(F.col("doc_id") >= 1000000).count() == 1
 
 
+def test_history_bands_default_drop_rule(spark, tmp_path):
+    """Pins the MEASURED default (scripts/
+    measure_lsh_history_precision.py, SCALE.md §18): history_bands=1 —
+    a survivor drops on ANY shared band with history, which gives the
+    history path the same banding candidate recall as the batch
+    funnel's exact-verify path. The mutant's shared-band count is
+    computed with probe_lsh_pairs, and curate must drop it exactly for
+    history_bands <= that count — the >=-threshold rule at the
+    default, mechanically."""
+    from kingfisher_process_spark.functions.lsh_store import (
+        probe_lsh_pairs)
+    from kingfisher_process_spark.functions.text import curate_corpus
+
+    docs = _docs(spark).withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("t"))
+    store = str(tmp_path / "lsh")
+    curate_corpus(spark, docs, str(tmp_path / "out_seed"),
+                  near_dedup=True, lsh_store=store)
+
+    # mutate one curated survivor: sweep replacement density until a
+    # mutant shares 1..3 bands with its parent — similar enough to
+    # band-match, different enough not to match all four (deterministic:
+    # fixed parent, fixed densities/salts, first hit wins)
+    kept = spark.read.parquet(str(tmp_path / "out_seed") + "/corpus")
+    parent = kept.orderBy("doc_id").limit(1).collect()[0]
+    ws = parent["text"].split(" ")
+    mutated = shared = None
+    for step in (12, 9, 7, 15, 5, 20, 4):
+        for salt in range(4):
+            cand_ws = list(ws)
+            for i in range(0, len(cand_ws), step):
+                cand_ws[i] = f"mut{salt}x{i}"
+            cand = " ".join(cand_ws)
+            probe_df = spark.createDataFrame(
+                [(9_000_000, cand)], "doc_id long, text string")
+            got = probe_lsh_pairs(spark, probe_df, store).collect()
+            k = max((r["n_shared_bands"] for r in got), default=0)
+            if 1 <= k <= 3:
+                mutated, shared = cand, k
+                break
+        if mutated is not None:
+            break
+    assert mutated is not None, "no partial-band mutant found"
+
+    mut_df = spark.createDataFrame(
+        [(9_000_000, mutated, "en", "t")],
+        "doc_id long, text string, lang string, source string")
+    # fresh store per arm (the mutant must probe the same seeded
+    # history each time); hb=None exercises the measured DEFAULT of 1
+    for tag, hb, want_drop in (("default", None, True),
+                               ("above", shared + 1, False)):
+        st = str(tmp_path / f"lsh_{tag}")
+        curate_corpus(spark, docs, str(tmp_path / f"out_seed_{tag}"),
+                      near_dedup=True, lsh_store=st)
+        kwargs = {} if hb is None else {"history_bands": hb}
+        audit = curate_corpus(
+            spark, mut_df, str(tmp_path / f"out_{tag}"),
+            near_dedup=True, lsh_store=st, **kwargs)
+        got_kept = spark.read.parquet(
+            str(tmp_path / f"out_{tag}") + "/corpus") \
+            .where(F.col("doc_id") == 9_000_000).count()
+        if want_drop:
+            assert audit["n_dropped_vs_history"] == 1 and got_kept == 0
+        else:
+            assert audit["n_dropped_vs_history"] == 0 and got_kept == 1
+
+
 def test_cli_lsh_lifecycle(spark, tmp_path, capsys):
     from tests.test_cli import run
 
