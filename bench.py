@@ -371,6 +371,30 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     timings["bm25_index_serve_batch5"] = round(best, 4)
 
+    # LSH bucket-history probe serving (r12): build the store once
+    # outside the timer, then price probe_lsh_pairs for a ~200-doc
+    # batch — the banded batch-vs-history lookup the incremental
+    # curate stage serves from. The point of the entry: its cost is
+    # O(batch × matching cells), so it must stay flat as the store's
+    # accumulated pair emissions grow (the old full-fold read grew
+    # with total history).
+    from pyspark.sql import functions as _F2
+
+    from kingfisher_process_spark.functions.lsh_store import (
+        build_lsh_store, probe_lsh_pairs)
+
+    lsh_dir = tempfile.mkdtemp(prefix="kps_bench_lsh_")
+    build_lsh_store(spark, docs.select("doc_id", "text"), lsh_dir)
+    batch = docs.select("doc_id", "text").where(
+        _F2.pmod(_F2.hash("doc_id"), _F2.lit(32)) == 0)
+    best = None
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        probe_lsh_pairs(spark, batch, lsh_dir).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    timings["lsh_store_probe_batch"] = round(best, 4)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir
