@@ -39,12 +39,27 @@ def main() -> int:
         new = json.load(f)
     thr = new.get("regime_threshold_sec", 5.0)
     old_thr = old.get("regime_threshold_sec", thr)
-    cal_ratio = (new["calibration_sec"] / old["calibration_sec"]
-                 if old.get("calibration_sec") else None)
-    sched_ratio = (new["calibration_sched_sec"]
-                   / old["calibration_sched_sec"]
-                   if old.get("calibration_sched_sec")
-                   and new.get("calibration_sched_sec") else None)
+    # median controls when BOTH records carry them (r12+: §18 measured
+    # single control samples at ~18% CV — the median of 9 is the
+    # stabler level), min-of-reps otherwise (pre-r12 continuity)
+    if (old.get("calibration_sec_median")
+            and new.get("calibration_sec_median")):
+        control_kind = "median"
+        cal_ratio = (new["calibration_sec_median"]
+                     / old["calibration_sec_median"])
+        sched_ratio = (new["calibration_sched_sec_median"]
+                       / old["calibration_sched_sec_median"]
+                       if old.get("calibration_sched_sec_median")
+                       and new.get("calibration_sched_sec_median")
+                       else None)
+    else:
+        control_kind = "min"
+        cal_ratio = (new["calibration_sec"] / old["calibration_sec"]
+                     if old.get("calibration_sec") else None)
+        sched_ratio = (new["calibration_sched_sec"]
+                       / old["calibration_sched_sec"]
+                       if old.get("calibration_sched_sec")
+                       and new.get("calibration_sched_sec") else None)
     rows = []
     for name, nsec in sorted(new["queries"].items()):
         osec = old["queries"].get(name)
@@ -71,6 +86,7 @@ def main() -> int:
         by[r["regime"]].append(r)
     summary = {
         "n_common": len(rows),
+        "control_kind": control_kind,
         "throughput_control_ratio": round(cal_ratio, 3) if cal_ratio
         else None,
         "scheduling_control_ratio": round(sched_ratio, 3) if sched_ratio

@@ -62,6 +62,28 @@ def test_flip_excluded_from_medians(tmp_path):
     assert summary["scheduling"]["median_norm"] == 1.0
 
 
+def test_median_controls_preferred_when_both_records_have_them(tmp_path):
+    # r12: median-of-9 controls are the stabler level; the min fields
+    # stay for pre-r12 continuity but the ratio must use the medians
+    old = _record({"fast": 0.2}, {"fast": "scheduling"},
+                  cal=1.0, sched=0.1)
+    new = _record({"fast": 0.2}, {"fast": "scheduling"},
+                  cal=1.0, sched=0.1)
+    old["calibration_sec_median"] = 1.2
+    old["calibration_sched_sec_median"] = 0.1
+    new["calibration_sec_median"] = 1.2
+    new["calibration_sched_sec_median"] = 0.2  # sched level doubled
+    rows, summary = _run(tmp_path, old, new)
+    assert summary["control_kind"] == "median"
+    # raw 1.0 normalized by the MEDIAN sched ratio (2.0), not min (1.0)
+    assert rows[0]["norm_ratio"] == 0.5
+    # one side lacking medians falls back to min for both
+    del old["calibration_sec_median"]
+    rows, summary = _run(tmp_path, old, new)
+    assert summary["control_kind"] == "min"
+    assert rows[0]["norm_ratio"] == 1.0
+
+
 def test_pre_tag_record_falls_back_to_threshold(tmp_path):
     # a record that predates regimes tags classifies by duration
     old = {"queries": {"q": 0.3}, "calibration_sec": 1.0,
