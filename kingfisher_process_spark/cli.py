@@ -350,6 +350,12 @@ def build_parser() -> argparse.ArgumentParser:
                          "holds this many appended files (0 disables) "
                          "— bounds lshpairs' serving cost without a "
                          "manual lshcompact")
+    lu.add_argument("--auto-compact-cell-files", type=int, default=64,
+                    dest="auto_compact_cell_files",
+                    help="fold a TOUCHED bucket/doc cell to one file "
+                         "once it holds this many (0 disables) — "
+                         "bounds the cell-pruned history reads' "
+                         "per-file costs under daily ingest")
 
     lp = sub.add_parser(
         "lshpairs",
@@ -487,7 +493,8 @@ def _dispatch(args, spark, store) -> int:
         docs = spark.read.parquet(args.input).select("doc_id", "text")
         print(json.dumps(upsert_lsh_store(
             spark, docs, args.lsh_store,
-            auto_compact_pair_files=args.auto_compact_pair_files)))
+            auto_compact_pair_files=args.auto_compact_pair_files,
+            auto_compact_cell_files=args.auto_compact_cell_files)))
         return 0
 
     if args.command == "lshpairs":

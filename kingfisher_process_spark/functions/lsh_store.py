@@ -160,7 +160,8 @@ def build_lsh_store(spark: SparkSession, docs: DataFrame,
 
 def upsert_lsh_store(spark: SparkSession, docs: DataFrame,
                      store_dir: str,
-                     auto_compact_pair_files: int = 64) -> dict:
+                     auto_compact_pair_files: int = 64,
+                     auto_compact_cell_files: int = 64) -> dict:
     """Fold a (doc_id, text) batch into the store: emit the candidate
     pairs the batch creates (new×new + new×history through a
     cell-pruned history read), append its buckets and doc rows, and
@@ -179,7 +180,18 @@ def upsert_lsh_store(spark: SparkSession, docs: DataFrame,
     stays bounded without operator discipline (judge r11 wrong #2);
     each upsert appends at most ``_PAIRS_APPEND_PARTS`` files, so the
     fold runs every ~``auto_compact_pair_files/_PAIRS_APPEND_PARTS``
-    upserts. Pass 0 to disable."""
+    upserts. Pass 0 to disable.
+
+    The bucket/doc CELL trees get the symmetric treatment: every
+    upsert appends one file per touched cell, so a daily-ingest store
+    fragments toward one file per cell per day and the cell-pruned
+    probe/history reads pay per-file footer+open costs that grow with
+    upsert COUNT rather than corpus size. A TOUCHED cell whose file
+    count reaches ``auto_compact_cell_files`` is folded to one file in
+    the same transaction (the staged atomic swap `compact_lsh_store`
+    uses, restricted to this batch's cells — untouched cells are never
+    rewritten, so the write amplification stays proportional to batch
+    activity). Pass 0 to disable."""
     man = load_lsh_manifest(store_dir)
     if (man.get("n_bands"), man.get("n_hashes")) != (N_BANDS, N_HASHES):
         raise ValueError(
@@ -221,6 +233,7 @@ def upsert_lsh_store(spark: SparkSession, docs: DataFrame,
         if n_new == 0:
             return {"store": store_dir, "n_docs_added": 0,
                     "n_pairs_emitted": 0, "n_pairs_autocompacted": 0,
+                    "n_cells_autocompacted": 0,
                     **_write_manifest(spark, store_dir)}
         nb = (_lsh_buckets(docs.join(new_ids, "doc_id", "left_semi"))
               .withColumn("cell", _bucket_cell(F.col("bucket")))
@@ -275,9 +288,22 @@ def upsert_lsh_store(spark: SparkSession, docs: DataFrame,
                 and len(list_parquet(_pairs_dir(store_dir)))
                 >= auto_compact_pair_files):
             n_folded = _fold_pairs(spark, store_dir)
+        n_cells_folded = 0
+        if auto_compact_cell_files:
+            for tree, schema, touched in (
+                    (_buckets_dir(store_dir), _BUCKETS_SCHEMA, ncells),
+                    (_docs_dir(store_dir), _DOCS_SCHEMA, dcells)):
+                frag = [str(c) for c in touched
+                        if len(list_parquet(os.path.join(
+                            tree, f"cell={c}")))
+                        >= auto_compact_cell_files]
+                c, _ = _fold_tree(spark, tree, schema, None, frag,
+                                  key="doc_id")
+                n_cells_folded += c
         man = _write_manifest(spark, store_dir)
     return {"store": store_dir, "n_docs_added": n_new,
             "n_pairs_emitted": n_pairs, "n_pairs_autocompacted": n_folded,
+            "n_cells_autocompacted": n_cells_folded,
             **man}
 
 

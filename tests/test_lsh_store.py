@@ -202,6 +202,38 @@ def test_auto_compact_bounds_pair_files(spark, tmp_path):
     assert _pairs_map(spark, store) == want
 
 
+def test_auto_compact_bounds_cell_files(spark, tmp_path):
+    """The cell-tree twin of the pairs auto-fold: a touched cell at
+    the file threshold folds to one file inside the upsert, untouched
+    cells keep their files, and the pair set / manifest are
+    unchanged by the rewrite."""
+    from kingfisher_process_spark.functions.artifact_fs import (
+        list_cell_dirs, list_parquet)
+    from kingfisher_process_spark.functions.dedup import (
+        d_minhash_lsh_pairs)
+    from kingfisher_process_spark.functions.lsh_store import (
+        _docs_dir, init_lsh_store)
+
+    docs = _docs(spark)
+    store = str(tmp_path / "lsh")
+    init_lsh_store(store)
+    for i in range(4):
+        batch = docs.where(F.pmod(F.hash("doc_id"), F.lit(4)) == i)
+        audit = upsert_lsh_store(spark, batch, store,
+                                 auto_compact_pair_files=0,
+                                 auto_compact_cell_files=3)
+    assert audit["n_cells_autocompacted"] > 0
+    # every cell of both trees stays under the threshold + one append
+    for tree in (_buckets_dir(store), _docs_dir(store)):
+        for d in list_cell_dirs(tree):
+            assert len(list_parquet(d)) <= 3, d
+    want = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in
+            d_minhash_lsh_pairs(spark, SF_SMOKE).collect()}
+    assert _pairs_map(spark, store) == want
+    n = docs.count()
+    assert load_lsh_manifest(store)["n_docs"] == n
+
+
 def test_probe_lsh_pairs_read_only_and_complete(spark, tmp_path):
     """probe_lsh_pairs: banding a batch against the bucket history
     returns every candidate pair involving a probe doc — for a probe
