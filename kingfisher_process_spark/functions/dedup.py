@@ -361,29 +361,34 @@ def _simhash_sigs_sql(bits: int) -> str:
 
 def _simhash_sigs(spark: SparkSession, sf_dir: str, bits: int) -> DataFrame:
     """(doc_id, simhash) — ``bits``-wide per-bit-majority signatures over
-    the 60 usable md5-derived hash bits. One groupBy with ``bits``
-    conditional sums (single shuffle). The token-set dedup runs on
-    (doc_id, 60-bit hash), not the token string — same set semantics
-    (both engines hash identically; the majority vote only ever sees the
-    hash), half the shuffle bytes."""
+    the 60 usable md5-derived hash bits, computed ENTIRELY map-side
+    (r12): per-doc distinct token hashes via array_distinct (the
+    document's token set never leaves its row), then one fold
+    accumulating all ``bits`` ±1 majority counters in a single pass.
+    The old form exploded tokens and paid TWO corpus-scale exchanges
+    (a (doc_id, h) distinct shuffle + the groupBy(doc_id) bit-sum
+    shuffle); signatures now materialize inside the scan stage with
+    zero exchanges — at 100 TB the only shuffles left in the banded
+    pipeline are the candidate join's. Values are bit-identical: the
+    per-doc distinct-hash SET is the same, and integer ±1 sums are
+    order-free."""
     t = load_tables(spark, sf_dir)
-    th = (
-        fanout(t["documents"])
-        .select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("token"))
-        .select("doc_id", h60(F.col("token")).alias("h"))
-        .distinct()
+    h60_tok = "CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)"
+    counts = (
+        "aggregate("
+        f"array_distinct(transform(filter(split(text, ' '), x -> x != ''),"
+        f" tok -> {h60_tok})), "
+        f"array_repeat(0, {bits}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        "(c, b) -> c + IF(((h >> b) & 1) = 1, 1, -1)))"
     )
-    bit_sums = th.groupBy("doc_id").agg(*[
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
-        for b in range(bits)
-    ])
-    sim = None
-    for b in range(bits):
-        term = F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)).otherwise(F.lit(0).cast("bigint"))
-        sim = term if sim is None else sim + term
-    return bit_sums.select("doc_id", sim.alias("simhash"))
+    simhash = " + ".join(
+        f"IF(cnts[{b}] > 0, shiftleft(CAST(1 AS BIGINT), {b}),"
+        " CAST(0 AS BIGINT))"
+        for b in range(bits))
+    return (fanout(t["documents"])
+            .selectExpr("doc_id", f"{counts} AS cnts")
+            .selectExpr("doc_id", f"{simhash} AS simhash"))
 
 
 @probe(

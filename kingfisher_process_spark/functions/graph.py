@@ -83,44 +83,56 @@ def pagerank_ranks(edges: DataFrame, iters: int = PR_ITERS,
     of cross-engine determinism). Costs one 1-row aggregate per
     iteration (the dangling-mass scalar); the shuffle shape is
     unchanged."""
-    if dangling:
-        nodes = (edges.select(F.col("src").alias("node"))
-                 .unionByName(edges.select(F.col("dst").alias("node")))
-                 .distinct().localCheckpoint())
-        n_nodes = nodes.count()
-    else:
-        nodes = edges.select(F.col("src").alias("node")).distinct()
+    # (node, outw) materialized ONCE and carried through every
+    # iteration's rank table (r12): the old form re-derived `deg` and
+    # `nodes` from `edges` INSIDE each iteration's plan — two extra
+    # |edges|-scale aggregations per round. Attaching the static outw
+    # to the rank rows makes each round exactly ONE broadcast join
+    # (ranks into edges) + ONE groupBy + ONE |nodes|-scale left join,
+    # and turns the dangling-mass anti-join into a filter on the rank
+    # table (outw IS NULL ⇔ no out-edges).
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.sum("w").alias("outw"))
-    ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("rank"))
+    if dangling:
+        nd = (edges.select(F.col("src").alias("node"))
+              .unionByName(edges.select(F.col("dst").alias("node")))
+              .distinct()
+              .join(deg, "node", "left")
+              .localCheckpoint())
+        n_nodes = nd.count()
+    else:
+        # nodes ≡ deg's keys when sinks drop; lazy — materializes
+        # inside iteration 1's job rather than as its own dispatch
+        nd = deg.localCheckpoint(eager=False)
+    ranks = nd.select("node", "outw",
+                      F.lit(PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(iters):
         contrib = (edges
                    .join(ranks.withColumnRenamed("node", "src"), "src")
-                   .join(deg.withColumnRenamed("node", "src"), "src")
                    .selectExpr(
                        "dst AS node",
                        "CAST(floor(rank * w * 1.0 / outw) AS BIGINT) AS c")
                    .groupBy("node").agg(F.sum("c").alias("s")))
         share = 0
         if dangling:
-            dm = (ranks.join(deg, "node", "left_anti")
+            dm = (ranks.where(F.col("outw").isNull())
                   .agg(F.sum("rank")).collect()[0][0] or 0)
             share = int(dm) // n_nodes
-        nxt = (nodes.join(contrib, "node", "left")
+        nxt = (nd.join(contrib, "node", "left")
                .selectExpr(
-                   "node",
+                   "node", "outw",
                    f"CAST({int(0.15 * PR_SCALE)}"
                    f" + floor(85 * (COALESCE(s, 0) + {share}) / 100.0)"
                    f" AS BIGINT) AS rank")
                .localCheckpoint())
         if deltas is not None:
             deltas.append(int(
-                ranks.withColumnRenamed("rank", "old")
+                ranks.selectExpr("node", "rank AS old")
                 .join(nxt, "node")
                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                 .collect()[0][0] or 0))
         ranks = nxt
-    return ranks
+    return ranks.select("node", "rank")
 
 
 @probe(

