@@ -256,18 +256,33 @@ SEED_CONSTS = [
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m{K-1}): K min-hashes per document, one shuffle.
-
-    No shingle dedup: MIN over a multiset equals MIN over its set, so the
-    only shuffle is the final partial-aggregated (doc_id, K partial mins)
-    — duplicates die in the map-side combine, and the wide dedup shuffle
-    of raw shingle strings disappears from the plan."""
-    sh = shingles_df(docs, distinct=False)
-    base = sh.select("doc_id", h60(F.col("shingle")).alias("h"))
-    return base.groupBy("doc_id").agg(*[
-        F.min(F.col("h").bitwiseXOR(F.lit(c))).alias(f"m{s}")
-        for s, c in enumerate(SEED_CONSTS)
-    ])
+    """(doc_id, m0..m{K-1}): K min-hashes per document, ZERO shuffles
+    (r12): the shingle array never leaves its row — one fold accumulates
+    all K mins per document (LEAST over h XOR seed), so signatures
+    materialize inside the scan stage. The old form exploded shingles
+    and paid a groupBy(doc_id) exchange (partial-aggregated, but still a
+    corpus-wide shuffle of |docs| × K rows). MIN over a multiset equals
+    MIN over its set, so no shingle dedup either — identical values.
+    Documents with no shingles (< n tokens) drop exactly like rows that
+    never reached the old groupBy."""
+    n = 3
+    m = f"(size(ts) - {n - 1})"
+    acc = f"slice(ts, 1, {m})"
+    for k in range(1, n):
+        acc = (f"zip_with({acc}, slice(ts, {k + 1}, {m}),"
+               f" (a, b) -> concat_ws(' ', a, b))")
+    h60_s = "CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"
+    seeds = "array(" + ", ".join(
+        f"CAST({c} AS BIGINT)" for c in SEED_CONSTS) + ")"
+    mins = (f"aggregate(transform({acc}, s -> {h60_s}), "
+            f"array_repeat(CAST({1 << 60} AS BIGINT), {N_HASHES}), "
+            f"(acc, h) -> zip_with(acc, {seeds}, (m, c) -> LEAST(m, h ^ c)))")
+    return (fanout(docs)
+            .selectExpr("doc_id", "split(text, ' ') AS ts")
+            .where(F.expr(f"size(ts) >= {n}"))
+            .selectExpr("doc_id", f"{mins} AS mm")
+            .selectExpr("doc_id", *[f"mm[{s}] AS m{s}"
+                                    for s in range(N_HASHES)]))
 
 
 MINHASH_SQL = f"""

@@ -952,8 +952,15 @@ def kmv_sample(df: DataFrame, key, k: int = THETA_K,
     does it fall back to the one-shuffle exact distinct top-k. The
     RESULT is identical on either path, so the path choice never shows
     in the output."""
-    spark = df.sparkSession
-    hashed = df.select(h60(key).alias("h"))
+    return _kmv_from_hashed(df.select(h60(key).alias("h")), k, slack)
+
+
+def _kmv_from_hashed(hashed: DataFrame, k: int = THETA_K,
+                     slack: int = THETA_SLACK) -> DataFrame:
+    """kmv_sample's sampling step over an already-hashed ``(h)`` frame —
+    callers that computed the 60-bit hashes as part of a wider pass
+    (sk_theta_setops' one-scan flag table) enter here."""
+    spark = hashed.sparkSession
     rows = [r["h"] for r in hashed.orderBy("h").limit(k * slack).collect()]
     cand = sorted(set(rows))
     if len(rows) == k * slack and len(cand) < k:
@@ -1088,21 +1095,33 @@ def sk_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1/theta scaling is what the oracle pins."""
     t = load_tables(spark, sf_dir)
     orders = t["orders"]
-    key = F.concat(F.lit("theta:"), F.col("o_custkey").cast("string"))
-    samp_a = kmv_sample(orders.where(THETA_SET_A), key)
-    samp_b = kmv_sample(orders.where(THETA_SET_B), key)
+    # ONE scan + ONE partial-aggregated exchange (r12): per-custkey set
+    # membership flags carry everything downstream — the two KMV
+    # samples (distinct custkey ≡ one flag row; the hash is a function
+    # of the custkey alone) AND the exact intersection/difference
+    # counts (flag conjunctions over the same rows). The old form
+    # scanned orders six times: two sample scans plus the
+    # distinct-INTERSECT-distinct and distinct-EXCEPT-distinct
+    # pipelines, each with its own corpus-scale exchange.
+    flags = (
+        orders.where(f"({THETA_SET_A}) OR ({THETA_SET_B})")
+        .groupBy("o_custkey")
+        .agg(F.max(F.expr(f"CAST({THETA_SET_A} AS INT)")).alias("in_a"),
+             F.max(F.expr(f"CAST({THETA_SET_B} AS INT)")).alias("in_b"))
+        .select(
+            h60(F.concat(F.lit("theta:"),
+                         F.col("o_custkey").cast("string"))).alias("h"),
+            "in_a", "in_b")
+        .localCheckpoint())
+    samp_a = _kmv_from_hashed(flags.where("in_a = 1").select("h"))
+    samp_b = _kmv_from_hashed(flags.where("in_b = 1").select("h"))
     ests = theta_setops(samp_a, samp_b)
-    exact_i = (orders.where(THETA_SET_A).select("o_custkey").distinct()
-               .intersect(
-                   orders.where(THETA_SET_B).select("o_custkey").distinct())
-               .selectExpr(
-                   "CAST(COUNT(*) AS BIGINT) AS exact_intersection"))
-    exact_d = (orders.where(THETA_SET_A).select("o_custkey").distinct()
-               .exceptAll(
-                   orders.where(THETA_SET_B).select("o_custkey").distinct())
-               .selectExpr("CAST(COUNT(*) AS BIGINT) AS exact_difference"))
-    return (ests.crossJoin(F.broadcast(exact_i))
-            .crossJoin(F.broadcast(exact_d)))
+    exacts = flags.selectExpr(
+        "CAST(SUM(IF(in_a = 1 AND in_b = 1, 1, 0)) AS BIGINT)"
+        " AS exact_intersection",
+        "CAST(SUM(IF(in_a = 1 AND in_b = 0, 1, 0)) AS BIGINT)"
+        " AS exact_difference")
+    return ests.crossJoin(F.broadcast(exacts))
 
 
 # ---------------------------------------------------------------------------

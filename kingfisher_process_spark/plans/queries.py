@@ -2841,12 +2841,17 @@ def e_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. Per-user audit row: grid size, observed vs filled hour
     counts, and the exact decimal checksum of the densified series.
 
-    Scale shape: hourly pre-aggregation first (so the grid joins against
-    |user × active-hour| rows, not raw events), the grid is
-    sequence+explode (rows generated where they are consumed — no
-    driver-side calendar), the fill is one last-value-ignore-nulls
-    window sharing the same hash partitioning as the final groupBy —
-    grid, join, fill, and audit all ride ONE exchange on user_id.
+    Scale shape (r12): the grid is never MATERIALIZED — a forward-filled
+    value v observed at hour h persists until the next observed hour (or
+    the grid's end), so the grid-row sum Σ dec(v) telescopes to
+    Σ dec(v)·span with span counted in whole hours (decimal repeat-add ≡
+    decimal × integer, exact). That replaces the old sequence-explode
+    grid, the grid⋈hourly left join (a full (user, hour)-keyed shuffle
+    of both sides at scale), and the last-ignore-nulls window over
+    |user × grid-hour| rows with ONE window pass over the
+    |user × active-hour| pre-aggregate: hourly agg exchange, then a
+    single user_id exchange shared by the span windows and the final
+    groupBy. Sparse users no longer explode into grid rows at all.
 
     Reference analogue: none (extends the temporal family, SURVEY §2.13).
     """
@@ -2854,24 +2859,29 @@ def e_gapfill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = (t["events"]
           .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
           .agg(_dsum(F.col("value")).alias("hv")))
-    grid = (hv.groupBy("user_id")
-            .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-            # the bounds agg collapses to few partitions (AQE); spread
-            # BEFORE the explode so grid generation parallelizes and the
-            # join/window reuse the user_id hash partitioning
-            .repartition("user_id")
-            .select("user_id", F.explode(
-                F.expr("sequence(h0, h1, INTERVAL 1 HOUR)")).alias("h")))
-    j = grid.join(hv, ["user_id", "h"], "left")
-    w = (Window.partitionBy("user_id").orderBy("h")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    f = j.select("user_id", "hv",
-                 F.last("hv", ignorenulls=True).over(w).alias("filled"))
+    wp = Window.partitionBy("user_id")
+    wo = wp.orderBy("h")
+    # next hour with an OBSERVED (non-null) value — a null hourly sum is
+    # never a fill source, exactly like LAST(hv IGNORE NULLS)
+    nxt = F.min(F.when(F.col("hv").isNotNull(), F.col("h"))).over(
+        wo.rowsBetween(1, Window.unboundedFollowing))
+    spans = hv.select(
+        "user_id", "h", "hv",
+        F.min("h").over(wp).alias("h0"),
+        F.max("h").over(wp).alias("h1"),
+        nxt.alias("next_h"))
+    hours = ("CAST((unix_millis(COALESCE(next_h, h1)) - unix_millis(h))"
+             " div 3600000"
+             " + IF(next_h IS NULL, 1, 0) AS DECIMAL(10,0))")
     return (
-        f.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_hours"),
+        spans.groupBy("user_id")
+        .agg(F.expr("(unix_millis(MAX(h1)) - unix_millis(MAX(h0)))"
+                    " div 3600000 + 1").alias("n_hours"),
              F.count("hv").alias("n_observed"),
-             (F.count(F.lit(1)) - F.count("hv")).alias("n_filled"),
-             _dsum(F.col("filled")).alias("filled_sum"))
+             F.expr(f"CAST(SUM(CAST(hv AS DECIMAL(38,6)) * {hours})"
+                    " AS DOUBLE)").alias("filled_sum"))
+        .withColumn("n_filled", F.col("n_hours") - F.col("n_observed"))
+        .select("user_id", "n_hours", "n_observed", "n_filled",
+                "filled_sum")
         .orderBy("user_id")
     )
