@@ -24,6 +24,7 @@ Scale posture (100 TB / billions of vectors):
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -2271,9 +2272,9 @@ def semantic_dedup_upsert(batch_df: DataFrame, batch_id: int,
     cell-partitioned history (overwriting its OWN batch_id partition —
     idempotent), then join the batch against the history of its dirty
     cells only and record every new removal (cell, max-id of the pair).
-    The dirty cells are collected as literals BECAUSE partition pruning
-    needs literal filters — the list is bounded by the trained cell
-    count (k), never the corpus."""
+    The dirty cells become literal filters BECAUSE partition pruning
+    needs literals — read from the written partition's cell= directory
+    names (bounded by the trained cell count k, never the corpus)."""
     from kingfisher_process_spark.streaming.maintenance import recover_store
 
     # a crash mid-compaction-swap leaves folded batches visible only in
@@ -2282,14 +2283,23 @@ def semantic_dedup_upsert(batch_df: DataFrame, batch_id: int,
     recover_store(hist_dir)
     recover_store(removed_dir)
     spark = batch_df.sparkSession
-    # ONE assignment computation per batch: asg has three consumers
-    # (history write, dirty-cell collect, pair-join side) that would
-    # otherwise each re-run the scan + k-centroid argmin lineage
-    asg = (batch_df.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
-           .localCheckpoint())
-    (asg.write.mode("overwrite").partitionBy("cell")
-        .parquet(f"{hist_dir}/batch_id={batch_id}"))
-    dirty = [r["cell"] for r in asg.select("cell").distinct().collect()]
+    # ONE Spark job materializes the assignment (r12): the history
+    # WRITE is the materialization — the pair-join side reads the just-
+    # written batch partition back (no localCheckpoint job), and the
+    # dirty-cell set comes from the written cell= directory names (an
+    # artifact_fs listing, not a Spark job). The old form paid a
+    # checkpoint job + a distinct-collect job before the write.
+    (batch_df.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{hist_dir}/batch_id={batch_id}"))
+    from kingfisher_process_spark.functions import artifact_fs
+
+    dirty = [int(os.path.basename(d).split("=", 1)[1])
+             for d in artifact_fs.list_cell_dirs(
+                 f"{hist_dir}/batch_id={batch_id}")]
+    asg = (spark.read.option("basePath", hist_dir)
+           .schema(SEM_HIST_SCHEMA)
+           .parquet(f"{hist_dir}/batch_id={batch_id}"))
     hist = (spark.read.option("basePath", hist_dir)
             .schema(SEM_HIST_SCHEMA)
             .parquet(f"{hist_dir}/batch_id=*")
