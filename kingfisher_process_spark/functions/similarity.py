@@ -2184,7 +2184,12 @@ def semantic_dedup_summary(q: DataFrame, cents: list[list[int]],
     how many."""
     from kingfisher_process_spark.functions.dedup import fanout
 
-    asg = q.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+    # Materialize the assignment ONCE (r12): asg has three consumers
+    # (fanout probe side, broadcast build side, membership counts) and
+    # without a checkpoint each re-runs the scan + k-centroid argmin
+    # fold — the most expensive map in the probe — once per lineage.
+    asg = (q.selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+           .localCheckpoint())
     # fanout the PROBE side: the other side broadcasts (it is the same
     # small table), so the join — and the 64-dim fold over every
     # candidate pair — inherits the stream side's partitioning; a

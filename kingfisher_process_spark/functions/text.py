@@ -1011,6 +1011,14 @@ def _bpe_apply_multi_pandas(vocab: DataFrame,
     return vocab.mapInPandas(fold, "l ARRAY<STRING>, freq BIGINT")
 
 
+# Crossover between the JVM literal-map fold and the Arrow dict fold
+# (see bpe_train_batched): measured JVM-faster at batch=32, Arrow-faster
+# at batch=256 on this host class; 64 splits the gap conservatively
+# (linear-scan cost grows with the literal count, worker round-trip is
+# flat).
+_BPE_JVM_FOLD_MAX = 64
+
+
 def _select_batch(cands: list[tuple[str, str, int]],
                   limit: int) -> list[tuple[str, str, int]]:
     """Top-≤limit NON-CONFLICTING pairs from the (count DESC, a, b)-
@@ -1103,9 +1111,26 @@ def bpe_train_batched(docs: DataFrame, n_merges: int,
         # when the lazy child computes (the chain materializes strictly
         # in round order), so the swap discipline the eager form
         # enforced holds by construction.
-        vocab = vocab.transform(
-            _bpe_apply_multi_pandas, [(a, b) for a, b, _ in sel]
-        ).localCheckpoint(eager=False)
+        # Fold choice is SIZE-DEPENDENT (r12, measured both ways): the
+        # Arrow dict fold wins at large batches (O(1) lookup vs a
+        # linear literal-map scan: 0.6 s vs 0.95 s/round at batch=256)
+        # but LOSES at small ones (the per-round Python-worker round
+        # trip exceeds a ≤64-literal map's build+codegen: 5.3 s vs
+        # 3.4 s for the full 12-round batch=32 run) — so small batches
+        # keep the JVM expression fold. Both folds are equality-pinned
+        # by tests/test_bpe.py.
+        batch_pairs = [(a, b) for a, b, _ in sel]
+        if len(batch_pairs) <= _BPE_JVM_FOLD_MAX:
+            # Small batch: the original eager form measured FASTER than
+            # chaining lazily here too (2.8 s vs 3.4 s for the 12-round
+            # batch=32 run) — at this shape the eager fold job is tiny
+            # and AQE plans the next count over a materialized input.
+            vocab = vocab.select(
+                _bpe_apply_multi(F.col("l"), batch_pairs).alias("l"),
+                "freq").localCheckpoint()
+        else:
+            vocab = _bpe_apply_multi_pandas(
+                vocab, batch_pairs).localCheckpoint(eager=False)
     return merges, rounds
 
 
@@ -1303,13 +1328,19 @@ def t_pretrain_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def hits(words):
         return F.size(F.filter(toks, lambda x: x.isin(*words)))
 
+    # Materialize the per-doc features ONCE (r12): the funnel summary
+    # unions FIVE aggregations whose lineages all root here, and without
+    # a checkpoint the plan re-scans documents and re-runs the
+    # tokenize + 3×stopword-hit + md5 map (the most expensive map in
+    # the probe) once per branch — 6 parquet scans in the before plan.
+    # After: one heavy scan, five cheap passes over 6 narrow columns.
     base = t["documents"].select(
         "doc_id",
         F.size(toks).cast("long").alias("nt"),
         hits(STOP_EN).alias("s_en"), hits(STOP_DATA).alias("s_data"),
         hits(STOP_COMPUTE).alias("s_compute"),
         F.md5("text").alias("content_hash"),
-    )
+    ).localCheckpoint()
     predicted = (
         F.when((F.col("s_en") >= F.col("s_data"))
                & (F.col("s_en") >= F.col("s_compute")), "en")
