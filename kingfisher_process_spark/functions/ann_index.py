@@ -658,7 +658,13 @@ def query_index(spark: SparkSession, index_dir: str, queries: DataFrame,
     model = load_model(index_dir)
     cents = [list(map(int, c)) for c in model["centroids"]]
     rcbs = [[[int(v) for v in c] for c in m] for m in model["codebooks"]]
-    probes_df = route_probes(_quantized(queries), cents, n_probe=n_probe)
+    # Materialize the routing ONCE (r12): probes_df feeds the probed-
+    # cell collect below, BOTH broadcast sides of the ADC scoring, and
+    # (under rerank) the shortlist pass — without a checkpoint each
+    # consumer re-runs the query scan + K-centroid routing window.
+    # The table is queries × n_probe rows — trivially materializable.
+    probes_df = route_probes(_quantized(queries), cents,
+                             n_probe=n_probe).localCheckpoint()
     # probed cells as LITERALS so the codes read partition-prunes
     probed = sorted({r["cell"] for r in
                      probes_df.select("cell").distinct().collect()})

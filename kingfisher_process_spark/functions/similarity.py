@@ -1863,8 +1863,12 @@ def ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _residuals(_quantized(emb), cents)
     narrow = explode_codes_narrow(
         res.selectExpr("vec_id", "cell", *_code_exprs(rcbs)))
+    # Materialize routing once (r12): adc_topk consumes probes_df on
+    # BOTH broadcast sides (rd2 build + candidate pruning join) and
+    # each lineage re-ran the query scan + routing window.
     probes_df = route_probes(
-        _quantized(emb.where(F.col("vec_id") < N_QUERIES)), cents)
+        _quantized(emb.where(F.col("vec_id") < N_QUERIES)),
+        cents).localCheckpoint()
     return adc_topk(probes_df, narrow, rcbs)
 
 
@@ -2558,7 +2562,13 @@ def s_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     cents = ivf_grid_centroids_for(spark, sf_dir)
-    asg = _quantized(emb).selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+    # Materialize the assignment ONCE (r12): asg has three consumers
+    # (benchmark broadcast side, fanned-out corpus side, membership
+    # counts) and without a checkpoint each re-runs the scan +
+    # k-centroid argmin fold — same fix as semantic_dedup_summary.
+    asg = (_quantized(emb)
+           .selectExpr("vec_id", "qa", _ivf_cell_expr(cents))
+           .localCheckpoint())
     bench = (asg.where(F.col("vec_id") < SEM_BENCH_N)
              .selectExpr("cell AS cell_b", "vec_id AS vb", "qa AS ab"))
     corp = (fanout(asg).where(F.col("vec_id") >= SEM_BENCH_N)
