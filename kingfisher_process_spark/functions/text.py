@@ -1798,14 +1798,19 @@ def k_anonymity_enforce(docs: DataFrame, k: int = K_ANON,
         sizes = rem.groupBy(qi).agg(
             F.count(F.lit(1)).alias("_n"),
             F.countDistinct("_coh").alias("_l"))
-        tagged = rem.join(sizes, qi)
+        # Checkpoint TAGGED, not the remainder (r12): tagged has two
+        # consumers — the settled branch and the next rung's remainder
+        # — and with only rem checkpointed the settled branch re-ran
+        # this rung's groupBy + join at the final union. One
+        # materialization per rung serves both; the remainder filter
+        # over it still truncates lineage for the next rung.
+        tagged = rem.join(sizes, qi).localCheckpoint()
         ok = (F.col("_n") >= k) & (F.col("_l") >= l_div)
         settled.append(
             tagged.where(ok)
             .select("doc_id", F.lit(lvl).cast("bigint").alias("level"),
                     F.col(qi).alias("qi")))
-        rem = (tagged.where(~ok).drop("_n", "_l")
-               .localCheckpoint())
+        rem = tagged.where(~ok).drop("_n", "_l")
     suppressed = rem.select(
         "doc_id", F.lit(len(_KANON_QI)).cast("bigint").alias("level"),
         F.lit(None).cast("string").alias("qi"))
