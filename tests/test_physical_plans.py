@@ -361,11 +361,15 @@ def test_funnel_frontiers_broadcast_into_each_stage(spark):
 
 
 def test_gapfill_fill_window_is_partitioned_by_user(spark):
-    """The forward-fill window must be partitioned on user_id — a bare
-    unpartitioned running window is the single-task funnel smell."""
+    """Every gapfill window (the r12 grid-free form uses span-bound
+    min/max + a next-observed-hour min instead of the old last(hv)
+    running fill) must be partitioned on user_id — a bare unpartitioned
+    running window is the single-task funnel smell — and the grid-free
+    plan must stay free of the sequence-explode Generate it removed."""
     plan = plan_of(spark, "e_gapfill_forward")
-    m = re.search(r"Arguments: \[last\(hv[^\]]*\], \[user_id", plan)
-    assert m, plan
+    wins = re.findall(r"windowspecdefinition\(([^,)]*)", plan)
+    assert wins and all(w.startswith("user_id") for w in wins), plan
+    assert "Generate" not in plan, plan
     assert "BatchEvalPython" not in plan
 
 
