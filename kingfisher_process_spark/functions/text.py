@@ -1556,6 +1556,14 @@ def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter(split(text)) — under element_at indexing that re-runs the
     # split per element (O(n_tokens²) per doc); the slice/zip_with form
     # stays linear no matter how many times the optimizer inlines it
+    # (doc_id, bigrams) has THREE consumers — the LM training groupBy,
+    # the scoring join's explode, and the final n_bigrams branch — and
+    # tokenize+zip_with is the probe's most expensive map: lazily
+    # localCheckpoint it so the corpus is scanned and tokenized ONCE
+    # (materializes inside the lm-count job; the r12 shared-lineage
+    # pattern of t_pretrain_corpus_pipeline / d_semantic_dedup).
+    # n_bigrams ≡ size(bigrams): greatest(size(ts)-1, 0) equals the
+    # CASE'd zip_with length for every ts (empty/one-token docs → 0).
     feat = base.select(
         "doc_id",
         F.expr(
@@ -1564,11 +1572,10 @@ def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (a, b) -> concat_ws(' ', a, b))"
             " ELSE CAST(array() AS array<string>) END"
         ).alias("bigrams"),
-    )
+    ).localCheckpoint(eager=False)
     ex = feat.select("doc_id", F.explode("bigrams").alias("bigram"))
     # the pruned LM is reused by the gate count AND the scoring join —
-    # localCheckpoint materializes it once (it is the bounded artifact;
-    # the corpus-scale lineage below it would otherwise re-run twice)
+    # localCheckpoint materializes it once (it is the bounded artifact)
     lm = (ex.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
           .where(F.col("cnt") >= LM_MIN_SUPPORT)
           .localCheckpoint())
@@ -1579,10 +1586,9 @@ def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count(F.lit(1)).alias("n_hit"),
                 F.sum("cnt").alias("lm_sum")))
     return (
-        base.select(
+        feat.select(
             "doc_id",
-            F.greatest(F.size("ts") - 1, F.lit(0))
-            .cast("long").alias("n_bigrams"))
+            F.size("bigrams").cast("long").alias("n_bigrams"))
         .join(hit, "doc_id", "left")
         .selectExpr(
             "doc_id", "n_bigrams",
