@@ -903,19 +903,31 @@ def _bpe_apply(symbols, a: str, b: str) -> F.Column:
     )
 
 
-def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str, int]]:
+def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS,
+              return_vocab: bool = False):
     """Learn ``rounds`` BPE merges over whitespace words of ``text``.
 
     Scale shape: the corpus collapses ONCE to (word, freq) — the only
     corpus-scale job; every round then runs on the vocabulary (pair
     explode + partially-aggregated groupBy + TakeOrdered argmax), and the
     merge application is a per-row fold. Only the 1-row argmax is ever
-    collected (the same driver-scale pattern as k-means centroids)."""
+    collected (the same driver-scale pattern as k-means centroids).
+
+    ``return_vocab=True`` (r12): additionally returns the TRAINED
+    vocabulary as ``(merges, vocab_df)`` where vocab_df is
+    (word, l, freq) with every learned merge applied — the table
+    train→apply consumers (t_bpe_pack_pipeline, t_bpe_encode) otherwise
+    re-derive with a second corpus wordcount plus a re-run of the whole
+    merge fold chain. Carrying ``word`` through the per-round
+    checkpoints costs one extra string column on the |vocab|-sized swap;
+    the final merge's fold (skipped in the merges-only form) is chained
+    lazily so it materializes inside the consumer's first job."""
+    keep = ["word"] if return_vocab else []
     vocab = (
         docs.select(F.explode(
             F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split("word", "").alias("l"), "freq")
+        .select(*keep, F.split("word", "").alias("l"), "freq")
     ).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for r in range(rounds):
@@ -931,7 +943,7 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str,
             break
         a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
         merges.append((a, b, n))
-        if r + 1 == rounds:
+        if r + 1 == rounds and not return_vocab:
             break  # the final merge is never applied — skip the fold job
         # LAZY checkpoint chain (r12): each round's fold materializes
         # inside the next round's argmax job — ONE Spark job per round
@@ -940,8 +952,10 @@ def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> list[tuple[str, str,
         # child computes while its parent's blocks are live, so the
         # old swap discipline holds by construction.
         vocab = vocab.select(
-            _bpe_apply(F.col("l"), a, b).alias("l"), "freq"
+            *keep, _bpe_apply(F.col("l"), a, b).alias("l"), "freq"
         ).localCheckpoint(eager=False)
+    if return_vocab:
+        return merges, vocab
     return merges
 
 
@@ -1230,21 +1244,15 @@ def t_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     round over the vocabulary; the corpus itself is never rescanned after
     the one (word, freq) reduction."""
     docs = load_tables(spark, sf_dir)["documents"]
-    merges = bpe_train(docs)
-    base = (
-        docs.select(F.explode(
-            F.filter(F.split("text", " "), lambda x: x != "")).alias("word"))
-        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    ).cache()
-    before = base.agg(
+    # return_vocab (r12): the trained vocabulary carries everything both
+    # counts need — word (before-length), l (after-length), freq — so
+    # one aggregate over it replaces the second corpus wordcount, the
+    # re-run fold chain, the cache, and the crossJoin of two aggregates.
+    _merges, vocab = bpe_train(docs, return_vocab=True)
+    return vocab.agg(
         F.count(F.lit(1)).alias("n_words"),
-        F.sum(F.col("freq") * F.length("word")).alias("n_tokens_before"))
-    vocab = base.select(F.split("word", "").alias("l"), "freq")
-    for a, b, _ in merges:
-        vocab = vocab.select(_bpe_apply(F.col("l"), a, b).alias("l"), "freq")
-    after = vocab.agg(
+        F.sum(F.col("freq") * F.length("word")).alias("n_tokens_before"),
         F.sum(F.col("freq") * F.size("l")).alias("n_tokens_after"))
-    return before.crossJoin(after)
 
 
 # ---------------------------------------------------------------------------
@@ -1657,12 +1665,11 @@ def t_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train→serve loop alongside t_pretrain_corpus_pipeline).
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    merges = bpe_train(docs)
-    words = (docs.select(F.explode(_tokens(F.col("text"))).alias("word"))
-             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
-    vocab = words.select("word", F.split("word", "").alias("l"))
-    for a, b, _ in merges:
-        vocab = vocab.select("word", _bpe_apply(F.col("l"), a, b).alias("l"))
+    # return_vocab (r12): training already holds the merged vocabulary —
+    # reuse it instead of a second corpus wordcount + a re-run of the
+    # whole merge fold chain (identical by construction: same initial
+    # (word, freq) aggregation, same merges applied in the same order).
+    _merges, vocab = bpe_train(docs, return_vocab=True)
     wl = vocab.select("word", F.size("l").cast("long").alias("wl"))
     ex = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("word"))
     per_doc = (ex.join(F.broadcast(wl), "word")
