@@ -1389,11 +1389,23 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fact-fact sort-merge join shrink 8x, and (ps_supplycost being a pure
     # function of the key) the join output is provably unchanged
     li = t["lineitem"].join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-    ps = _pseudo_partsupp(t, lineitem=li)
+    # ps_supplycost is a PURE function of (partkey, suppkey) and the
+    # pseudo-partsupp rows are exactly the distinct key pairs of this
+    # same filtered lineitem — so the fact-fact equi-join is an identity
+    # enrichment: every row matches exactly one ps row carrying f(key).
+    # Compute the cost map-side instead (r12): the distinct aggregation,
+    # the (partkey, suppkey) exchange of the fact side, and the
+    # sort-merge join all disappear while the join output is provably
+    # unchanged (same expression over the same key values). q2/q20 keep
+    # the real _pseudo_partsupp — their aggregates need the distinct.
     j = (
         li
-        .join(ps, (F.col("ps_suppkey") == F.col("l_suppkey"))
-              & (F.col("ps_partkey") == F.col("l_partkey")))
+        .withColumn(
+            "ps_supplycost",
+            (F.conv(F.substring(
+                F.md5(F.concat_ws("-", "l_partkey", "l_suppkey")),
+                1, 6), 16, 10).cast("bigint") % 10000)
+            .cast("decimal(38,6)"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
