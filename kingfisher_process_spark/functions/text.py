@@ -1493,6 +1493,36 @@ LM_MIN_SUPPORT = 2        # prune hapax bigrams from the trained LM
 LM_BROADCAST_MAX = 200_000  # pruned-LM rows small enough to broadcast
 
 
+def _lm_bigram_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, bigrams) for the LM probe — the generator expression the
+    linearity plan test pins (it runs inside the probe's checkpoint job,
+    so the served plan no longer shows it).
+
+    The token array is materialized as a COLUMN before indexing into it:
+    element_at over the raw filter(split(text)) expression re-evaluates
+    the split per element inside the higher-order lambda (no CSE across
+    lambda bodies), turning bigram construction O(n_tokens²) per doc.
+    And zip_with over two slices, NOT transform(sequence, i ->
+    element_at(ts, i)): InferFiltersFromGenerate clones this whole
+    expression into a pre-exchange filter with `ts` inlined as
+    filter(split(text)) — under element_at indexing that re-runs the
+    split per element; the slice/zip_with form stays linear no matter
+    how many times the optimizer inlines it."""
+    from kingfisher_process_spark.functions.dedup import fanout
+
+    base = fanout(docs).select(
+        "doc_id", _tokens(F.col("text")).alias("ts"))
+    return base.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(ts) >= 2 THEN"
+            " zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),"
+            " (a, b) -> concat_ws(' ', a, b))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("bigrams"),
+    )
+
+
 @probe(
     "t_ngram_lm_score",
     f"""
@@ -1549,21 +1579,7 @@ def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analogue: none; pairs with t_quality_classifier as the two
     model-ish filters of the SURVEY §7.8 curation surface.
     """
-    from kingfisher_process_spark.functions.dedup import fanout
-
     t = load_tables(spark, sf_dir)
-    # materialize the token array as a COLUMN before indexing into it —
-    # element_at over the raw filter(split(text)) expression re-evaluates
-    # the split per element inside the higher-order lambda (no CSE across
-    # lambda bodies), turning bigram construction O(n_tokens²) per doc
-    base = fanout(t["documents"]).select(
-        "doc_id", _tokens(F.col("text")).alias("ts"))
-    # zip_with over two slices, NOT transform(sequence, i ->
-    # element_at(ts, i)): InferFiltersFromGenerate clones this whole
-    # expression into a pre-exchange filter with `ts` inlined as
-    # filter(split(text)) — under element_at indexing that re-runs the
-    # split per element (O(n_tokens²) per doc); the slice/zip_with form
-    # stays linear no matter how many times the optimizer inlines it
     # (doc_id, bigrams) has THREE consumers — the LM training groupBy,
     # the scoring join's explode, and the final n_bigrams branch — and
     # tokenize+zip_with is the probe's most expensive map: lazily
@@ -1572,15 +1588,7 @@ def t_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern of t_pretrain_corpus_pipeline / d_semantic_dedup).
     # n_bigrams ≡ size(bigrams): greatest(size(ts)-1, 0) equals the
     # CASE'd zip_with length for every ts (empty/one-token docs → 0).
-    feat = base.select(
-        "doc_id",
-        F.expr(
-            "CASE WHEN size(ts) >= 2 THEN"
-            " zip_with(slice(ts, 1, size(ts) - 1), slice(ts, 2, size(ts) - 1),"
-            " (a, b) -> concat_ws(' ', a, b))"
-            " ELSE CAST(array() AS array<string>) END"
-        ).alias("bigrams"),
-    ).localCheckpoint(eager=False)
+    feat = _lm_bigram_features(t["documents"]).localCheckpoint(eager=False)
     ex = feat.select("doc_id", F.explode("bigrams").alias("bigram"))
     # the pruned LM is reused by the gate count AND the scoring join —
     # localCheckpoint materializes it once (it is the bounded artifact)

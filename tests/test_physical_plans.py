@@ -329,11 +329,26 @@ def test_shingle_and_bigram_generators_stay_linear(spark):
     under that inlining (each element re-runs split(text)); the
     zip_with-over-slices form is linear. Pin that no element_at-indexed
     generator survives anywhere in these probes' plans."""
-    for name in ("d_minhash_lsh_pairs", "t_ngram_lm_score",
+    for name in ("d_minhash_lsh_pairs",
                  "t_repetition_metrics", "d_ngram_jaccard_pairs"):
         plan = plan_of(spark, name)
         assert "element_at" not in plan, (name, plan[:2000])
         assert "zip_with" in plan, (name, plan[:2000])
+    # t_ngram_lm_score's bigram projection runs inside its shared
+    # checkpoint job since r12 (the served plan roots at the checkpoint,
+    # so the generator no longer appears there) — pin the linearity
+    # property on the feature subtree the checkpoint materializes, plus
+    # element_at-absence on the served plan.
+    from kingfisher_process_spark.functions.text import _lm_bigram_features
+    from kingfisher_process_spark.plans.base import load_tables
+
+    feat = _lm_bigram_features(load_tables(spark, SF_SMOKE)["documents"])
+    feat_plan = spark._jvm.PythonSQLUtils.explainString(
+        feat._jdf.queryExecution(), "formatted")
+    assert "zip_with" in feat_plan, feat_plan[:2000]
+    assert "element_at" not in feat_plan, feat_plan[:2000]
+    served = plan_of(spark, "t_ngram_lm_score")
+    assert "element_at" not in served, served[:2000]
 
 
 def test_semantic_decontaminate_broadcasts_benchmark_no_shuffle(spark):
