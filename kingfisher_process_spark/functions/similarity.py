@@ -2388,10 +2388,17 @@ def st_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watch = os.path.join(tmp, "watch")
     hist = os.path.join(tmp, "history")
     removed = os.path.join(tmp, "removed")
-    os.makedirs(watch)
-    for i in range(4):
-        (q.where(F.pmod(F.hash("vec_id"), F.lit(4)) == i).coalesce(1)
-         .write.mode("append").parquet(os.path.join(watch, f"slice={i}")))
+    # ONE staging job instead of four (r12): the old form ran scan +
+    # quantize once PER SLICE (4 filter+coalesce(1) writes); a single
+    # partitionBy write stages the same 4 one-file slice dirs — rows
+    # hash to the same slices, each slice's rows land in one task after
+    # the repartition, so each slice=i dir still holds exactly one file
+    # and maxFilesPerTrigger=1 still yields the same 4 triggers. (The
+    # summary is batch-order-independent by contract — the oracle hash
+    # proves convergence for ANY order — so file-listing order is free.)
+    (q.withColumn("slice", F.pmod(F.hash("vec_id"), F.lit(4)))
+     .repartition("slice")
+     .write.mode("overwrite").partitionBy("slice").parquet(watch))
 
     def upsert(batch_df, batch_id):
         semantic_dedup_upsert(batch_df, batch_id, hist, removed, cents)

@@ -1025,3 +1025,32 @@ def test_compaction_handles_fileless_zero_row_batches(spark, tmp_path):
     got2 = (spark.read.schema("cell BIGINT, vb BIGINT")
             .parquet(store2 + "/batch_id=*"))
     assert got2.count() == 0
+
+
+def test_semantic_dedup_stream_staging_one_file_per_slice(spark, tmp_path):
+    """st_semantic_dedup stages its 4-slice file stream with ONE
+    partitionBy write (r12 — the old form paid one scan+quantize job
+    per slice). The bench entry's 4-trigger shape relies on each
+    slice=i dir holding exactly one parquet file under
+    maxFilesPerTrigger=1: rows of a slice value land in one task after
+    repartition("slice") (hash partitioning never splits a value; AQE
+    only merges), so the writer emits one file per slice dir."""
+    import glob
+    import os
+
+    from kingfisher_process_spark.functions.similarity import _quantized
+    from kingfisher_process_spark.plans.base import load_tables
+    from tests.conftest import SF_SMOKE
+
+    q = _quantized(load_tables(spark, SF_SMOKE)["embeddings"])
+    watch = str(tmp_path / "watch")
+    (q.withColumn("slice", F.pmod(F.hash("vec_id"), F.lit(4)))
+     .repartition("slice")
+     .write.mode("overwrite").partitionBy("slice").parquet(watch))
+    for i in range(4):
+        files = glob.glob(os.path.join(watch, f"slice={i}", "*.parquet"))
+        assert len(files) == 1, (i, files)
+    # the staged rows are exactly the quantized corpus (no loss, no dup)
+    staged = (spark.read.schema(q.schema)
+              .parquet(os.path.join(watch, "slice=*")))
+    assert staged.count() == q.count()
