@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from kingfisher_process_spark.operators import merge as merge_mod
 from kingfisher_process_spark.operators.compile_release import COMPILED_SCHEMA, persist_compiled
-from kingfisher_process_spark.operators.grouped import grouped_apply_sorted
+from kingfisher_process_spark.operators.grouped import grouped_apply_sorted_arrow
 from kingfisher_process_spark.store import Store
 from kingfisher_process_spark.util import canonical_json, md5_hex
 
@@ -52,17 +52,35 @@ def _rows_for(ocid, merged_json=None, release_date=None, notes=()):
 
 
 def _compile_record_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    rules = merge_mod.load_rules()
-    ocid = pdf["ocid"].iloc[0]
     pdf = pdf.sort_values("record_id", kind="stable")
+    rows = _compile_record_rows_core(
+        pdf["ocid"].iloc[0], len(pdf), pdf["data"].iloc[0],
+        pdf["package_data"].iloc[0])
+    return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
+
+
+def _compile_record_rows(cols: dict[str, list]) -> list[dict]:
+    """Arrow-walk twin of _compile_record_group (r13): one OCID group as
+    plain column lists; delegates to the same decision-ladder core."""
+    order = sorted(range(len(cols["record_id"])),
+                   key=lambda i: (cols["record_id"][i] is None,
+                                  cols["record_id"][i] or 0))
+    first = order[0]
+    return _compile_record_rows_core(
+        cols["ocid"][first], len(order), cols["data"][first],
+        cols["package_data"][first])
+
+
+def _compile_record_rows_core(ocid, n_records: int, data_raw,
+                              pkg_raw) -> list[dict]:
+    rules = merge_mod.load_rules()
     notes: list[tuple] = []
 
-    if len(pdf) > 1:
-        notes.append(("WARNING", f"OCID {ocid} occurs {len(pdf)} times.",
+    if n_records > 1:
+        notes.append(("WARNING", f"OCID {ocid} occurs {n_records} times.",
                       json.dumps({"type": "DuplicateOCIDWarning"})))
 
-    record = json.loads(pdf["data"].iloc[0], parse_float=Decimal)
-    pkg_raw = pdf["package_data"].iloc[0]
+    record = json.loads(data_raw, parse_float=Decimal)
     package = json.loads(pkg_raw, parse_float=Decimal) if isinstance(pkg_raw, str) else {}
 
     releases = record.get("releases", [])
@@ -81,7 +99,7 @@ def _compile_record_group(pdf: pd.DataFrame) -> pd.DataFrame:
             tagged.append(release)
 
     def finish(rows):
-        return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
+        return rows
 
     if dated and not linked:
         if undated:
@@ -164,8 +182,8 @@ def compile_records(store: Store, parent_id: int, compiled_collection_id: int) -
         .join(pkg, "package_data_id", "left")
         .select(F.col("id").alias("record_id"), "ocid", "data", "package_data")
     )
-    compiled = grouped_apply_sorted(
-        inputs, ["ocid"], _compile_record_group, COMPILED_SCHEMA,
+    compiled = grouped_apply_sorted_arrow(
+        inputs, ["ocid"], _compile_record_rows, COMPILED_SCHEMA,
         extra_sort=["record_id"],
     )
     return persist_compiled(store, compiled_collection_id, compiled)

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kingfisher_process_spark.operators import merge as merge_mod
-from kingfisher_process_spark.operators.grouped import grouped_apply_sorted
+from kingfisher_process_spark.operators.grouped import grouped_apply_sorted_arrow
 from kingfisher_process_spark.store import Store, with_sequential_ids
 from kingfisher_process_spark.util import canonical_json, md5_hex
 
@@ -60,20 +60,32 @@ def _merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return _merge_group_impl(pdf, None)
 
 
-def _merge_group_impl(pdf: pd.DataFrame,
-                      extension_schemas: dict[str, dict] | None) -> pd.DataFrame:
+def _merge_group_rows_impl(cols: dict[str, list],
+                           extension_schemas: dict[str, dict] | None
+                           ) -> list[dict]:
+    """Rows-native merge core (r13): one OCID group arrives as plain
+    Python column lists, rows of COMPILED_SCHEMA come back as dicts.
+    This is the whole merge — the pandas wrapper below and the arrow
+    group walk (grouped_apply_sorted_arrow) both delegate here, so the
+    two dispatch shapes cannot drift semantically."""
     # with local extension schemas the rules depend on this group's
     # extension set — let compile_releases derive (memoized) patched rules
     rules = None if extension_schemas else merge_mod.load_rules()
-    ocid = pdf["ocid"].iloc[0]
+    ocid = cols["ocid"][0]
+    rds, datas = cols["release_date"], cols["data"]
     # the payload tiebreak makes same-date merge order DETERMINISTIC:
     # shuffle arrival order is not stable across recomputes (Spark
     # recaches plans that read a path which was appended to mid-stage),
     # and an unstable tie order changes the merged hash between the
-    # payload write and the id-mapping read
-    pdf = pdf.sort_values(["release_date", "data"], kind="stable")
-    releases = [json.loads(s, parse_float=Decimal) for s in pdf["data"]]
-    extensions = _extensions_from_metadata(pdf["package_data"].dropna().unique())
+    # payload write and the id-mapping read. None sorts LAST in both
+    # keys — the same na_position='last' order pandas sort_values gave
+    # the original wrapper.
+    order = sorted(range(len(datas)),
+                   key=lambda i: (rds[i] is None, rds[i] or "",
+                                  datas[i] is None, datas[i] or ""))
+    releases = [json.loads(datas[i], parse_float=Decimal) for i in order]
+    extensions = _extensions_from_metadata(
+        dict.fromkeys(p for p in cols["package_data"] if p is not None))
 
     merged, notes = merge_mod.compile_releases(
         ocid, releases, extensions, rules, extension_schemas)
@@ -93,6 +105,20 @@ def _merge_group_impl(pdf: pd.DataFrame,
             "release_date": None, "hash_md5": None,
             "note_code": code, "note": text, "note_data": data,
         })
+    return rows
+
+
+def _merge_rows_fn(extension_schemas: dict[str, dict] | None = None):
+    """fn_rows closure for grouped_apply_sorted_arrow."""
+    def fn_rows(cols: dict[str, list]) -> list[dict]:
+        return _merge_group_rows_impl(cols, extension_schemas)
+    return fn_rows
+
+
+def _merge_group_impl(pdf: pd.DataFrame,
+                      extension_schemas: dict[str, dict] | None) -> pd.DataFrame:
+    rows = _merge_group_rows_impl(
+        {c: pdf[c].tolist() for c in pdf.columns}, extension_schemas)
     return pd.DataFrame(rows, columns=[f.name for f in COMPILED_SCHEMA.fields])
 
 
@@ -121,11 +147,6 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
     - ``True`` / ``False``: force one path (tests, benchmarks).
     """
     from kingfisher_process_spark.operators import lifecycle
-
-    # single-arg closure, not functools.partial: applyInPandas inspects the
-    # callable's signature to decide between f(pdf) and f(key, pdf)
-    merge_fn = (_merge_group if extension_schemas is None else
-                _bind_schemas(_merge_group_impl, extension_schemas))
 
     if lifecycle.collection_cancelled(store, parent_id) or \
             lifecycle.collection_cancelled(store, compiled_collection_id):
@@ -177,9 +198,9 @@ def compile_collection(store: Store, parent_id: int, compiled_collection_id: int
         compiled = two_phase_compiled(inputs, batch, extension_schemas,
                                       temp_caches=temp)
     else:
-        compiled = grouped_apply_sorted(
-            inputs, ["ocid"], merge_fn, COMPILED_SCHEMA,
-            extra_sort=["release_date", "data"])
+        compiled = grouped_apply_sorted_arrow(
+            inputs, ["ocid"], _merge_rows_fn(extension_schemas),
+            COMPILED_SCHEMA, extra_sort=["release_date", "data"])
     try:
         # persist_compiled is the materialization point: phase-A caches
         # registered in `temp` fill during it and release right after —
@@ -277,8 +298,7 @@ def skew_routed_compiled(inputs: DataFrame, batch: int | None = None,
     from kingfisher_process_spark.operators import merge_partial as mp
 
     limit = batch or mp.BATCH
-    merge_fn = (_merge_group if extension_schemas is None else
-                _bind_schemas(_merge_group_impl, extension_schemas))
+    merge_rows = _merge_rows_fn(extension_schemas)
     if hot is None:
         hot = (
             inputs.groupBy("ocid").agg(F.count(F.lit(1)).alias("n"))
@@ -290,14 +310,14 @@ def skew_routed_compiled(inputs: DataFrame, batch: int | None = None,
     # gate), and nothing stays persisted after this returns
     hot, hot_small = _resolve_keyset(hot)
     if hot is None:
-        return grouped_apply_sorted(
-            inputs, ["ocid"], merge_fn, COMPILED_SCHEMA,
+        return grouped_apply_sorted_arrow(
+            inputs, ["ocid"], merge_rows, COMPILED_SCHEMA,
             extra_sort=["release_date", "data"])
     probe = F.broadcast(hot) if hot_small else hot
     cold = inputs.join(probe, "ocid", "left_anti")
     hot_in = inputs.join(probe, "ocid", "left_semi")
-    return grouped_apply_sorted(
-        cold, ["ocid"], merge_fn, COMPILED_SCHEMA,
+    return grouped_apply_sorted_arrow(
+        cold, ["ocid"], merge_rows, COMPILED_SCHEMA,
         extra_sort=["release_date", "data"],
     ).unionAll(two_phase_compiled(hot_in, batch, extension_schemas,
                                   temp_caches=temp_caches))

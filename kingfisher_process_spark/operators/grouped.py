@@ -86,3 +86,79 @@ def grouped_apply_sorted(
         rep = df.repartition(*keys)
     rep = rep.sortWithinPartitions(*keys, *extra_sort)
     return rep.mapInPandas(lambda batches: iter_groups(batches, keys, fn), schema)
+
+
+def iter_groups_rows(batches, keys: Sequence[str], fn_rows, out_schema):
+    """Arrow-native twin of ``iter_groups`` (r13, guide §4.5): walk
+    key-sorted ``pyarrow.RecordBatch``es, call ``fn_rows(cols)`` once per
+    complete key group with ``cols`` a dict of plain Python lists (the
+    group's column slices), expect a list of row dicts back, and emit one
+    output RecordBatch per input batch. Compared to the pandas walk this
+    skips, PER GROUP: the pandas sub-DataFrame slice, the one-row output
+    DataFrame construction, and the final pd.concat — measured 5.4x
+    faster on the 2000-group compile shape (scripts/r13_ab_merge.py).
+    Same carry-and-stitch contract for groups spanning batch boundaries."""
+    import pyarrow as pa
+
+    carry = None
+    for rb in batches:
+        tbl = pa.Table.from_batches([rb])
+        if carry is not None:
+            tbl = pa.concat_tables([carry, tbl])
+            carry = None
+        n = tbl.num_rows
+        if not n:
+            continue
+        cols = {name: tbl.column(name).to_pylist()
+                for name in tbl.schema.names}
+        kvals = list(zip(*(cols[k] for k in keys)))
+        # the last group may continue in the next batch — carry it
+        last = kvals[-1]
+        cut = n
+        while cut > 0 and kvals[cut - 1] == last:
+            cut -= 1
+        carry = tbl.slice(cut)
+        if cut == 0:
+            continue
+        out_rows: list[dict] = []
+        start = 0
+        for i in range(1, cut + 1):
+            if i == cut or kvals[i] != kvals[start]:
+                out_rows.extend(fn_rows(
+                    {name: vals[start:i] for name, vals in cols.items()}))
+                start = i
+        if out_rows:
+            yield pa.RecordBatch.from_pylist(out_rows, schema=out_schema)
+    if carry is not None and carry.num_rows:
+        cols = {name: carry.column(name).to_pylist()
+                for name in carry.schema.names}
+        rows = fn_rows(cols)
+        if rows:
+            yield pa.RecordBatch.from_pylist(rows, schema=out_schema)
+
+
+def grouped_apply_sorted_arrow(
+    df: DataFrame,
+    keys: Sequence[str],
+    fn_rows,
+    schema: T.StructType,
+    extra_sort: Sequence[str] = (),
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``grouped_apply_sorted`` with the arrow-native group walk:
+    ``fn_rows`` takes a dict of column-name → list-of-values for one
+    group and returns a list of output row dicts matching ``schema``.
+    Same single hash shuffle + partition-local sort; the Python side
+    never touches pandas."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    keys = list(keys)
+    out_schema = to_arrow_schema(schema)
+    if n_parts:
+        rep = df.repartition(n_parts, *keys)
+    else:
+        rep = df.repartition(*keys)
+    rep = rep.sortWithinPartitions(*keys, *extra_sort)
+    return rep.mapInArrow(
+        lambda batches: iter_groups_rows(batches, keys, fn_rows, out_schema),
+        schema)

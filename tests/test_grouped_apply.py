@@ -9,7 +9,8 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from kingfisher_process_spark.operators.grouped import grouped_apply_sorted
+from kingfisher_process_spark.operators.grouped import (
+    grouped_apply_sorted, grouped_apply_sorted_arrow)
 
 OUT_SCHEMA = T.StructType([
     T.StructField("k", T.StringType()),
@@ -91,6 +92,42 @@ def test_multi_key(spark, tiny_batches):
     assert len(got) == 15
 
 
+def summarize_rows(cols: dict) -> list[dict]:
+    key = cols["k"][0]
+    return [{
+        "k": key,
+        "n": len(cols["v"]),
+        "vals": ",".join(str(x) for x in sorted(cols["v"])),
+    }]
+
+
+def test_arrow_walk_matches_group_apply(spark, tiny_batches):
+    """grouped_apply_sorted_arrow (r13 merge-dispatch optimization) must
+    be row-for-row equivalent to groupBy().applyInPandas — same
+    batch-spanning and null-key cases as the pandas walk's pin."""
+    df = spark.createDataFrame(_rows(), "k string, v long")
+    expected = sorted(
+        df.groupBy("k").applyInPandas(summarize, OUT_SCHEMA).collect(),
+        key=lambda r: (r["k"] or "",))
+    got = sorted(
+        grouped_apply_sorted_arrow(df, ["k"], summarize_rows, OUT_SCHEMA,
+                                   extra_sort=["v"]).collect(),
+        key=lambda r: (r["k"] or "",))
+    assert got == expected
+    assert len(got) == 41  # 40 groups + null-key group
+
+
+def test_arrow_walk_single_partition_carry_chain(spark, tiny_batches):
+    df = spark.createDataFrame(_rows(), "k string, v long")
+    got = grouped_apply_sorted_arrow(df, ["k"], summarize_rows, OUT_SCHEMA,
+                                     extra_sort=["v"], n_parts=1).collect()
+    assert len(got) == 41
+    by_k = {r["k"]: r for r in got}
+    assert by_k["grp-012"]["n"] == 13
+    assert by_k[None]["n"] == 2
+    assert by_k["grp-012"]["vals"] == ",".join(str(1200 + i) for i in range(13))
+
+
 # -- property test of the carry/stitch logic (no Spark: the generator is
 # the risky part; the Spark wrapper is pinned by the tests above) --------
 
@@ -143,3 +180,40 @@ def test_iter_groups_property(case):
     got = got.sort_values("vals").reset_index(drop=True)
     expected = expected.sort_values("vals").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, expected)
+
+
+@given(batched_groups())
+@settings(max_examples=200, deadline=None)
+def test_iter_groups_rows_property(case):
+    """The arrow walk's carry/stitch (iter_groups_rows) agrees with the
+    pandas walk's reference semantics on random batch cut points."""
+    import pyarrow as pa
+
+    from kingfisher_process_spark.operators.grouped import iter_groups_rows
+
+    rows, bounds = case
+    full = pd.DataFrame(rows, columns=["k", "v"])
+    schema = pa.schema([pa.field("k", pa.string()), pa.field("v", pa.int64())])
+    out_schema = pa.schema([pa.field("k", pa.string()),
+                            pa.field("n", pa.int64()),
+                            pa.field("vals", pa.string())])
+    batches = [
+        pa.RecordBatch.from_pylist(
+            [{"k": k, "v": v} for k, v in rows[a:b]], schema=schema)
+        for a, b in zip(bounds, bounds[1:])
+    ]
+
+    got_rows = []
+    for rb in iter_groups_rows(iter(batches), ["k"], summarize_rows,
+                               out_schema):
+        got_rows.extend(rb.to_pylist())
+
+    def fn(pdf):
+        key = pdf["k"].iloc[0]
+        return {"k": None if pd.isna(key) else key, "n": len(pdf),
+                "vals": ",".join(str(x) for x in sorted(pdf["v"]))}
+
+    expected_rows = [fn(g) for _, g in
+                     full.groupby("k", sort=False, dropna=False)]
+    key = lambda r: (r["vals"],)  # noqa: E731
+    assert sorted(got_rows, key=key) == sorted(expected_rows, key=key)

@@ -278,8 +278,10 @@ def test_skew_routing_spares_cold_ocids_the_two_phase_passes(spark):
     schema = "ocid string, release_date string, data string, package_data string"
 
     def stage_counts(df):
-        # grouped_apply_sorted runs as MapInPandas over sorted partitions;
-        # the two-phase partial/finalize stages as FlatMapGroupsInPandas.
+        # grouped_apply_sorted_arrow runs as ONE MapInArrow over sorted
+        # partitions (r13 — pandas never enters the fused pass, so the
+        # pin also asserts MapInPandas stays absent); the two-phase
+        # partial/finalize stages as FlatMapGroupsInPandas.
         # Count formatted-plan node HEADERS (the raw string repeats AQE
         # initial/final subtrees; cached relations may still re-embed one)
         import re
@@ -287,7 +289,9 @@ def test_skew_routing_spares_cold_ocids_the_two_phase_passes(spark):
         plan = spark._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
         names = re.findall(r"^\(\d+\) (\S+)", plan, re.M)
-        return (sum(1 for n in names if n == "MapInPandas"),
+        assert not any(n == "MapInPandas" for n in names), (
+            "fused compile pass regressed to the pandas walk")
+        return (sum(1 for n in names if n == "MapInArrow"),
                 sum(1 for n in names if n == "FlatMapGroupsInPandas"))
 
     cold_only = skew_routed_compiled(spark.createDataFrame(cold, schema), batch=3)
