@@ -778,16 +778,17 @@ def incremental_recompile(old_compiled: DataFrame, old_releases: DataFrame,
     return kept.unionByName(redone)
 
 
-def incremental_compile_collection(store: Store, old_parent_id: int,
-                                   new_parent_id: int, old_compiled_id: int,
-                                   new_compiled_id: int,
-                                   batch: int | None = None,
-                                   extension_schemas: dict[str, dict] | None = None,
-                                   ) -> dict:
-    """Store-level incremental recompile: compile ``new_parent_id`` into
-    ``new_compiled_id`` (assumed empty), reusing ``old_compiled_id``'s
-    stored bytes for every OCID whose raw release set is unchanged vs
-    ``old_parent_id``.
+def incremental_compiled_frame(store: Store, old_parent_id: int,
+                               new_parent_id: int, old_compiled_id: int,
+                               batch: int | None = None,
+                               extension_schemas: dict[str, dict] | None = None,
+                               ) -> DataFrame:
+    """Store-level incremental recompile as a LAZY frame: the compiled
+    table for ``new_parent_id``, reusing ``old_compiled_id``'s stored
+    bytes for every OCID whose raw release set is unchanged vs
+    ``old_parent_id``. ``incremental_compile_collection`` persists it;
+    keeping the builder separate makes the plan capturable
+    (plans/r13/ocds_incremental_store_*).
 
     Reuse is conservative: an OCID is kept only if it is fingerprint-
     clean AND has a stored compiled item row — clean OCIDs that
@@ -838,10 +839,41 @@ def incremental_compile_collection(store: Store, old_parent_id: int,
             F.lit(None).cast("string").alias("note"),
             F.lit(None).cast("string").alias("note_data"))
     )
-    redo_in = new_in.join(kept.select("ocid"), "ocid", "left_anti")
+    # Dirty-OCID prefilter on the payload side (r13, guide §3.2 — the
+    # PySpark Bloom equivalent: broadcast semi-join on the distinct
+    # keys). The old shape anti-joined the payload-carrying corpus
+    # against kept's ocids — a build side that is corpus-keyed BY
+    # CONSTRUCTION (clean ≈ everything), so every incremental compile
+    # shuffled the whole new crawl's payload rows to drop the clean
+    # ones after the exchange. The redo keyset — dirty OCIDs plus any
+    # new-crawl OCID with no kept item row (note-only compiles) — is
+    # change-proportional, so resolve IT first from key-pruned scans
+    # and semi-join the payload rows against the broadcast probe: clean
+    # OCIDs' payloads now drop at the scan, before any exchange. Set
+    # algebra is unchanged: semi(new, new∖kept) ≡ anti(new, kept).
+    redo_keys, rk_small = _resolve_keyset(
+        new_in.select("ocid").distinct()
+        .join(kept.select("ocid"), "ocid", "left_anti"))
+    if redo_keys is None:
+        redo_in = new_in.where(F.lit(False))
+    else:
+        rk_probe = F.broadcast(redo_keys) if rk_small else redo_keys
+        redo_in = new_in.join(rk_probe, "ocid", "left_semi")
     redone = skew_routed_compiled(redo_in, batch, extension_schemas)
-    return persist_compiled(store, new_compiled_id,
-                            kept.unionByName(redone))
+    return kept.unionByName(redone)
+
+
+def incremental_compile_collection(store: Store, old_parent_id: int,
+                                   new_parent_id: int, old_compiled_id: int,
+                                   new_compiled_id: int,
+                                   batch: int | None = None,
+                                   extension_schemas: dict[str, dict] | None = None,
+                                   ) -> dict:
+    """Persisting wrapper over ``incremental_compiled_frame`` — see its
+    docstring for the reuse contract."""
+    return persist_compiled(store, new_compiled_id, incremental_compiled_frame(
+        store, old_parent_id, new_parent_id, old_compiled_id,
+        batch=batch, extension_schemas=extension_schemas))
 
 
 # ---------------------------------------------------------------------------
