@@ -1032,6 +1032,18 @@ def _bpe_apply_multi_pandas(vocab: DataFrame,
 # flat).
 _BPE_JVM_FOLD_MAX = 64
 
+# Vocabulary-size gate for pinning AQE OFF during the training loop
+# (r13, guide §1.2-config-last): a batched training run is ~20
+# SEQUENTIAL vocabulary-scale micro-queries, and AQE's per-stage
+# re-planning is a driver round trip added to every one of them —
+# measured 8.77 s -> 7.60 s (min of 3, interleaved, identical merges)
+# on the bench 2048-merge shape, where the whole vocab is one AQE-
+# coalesced partition anyway. Above this row count the per-round jobs
+# stop being scheduling-bound and AQE's coalescing/skew handling earns
+# its latency, so the pin does not apply — the gate derives from the
+# materialized vocab's own size, not from the local core count.
+_BPE_AQE_PIN_MAX_VOCAB = 2_000_000
+
 
 def _select_batch(cands: list[tuple[str, str, int]],
                   limit: int) -> list[tuple[str, str, int]]:
@@ -1096,6 +1108,23 @@ def bpe_train_batched(docs: DataFrame, n_merges: int,
         .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
         .select(F.split("word", "").alias("l"), "freq")
     ).localCheckpoint()
+    # size-gated AQE pin for the loop (one cheap count on the already-
+    # materialized checkpoint decides — see _BPE_AQE_PIN_MAX_VOCAB);
+    # restored in the finally below, merges are conf-independent.
+    spark = docs.sparkSession
+    aqe_saved = None
+    if vocab.count() <= _BPE_AQE_PIN_MAX_VOCAB:
+        aqe_saved = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _bpe_train_batched_loop(vocab, n_merges, batch)
+    finally:
+        if aqe_saved is not None:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_saved)
+
+
+def _bpe_train_batched_loop(vocab: DataFrame, n_merges: int, batch: int,
+                            ) -> tuple[list[tuple[str, str, int]], int]:
     merges: list[tuple[str, str, int]] = []
     rounds = 0
     while len(merges) < n_merges:
