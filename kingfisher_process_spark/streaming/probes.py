@@ -19,7 +19,22 @@ from pyspark.sql import functions as F
 from kingfisher_process_spark.plans.base import normalize_events_ts, probe
 
 
-def _pin_stream_confs(spark: SparkSession) -> None:
+# Target input volume per state-store partition (r13). Stateful
+# operators run one state store per shuffle partition and COMMIT each
+# one every trigger — including data-less watermark-advance triggers —
+# so oversized partition counts turn into pure per-trigger commit
+# latency (measured: the watermarked-dedup drain at sf0.1 spends
+# ~0.5 s/trigger on 32 near-empty state commits; 8 partitions cut the
+# drain 1.42 -> 0.96 s with identical results). Deriving the count
+# from the stream's INPUT volume instead of the core count keeps it
+# scale-adaptive: a 100 TB ingest gets wide state, a megabyte probe
+# does not. Overridable for cluster runs via
+# SPARK_GRAFT_STREAM_STATE_PARTS.
+_STATE_PARTITION_TARGET_BYTES = 16 * 1024 * 1024
+
+
+def _pin_stream_confs(spark: SparkSession, input_bytes: int | None = None,
+                      ) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # normalize_events_ts's timestamp_ntz→timestamp cast is session-tz
     # dependent; pin UTC here too (load_tables does it for batch paths)
@@ -28,12 +43,24 @@ def _pin_stream_confs(spark: SparkSession) -> None:
     # Stateful streaming pins the state-store partition count to
     # shuffle.partitions at first run AND cannot use AQE coalescing — on
     # a driver-supplied session with the 200 default, every stateful
-    # stage runs 200 near-empty tasks. Size to the machine like
-    # load_tables does (results unaffected; state-store keying is by
-    # group key, not partition).
+    # stage runs 200 near-empty tasks. When the caller knows the input
+    # volume, size to it (see _STATE_PARTITION_TARGET_BYTES); otherwise
+    # size to the machine like load_tables does (results unaffected;
+    # state-store keying is by group key, not partition).
+    import math
+    import os
+
     try:
         par = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(par, 8)))
+        n = max(par, 8)
+        if input_bytes is not None:
+            env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+            if env:
+                n = int(env)
+            else:
+                n = max(8, min(n, math.ceil(
+                    input_bytes / _STATE_PARTITION_TARGET_BYTES)))
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
     except Exception:
         pass
 
@@ -51,8 +78,8 @@ def _events_stream(spark: SparkSession, sf_dir: str, prefix: str,
     import os
     import tempfile
 
-    _pin_stream_confs(spark)
     src = os.path.abspath(f"{sf_dir}/events.parquet")
+    _pin_stream_confs(spark, input_bytes=os.path.getsize(src) * copies)
     schema = spark.read.parquet(src).schema
     drop_dir = tempfile.mkdtemp(prefix=prefix)
     for i in range(copies):
@@ -209,9 +236,10 @@ def st_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    src = os.path.abspath(f"{sf_dir}/documents.parquet")
+    _pin_stream_confs(spark, input_bytes=os.path.getsize(src))
     drop_dir = tempfile.mkdtemp(prefix="kps_stream_docs_")
-    os.symlink(os.path.abspath(f"{sf_dir}/documents.parquet"),
-               os.path.join(drop_dir, "documents.parquet"))
+    os.symlink(src, os.path.join(drop_dir, "documents.parquet"))
     stream = (
         spark.readStream
         .schema(DOCS_STREAM_SCHEMA)
@@ -384,16 +412,25 @@ def _drain_events_three_batches(spark: SparkSession, sf_dir: str,
     base = tempfile.mkdtemp(prefix=prefix)
     drop = os.path.join(base, "drop")
     os.makedirs(drop)
+    # ONE staging job instead of three (r13, same device as the r12
+    # semantic-dedup slice staging): the old form re-ran the events
+    # scan once per time slice (3 filter+coalesce(1) writes); a single
+    # partitionBy write stages the same three one-file slice dirs. The
+    # stage boundaries are the SAME Python-computed instants the old
+    # per-slice filters used, so the row split is identical; each
+    # stage's rows land in one task after the repartition, so each
+    # stage=i dir holds exactly one file and the copy loop below feeds
+    # the drop dir in the same event-time order.
+    b1 = lo + datetime.timedelta(seconds=span / 3)
+    b2 = lo + datetime.timedelta(seconds=span * 2 / 3)
+    stage = (F.when(F.col("ts") < F.lit(b1), 0)
+             .when(F.col("ts") < F.lit(b2), 1)
+             .otherwise(2))
+    staged = os.path.join(base, "staged")
+    (events.withColumn("stage", stage).repartition("stage")
+     .write.mode("overwrite").partitionBy("stage").parquet(staged))
     for i in range(3):
-        a = lo + datetime.timedelta(seconds=span * i / 3)
-        b = lo + datetime.timedelta(seconds=span * (i + 1) / 3)
-        part = events.where(
-            (F.col("ts") >= a) & (F.col("ts") < b) if i < 2
-            else (F.col("ts") >= a))
-        # one file per batch, named in event-time order
-        part.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(base, f"stage{i}"))
-        src = list_parquet(os.path.join(base, f"stage{i}"))[0]
+        src = list_parquet(os.path.join(staged, f"stage={i}"))[0]
         shutil.copy(src, os.path.join(drop, f"batch_{i}.parquet"))
 
     acc = os.path.join(base, "acc")
